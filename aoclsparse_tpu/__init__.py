@@ -1,0 +1,53 @@
+"""aoclsparse_tpu — a TPU-native sparse linear-algebra framework.
+
+Brand-new JAX/XLA/Pallas implementation of the capability surface of
+AMD's AOCL-Sparse (see SURVEY.md at the repo root): sparse BLAS levels 1-3,
+format conversions, a trace-time planner (the hint/optimize analog),
+triangular solves and preconditioners via level-scheduled wavefronts, a
+CG/GMRES Krylov layer, and multi-device distribution over jax.sharding
+meshes.
+"""
+
+from .core.types import (  # noqa: F401
+    AoclSparseError,
+    DiagType,
+    FillMode,
+    FormatType,
+    IluType,
+    IndexBase,
+    MatrixSort,
+    MatrixType,
+    MemoryPolicy,
+    Operation,
+    Order,
+    Request,
+    SorType,
+    Status,
+)
+from .core.descr import Doid, GENERAL, MatrixDescriptor, get_doid, trans_doid  # noqa: F401
+from .core.formats import BSR, COO, CSC, CSR, DIA, ELL, SELL  # noqa: F401
+from .core.matrix import (  # noqa: F401
+    SparseMatrix,
+    copy,
+    create_bsr,
+    create_coo,
+    create_csc,
+    create_csr,
+    create_dia,
+    create_ell,
+    destroy,
+    export_coo,
+    export_csc,
+    export_csr,
+    order_mat,
+    set_value,
+    update_values,
+)
+from .core.context import get_context  # noqa: F401
+
+__version__ = "0.1.0"
+
+
+def get_version() -> str:
+    """aoclsparse_get_version analog."""
+    return __version__

@@ -1,0 +1,375 @@
+"""Format conversions (reference: library/src/conversion/aoclsparse_convert.cpp).
+
+Design split, per the XLA static-shape model (SURVEY.md §7 "Dynamic shapes"):
+structure (ptr/ind layouts, widths, permutations) is computed host-side with
+numpy — it is data-dependent-shape work the reference also does eagerly in
+`optimize`/convert — while *values* move through device-side gathers keyed by
+a precomputed permutation, so repeated conversions after `update_values`
+re-run as a single jitted gather.
+
+Covers csr2csc (:817), csr2ell/ellt/ellthyb (:307-505), csr2dia (:506),
+csr2bsr (:592), csr2blkcsr's role via SELL, csr2dense (:933), and handle-level
+convert_csr (:1004) via `to_csr` on every format.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.formats import BSR, COO, CSC, CSR, DIA, ELL, SELL
+from ..core.types import AoclSparseError, Operation, Status, index_dtype
+
+__all__ = [
+    "to_csr",
+    "to_csc",
+    "to_coo",
+    "sort_csr",
+    "csr_transpose",
+    "csr_apply_operation",
+    "csr_to_ell",
+    "csr_to_ellhyb",
+    "csr_to_dia",
+    "csr_to_bsr",
+    "csr_to_sell",
+    "bsr_to_csr",
+    "csr_to_dense",
+    "dense_to_csr",
+    "coo_to_csr",
+]
+
+
+def _np(a):
+    return np.asarray(a)
+
+
+# ---------------------------------------------------------------------------
+# canonicalization
+# ---------------------------------------------------------------------------
+
+
+def coo_to_csr(A: COO, sum_duplicates: bool = False) -> CSR:
+    row = _np(A.row)
+    col = _np(A.col)
+    order = np.lexsort((col, row))
+    row_s, col_s = row[order], col[order]
+    if sum_duplicates and row_s.size:
+        keep = np.ones(row_s.size, dtype=bool)
+        keep[1:] = (row_s[1:] != row_s[:-1]) | (col_s[1:] != col_s[:-1])
+        seg = np.cumsum(keep) - 1
+        val = jnp.zeros((int(seg[-1]) + 1,), dtype=A.val.dtype).at[jnp.asarray(seg)].add(
+            A.val[jnp.asarray(order)]
+        )
+        row_s, col_s = row_s[keep], col_s[keep]
+    else:
+        val = A.val[jnp.asarray(order)] if row_s.size else A.val
+    ptr = np.zeros(A.m + 1, dtype=np.int64)
+    np.add.at(ptr, row_s + 1, 1)
+    ptr = np.cumsum(ptr)
+    return CSR(ptr.astype(np.int32), col_s.astype(np.int32), val, shape=A.shape)
+
+
+def sort_csr(A: CSR) -> CSR:
+    """Sort column indices within each row (aoclsparse_sort_idx_val analog,
+    csr_util.hpp:103). Values permuted on device."""
+    ptr = _np(A.ptr)
+    ind = _np(A.ind)
+    m = A.m
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(ptr))
+    order = np.lexsort((ind, rows))
+    if np.array_equal(order, np.arange(order.size)):
+        return A
+    return CSR(A.ptr, ind[order].astype(ind.dtype), A.val[jnp.asarray(order)], shape=A.shape)
+
+
+def csr_transpose(A: CSR, conj: bool = False) -> CSR:
+    """CSR of A^T (the csr2csc engine, aoclsparse_convert.hpp template)."""
+    ptr = _np(A.ptr)
+    ind = _np(A.ind)
+    m, n = A.shape
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(ptr))
+    order = np.lexsort((rows, ind))  # sort by (col, row)
+    new_ind = rows[order]
+    tptr = np.zeros(n + 1, dtype=np.int64)
+    if ind.size:
+        np.add.at(tptr, ind + 1, 1)
+    tptr = np.cumsum(tptr)
+    val = A.val[jnp.asarray(order)]
+    if conj:
+        val = jnp.conj(val)
+    return CSR(tptr.astype(np.int32), new_ind.astype(np.int32), val, shape=(n, m))
+
+
+def csr_apply_operation(A: CSR, op: Operation) -> CSR:
+    op = Operation(op)
+    if op == Operation.none:
+        return A
+    return csr_transpose(A, conj=(op == Operation.conjugate_transpose))
+
+
+def to_csr(data) -> CSR:
+    if isinstance(data, CSR):
+        return data
+    if isinstance(data, CSC):
+        # CSC(m,n) arrays are CSR of the (n,m) transpose; transpose back
+        as_csr_t = CSR(data.ptr, data.ind, data.val, shape=(data.n, data.m))
+        return csr_transpose(as_csr_t)
+    if isinstance(data, COO):
+        return coo_to_csr(data)
+    if isinstance(data, BSR):
+        return bsr_to_csr(data)
+    if isinstance(data, ELL):
+        return _ell_to_csr(data)
+    if isinstance(data, DIA):
+        return _dia_to_csr(data)
+    raise AoclSparseError(Status.wrong_type, f"to_csr: unsupported {type(data)}")
+
+
+def to_csc(data) -> CSC:
+    A = to_csr(data)
+    T = csr_transpose(A)
+    return CSC(T.ptr, T.ind, T.val, shape=A.shape)
+
+
+def to_coo(data) -> COO:
+    A = to_csr(data)
+    ptr = _np(A.ptr)
+    rows = np.repeat(np.arange(A.m, dtype=np.int64), np.diff(ptr))
+    return COO(rows.astype(np.int32), A.ind, A.val, shape=A.shape)
+
+
+# ---------------------------------------------------------------------------
+# CSR -> padded/blocked execution formats
+# ---------------------------------------------------------------------------
+
+
+def _row_lengths(A: CSR) -> np.ndarray:
+    return np.diff(_np(A.ptr))
+
+
+def csr_to_ell(A: CSR, width: Optional[int] = None) -> ELL:
+    """Pad every row to `width` (default: max row length). Gather-permutation
+    built host-side; values gathered on device (csr2ell, convert.cpp:307)."""
+    ptr = _np(A.ptr)
+    lens = np.diff(ptr)
+    w = int(width if width is not None else (lens.max() if lens.size else 0))
+    m = A.m
+    # position k in row i maps from csr offset ptr[i]+k
+    offs = ptr[:-1, None] + np.arange(w)[None, :]
+    valid = np.arange(w)[None, :] < lens[:, None]
+    src = np.where(valid, offs, 0).astype(np.int64)
+    ind_np = _np(A.ind)
+    ell_ind = np.where(valid, ind_np[np.minimum(src, max(ind_np.size - 1, 0))], -1)
+    gathered = A.val[jnp.asarray(src.reshape(-1))].reshape(m, w)
+    ell_val = jnp.where(jnp.asarray(valid), gathered, jnp.zeros((), dtype=A.val.dtype))
+    return ELL(ell_ind.astype(np.int32), ell_val, width=w, shape=A.shape)
+
+
+def csr_to_ellhyb(A: CSR, width: Optional[int] = None) -> Tuple[ELL, CSR]:
+    """Hybrid split: rows' first `width` entries in ELL, spill in a CSR
+    remainder (csr2ellthyb, convert.cpp:406). Default width mirrors the
+    reference heuristic: min(max_width, mean + stddev?) — we use the nnz/row
+    mean rounded up, clamped like aoclsparse_analysis.cpp (ell_width<=30 there;
+    TPU prefers multiples of 8)."""
+    lens = _row_lengths(A)
+    if width is None:
+        mean = float(lens.mean()) if lens.size else 0.0
+        width = int(min(max(8, int(np.ceil(mean / 8.0) * 8)), 64))
+    w = int(width)
+    ptr = _np(A.ptr)
+    ind = _np(A.ind)
+    head = np.minimum(lens, w)
+    # ELL part
+    offs = ptr[:-1, None] + np.arange(w)[None, :]
+    valid = np.arange(w)[None, :] < head[:, None]
+    src = np.where(valid, offs, 0).astype(np.int64)
+    ell_ind = np.where(valid, ind[np.minimum(src, max(ind.size - 1, 0))], -1)
+    gathered = A.val[jnp.asarray(src.reshape(-1))].reshape(A.m, w)
+    ell_val = jnp.where(jnp.asarray(valid), gathered, jnp.zeros((), dtype=A.val.dtype))
+    ell = ELL(ell_ind.astype(np.int32), ell_val, width=w, shape=A.shape)
+    # CSR spill
+    tail = lens - head
+    sptr = np.concatenate([[0], np.cumsum(tail)]).astype(np.int64)
+    tot = int(sptr[-1])
+    src2 = np.zeros(tot, dtype=np.int64)
+    for i in np.nonzero(tail)[0]:
+        src2[sptr[i] : sptr[i + 1]] = np.arange(ptr[i] + w, ptr[i + 1])
+    spill = CSR(
+        sptr.astype(np.int32),
+        ind[src2].astype(np.int32) if tot else np.zeros(0, np.int32),
+        A.val[jnp.asarray(src2)] if tot else A.val[:0],
+        shape=A.shape,
+    )
+    return ell, spill
+
+
+def csr_to_dia(A: CSR, max_diags: Optional[int] = None) -> DIA:
+    ptr = _np(A.ptr)
+    ind = _np(A.ind)
+    m, n = A.shape
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(ptr))
+    diags = ind.astype(np.int64) - rows
+    dist = np.unique(diags)
+    if max_diags is not None and dist.size > max_diags:
+        raise AoclSparseError(Status.invalid_size, f"{dist.size} diagonals > cap {max_diags}")
+    dmap = {int(d): i for i, d in enumerate(dist)}
+    val = np.zeros((dist.size, m), dtype=np.asarray(A.val).dtype)
+    vnp = _np(A.val)
+    for k in range(ind.size):
+        val[dmap[int(diags[k])], rows[k]] = vnp[k]
+    return DIA(dist.astype(np.int32), jnp.asarray(val), shape=A.shape)
+
+
+def csr_to_bsr(A: CSR, block_dim: int) -> BSR:
+    bs = int(block_dim)
+    m, n = A.shape
+    mb, nb = -(-m // bs), -(-n // bs)
+    ptr = _np(A.ptr)
+    ind = _np(A.ind)
+    vnp = _np(A.val)
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(ptr))
+    brow, bcol = rows // bs, ind // bs
+    keys = brow * nb + bcol
+    ukeys, inv = np.unique(keys, return_inverse=True)
+    nnzb = ukeys.size
+    bptr = np.zeros(mb + 1, dtype=np.int64)
+    np.add.at(bptr, (ukeys // nb) + 1, 1)
+    bptr = np.cumsum(bptr)
+    bind = (ukeys % nb).astype(np.int32)
+    bval = np.zeros((nnzb, bs, bs), dtype=vnp.dtype)
+    bval[inv, rows % bs, ind % bs] = vnp
+    return BSR(
+        bptr.astype(np.int32), bind, jnp.asarray(bval), block_dim=bs, shape=(mb * bs, nb * bs)
+    )
+
+
+def bsr_to_csr(A: BSR) -> CSR:
+    bs = A.block_dim
+    mb = A.mb
+    bptr = _np(A.ptr)
+    bind = _np(A.ind)
+    bval = _np(A.val)
+    m, n = A.shape
+    ptr = [0]
+    ind_out = []
+    val_out = []
+    for ib in range(mb):
+        for r in range(bs):
+            i = ib * bs + r
+            if i >= m:
+                break
+            for k in range(int(bptr[ib]), int(bptr[ib + 1])):
+                jb = int(bind[k])
+                for c in range(bs):
+                    j = jb * bs + c
+                    if j < n and bval[k, r, c] != 0:
+                        ind_out.append(j)
+                        val_out.append(bval[k, r, c])
+            ptr.append(len(ind_out))
+    return CSR(
+        np.asarray(ptr, np.int32),
+        np.asarray(ind_out, np.int32),
+        jnp.asarray(np.asarray(val_out, dtype=bval.dtype)),
+        shape=(m, n),
+    )
+
+
+def csr_to_sell(A: CSR, slice_rows: int = 8, lane: int = 128) -> SELL:
+    """Build the TPU sliced-ELL execution format: per 8-row slice, width is the
+    slice's max row length rounded up to a lane multiple."""
+    ptr = _np(A.ptr)
+    ind = _np(A.ind)
+    m = A.m
+    lens = np.diff(ptr)
+    nsl = -(-m // slice_rows) if m else 0
+    widths = np.zeros(nsl, dtype=np.int64)
+    for s in range(nsl):
+        chunk = lens[s * slice_rows : (s + 1) * slice_rows]
+        w = int(chunk.max()) if chunk.size else 0
+        widths[s] = max(lane, -(-w // lane) * lane) if w else lane
+    sp = np.concatenate([[0], np.cumsum(widths * slice_rows)])
+    tot = int(sp[-1])
+    src = np.zeros(tot, dtype=np.int64)
+    valid = np.zeros(tot, dtype=bool)
+    out_ind = np.full(tot, -1, dtype=np.int32)
+    for s in range(nsl):
+        w = int(widths[s])
+        for r in range(slice_rows):
+            i = s * slice_rows + r
+            if i >= m:
+                continue
+            o = int(sp[s]) + r * w
+            L = int(lens[i])
+            src[o : o + L] = np.arange(ptr[i], ptr[i + 1])
+            valid[o : o + L] = True
+            out_ind[o : o + L] = ind[ptr[i] : ptr[i + 1]]
+    gathered = A.val[jnp.asarray(src)]
+    vals = jnp.where(jnp.asarray(valid), gathered, jnp.zeros((), dtype=A.val.dtype))
+    return SELL(
+        sp.astype(np.int32),
+        widths.astype(np.int32),
+        jnp.asarray(out_ind),
+        vals,
+        slice_rows=slice_rows,
+        shape=A.shape,
+    )
+
+
+# ---------------------------------------------------------------------------
+# dense interop
+# ---------------------------------------------------------------------------
+
+
+def csr_to_dense(A: CSR, order: str = "row") -> jnp.ndarray:
+    """csr2dense (convert.cpp:933) as a jittable scatter."""
+    m, n = A.shape
+    ptr = _np(A.ptr)
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(ptr))
+    out = jnp.zeros((m, n), dtype=A.val.dtype)
+    out = out.at[jnp.asarray(rows), A.ind].add(A.val)
+    return out.T if order == "column" else out
+
+
+def _ell_to_csr(E: ELL) -> CSR:
+    ind = _np(E.ind)
+    val = _np(E.val)
+    m = E.m
+    mask = ind >= 0
+    lens = mask.sum(axis=1)
+    ptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    out_ind = ind[mask].astype(np.int32)
+    out_val = val[mask]
+    return CSR(ptr, out_ind, jnp.asarray(out_val), shape=E.shape)
+
+
+def _dia_to_csr(D: DIA) -> CSR:
+    dist = _np(D.dist)
+    val = _np(D.val)
+    m, n = D.shape
+    entries = []
+    for i in range(m):
+        for di, d in enumerate(dist):
+            j = i + int(d)
+            if 0 <= j < n and val[di, i] != 0:
+                entries.append((i, j, val[di, i]))
+    entries.sort()
+    ptr = np.zeros(m + 1, dtype=np.int32)
+    for i, _, _ in entries:
+        ptr[i + 1] += 1
+    ptr = np.cumsum(ptr).astype(np.int32)
+    ind = np.asarray([j for _, j, _ in entries], dtype=np.int32)
+    v = np.asarray([v for _, _, v in entries], dtype=val.dtype)
+    return CSR(ptr, ind, jnp.asarray(v), shape=D.shape)
+
+
+def dense_to_csr(dense, tol: float = 0.0) -> CSR:
+    d = np.asarray(dense)
+    m, n = d.shape
+    mask = np.abs(d) > tol
+    lens = mask.sum(axis=1)
+    ptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    cols = np.nonzero(mask)[1].astype(np.int32)
+    vals = d[mask]
+    return CSR(ptr, cols, jnp.asarray(vals), shape=(m, n))

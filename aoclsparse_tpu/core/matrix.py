@@ -1,0 +1,310 @@
+"""SparseMatrix handle: creation, export, copy, value updates, hints.
+
+TPU-native analog of `_aoclsparse_matrix` (aoclsparse_mat_structures.hpp:747-783)
+and the creation/auxiliary API (library/src/create/aoclsparse_create.cpp:35,
+src/extra/aoclsparse_auxiliary.cpp:366-1014). Differences by design:
+
+- The user-facing *data* is an immutable pytree (core/formats.py); the handle
+  is a thin mutable Python object that owns the hint list and the cached Plan
+  (the analog of the reference's `mats` vector of optimized copies + optim_data).
+- Index-base conversion to zero-base happens at creation; `export_*` restores
+  the requested base, like the reference's zero-basing clean-CSR builder.
+- `destroy` is garbage collection; provided as a no-op for API parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .descr import GENERAL, MatrixDescriptor
+from .formats import BSR, COO, CSC, CSR, DIA, ELL
+from .types import (
+    AoclSparseError,
+    FormatType,
+    IndexBase,
+    MatrixSort,
+    MemoryPolicy,
+    Operation,
+    Status,
+    check_value_dtype,
+)
+from .validate import check_csr_arrays, check_sizes, require
+
+__all__ = [
+    "SparseMatrix",
+    "create_csr",
+    "create_csc",
+    "create_coo",
+    "create_bsr",
+    "create_ell",
+    "create_dia",
+    "export_csr",
+    "export_csc",
+    "export_coo",
+    "copy",
+    "order_mat",
+    "set_value",
+    "update_values",
+    "destroy",
+]
+
+
+@dataclasses.dataclass
+class Hint:
+    """One registered optimization hint (analog of aoclsparse_optimize_data,
+    aoclsparse_mat_structures.hpp:54-81)."""
+
+    action: str  # "mv" | "sv" | "mm" | "2m" | "dotmv" | "sm" | "symgs" | "sorv" | "lu_smoother" | "memory"
+    trans: Operation = Operation.none
+    descr: MatrixDescriptor = GENERAL
+    kid: Optional[int] = None
+    nop: int = 1
+    done: bool = False
+
+
+class SparseMatrix:
+    """Mutable handle around an immutable format pytree."""
+
+    def __init__(self, data, input_format: FormatType, base: IndexBase = IndexBase.zero):
+        self.data = data  # format pytree, zero-based
+        self.input_format = FormatType(input_format)
+        self.base = IndexBase(base)
+        self.hints: List[Hint] = []
+        self.mem_policy = MemoryPolicy.unrestricted
+        self.sort = MatrixSort.unknown
+        self.fulldiag: Optional[bool] = None
+        self.plan = None  # planner.Plan once optimize() ran
+        self.ilu_state = None  # solvers.ilu0 factorization cache
+
+    # -- convenience passthroughs -------------------------------------------------
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self.data.shape
+
+    @property
+    def m(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def nnz(self) -> int:
+        from .formats import nnz_of
+
+        return nnz_of(self.data)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def add_hint(self, hint: Hint) -> None:
+        self.hints.insert(0, hint)  # reference prepends (csr_util.cpp:47)
+
+    def invalidate(self) -> None:
+        """Drop cached plan/factorizations after a structural change."""
+        self.plan = None
+        self.ilu_state = None
+
+    def __repr__(self):
+        return (
+            f"SparseMatrix({self.input_format.name}, shape={self.shape}, "
+            f"nnz={self.nnz}, dtype={self.dtype}, plan={'yes' if self.plan else 'no'})"
+        )
+
+
+# ---------------------------------------------------------------------------
+# creation (aoclsparse_create_(s/d/c/z)csr etc. — dtype suffixes become the
+# dtype of the arrays themselves)
+# ---------------------------------------------------------------------------
+
+
+def _rebase(arr, base: IndexBase):
+    a = np.asarray(arr)
+    if int(base) != 0:
+        a = a - int(base)
+    return a
+
+
+def create_csr(m, n, ptr, ind, val, base: IndexBase = IndexBase.zero) -> SparseMatrix:
+    check_value_dtype(np.asarray(val).dtype)
+    srt, full = check_csr_arrays(m, n, ptr, ind, val, base)
+    A = CSR(_rebase(ptr, base), _rebase(ind, base), jnp.asarray(val), shape=(int(m), int(n)))
+    h = SparseMatrix(A, FormatType.csr, base)
+    h.sort = MatrixSort.fully_sorted if srt else MatrixSort.unsorted
+    h.fulldiag = full
+    return h
+
+
+def create_csc(m, n, ptr, ind, val, base: IndexBase = IndexBase.zero) -> SparseMatrix:
+    check_value_dtype(np.asarray(val).dtype)
+    # CSC with shape (m, n) is structurally CSR of the (n, m) transpose
+    srt, _ = check_csr_arrays(n, m, ptr, ind, val, base)
+    A = CSC(_rebase(ptr, base), _rebase(ind, base), jnp.asarray(val), shape=(int(m), int(n)))
+    h = SparseMatrix(A, FormatType.csc, base)
+    h.sort = MatrixSort.fully_sorted if srt else MatrixSort.unsorted
+    return h
+
+
+def create_coo(m, n, row, col, val, base: IndexBase = IndexBase.zero) -> SparseMatrix:
+    check_value_dtype(np.asarray(val).dtype)
+    row = np.asarray(row)
+    col = np.asarray(col)
+    val_np = np.asarray(val)
+    check_sizes(m, n, val_np.shape[0])
+    require(row.shape == col.shape == val_np.shape[:1], Status.invalid_size, "coo array mismatch")
+    b = int(base)
+    if row.size:
+        require(
+            bool(row.min() >= b and row.max() < m + b), Status.invalid_index_value, "row range"
+        )
+        require(
+            bool(col.min() >= b and col.max() < n + b), Status.invalid_index_value, "col range"
+        )
+    A = COO(_rebase(row, base), _rebase(col, base), jnp.asarray(val), shape=(int(m), int(n)))
+    return SparseMatrix(A, FormatType.coo, base)
+
+
+def create_bsr(
+    mb, nb, block_dim, ptr, ind, val, base: IndexBase = IndexBase.zero
+) -> SparseMatrix:
+    check_value_dtype(np.asarray(val).dtype)
+    require(block_dim > 0, Status.invalid_size, "block_dim must be > 0")
+    ptr = _rebase(ptr, base)
+    ind = _rebase(ind, base)
+    val = np.asarray(val)
+    nnzb = int(ptr[-1])
+    require(val.size == nnzb * block_dim * block_dim, Status.invalid_size, "bsr val size")
+    A = BSR(
+        ptr,
+        ind,
+        jnp.asarray(val).reshape(nnzb, block_dim, block_dim),
+        block_dim=int(block_dim),
+        shape=(int(mb * block_dim), int(nb * block_dim)),
+    )
+    return SparseMatrix(A, FormatType.bsr, base)
+
+
+def create_ell(m, n, width, ind, val, base: IndexBase = IndexBase.zero) -> SparseMatrix:
+    check_value_dtype(np.asarray(val).dtype)
+    ind = np.asarray(ind).reshape(m, width)
+    val = np.asarray(val).reshape(m, width)
+    if int(base) != 0:
+        ind = np.where(ind >= 0, ind - int(base), -1)
+    A = ELL(jnp.asarray(ind), jnp.asarray(val), width=int(width), shape=(int(m), int(n)))
+    return SparseMatrix(A, FormatType.ell, base)
+
+
+def create_dia(m, n, dist, val, base: IndexBase = IndexBase.zero) -> SparseMatrix:
+    check_value_dtype(np.asarray(val).dtype)
+    dist = np.asarray(dist)
+    val = np.asarray(val).reshape(dist.shape[0], m)
+    A = DIA(jnp.asarray(dist), jnp.asarray(val), shape=(int(m), int(n)))
+    return SparseMatrix(A, FormatType.dia, base)
+
+
+# ---------------------------------------------------------------------------
+# export (aoclsparse_export_(s/d/c/z)csr etc., auxiliary.cpp:552-651)
+# ---------------------------------------------------------------------------
+
+
+def _to_csr_data(h: SparseMatrix) -> CSR:
+    from ..convert import conversions as cv
+
+    return cv.to_csr(h.data)
+
+
+def export_csr(h: SparseMatrix, base: Optional[IndexBase] = None):
+    """Return (m, n, nnz, ptr, ind, val) numpy views in the requested base."""
+    A = _to_csr_data(h)
+    b = int(base if base is not None else h.base)
+    ptr = np.asarray(A.ptr) + b
+    ind = np.asarray(A.ind) + b
+    return A.m, A.n, A.nnz, ptr, ind, np.asarray(A.val)
+
+
+def export_csc(h: SparseMatrix, base: Optional[IndexBase] = None):
+    from ..convert import conversions as cv
+
+    A = cv.to_csc(h.data)
+    b = int(base if base is not None else h.base)
+    return A.m, A.n, A.nnz, np.asarray(A.ptr) + b, np.asarray(A.ind) + b, np.asarray(A.val)
+
+
+def export_coo(h: SparseMatrix, base: Optional[IndexBase] = None):
+    from ..convert import conversions as cv
+
+    A = cv.to_coo(h.data)
+    b = int(base if base is not None else h.base)
+    return A.m, A.n, A.nnz, np.asarray(A.row) + b, np.asarray(A.col) + b, np.asarray(A.val)
+
+
+# ---------------------------------------------------------------------------
+# auxiliary mutators (aoclsparse_copy/order_mat/set_value/update_values)
+# ---------------------------------------------------------------------------
+
+
+def copy(h: SparseMatrix) -> SparseMatrix:
+    out = SparseMatrix(h.data, h.input_format, h.base)  # pytrees are immutable: share
+    out.sort = h.sort
+    out.fulldiag = h.fulldiag
+    out.mem_policy = h.mem_policy
+    return out
+
+
+def order_mat(h: SparseMatrix) -> SparseMatrix:
+    """In-place sort of column indices within each row (auxiliary.cpp:837)."""
+    from ..convert import conversions as cv
+
+    A = _to_csr_data(h)
+    h.data = cv.sort_csr(A)
+    h.input_format = FormatType.csr
+    h.sort = MatrixSort.fully_sorted
+    h.invalidate()
+    return h
+
+
+def set_value(h: SparseMatrix, row: int, col: int, value) -> SparseMatrix:
+    """Point-update one stored entry; invalid_index_value if not in pattern
+    (auxiliary.cpp:529-548)."""
+    A = _to_csr_data(h)
+    ptr = np.asarray(A.ptr)
+    ind = np.asarray(A.ind)
+    lo, hi = int(ptr[row]), int(ptr[row + 1])
+    pos = np.nonzero(ind[lo:hi] == col)[0]
+    require(pos.size > 0, Status.invalid_index_value, f"({row},{col}) not in sparsity pattern")
+    k = lo + int(pos[0])
+    val = A.val.at[k].set(value)
+    h.data = dataclasses.replace(A, val=val)
+    h.input_format = FormatType.csr
+    h.ilu_state = None
+    return h
+
+
+def update_values(h: SparseMatrix, values) -> SparseMatrix:
+    """Replace all values keeping the pattern (auxiliary.cpp:674-706)."""
+    values = jnp.asarray(values)
+    A = h.data
+    require(
+        values.shape[0] == (A.val.size if hasattr(A, "val") else 0),
+        Status.invalid_size,
+        "update_values length mismatch",
+    )
+    h.data = dataclasses.replace(A, val=values.reshape(A.val.shape))
+    h.ilu_state = None
+    # pattern unchanged: plan stays valid except value-derived caches
+    if h.plan is not None:
+        h.plan.refresh_values(h.data)
+    return h
+
+
+def destroy(h: SparseMatrix) -> None:
+    """API-parity no-op (GC owns memory)."""
+    h.data = None
+    h.plan = None
+    h.ilu_state = None

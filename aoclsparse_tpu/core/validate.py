@@ -1,0 +1,60 @@
+"""Input validation, the analog of the reference's per-entry-point checks
+(e.g. aoclsparse_mv.cpp:52-109) and of aoclsparse_mat_check_internal
+(library/src/analysis/aoclsparse_csr_util.cpp:124)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .types import AoclSparseError, IndexBase, Status
+
+__all__ = ["check_csr_arrays", "check_sizes", "require"]
+
+
+def require(cond: bool, status: Status, msg: str = ""):
+    if not cond:
+        raise AoclSparseError(status, msg)
+
+
+def check_sizes(m: int, n: int, nnz: int):
+    require(m >= 0 and n >= 0 and nnz >= 0, Status.invalid_size, f"m={m} n={n} nnz={nnz}")
+
+
+def check_csr_arrays(m, n, ptr, ind, val, base: IndexBase = IndexBase.zero, strict: bool = True):
+    """Host-side structural validation of a CSR triple (numpy domain).
+
+    Mirrors aoclsparse_mat_check_internal: ptr monotonicity, bounds of indices,
+    base consistency. Returns (sorted, full_diag) flags like check_sort_diag
+    (csr_util.cpp:290).
+    """
+    ptr = np.asarray(ptr)
+    ind = np.asarray(ind)
+    val = np.asarray(val)
+    check_sizes(m, n, int(ind.shape[0]))
+    require(ptr.ndim == 1 and ptr.shape[0] == m + 1, Status.invalid_size, "ptr must be (m+1,)")
+    require(ind.shape == val.shape[:1], Status.invalid_size, "ind/val length mismatch")
+    b = int(base)
+    require(int(ptr[0]) == b, Status.invalid_value, f"ptr[0] must equal base ({b})")
+    d = np.diff(ptr)
+    require(bool(np.all(d >= 0)), Status.invalid_value, "ptr must be non-decreasing")
+    require(int(ptr[-1]) - b == int(ind.shape[0]), Status.invalid_size, "ptr[-1]-base != nnz")
+    if ind.size:
+        require(
+            bool((ind.min() >= b) and (ind.max() < n + b)),
+            Status.invalid_index_value,
+            "column index out of range",
+        )
+    srt = True
+    full_diag = True
+    if strict and m > 0:
+        z = ind - b
+        p = ptr - b
+        for i in range(m):
+            row = z[int(p[i]) : int(p[i + 1])]
+            if row.size > 1 and not bool(np.all(np.diff(row) > 0)):
+                srt = False
+            if i < n and not bool(np.any(row == i)):
+                full_diag = False
+            if not srt and not full_diag:
+                break
+    return srt, full_diag
