@@ -44,6 +44,21 @@ from .core.matrix import (  # noqa: F401
     update_values,
 )
 from .core.context import get_context  # noqa: F401
+from .kernels.registry import debug_dispatcher  # noqa: F401
+from .ops import dotmv, mv  # noqa: F401
+from .planner import (  # noqa: F401
+    optimize,
+    set_2m_hint,
+    set_dotmv_hint,
+    set_lu_smoother_hint,
+    set_memory_hint,
+    set_mm_hint,
+    set_mv_hint,
+    set_sm_hint,
+    set_sorv_hint,
+    set_sv_hint,
+    set_symgs_hint,
+)
 
 __version__ = "0.1.0"
 

@@ -240,9 +240,9 @@ def csr_to_bsr(A: CSR, block_dim: int) -> BSR:
     bind = (ukeys % nb).astype(np.int32)
     bval = np.zeros((nnzb, bs, bs), dtype=vnp.dtype)
     bval[inv, rows % bs, ind % bs] = vnp
-    return BSR(
-        bptr.astype(np.int32), bind, jnp.asarray(bval), block_dim=bs, shape=(mb * bs, nb * bs)
-    )
+    # keep the element-level shape; partial edge blocks are zero-padded
+    # (reference csr2bsr pads edge blocks too, convert.cpp:592)
+    return BSR(bptr.astype(np.int32), bind, jnp.asarray(bval), block_dim=bs, shape=(m, n))
 
 
 def bsr_to_csr(A: BSR) -> CSR:

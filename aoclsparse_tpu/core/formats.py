@@ -281,4 +281,8 @@ def nnz_of(A) -> int:
         return int(np.sum(np.asarray(A.ind) >= 0))
     if isinstance(A, BSR):
         return A.nnzb * A.block_dim * A.block_dim
+    if isinstance(A, DIA):
+        return int(np.count_nonzero(np.asarray(A.val)))
+    if isinstance(A, SELL):
+        return int(np.sum(np.asarray(A.ind) >= 0))
     raise AoclSparseError(Status.wrong_type, f"nnz_of: unsupported {type(A)}")

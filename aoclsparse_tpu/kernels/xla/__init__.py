@@ -1,0 +1,17 @@
+"""XLA-path kernels: jittable pure functions over statically-shaped arrays.
+
+Registered into the global kernel registry (kernels/registry.py) as the
+baseline rows of each op's KAT table — the analog of the reference's
+``ref``/KT-AVX2 rows; Pallas TPU kernels register higher-priority rows
+(kernels/pallas) the way raw AVX-512 rows do.
+"""
+
+from . import spmv  # noqa: F401
+from ..registry import KernelEntry, registry
+
+# SpMV KAT table (csrmv/ellmv/bsrmv/diamv analog rows)
+registry.register("mv", KernelEntry(0, "xla_segsum", spmv.spmv_segsum, "segsum", "any", 0))
+registry.register("mv", KernelEntry(1, "xla_ell", spmv.spmv_ell, "ell", "any", 0))
+registry.register("mv", KernelEntry(2, "xla_ellhyb", spmv.spmv_ellhyb, "ellhyb", "any", 0))
+registry.register("mv", KernelEntry(3, "xla_bsr", spmv.spmv_bsr, "bsr", "any", 0))
+registry.register("mv", KernelEntry(4, "xla_dia", spmv.spmv_dia, "dia", "any", 0))

@@ -1,0 +1,164 @@
+"""Level-2 SpMV: ``mv`` (aoclsparse_?mv) and the fused ``dotmv``.
+
+Reference: entry/validation at level2/aoclsparse_mv.cpp:39-382 (null/size/base
+checks, empty-matrix beta-scale quick exit, DOID copy lookup, format switch),
+dispatch aoclsparse_csrmv_t (level2/aoclsparse_csrmv.hpp:34-451), fused dotmv
+template (level2/aoclsparse_dotmv.hpp:32).
+
+TPU redesign: the (descr, op) pair resolves through the planner to an
+EffectiveCSR copy + ExecForm (general-form data, uniform kernels — the same
+strategy as the reference's matrix_transform DOID copies), then the registry
+Oracle picks a kernel row for the execution format. y = alpha*op(A)x + beta*y
+is computed with the alpha/beta epilogue fused in jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.descr import MatrixDescriptor, get_doid
+from ...core.formats import BSR, DIA, ELL
+from ...core.matrix import SparseMatrix
+from ...core.types import (
+    AoclSparseError,
+    MatrixType,
+    MemoryPolicy,
+    Operation,
+    Status,
+)
+from ...kernels.registry import registry
+from ...kernels.xla import spmv as K
+from ...planner.plan import get_plan
+
+__all__ = ["mv", "dotmv"]
+
+
+def _validate(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, x, y):
+    if A is None or descr is None or x is None:
+        raise AoclSparseError(Status.invalid_pointer, "null argument to mv")
+    descr.validate()
+    op = Operation(op)
+    m, n = A.shape
+    nx, ny = (n, m) if op == Operation.none else (m, n)
+    x = jnp.asarray(x)
+    if x.shape != (nx,):
+        raise AoclSparseError(Status.invalid_size, f"x must have shape ({nx},), got {x.shape}")
+    if y is not None:
+        y = jnp.asarray(y)
+        if y.shape != (ny,):
+            raise AoclSparseError(
+                Status.invalid_size, f"y must have shape ({ny},), got {y.shape}"
+            )
+    if MatrixType(descr.type) in (MatrixType.symmetric, MatrixType.hermitian, MatrixType.triangular):
+        if m != n:
+            raise AoclSparseError(Status.invalid_size, f"{descr.type.name} requires square A")
+    return op, x, y, ny
+
+
+@partial(jax.jit, static_argnames=())
+def _epilogue(ax, alpha, beta, y):
+    return alpha * ax + beta * y
+
+
+def _run_exec_form(form, x, kid):
+    e = registry.select("mv", fmt=form.kind, kid=kid)
+    if form.kind == "segsum":
+        return e.fn(form.ind, form.val, form.row_ids, x, form.m)
+    if form.kind == "ell":
+        return e.fn(form.ell_ind, form.ell_val, x)
+    if form.kind == "ellhyb":
+        return e.fn(
+            form.ell_ind, form.ell_val, form.sp_ind, form.sp_val, form.sp_rows, x, form.m
+        )
+    raise AoclSparseError(Status.internal_error, f"bad exec form {form.kind}")
+
+
+def _spmv_core(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, x, kid=None):
+    """op(descr(A)) @ x without the alpha/beta epilogue."""
+    data = A.data
+    general_n = MatrixType(descr.type) == MatrixType.general and op == Operation.none
+    # native-format fast paths (the reference's format switch, mv.cpp:179)
+    if general_n and isinstance(data, ELL):
+        e = registry.select("mv", fmt="ell", kid=kid)
+        return e.fn(data.ind, data.val, x)
+    if general_n and isinstance(data, DIA):
+        e = registry.select("mv", fmt="dia", kid=kid)
+        dist = tuple(int(d) for d in np.asarray(data.dist))
+        return e.fn(dist, data.val, x, data.m, data.n)
+    if general_n and isinstance(data, BSR):
+        e = registry.select("mv", fmt="bsr", kid=kid)
+        bs = data.block_dim
+        brow = np.repeat(
+            np.arange(data.mb, dtype=np.int32), np.diff(np.asarray(data.ptr))
+        )
+        y = e.fn(jnp.asarray(brow), data.ind, data.val, x, data.mb, bs)
+        return y[: data.m]
+    # CSR path through the planner
+    plan = get_plan(A)
+    kind = "segsum" if A.mem_policy == MemoryPolicy.restricted else None
+    if kid is not None:
+        # an explicit KID pins the kernel, hence its execution format
+        # (the reference validates the KID against the DOID table and errors
+        # with invalid_kid when unsupported, cntx_dispatcher.hpp:272-364)
+        for e in registry.table("mv"):
+            if e.kid == kid:
+                if e.fmt not in ("segsum", "ell", "ellhyb"):
+                    raise AoclSparseError(
+                        Status.invalid_kid, f"kid {kid} serves format '{e.fmt}', not CSR"
+                    )
+                kind = e.fmt
+                break
+        else:
+            raise AoclSparseError(Status.invalid_kid, f"kid {kid} not in table for 'mv'")
+    form = plan.exec_form_for(descr, op, kind=kind, dtype=A.dtype)
+    return _run_exec_form(form, x, kid)
+
+
+def mv(
+    alpha,
+    A: SparseMatrix,
+    descr: MatrixDescriptor,
+    op: Operation,
+    x,
+    beta,
+    y=None,
+    kid: Optional[int] = None,
+):
+    """y = alpha * op(descr(A)) @ x + beta * y  (aoclsparse_?mv)."""
+    op, x, y, ny = _validate(A, descr, op, x, y)
+    dtype = jnp.result_type(A.dtype, x.dtype)
+    alpha_c = jnp.asarray(alpha, dtype=dtype)
+    beta_c = jnp.asarray(beta, dtype=dtype)
+    y0 = jnp.zeros((ny,), dtype=dtype) if y is None else y.astype(dtype)
+    # quick exits (mv.cpp:118-123)
+    if A.nnz == 0 or (np.isscalar(alpha) and alpha == 0):
+        return _epilogue(jnp.zeros((ny,), dtype=dtype), alpha_c * 0, beta_c, y0)
+    ax = _spmv_core(A, descr, op, x.astype(A.dtype), kid)
+    return _epilogue(ax.astype(dtype), alpha_c, beta_c, y0)
+
+
+@jax.jit
+def _dot_conj(x, y):
+    return jnp.sum(jnp.conj(x) * y)
+
+
+def dotmv(
+    alpha,
+    A: SparseMatrix,
+    descr: MatrixDescriptor,
+    op: Operation,
+    x,
+    beta,
+    y=None,
+    kid: Optional[int] = None,
+):
+    """Fused y = alpha*op(A)x + beta*y then d = <x, y> (conjugated for complex
+    x, matching aoclsparse_dotmv.hpp:32). Returns (y, d)."""
+    ynew = mv(alpha, A, descr, op, x, beta, y, kid=kid)
+    d = _dot_conj(jnp.asarray(x).astype(ynew.dtype), ynew)
+    return ynew, d

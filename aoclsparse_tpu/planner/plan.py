@@ -1,0 +1,553 @@
+"""Trace-time planner: the TPU-native redesign of hint/optimize.
+
+Reference analogs:
+- clean-CSR builder `aoclsparse_csr_csc_optimize` (analysis/aoclsparse_csr_util.hpp:764-945):
+  validate, sort, detect/fill diagonal, build idiag/iurow triangle splits.
+- DOID matrix copies `aoclsparse_matrix_transform` (csr_util.hpp:516-759):
+  explicit general-form / transposed / conjugated copies cached per doid.
+- SpMV auto-format selection `aoclsparse_optimize_mv` (analysis/aoclsparse_analysis.cpp:35-385):
+  nnz/row statistics choose BLKCSR / ELLT-HYB / BR4 there; here the same
+  statistics choose segsum / padded-ELL / hybrid with TPU lane geometry.
+
+Everything data-dependent-shape (sorting, padding maps, triangle splits) runs
+host-side once per structure; every *value* path is a jitted gather so
+`update_values` refreshes any plan with one device pass (the analog of the
+reference's value-only recompute, functions.h:2184-2201).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.descr import Doid, MatrixDescriptor, get_doid
+from ..core.formats import BSR, COO, CSC, CSR, DIA, ELL
+from ..core.types import (
+    AoclSparseError,
+    DiagType,
+    FillMode,
+    MatrixType,
+    Operation,
+    Status,
+)
+from ..core.matrix import Hint, SparseMatrix
+
+__all__ = [
+    "CleanCSR",
+    "EffectiveCSR",
+    "ExecForm",
+    "Plan",
+    "build_clean_csr",
+    "build_effective_csr",
+    "choose_mv_format",
+    "optimize",
+    "get_plan",
+]
+
+LANE = 128
+SUBLANE = 8
+
+
+# ---------------------------------------------------------------------------
+# clean CSR (validated, sorted, zero-based, triangle-split)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class CleanCSR:
+    """Sorted zero-based CSR + triangle split pointers.
+
+    idiag[i] = offset of the diagonal entry of row i (or the position where it
+    would be, if missing); iurow[i] = offset of the first strictly-upper entry.
+    Mirrors aoclsparse_csr_csc_indices (csr_util.cpp:389).
+    """
+
+    ptr: np.ndarray  # (m+1,) int32 host copy (planner uses it for structure)
+    ind: np.ndarray  # (nnz,) int32 host copy
+    val: jax.Array  # (nnz,) device values (sorted order)
+    perm: np.ndarray  # (nnz,) int64: val[k] == original_val[perm[k]]
+    idiag: np.ndarray  # (m,)
+    iurow: np.ndarray  # (m,)
+    has_diag: np.ndarray  # (m,) bool: row i stores its diagonal entry
+    fulldiag: bool
+    shape: Tuple[int, int]
+
+    @property
+    def m(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.shape[1]
+
+    @property
+    def nnz(self) -> int:
+        return int(self.ind.size)
+
+    def refresh(self, new_val) -> None:
+        self.val = jnp.asarray(new_val)[jnp.asarray(self.perm)]
+
+
+def build_clean_csr(A: CSR) -> CleanCSR:
+    """Validate + sort + split (aoclsparse_csr_csc_optimize analog). Unlike the
+    reference we do NOT inject missing diagonal zeros into the general matrix;
+    triangle views inject unit/zero diagonals lazily in build_effective_csr."""
+    ptr = np.asarray(A.ptr)
+    ind = np.asarray(A.ind)
+    m, n = A.shape
+    lens = np.diff(ptr)
+    if np.any(lens < 0) or (ind.size and (ind.min() < 0 or ind.max() >= n)):
+        raise AoclSparseError(Status.invalid_index_value, "corrupt CSR structure")
+    rows = np.repeat(np.arange(m, dtype=np.int64), lens)
+    perm = np.lexsort((ind, rows))
+    sorted_already = bool(np.array_equal(perm, np.arange(perm.size)))
+    ind_s = ind[perm].astype(np.int32)
+    val = A.val if sorted_already else A.val[jnp.asarray(perm)]
+    rows_s = rows  # row ids unchanged by within-row sort
+    # triangle split: idiag = first k in row with ind >= i; has_diag if ==
+    idiag = np.empty(m, dtype=np.int64)
+    iurow = np.empty(m, dtype=np.int64)
+    has_diag = np.zeros(m, dtype=bool)
+    for i in range(m):
+        lo, hi = int(ptr[i]), int(ptr[i + 1])
+        row_ind = ind_s[lo:hi]
+        pos = np.searchsorted(row_ind, i)
+        idiag[i] = lo + pos
+        if pos < hi - lo and row_ind[pos] == i:
+            has_diag[i] = True
+            iurow[i] = lo + pos + 1
+        else:
+            iurow[i] = lo + pos
+    return CleanCSR(
+        ptr=ptr.astype(np.int32),
+        ind=ind_s,
+        val=jnp.asarray(val),
+        perm=perm.astype(np.int64),
+        idiag=idiag,
+        iurow=iurow,
+        has_diag=has_diag,
+        fulldiag=bool(has_diag[: min(m, n)].all()) if m and n else True,
+        shape=(m, n),
+    )
+
+
+# ---------------------------------------------------------------------------
+# effective CSR for (descriptor, operation) — the DOID copy
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class EffectiveCSR:
+    """CSR of the matrix the (descr, op) pair denotes, expressed as a
+    structure + a value-map over the clean CSR's values:
+
+        val_out = conj? conj(v) : v,  v = src>=0 ? clean.val[src] : const_val
+
+    so refresh-after-update_values is a single jitted gather
+    (aoclsparse_matrix_transform analog, csr_util.hpp:516-759)."""
+
+    ptr: np.ndarray
+    ind: np.ndarray
+    src: np.ndarray  # (nnz,) int64, -1 => const_val
+    conj: bool
+    const_val: float
+    shape: Tuple[int, int]
+    val: jax.Array = None  # materialized values
+
+    @property
+    def m(self) -> int:
+        return self.shape[0]
+
+    @property
+    def nnz(self) -> int:
+        return int(self.ind.size)
+
+    def materialize(self, clean_val: jax.Array) -> None:
+        self.val = _gather_vals(
+            clean_val, jnp.asarray(self.src), self.conj, self.const_val
+        )
+
+
+@jax.jit
+def _gather_vals_jit(val, src, const):
+    v = jnp.where(src >= 0, val[jnp.clip(src, 0)], jnp.asarray(const, dtype=val.dtype))
+    return v
+
+
+def _gather_vals(val, src, conj: bool, const):
+    v = _gather_vals_jit(val, src, const)
+    return jnp.conj(v) if conj and jnp.iscomplexobj(v) else v
+
+
+def _transpose_structure(ptr, ind, src, m, n):
+    """Transpose a (structure, src-map) pair host-side."""
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(ptr))
+    order = np.lexsort((rows, ind))
+    tptr = np.zeros(n + 1, dtype=np.int64)
+    if ind.size:
+        np.add.at(tptr, ind.astype(np.int64) + 1, 1)
+    tptr = np.cumsum(tptr)
+    return (
+        tptr.astype(np.int32),
+        rows[order].astype(np.int32),
+        src[order],
+    )
+
+
+def build_effective_csr(
+    clean: CleanCSR, descr: MatrixDescriptor, op: Operation, dtype=None
+) -> EffectiveCSR:
+    """Build the general-form CSR for (descr, op) over the clean structure.
+
+    symmetric/hermitian -> mirrored general copy; triangular -> triangle
+    extraction honoring diag_type; op -> structural transpose (+conj).
+    Matches the descriptor semantics of aoclsparse_mv.cpp:52-176 and the
+    copies of aoclsparse_matrix_transform."""
+    descr.validate()
+    op = Operation(op)
+    m, n = clean.shape
+    ptr, ind = clean.ptr, clean.ind
+    mtype = MatrixType(descr.type)
+    lower = FillMode(descr.fill_mode) == FillMode.lower
+    dt = DiagType(descr.diag_type)
+    src_all = np.arange(ind.size, dtype=np.int64)
+    conj_whole = False
+
+    if mtype == MatrixType.general:
+        eptr, eind, esrc = ptr, ind, src_all
+        const = 0.0
+        if op == Operation.none:
+            pass
+        else:
+            eptr, eind, esrc = _transpose_structure(eptr, eind, esrc, m, n)
+            m, n = n, m
+            conj_whole = op == Operation.conjugate_transpose
+        out = EffectiveCSR(eptr, eind, esrc, conj_whole, const, (m, n))
+        out.materialize(clean.val)
+        return out
+
+    if m != n:
+        raise AoclSparseError(Status.invalid_size, f"{mtype.name} requires square matrix")
+
+    # triangle extraction over the split pointers
+    lo_r = clean.ptr[:-1].astype(np.int64)
+    hi_r = clean.ptr[1:].astype(np.int64)
+    if lower:
+        tri_lo, tri_hi = lo_r, clean.iurow  # L including diagonal
+        strict_lo, strict_hi = lo_r, clean.idiag  # strictly-L
+    else:
+        tri_lo, tri_hi = clean.idiag, hi_r  # U including diagonal
+        strict_lo, strict_hi = clean.iurow, hi_r  # strictly-U
+
+    def _extract(starts, stops):
+        lens = stops - starts
+        total = int(lens.sum())
+        src = np.empty(total, dtype=np.int64)
+        p = 0
+        for i in range(m):
+            c = int(lens[i])
+            if c:
+                src[p : p + c] = np.arange(starts[i], stops[i])
+                p += c
+        eptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        return eptr, ind[src].astype(np.int32), src
+
+    if mtype == MatrixType.triangular:
+        if dt == DiagType.non_unit:
+            eptr, eind, esrc = _extract(tri_lo, tri_hi)
+        else:
+            # strict triangle; unit diag injects const 1.0 entries
+            eptr, eind, esrc = _extract(strict_lo, strict_hi)
+            if dt == DiagType.unit:
+                eptr, eind, esrc = _inject_diag(eptr, eind, esrc, m, lower)
+        const = 1.0
+        if op != Operation.none:
+            eptr, eind, esrc = _transpose_structure(eptr, eind, esrc, m, n)
+            conj_whole = op == Operation.conjugate_transpose
+        out = EffectiveCSR(eptr, eind, esrc, conj_whole, const, (m, n))
+        out.materialize(clean.val)
+        return out
+
+    # symmetric / hermitian: tri (with diag) + mirrored strict triangle.
+    # For hermitian the mirror is conjugated; for symmetric plain. op handling:
+    #   sym: none/transpose identical; conj-transpose = conj(A).
+    #   herm: none/conj-transpose identical; transpose = conj(A).
+    tptr, tind, tsrc = _extract(tri_lo, tri_hi)
+    sptr, sind, ssrc = _extract(strict_lo, strict_hi)
+    mptr, mind, msrc = _transpose_structure(sptr, sind, ssrc, m, n)
+    # merge rows of (t) and (mirror)
+    lens = np.diff(tptr.astype(np.int64)) + np.diff(mptr.astype(np.int64))
+    eptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    tot = int(eptr[-1])
+    eind = np.empty(tot, dtype=np.int32)
+    esrc = np.empty(tot, dtype=np.int64)
+    mirror_mask = np.zeros(tot, dtype=bool)
+    for i in range(m):
+        o = int(eptr[i])
+        a0, a1 = int(tptr[i]), int(tptr[i + 1])
+        b0, b1 = int(mptr[i]), int(mptr[i + 1])
+        na = a1 - a0
+        seg_ind = np.concatenate([tind[a0:a1], mind[b0:b1]])
+        seg_src = np.concatenate([tsrc[a0:a1], msrc[b0:b1]])
+        seg_mir = np.concatenate([np.zeros(na, bool), np.ones(b1 - b0, bool)])
+        order = np.argsort(seg_ind, kind="stable")
+        eind[o : o + seg_ind.size] = seg_ind[order]
+        esrc[o : o + seg_ind.size] = seg_src[order]
+        mirror_mask[o : o + seg_ind.size] = seg_mir[order]
+    herm = mtype == MatrixType.hermitian
+    conj_mirror_only = herm  # mirror entries conjugated for hermitian
+    conj_all = (mtype == MatrixType.symmetric and op == Operation.conjugate_transpose) or (
+        herm and op == Operation.transpose
+    )
+    out = EffectiveCSR(eptr, eind, esrc, False, 0.0, (m, n))
+    v = _gather_vals_jit(clean.val, jnp.asarray(esrc), 0.0)
+    if jnp.iscomplexobj(v):
+        if conj_mirror_only and not conj_all:
+            v = jnp.where(jnp.asarray(mirror_mask), jnp.conj(v), v)
+        elif conj_all and not conj_mirror_only:
+            v = jnp.conj(v)
+        elif conj_all and conj_mirror_only:
+            v = jnp.where(jnp.asarray(mirror_mask), v, jnp.conj(v))
+        if herm:
+            # hermitian diagonal is real by definition
+            diag_mask = eind == np.arange(m).repeat(np.diff(eptr.astype(np.int64)))
+            v = jnp.where(jnp.asarray(diag_mask), jnp.real(v).astype(v.dtype), v)
+    # remember the mirror mask for refresh
+    out._mirror_mask = mirror_mask  # type: ignore[attr-defined]
+    out._conj_mirror_only = conj_mirror_only and not conj_all  # type: ignore[attr-defined]
+    out.conj = bool(conj_all and not conj_mirror_only)
+    out.val = v
+    return out
+
+
+def _inject_diag(eptr, eind, esrc, m, lower):
+    """Insert a const-valued diagonal entry into every row (unit diag)."""
+    lens = np.diff(eptr.astype(np.int64)) + 1
+    nptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    tot = int(nptr[-1])
+    nind = np.empty(tot, dtype=np.int32)
+    nsrc = np.empty(tot, dtype=np.int64)
+    for i in range(m):
+        o = int(nptr[i])
+        a0, a1 = int(eptr[i]), int(eptr[i + 1])
+        seg = eind[a0:a1]
+        pos = np.searchsorted(seg, i)
+        nind[o : o + pos] = seg[:pos]
+        nsrc[o : o + pos] = esrc[a0 : a0 + pos]
+        nind[o + pos] = i
+        nsrc[o + pos] = -1
+        nind[o + pos + 1 : o + (a1 - a0) + 1] = seg[pos:]
+        nsrc[o + pos + 1 : o + (a1 - a0) + 1] = esrc[a0 + pos : a1]
+    return nptr, nind, nsrc
+
+
+# ---------------------------------------------------------------------------
+# execution-format selection (aoclsparse_optimize_mv analog)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ExecForm:
+    """Device-ready SpMV operand in the chosen format. All index arrays are
+    device jnp arrays; `*_src` keep host gather maps for value refresh."""
+
+    kind: str  # "segsum" | "ell" | "ellhyb"
+    m: int
+    n: int
+    # segsum
+    ind: Optional[jax.Array] = None
+    val: Optional[jax.Array] = None
+    row_ids: Optional[jax.Array] = None
+    # ell
+    ell_ind: Optional[jax.Array] = None
+    ell_val: Optional[jax.Array] = None
+    ell_src: Optional[np.ndarray] = None  # (m, w) int64 into effective val, -1 pad
+    # spill (ellhyb)
+    sp_ind: Optional[jax.Array] = None
+    sp_val: Optional[jax.Array] = None
+    sp_rows: Optional[jax.Array] = None
+    sp_src: Optional[np.ndarray] = None
+
+    def refresh(self, eff_val: jax.Array) -> None:
+        if self.kind == "segsum":
+            self.val = eff_val
+        else:
+            src = jnp.asarray(self.ell_src)
+            v = jnp.where(
+                src >= 0,
+                eff_val[jnp.clip(src, 0)],
+                jnp.zeros((), dtype=eff_val.dtype),
+            )
+            self.ell_val = v
+            if self.kind == "ellhyb" and self.sp_src is not None and self.sp_src.size:
+                self.sp_val = eff_val[jnp.asarray(self.sp_src)]
+
+
+def choose_mv_format(eff: EffectiveCSR, hint_nop: int = 1) -> str:
+    """TPU re-derivation of the reference's nnz/row heuristics
+    (aoclsparse_analysis.cpp:71-213): padded-ELL when padding waste is low
+    (the BLKCSR/BR4 role), hybrid when a few long rows would blow the pad,
+    segsum when rows are tiny/uniform enough that the gather pad is wasteful."""
+    m = eff.m
+    if m == 0 or eff.nnz == 0:
+        return "segsum"
+    lens = np.diff(eff.ptr.astype(np.int64))
+    w_max = int(lens.max())
+    mean = float(lens.mean())
+    if w_max == 0:
+        return "segsum"
+    fill = eff.nnz / float(m * w_max)
+    if fill >= 0.5 or w_max <= 2 * max(mean, 1.0):
+        return "ell"
+    # long-tail distribution: hybrid with width covering ~p75 of rows
+    return "ellhyb"
+
+
+def _build_ell_map(eff: EffectiveCSR, width: int):
+    """(m, width) gather map into effective values; -1 = padding."""
+    ptr = eff.ptr.astype(np.int64)
+    lens = np.diff(ptr)
+    m = eff.m
+    cols = np.arange(width)[None, :]
+    valid = cols < np.minimum(lens, width)[:, None]
+    offs = ptr[:-1, None] + cols
+    src = np.where(valid, offs, -1)
+    ind = np.where(valid, eff.ind[np.clip(src, 0, max(eff.nnz - 1, 0))], -1).astype(np.int32)
+    return src, ind, valid
+
+
+def build_exec_form(eff: EffectiveCSR, kind: Optional[str] = None) -> ExecForm:
+    if kind is None:
+        kind = choose_mv_format(eff)
+    m, n = eff.shape
+    if kind == "segsum":
+        rows = np.repeat(
+            np.arange(m, dtype=np.int32), np.diff(eff.ptr.astype(np.int64))
+        )
+        return ExecForm(
+            kind="segsum",
+            m=m,
+            n=n,
+            ind=jnp.asarray(eff.ind),
+            val=eff.val,
+            row_ids=jnp.asarray(rows),
+        )
+    lens = np.diff(eff.ptr.astype(np.int64))
+    w_max = int(lens.max()) if lens.size else 0
+    if kind == "ell":
+        width = max(1, w_max)
+        src, ind, valid = _build_ell_map(eff, width)
+        form = ExecForm(
+            kind="ell", m=m, n=n, ell_ind=jnp.asarray(ind), ell_src=src
+        )
+        form.refresh(eff.val)
+        return form
+    # ellhyb: width = p75 row length rounded up to SUBLANE, spill to segsum
+    p75 = int(np.percentile(lens, 75)) if lens.size else 1
+    width = max(SUBLANE, int(-(-p75 // SUBLANE) * SUBLANE))
+    width = min(width, max(1, w_max))
+    src, ind, valid = _build_ell_map(eff, width)
+    # spill entries: per row, offsets beyond width
+    tail = np.maximum(lens - width, 0)
+    sp_rows = np.repeat(np.arange(m, dtype=np.int32), tail)
+    sp_src = np.concatenate(
+        [np.arange(eff.ptr[i] + width, eff.ptr[i + 1]) for i in range(m) if tail[i]]
+    ).astype(np.int64) if tail.any() else np.zeros(0, np.int64)
+    form = ExecForm(
+        kind="ellhyb",
+        m=m,
+        n=n,
+        ell_ind=jnp.asarray(ind),
+        ell_src=src,
+        sp_ind=jnp.asarray(eff.ind[sp_src] if sp_src.size else np.zeros(0, np.int32)),
+        sp_rows=jnp.asarray(sp_rows),
+        sp_src=sp_src,
+    )
+    form.refresh(eff.val)
+    return form
+
+
+# ---------------------------------------------------------------------------
+# Plan: the handle's cached optimized state (the `A->mats` + optim_data analog)
+# ---------------------------------------------------------------------------
+
+
+class Plan:
+    def __init__(self, clean: CleanCSR):
+        self.clean = clean
+        self.effective: Dict[Tuple, EffectiveCSR] = {}
+        self.exec_forms: Dict[Tuple, ExecForm] = {}
+        self.levels = None  # trsv/ilu level schedule cache (set by solvers)
+
+    def effective_for(
+        self, descr: MatrixDescriptor, op: Operation, dtype=None
+    ) -> EffectiveCSR:
+        key = (descr.type, descr.fill_mode, descr.diag_type, Operation(op))
+        eff = self.effective.get(key)
+        if eff is None:
+            eff = build_effective_csr(self.clean, descr, op, dtype)
+            self.effective[key] = eff
+        return eff
+
+    def exec_form_for(
+        self, descr: MatrixDescriptor, op: Operation, kind: Optional[str] = None, dtype=None
+    ) -> ExecForm:
+        eff = self.effective_for(descr, op, dtype)
+        key = (descr.type, descr.fill_mode, descr.diag_type, Operation(op), kind)
+        form = self.exec_forms.get(key)
+        if form is None:
+            form = build_exec_form(eff, kind)
+            self.exec_forms[key] = form
+        return form
+
+    def refresh_values(self, data) -> None:
+        """After update_values: re-run every value gather (structure reused)."""
+        new_val = data.val if hasattr(data, "val") else jnp.asarray(data)
+        self.clean.refresh(new_val)
+        for eff in self.effective.values():
+            v = _gather_vals_jit(self.clean.val, jnp.asarray(eff.src), eff.const_val)
+            if jnp.iscomplexobj(v):
+                mm = getattr(eff, "_mirror_mask", None)
+                if mm is not None and getattr(eff, "_conj_mirror_only", False):
+                    v = jnp.where(jnp.asarray(mm), jnp.conj(v), v)
+                elif eff.conj:
+                    v = jnp.conj(v)
+            eff.val = v
+        for key, form in self.exec_forms.items():
+            ekey = key[:4]
+            form.refresh(self.effective[ekey].val)
+        self.levels = None
+
+
+# ---------------------------------------------------------------------------
+# public optimize() entry (aoclsparse_optimize, analysis.cpp:426-593)
+# ---------------------------------------------------------------------------
+
+
+def optimize(A: SparseMatrix) -> Plan:
+    """Walk the hint list and prebuild what the hints ask for."""
+    plan = get_plan(A)
+    for h in A.hints:
+        if h.done:
+            continue
+        if h.action in ("mv", "dotmv", "mm"):
+            plan.exec_form_for(h.descr, h.trans)
+        elif h.action in ("sv", "sm", "symgs", "sorv", "lu_smoother", "2m"):
+            # solvers build their level schedules lazily; ensure clean csr + copies
+            plan.effective_for(h.descr, h.trans)
+        h.done = True
+    return plan
+
+
+def get_plan(A: SparseMatrix) -> Plan:
+    """Return (building if needed) the matrix's plan — the on-the-fly
+    optimize path every op falls back to (aoclsparse_mv.cpp:149-163)."""
+    if A.plan is None:
+        from ..convert import conversions as cv
+
+        A.plan = Plan(build_clean_csr(cv.to_csr(A.data)))
+    return A.plan
