@@ -1,4 +1,16 @@
 """Sparse BLAS operations (levels 1-3)."""
 
-from . import level2  # noqa: F401
+from . import level1, level2  # noqa: F401
+from .level1 import (  # noqa: F401
+    axpyi,
+    dotci,
+    doti,
+    dotui,
+    gthr,
+    gthrs,
+    gthrz,
+    roti,
+    sctr,
+    sctrs,
+)
 from .level2 import dotmv, mv  # noqa: F401
