@@ -1,6 +1,6 @@
 """Sparse BLAS operations (levels 1-3)."""
 
-from . import level1, level2  # noqa: F401
+from . import level1, level2, level3  # noqa: F401
 from .level1 import (  # noqa: F401
     axpyi,
     dotci,
@@ -14,3 +14,5 @@ from .level1 import (  # noqa: F401
     sctrs,
 )
 from .level2 import dotmv, mv  # noqa: F401
+from .level2.trsv import trsv, trsv_strided  # noqa: F401
+from .level3 import mm, trsm  # noqa: F401

@@ -1,0 +1,106 @@
+"""Level-2 triangular solve: ``trsv`` (+ strided variant).
+
+Reference: aoclsparse_?trsv/_kid/_strided (level2/aoclsparse_trsv.cpp:46,
+DOID x KID table documented at :198-290) — sequential substitution vectorized
+within each row. TPU redesign: planner-built blocked form + lax.scan kernel
+(see planner/triangular.py, kernels/xla/trsv.py).
+
+Semantics: solve op(tri(A)) x = alpha * b, where tri() takes descr.fill_mode's
+triangle of A honoring diag_type; symmetric descriptors are treated as
+triangular like the reference (trsv.cpp:141-151).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.descr import MatrixDescriptor
+from ...core.matrix import SparseMatrix
+from ...core.types import AoclSparseError, MatrixType, Operation, Status
+from ...kernels.registry import KernelEntry, registry
+from ...kernels.xla.trsv import trsv_blocked
+from ...planner.plan import get_plan
+from ...planner.triangular import trsv_form_for
+
+__all__ = ["trsv", "trsv_strided"]
+
+registry.register("sv", KernelEntry(0, "xla_blocked_scan", trsv_blocked, "blocked", "any", 0))
+
+
+def _solve(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, rhs, kid):
+    if A is None or descr is None or rhs is None:
+        raise AoclSparseError(Status.invalid_pointer, "null argument to trsv")
+    descr.validate()
+    op = Operation(op)
+    m, n = A.shape
+    if m != n:
+        raise AoclSparseError(Status.invalid_size, "trsv requires square A")
+    if MatrixType(descr.type) == MatrixType.general:
+        raise AoclSparseError(
+            Status.invalid_value, "trsv requires a triangular or symmetric/hermitian descriptor"
+        )
+    e = registry.select("sv", fmt="blocked", kid=kid)
+    plan = get_plan(A)
+    form = trsv_form_for(plan, descr, op)
+    m_pad = form.nblk * form.nb
+    rhs = jnp.asarray(rhs)
+    squeeze = rhs.ndim == 1
+    r2 = rhs[:, None] if squeeze else rhs
+    if form.reversed_:
+        r2 = r2[::-1]
+    if m_pad != m:
+        r2 = jnp.pad(r2, ((0, m_pad - m), (0, 0)))
+    x = e.fn(form.D, form.Lind, form.Lval, r2, form.nb, m_pad)
+    x = x[:m]
+    if form.reversed_:
+        x = x[::-1]
+    return x[:, 0] if squeeze else x
+
+
+def trsv(
+    alpha,
+    A: SparseMatrix,
+    descr: MatrixDescriptor,
+    op: Operation,
+    b,
+    kid: Optional[int] = None,
+):
+    """x = op(tri(A))^{-1} (alpha * b)  (aoclsparse_?trsv)."""
+    b = jnp.asarray(b)
+    if b.ndim != 1 or b.shape[0] != A.shape[0]:
+        raise AoclSparseError(Status.invalid_size, f"b must be ({A.shape[0]},), got {b.shape}")
+    dtype = jnp.result_type(A.dtype, b.dtype)
+    return _solve(A, descr, op, (jnp.asarray(alpha, dtype) * b).astype(A.dtype), kid).astype(
+        dtype
+    )
+
+
+def trsv_strided(
+    alpha,
+    A: SparseMatrix,
+    descr: MatrixDescriptor,
+    op: Operation,
+    b,
+    incb: int,
+    incx: int = 1,
+    x_out=None,
+    kid: Optional[int] = None,
+):
+    """Strided-rhs variant (aoclsparse_?trsv_strided): reads b[i*incb],
+    returns x embedded at stride incx (into x_out when given)."""
+    if incb <= 0 or incx <= 0:
+        raise AoclSparseError(Status.invalid_size, "strides must be positive")
+    b = jnp.asarray(b)
+    m = A.shape[0]
+    if b.shape[0] < (m - 1) * incb + 1:
+        raise AoclSparseError(Status.invalid_size, "b too small for stride")
+    bs = b[: (m - 1) * incb + 1 : incb]
+    x = trsv(alpha, A, descr, op, bs, kid=kid)
+    if x_out is None:
+        x_out = jnp.zeros(((m - 1) * incx + 1,), dtype=x.dtype)
+    else:
+        x_out = jnp.asarray(x_out)
+    return x_out.at[: (m - 1) * incx + 1 : incx].set(x)

@@ -1,0 +1,114 @@
+"""Level-3 SpMM: ``mm`` — C = alpha * op(descr(A)) @ B + beta * C.
+
+Reference: aoclsparse_?csrmm (level3/aoclsparse_csrmm.cpp:32-46 wrappers over
+aoclsparse_csrmm_t, .hpp 795 LoC) with row-/column-major B and C.
+
+TPU redesign: descriptor/op resolve through the planner exactly like mv
+(DOID general-form copies keep kernels uniform); the registry picks a padded
+or segment-sum kernel. The reference's `order` argument selects raw-pointer
+layout; jnp arrays carry logical (rows, cols) shape, so `order` here only
+selects whether B/C are interpreted transposed (column-major callers pass
+B_T/C_T), matching aoclsparse.hpp's C++ overloads semantically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.descr import MatrixDescriptor
+from ...core.matrix import SparseMatrix
+from ...core.types import (
+    AoclSparseError,
+    MatrixType,
+    MemoryPolicy,
+    Operation,
+    Order,
+    Status,
+)
+from ...kernels.registry import KernelEntry, registry
+from ...kernels.xla import spmm as K
+from ...planner.plan import get_plan
+
+__all__ = ["mm"]
+
+registry.register("mm", KernelEntry(0, "xla_segsum", K.spmm_segsum, "segsum", "any", 0))
+registry.register("mm", KernelEntry(1, "xla_ell", K.spmm_ell, "ell", "any", 0))
+registry.register("mm", KernelEntry(2, "xla_ellhyb", K.spmm_ellhyb, "ellhyb", "any", 0))
+
+
+@jax.jit
+def _epilogue(c_new, alpha, beta, c_old):
+    return alpha * c_new + beta * c_old
+
+
+def mm(
+    alpha,
+    A: SparseMatrix,
+    descr: MatrixDescriptor,
+    op: Operation,
+    B,
+    beta,
+    C=None,
+    order: Order = Order.row,
+    kid: Optional[int] = None,
+):
+    """C = alpha * op(descr(A)) @ B + beta * C (aoclsparse_?csrmm)."""
+    if A is None or descr is None or B is None:
+        raise AoclSparseError(Status.invalid_pointer, "null argument to mm")
+    descr.validate()
+    op = Operation(op)
+    order = Order(order)
+    B = jnp.asarray(B)
+    if order == Order.column:
+        B = B.T
+    if B.ndim != 2:
+        raise AoclSparseError(Status.invalid_size, "B must be 2-D")
+    m, n = A.shape
+    ma, na = (m, n) if op == Operation.none else (n, m)
+    if B.shape[0] != na:
+        raise AoclSparseError(Status.invalid_size, f"B rows {B.shape[0]} != op(A) cols {na}")
+    k = B.shape[1]
+    if C is not None:
+        C = jnp.asarray(C)
+        if order == Order.column:
+            C = C.T
+        if C.shape != (ma, k):
+            raise AoclSparseError(Status.invalid_size, f"C must be ({ma},{k}), got {C.shape}")
+    if MatrixType(descr.type) != MatrixType.general and m != n:
+        raise AoclSparseError(Status.invalid_size, f"{descr.type.name} requires square A")
+
+    dtype = jnp.result_type(A.dtype, B.dtype)
+    c_old = jnp.zeros((ma, k), dtype=dtype) if C is None else C.astype(dtype)
+    alpha_c = jnp.asarray(alpha, dtype=dtype)
+    beta_c = jnp.asarray(beta, dtype=dtype)
+    if A.nnz == 0 or (np.isscalar(alpha) and alpha == 0):
+        out = _epilogue(jnp.zeros((ma, k), dtype=dtype), alpha_c * 0, beta_c, c_old)
+        return out.T if order == Order.column else out
+
+    plan = get_plan(A)
+    kind = "segsum" if A.mem_policy == MemoryPolicy.restricted else None
+    if kid is not None:
+        for e in registry.table("mm"):
+            if e.kid == kid:
+                kind = e.fmt
+                break
+        else:
+            raise AoclSparseError(Status.invalid_kid, f"kid {kid} not in table for 'mm'")
+    form = plan.exec_form_for(descr, op, kind=kind, dtype=A.dtype)
+    e = registry.select("mm", fmt=form.kind, kid=kid)
+    Bc = B.astype(A.dtype)
+    if form.kind == "segsum":
+        c_new = e.fn(form.ind, form.val, form.row_ids, Bc, form.m)
+    elif form.kind == "ell":
+        c_new = e.fn(form.ell_ind, form.ell_val, Bc)
+    else:
+        c_new = e.fn(
+            form.ell_ind, form.ell_val, form.sp_ind, form.sp_val, form.sp_rows, Bc, form.m
+        )
+    out = _epilogue(c_new.astype(dtype), alpha_c, beta_c, c_old)
+    return out.T if order == Order.column else out

@@ -1,0 +1,44 @@
+"""Level-3 multi-RHS triangular solve: ``trsm`` (aoclsparse_?trsm/_kid,
+level3/aoclsparse_trsm.{cpp,hpp}; the reference parallelizes TRSV column-wise
+across RHS with OpenMP, trsm.hpp:149).
+
+TPU redesign: the blocked lax.scan solve (kernels/xla/trsv.py) is natively
+multi-RHS — the (nb, k) block solves batch over RHS columns on the MXU — so
+trsm is the same kernel as trsv with a matrix right-hand side.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ...core.descr import MatrixDescriptor
+from ...core.matrix import SparseMatrix
+from ...core.types import AoclSparseError, Operation, Order, Status
+from ..level2.trsv import _solve
+
+__all__ = ["trsm"]
+
+
+def trsm(
+    alpha,
+    A: SparseMatrix,
+    descr: MatrixDescriptor,
+    op: Operation,
+    B,
+    order: Order = Order.row,
+    kid: Optional[int] = None,
+):
+    """X = op(tri(A))^{-1} (alpha * B), B dense (m, k) (aoclsparse_?trsm)."""
+    B = jnp.asarray(B)
+    order = Order(order)
+    if order == Order.column:
+        B = B.T
+    if B.ndim != 2 or B.shape[0] != A.shape[0]:
+        raise AoclSparseError(
+            Status.invalid_size, f"B must be ({A.shape[0]}, k), got {B.shape}"
+        )
+    dtype = jnp.result_type(A.dtype, B.dtype)
+    X = _solve(A, descr, op, (jnp.asarray(alpha, dtype) * B).astype(A.dtype), kid).astype(dtype)
+    return X.T if order == Order.column else X

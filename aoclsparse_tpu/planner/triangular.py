@@ -1,0 +1,275 @@
+"""Blocked triangular-solve planning.
+
+The reference's TRSV is a strictly sequential per-row sweep vectorized only
+within each row (level2/aoclsparse_trsv_kt.cpp:65-..., loop-carried dependency
+noted at SURVEY.md §3.3). That maps terribly to TPUs, so the planner
+re-architects it: rows are partitioned into fixed-size blocks; the solve
+becomes a `lax.scan` over blocks where each step is
+
+    x_k = D_k^{-1} (alpha*b_k - L_k @ x_{<k})
+
+with D_k the dense (nb, nb) diagonal block solved by
+`lax.linalg.triangular_solve` (dense, tiling onto the MXU/VPU) and L_k the
+block's left-of-diagonal entries in a padded ELL gather (the same layout the
+SpMV path uses). Upper solves are reduced to lower solves by the reversal
+permutation P (reverse rows+cols turns U into L), applied host-side to the
+structure only. Semantics remain the exact substitution order of the
+reference within working precision.
+
+All value-dependent arrays keep host gather maps into the effective CSR so
+`update_values` refreshes a TrsvForm without re-planning.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.descr import MatrixDescriptor
+from ..core.types import AoclSparseError, DiagType, FillMode, MatrixType, Operation, Status
+from .plan import CleanCSR, EffectiveCSR, Plan, build_effective_csr
+
+__all__ = ["TrsvForm", "build_trsv_form", "trsv_form_for"]
+
+DEFAULT_BLOCK = 64
+
+
+@dataclasses.dataclass
+class TrsvForm:
+    """Blocked lower-triangular operand (post reversal-permutation if the
+    effective triangle was upper)."""
+
+    nb: int  # block size
+    nblk: int  # number of blocks (m_pad = nblk*nb)
+    m: int  # true dimension
+    reversed_: bool  # True -> solve on reversed indices (upper source)
+    unit_diag: bool
+    # device arrays
+    D: jax.Array  # (nblk, nb, nb) dense diagonal blocks
+    Lind: jax.Array  # (nblk, nb, W) left-part column indices (into padded x)
+    Lval: jax.Array  # (nblk, nb, W)
+    # host refresh maps into the effective CSR values
+    _D_src: np.ndarray  # (nblk, nb, nb) int64, -1 = structural zero / identity pad
+    _D_pad: np.ndarray  # (nblk, nb, nb) bool: identity padding positions (1.0)
+    _L_src: np.ndarray  # (nblk, nb, W) int64, -1 = padding
+    _eff_key: Tuple  # key of the effective CSR this form derives from
+
+    def refresh(self, eff_val: jax.Array) -> None:
+        self.D = _materialize_D(eff_val, self._D_src, self._D_pad)
+        self.Lval = _materialize_L(eff_val, self._L_src)
+
+
+@jax.jit
+def _materialize_D(val, src, pad):
+    src = jnp.asarray(src)
+    v = jnp.where(src >= 0, val[jnp.clip(src, 0)], jnp.zeros((), dtype=val.dtype))
+    return jnp.where(jnp.asarray(pad), jnp.ones((), dtype=val.dtype), v)
+
+
+@jax.jit
+def _materialize_L(val, src):
+    src = jnp.asarray(src)
+    return jnp.where(src >= 0, val[jnp.clip(src, 0)], jnp.zeros((), dtype=val.dtype))
+
+
+def _reverse_structure(eff: EffectiveCSR) -> EffectiveCSR:
+    """Apply the reversal permutation to rows and cols (host-side): the
+    upper triangle becomes lower. Entries within each new row re-sorted."""
+    m = eff.m
+    ptr = eff.ptr.astype(np.int64)
+    lens = np.diff(ptr)
+    new_lens = lens[::-1]
+    nptr = np.concatenate([[0], np.cumsum(new_lens)])
+    tot = int(nptr[-1])
+    nind = np.empty(tot, dtype=np.int32)
+    nsrc = np.empty(tot, dtype=np.int64)
+    for new_i in range(m):
+        old_i = m - 1 - new_i
+        a0, a1 = int(ptr[old_i]), int(ptr[old_i + 1])
+        cols = (m - 1) - eff.ind[a0:a1].astype(np.int64)
+        order = np.argsort(cols, kind="stable")
+        o = int(nptr[new_i])
+        nind[o : o + cols.size] = cols[order]
+        nsrc[o : o + cols.size] = np.arange(a0, a1)[order]
+    out = EffectiveCSR(
+        nptr.astype(np.int32), nind, nsrc, False, eff.const_val, (m, m)
+    )
+    return out
+
+
+def build_trsv_form(
+    clean: CleanCSR,
+    descr: MatrixDescriptor,
+    op: Operation,
+    eff_key: Tuple,
+    eff: EffectiveCSR,
+    nb: int = DEFAULT_BLOCK,
+) -> TrsvForm:
+    m = eff.m
+    dt = DiagType(descr.diag_type)
+    lower = FillMode(descr.fill_mode) == FillMode.lower
+    op = Operation(op)
+    # orientation after op
+    eff_lower = lower if op == Operation.none else not lower
+    # indirection chain: maybe reverse (upper -> lower), then maybe compose
+    if not eff_lower:
+        rev = _reverse_structure(eff)
+        ptr, ind, src = rev.ptr, rev.ind, rev.src
+        src_chain = lambda s: np.where(s >= 0, s, -1)  # src already indexes eff vals
+        reversed_ = True
+    else:
+        ptr, ind, src = eff.ptr, eff.ind, np.arange(eff.nnz, dtype=np.int64)
+        reversed_ = False
+
+    nb = int(min(nb, max(8, m)))
+    nblk = -(-m // nb) if m else 1
+    m_pad = nblk * nb
+    ptr64 = ptr.astype(np.int64)
+
+    # structural diagonal check for non-unit solves (reference requires
+    # full diag: trsv.cpp:130-134 -> invalid_value)
+    if dt == DiagType.zero:
+        raise AoclSparseError(Status.invalid_value, "cannot solve with zero diagonal")
+    if dt == DiagType.non_unit:
+        for i in range(m):
+            row = ind[ptr64[i] : ptr64[i + 1]]
+            pos = np.searchsorted(row, i)
+            if pos >= row.size or row[pos] != i:
+                raise AoclSparseError(
+                    Status.invalid_value, f"missing diagonal entry in row {i}"
+                )
+
+    # split each row at the block boundary
+    W = 0
+    left_counts = np.zeros(m, dtype=np.int64)
+    for i in range(m):
+        blk0 = (i // nb) * nb
+        row = ind[ptr64[i] : ptr64[i + 1]]
+        left_counts[i] = int(np.searchsorted(row, blk0))
+    W = int(left_counts.max()) if m else 0
+    W = max(W, 1)
+
+    D_src = np.full((nblk, nb, nb), -1, dtype=np.int64)
+    D_pad = np.zeros((nblk, nb, nb), dtype=bool)
+    L_src = np.full((nblk, nb, W), -1, dtype=np.int64)
+    L_ind = np.zeros((nblk, nb, W), dtype=np.int32)
+    for i in range(m):
+        k, r = divmod(i, nb)
+        blk0 = k * nb
+        a0, a1 = int(ptr64[i]), int(ptr64[i + 1])
+        row = ind[a0:a1]
+        cut = int(left_counts[i])
+        # left part
+        L_ind[k, r, :cut] = row[:cut]
+        L_src[k, r, :cut] = src[a0 : a0 + cut] if not reversed_ else src[a0 : a0 + cut]
+        # diagonal block part (cols in [blk0, blk0+nb))
+        for t in range(cut, a1 - a0):
+            c = int(row[t]) - blk0
+            if 0 <= c < nb:
+                D_src[k, r, c] = src[a0 + t]
+    # identity-pad: rows beyond m and any zero diagonal position for unit solves
+    for k in range(nblk):
+        for r in range(nb):
+            i = k * nb + r
+            if i >= m:
+                D_pad[k, r, r] = True
+    if dt == DiagType.unit:
+        # effective CSR for unit diag injected const 1.0 entries with src=-1;
+        # those positions materialize via const — mark them as pads
+        for i in range(m):
+            k, r = divmod(i, nb)
+            if D_src[k, r, r] < 0:
+                D_pad[k, r, r] = True
+
+    eff_val = eff.val
+    form = TrsvForm(
+        nb=nb,
+        nblk=nblk,
+        m=m,
+        reversed_=reversed_,
+        unit_diag=(dt == DiagType.unit),
+        D=_materialize_D(eff_val, D_src, D_pad),
+        Lind=jnp.asarray(L_ind),
+        Lval=_materialize_L(eff_val, L_src),
+        _D_src=D_src,
+        _D_pad=D_pad,
+        _L_src=L_src,
+        _eff_key=eff_key,
+    )
+    return form
+
+
+def trsv_form_for(
+    plan: Plan, descr: MatrixDescriptor, op: Operation, nb: int = DEFAULT_BLOCK
+) -> TrsvForm:
+    """Cached TrsvForm lookup on the matrix plan. The descriptor is coerced
+    to triangular semantics (the reference treats symmetric descriptors as
+    triangular in trsv, aoclsparse_trsv.cpp:141-151)."""
+    tri_descr = MatrixDescriptor(
+        type=MatrixType.triangular,
+        fill_mode=descr.fill_mode,
+        diag_type=descr.diag_type,
+        base=descr.base,
+    )
+    if plan.levels is None:
+        plan.levels = {}
+    key = ("trsv", tri_descr.fill_mode, tri_descr.diag_type, Operation(op), nb)
+    form = plan.levels.get(key)
+    if form is None:
+        # IMPORTANT: effective CSR is built WITHOUT op (we fold op into the
+        # orientation/reversal instead) except for conjugation, which must
+        # come from the values. conj-transpose == transpose of conj(A).
+        op_ = Operation(op)
+        eff_op = Operation.none if op_ != Operation.conjugate_transpose else op_
+        if op_ == Operation.conjugate_transpose:
+            # build conjugated non-transposed triangle: use transpose of the
+            # conj-transposed structure == conj values with same structure
+            eff = build_effective_csr(plan.clean, tri_descr, Operation.none)
+            eff = EffectiveCSR(
+                eff.ptr, eff.ind, eff.src, True, eff.const_val, eff.shape
+            )
+            eff.materialize(plan.clean.val)
+        else:
+            eff = build_effective_csr(plan.clean, tri_descr, Operation.none)
+        ekey = (tri_descr.type, tri_descr.fill_mode, tri_descr.diag_type, Operation.none)
+        if op_ != Operation.none:
+            # transpose solve: op(T) x = b. T^T's lower/upper flips; instead of
+            # materializing T^T we transpose the structure host-side.
+            eff_t = _transpose_eff(eff)
+            form = build_trsv_form(plan.clean, tri_descr, Operation.transpose, ekey, eff_t, nb)
+            form._eff = eff_t  # keep for refresh
+        else:
+            form = build_trsv_form(plan.clean, tri_descr, Operation.none, ekey, eff, nb)
+            form._eff = eff
+        plan.levels[key] = form
+    return form
+
+
+def _transpose_eff(eff: EffectiveCSR) -> EffectiveCSR:
+    m, n = eff.shape
+    ptr = eff.ptr.astype(np.int64)
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(ptr))
+    ind = eff.ind.astype(np.int64)
+    order = np.lexsort((rows, ind))
+    tptr = np.zeros(n + 1, dtype=np.int64)
+    if ind.size:
+        np.add.at(tptr, ind + 1, 1)
+    tptr = np.cumsum(tptr)
+    out = EffectiveCSR(
+        tptr.astype(np.int32),
+        rows[order].astype(np.int32),
+        np.arange(eff.nnz, dtype=np.int64)[order],
+        False,
+        eff.const_val,
+        (n, m),
+    )
+    # values of transposed effective = permutation of eff.val
+    out.val = eff.val[jnp.asarray(order)]
+    # chain refresh through eff
+    out._parent = eff  # type: ignore[attr-defined]
+    out._order = order  # type: ignore[attr-defined]
+    return out
