@@ -45,7 +45,24 @@ from .core.matrix import (  # noqa: F401
 )
 from .core.context import get_context  # noqa: F401
 from .kernels.registry import debug_dispatcher  # noqa: F401
-from .ops import dotmv, mm, mv, trsm, trsv, trsv_strided  # noqa: F401
+from .ops import (  # noqa: F401
+    add,
+    csr2m,
+    dotmv,
+    mm,
+    mv,
+    sp2m,
+    sp2md,
+    spmm,
+    spmmd,
+    sypr,
+    syprd,
+    syrk,
+    syrkd,
+    trsm,
+    trsv,
+    trsv_strided,
+)
 from .planner import (  # noqa: F401
     optimize,
     set_2m_hint,

@@ -15,4 +15,17 @@ from .level1 import (  # noqa: F401
 )
 from .level2 import dotmv, mv  # noqa: F401
 from .level2.trsv import trsv, trsv_strided  # noqa: F401
-from .level3 import mm, trsm  # noqa: F401
+from .level3 import (  # noqa: F401
+    add,
+    csr2m,
+    mm,
+    sp2m,
+    sp2md,
+    spmm,
+    spmmd,
+    sypr,
+    syprd,
+    syrk,
+    syrkd,
+    trsm,
+)

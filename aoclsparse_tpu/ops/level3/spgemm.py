@@ -1,0 +1,546 @@
+"""SpGEMM family: sp2m / csr2m / spmm / sp2md / spmmd / syrk / syrkd /
+sypr / syprd and sparse add.
+
+Reference: two-stage Gustavson engine (level3/aoclsparse_csr2m.cpp:45-1125 —
+symbolic nnz count with per-thread dense markers, then numeric with dense
+accumulators), convenience spmm (aoclsparse_spmm.cpp:28), dense-out sp2md/
+spmmd (aoclsparse_sp2md.{cpp,hpp}:130,223), syrk/syrkd, sypr/syprd
+(aoclsparse_sypr.{cpp,hpp}), add (aoclsparse_csradd.{cpp,hpp}).
+
+TPU redesign — *product expansion*: the request-stage split of the reference
+maps cleanly onto XLA's static-shape model:
+
+- SYMBOLIC (host, once per structure): enumerate every scalar product
+  A[i,k]*B[k,j] as an index triple (pa, pb, pc) where pc is the position of
+  C[i,j] in the output pattern. Fully vectorized numpy (sort/unique) — this
+  is the nnz_count stage, and P = len(pa) is exactly the FLOP count the
+  reference's Gustavson visits.
+- NUMERIC (device, repeatable): Cval = segment_sum(Aval[pa]*Bval[pb], pc) —
+  one jitted gather-multiply-reduce at the algorithm's arithmetic intensity.
+  Re-runs after update_values without re-planning (the finalize stage,
+  functions.h:2184-2201).
+
+Descriptors/operations resolve through the planner's EffectiveCSR copies, so
+symmetric/hermitian/triangular inputs and op(A) are handled uniformly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.descr import GENERAL, MatrixDescriptor
+from ...core.formats import CSR
+from ...core.matrix import SparseMatrix
+from ...core.types import (
+    AoclSparseError,
+    FormatType,
+    MatrixType,
+    Operation,
+    Order,
+    Request,
+    Status,
+    is_complex_dtype,
+)
+from ...planner.plan import get_plan
+
+__all__ = [
+    "sp2m",
+    "csr2m",
+    "spmm",
+    "sp2md",
+    "spmmd",
+    "syrk",
+    "syrkd",
+    "sypr",
+    "syprd",
+    "add",
+]
+
+
+# ---------------------------------------------------------------------------
+# symbolic engine
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SpgemmPlan:
+    """Product-expansion plan (the cached symbolic stage)."""
+
+    shape: Tuple[int, int]
+    ptr: np.ndarray  # (m+1,) C row pointers
+    ind: np.ndarray  # (nnzC,) C column indices
+    pa: jax.Array  # (P,) into A values
+    pb: jax.Array  # (P,) into B values
+    pc: jax.Array  # (P,) into C values (sorted)
+    nnz: int
+    conj_a: bool = False
+    conj_b: bool = False
+
+
+def _effective(h: SparseMatrix, descr: MatrixDescriptor, op: Operation):
+    """Resolve (handle, descr, op) to an EffectiveCSR via the planner."""
+    return get_plan(h).effective_for(descr, op, h.dtype)
+
+
+def _expand(Aptr, Aind, Bptr, Bind, mA) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized product enumeration: returns (rows, pa, pb)."""
+    Aptr = Aptr.astype(np.int64)
+    Bptr = Bptr.astype(np.int64)
+    a_rows = np.repeat(np.arange(mA, dtype=np.int64), np.diff(Aptr))
+    b_counts = np.diff(Bptr)[Aind.astype(np.int64)]  # products per A entry
+    P = int(b_counts.sum())
+    if P == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64)
+    pa = np.repeat(np.arange(Aind.size, dtype=np.int64), b_counts)
+    # within-group offsets 0..count-1
+    firsts = np.zeros(Aind.size + 1, dtype=np.int64)
+    np.cumsum(b_counts, out=firsts[1:])
+    within = np.arange(P, dtype=np.int64) - firsts[:-1][pa]
+    pb = Bptr[Aind.astype(np.int64)][pa] + within
+    rows = a_rows[pa]
+    return rows, pa, pb
+
+
+def _symbolic(
+    effA, effB, upper_only: bool = False, conj_a=False, conj_b=False
+) -> SpgemmPlan:
+    mA, nA = effA.shape
+    mB, nB = effB.shape
+    if nA != mB:
+        raise AoclSparseError(Status.invalid_size, f"inner dims mismatch {nA} vs {mB}")
+    rows, pa, pb = _expand(effA.ptr, effA.ind, effB.ptr, effB.ind, mA)
+    cols = effB.ind.astype(np.int64)[pb] if pb.size else pb
+    if upper_only:
+        keep = cols >= rows
+        rows, cols, pa, pb = rows[keep], cols[keep], pa[keep], pb[keep]
+    keys = rows * nB + cols
+    order = np.argsort(keys, kind="stable")
+    keys_s = keys[order]
+    uniq_mask = np.ones(keys_s.size, dtype=bool)
+    if keys_s.size:
+        uniq_mask[1:] = keys_s[1:] != keys_s[:-1]
+    pc = np.cumsum(uniq_mask) - 1 if keys_s.size else keys_s
+    ukeys = keys_s[uniq_mask] if keys_s.size else keys_s
+    nnzC = int(ukeys.size)
+    Cind = (ukeys % nB).astype(np.int32)
+    Crows = (ukeys // nB).astype(np.int64)
+    Cptr = np.zeros(mA + 1, dtype=np.int64)
+    if nnzC:
+        np.add.at(Cptr, Crows + 1, 1)
+    Cptr = np.cumsum(Cptr)
+    return SpgemmPlan(
+        shape=(mA, nB),
+        ptr=Cptr.astype(np.int32),
+        ind=Cind,
+        pa=jnp.asarray(pa[order]),
+        pb=jnp.asarray(pb[order]),
+        pc=jnp.asarray(pc),
+        nnz=nnzC,
+        conj_a=conj_a,
+        conj_b=conj_b,
+    )
+
+
+@partial(jax.jit, static_argnames=("nnz", "conj_a", "conj_b"))
+def _numeric(Aval, Bval, pa, pb, pc, nnz: int, conj_a: bool, conj_b: bool):
+    a = Aval[pa]
+    b = Bval[pb]
+    if conj_a and jnp.iscomplexobj(a):
+        a = jnp.conj(a)
+    if conj_b and jnp.iscomplexobj(b):
+        b = jnp.conj(b)
+    return jax.ops.segment_sum(a * b, pc, num_segments=nnz, indices_are_sorted=True)
+
+
+# ---------------------------------------------------------------------------
+# sp2m / csr2m / spmm (sparse out)
+# ---------------------------------------------------------------------------
+
+
+def _check_handles(*hs):
+    for h in hs:
+        if h is None:
+            raise AoclSparseError(Status.invalid_pointer, "null matrix handle")
+
+
+def sp2m(
+    opA: Operation,
+    descrA: MatrixDescriptor,
+    A: SparseMatrix,
+    opB: Operation,
+    descrB: MatrixDescriptor,
+    B: SparseMatrix,
+    request: Request = Request.full_computation,
+    C: Optional[SparseMatrix] = None,
+) -> SparseMatrix:
+    """C = op(descrA(A)) @ op(descrB(B))  (aoclsparse_sp2m, csr2m.cpp:546).
+
+    Two-stage protocol: request=nnz_count builds the structure (values zero),
+    request=finalize recomputes values on the cached plan (C from a prior
+    call), request=full_computation does both.
+    """
+    _check_handles(A, B)
+    descrA.validate()
+    descrB.validate()
+    request = Request(request)
+    if request == Request.finalize:
+        if C is None or getattr(C, "_spgemm_plan", None) is None:
+            raise AoclSparseError(
+                Status.invalid_value, "finalize requires C from a prior nnz_count stage"
+            )
+        plan: SpgemmPlan = C._spgemm_plan
+        effA = _effective(A, descrA, opA)
+        effB = _effective(B, descrB, opB)
+        val = _numeric(
+            effA.val, effB.val, plan.pa, plan.pb, plan.pc, plan.nnz, plan.conj_a, plan.conj_b
+        )
+        C.data = CSR(plan.ptr, plan.ind, val, shape=plan.shape)
+        return C
+    effA = _effective(A, descrA, Operation(opA))
+    effB = _effective(B, descrB, Operation(opB))
+    plan = _symbolic(effA, effB)
+    dtype = jnp.result_type(A.dtype, B.dtype)
+    if request == Request.nnz_count:
+        val = jnp.zeros((plan.nnz,), dtype=dtype)
+    else:
+        val = _numeric(effA.val, effB.val, plan.pa, plan.pb, plan.pc, plan.nnz, False, False)
+    out = SparseMatrix(CSR(plan.ptr, plan.ind, val.astype(dtype), shape=plan.shape), FormatType.csr)
+    out._spgemm_plan = plan
+    return out
+
+
+def csr2m(
+    opA: Operation,
+    descrA: MatrixDescriptor,
+    A: SparseMatrix,
+    opB: Operation,
+    descrB: MatrixDescriptor,
+    B: SparseMatrix,
+    request: Request = Request.full_computation,
+    C: Optional[SparseMatrix] = None,
+) -> SparseMatrix:
+    """Legacy two-matrix product on the same engine (aoclsparse_?csr2m,
+    level3/aoclsparse_csr2m.cpp:45; wrapper csr2m_wrapper.cpp:26)."""
+    return sp2m(opA, descrA, A, opB, descrB, B, request, C)
+
+
+def spmm(A: SparseMatrix, B: SparseMatrix, op: Operation = Operation.none) -> SparseMatrix:
+    """Convenience C = op(A) @ B (aoclsparse_spmm, level3/aoclsparse_spmm.cpp:28)."""
+    return sp2m(op, GENERAL, A, Operation.none, GENERAL, B, Request.full_computation)
+
+
+# ---------------------------------------------------------------------------
+# dense-out: sp2md / spmmd
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("shape", "conj_a", "conj_b"))
+def _numeric_dense(Aval, Bval, pa, pb, rows, cols, alpha, beta, C0, shape, conj_a, conj_b):
+    a = Aval[pa]
+    b = Bval[pb]
+    if conj_a and jnp.iscomplexobj(a):
+        a = jnp.conj(a)
+    if conj_b and jnp.iscomplexobj(b):
+        b = jnp.conj(b)
+    acc = jnp.zeros(shape, dtype=C0.dtype).at[rows, cols].add((a * b).astype(C0.dtype))
+    return alpha * acc + beta * C0
+
+
+def sp2md(
+    opA: Operation,
+    descrA: MatrixDescriptor,
+    A: SparseMatrix,
+    opB: Operation,
+    descrB: MatrixDescriptor,
+    B: SparseMatrix,
+    alpha,
+    beta=0.0,
+    C=None,
+    order: Order = Order.row,
+):
+    """Dense C = alpha*op(A)op(B) + beta*C (aoclsparse_?sp2md,
+    level3/aoclsparse_sp2md.cpp:130)."""
+    _check_handles(A, B)
+    effA = _effective(A, descrA, Operation(opA))
+    effB = _effective(B, descrB, Operation(opB))
+    mA, nA = effA.shape
+    mB, nB = effB.shape
+    if nA != mB:
+        raise AoclSparseError(Status.invalid_size, f"inner dims mismatch {nA} vs {mB}")
+    rows, pa, pb = _expand(effA.ptr, effA.ind, effB.ptr, effB.ind, mA)
+    cols = effB.ind.astype(np.int64)[pb] if pb.size else pb
+    dtype = jnp.result_type(A.dtype, B.dtype)
+    C0 = (
+        jnp.zeros((mA, nB), dtype=dtype)
+        if C is None
+        else (jnp.asarray(C).T if Order(order) == Order.column else jnp.asarray(C)).astype(dtype)
+    )
+    out = _numeric_dense(
+        effA.val,
+        effB.val,
+        jnp.asarray(pa),
+        jnp.asarray(pb),
+        jnp.asarray(rows),
+        jnp.asarray(cols),
+        jnp.asarray(alpha, dtype),
+        jnp.asarray(beta, dtype),
+        C0,
+        (mA, nB),
+        False,
+        False,
+    )
+    return out.T if Order(order) == Order.column else out
+
+
+def spmmd(
+    A: SparseMatrix,
+    B: SparseMatrix,
+    op: Operation = Operation.none,
+    order: Order = Order.row,
+):
+    """Dense C = op(A) @ B (aoclsparse_?spmmd)."""
+    return sp2md(op, GENERAL, A, Operation.none, GENERAL, B, 1.0, 0.0, None, order)
+
+
+# ---------------------------------------------------------------------------
+# syrk / syrkd — C = A op(A) or op(A) A, upper-triangle result
+# ---------------------------------------------------------------------------
+
+
+def _syrk_plan(A: SparseMatrix, opA: Operation):
+    opA = Operation(opA)
+    cplx = is_complex_dtype(A.dtype)
+    if cplx and opA == Operation.transpose:
+        raise AoclSparseError(
+            Status.not_implemented, "syrk: transpose unsupported for complex (reference parity)"
+        )
+    effA = _effective(A, GENERAL, Operation.none)
+    effAt = _effective(A, GENERAL, Operation.transpose)
+    if opA == Operation.none:
+        # C = A * op(A): op(A) = A^T (real) or A^H (complex) = conj on values
+        return effA, effAt, False, cplx
+    # C = op(A) * A
+    return effAt, effA, cplx, False
+
+
+def syrk(opA: Operation, A: SparseMatrix) -> SparseMatrix:
+    """C = A·op(A) (none) or op(A)·A; upper-triangle sparse sym/herm result
+    (aoclsparse_syrk, level3/aoclsparse_syrk.cpp)."""
+    _check_handles(A)
+    effL, effR, conj_a, conj_b = _syrk_plan(A, opA)
+    plan = _symbolic(effL, effR, upper_only=True, conj_a=conj_a, conj_b=conj_b)
+    val = _numeric(effL.val, effR.val, plan.pa, plan.pb, plan.pc, plan.nnz, conj_a, conj_b)
+    out = SparseMatrix(CSR(plan.ptr, plan.ind, val, shape=plan.shape), FormatType.csr)
+    out._spgemm_plan = plan
+    return out
+
+
+def syrkd(opA: Operation, A: SparseMatrix, alpha, beta=0.0, C=None, order: Order = Order.row):
+    """Dense C = alpha·A·op(A) + beta·C upper triangle (aoclsparse_?syrkd).
+    For complex dtypes only the real parts of alpha/beta are used to keep C
+    Hermitian (reference note)."""
+    _check_handles(A)
+    effL, effR, conj_a, conj_b = _syrk_plan(A, opA)
+    m = effL.shape[0]
+    rows, pa, pb = _expand(effL.ptr, effL.ind, effR.ptr, effR.ind, m)
+    cols = effR.ind.astype(np.int64)[pb] if pb.size else pb
+    keep = cols >= rows
+    rows, cols, pa, pb = rows[keep], cols[keep], pa[keep], pb[keep]
+    dtype = A.dtype
+    if is_complex_dtype(dtype):
+        alpha = complex(np.real(alpha))
+        beta = complex(np.real(beta))
+    C0 = (
+        jnp.zeros((m, m), dtype=dtype)
+        if C is None
+        else (jnp.asarray(C).T if Order(order) == Order.column else jnp.asarray(C)).astype(dtype)
+    )
+    out = _numeric_dense(
+        effL.val,
+        effR.val,
+        jnp.asarray(pa),
+        jnp.asarray(pb),
+        jnp.asarray(rows),
+        jnp.asarray(cols),
+        jnp.asarray(alpha, dtype),
+        jnp.asarray(beta, dtype),
+        C0,
+        (m, m),
+        conj_a,
+        conj_b,
+    )
+    return out.T if Order(order) == Order.column else out
+
+
+# ---------------------------------------------------------------------------
+# sypr / syprd — symmetric triple products
+# ---------------------------------------------------------------------------
+
+
+def sypr(
+    opA: Operation,
+    A: SparseMatrix,
+    descrB: MatrixDescriptor,
+    B: SparseMatrix,
+    request: Request = Request.full_computation,
+    C: Optional[SparseMatrix] = None,
+) -> SparseMatrix:
+    """C = A·B·A^{T/H} (op none) or op(A)·B·A, B sym/herm; upper-tri sparse
+    result (aoclsparse_sypr, functions.h:2150-2258)."""
+    _check_handles(A, B)
+    opA = Operation(opA)
+    cplx = is_complex_dtype(A.dtype)
+    if cplx and opA == Operation.transpose:
+        raise AoclSparseError(Status.not_implemented, "sypr: transpose only for real dtypes")
+    if MatrixType(descrB.type) not in (MatrixType.symmetric, MatrixType.hermitian):
+        raise AoclSparseError(Status.invalid_value, "sypr requires symmetric/hermitian B")
+    effB = _effective(B, descrB, Operation.none)
+    effA = _effective(A, GENERAL, Operation.none)
+    effAt = _effective(A, GENERAL, Operation.transpose)
+    if opA == Operation.none:
+        # C = A · B · A^{T or H}
+        L, M_, R = effA, effB, effAt
+        conj_r = cplx
+        conj_l = False
+    else:
+        # C = op(A) · B · A
+        L, M_, R = effAt, effB, effA
+        conj_l = cplx
+        conj_r = False
+    if request == Request.finalize and C is not None and getattr(C, "_sypr_plan", None):
+        plan1, plan2 = C._sypr_plan
+        t_val = _numeric(L.val, M_.val, plan1.pa, plan1.pb, plan1.pc, plan1.nnz, conj_l, False)
+        val = _numeric(t_val, R.val, plan2.pa, plan2.pb, plan2.pc, plan2.nnz, False, conj_r)
+        C.data = CSR(plan2.ptr, plan2.ind, val, shape=plan2.shape)
+        return C
+    # stage 1: T = L @ M
+    plan1 = _symbolic(L, M_)
+    t_val = _numeric(L.val, M_.val, plan1.pa, plan1.pb, plan1.pc, plan1.nnz, conj_l, False)
+    from ...planner.plan import EffectiveCSR
+
+    effT = EffectiveCSR(plan1.ptr, plan1.ind, np.arange(plan1.nnz), False, 0.0, plan1.shape)
+    effT.val = t_val
+    # stage 2: C = T @ R, upper triangle
+    plan2 = _symbolic(effT, R, upper_only=True)
+    if request == Request.nnz_count:
+        val = jnp.zeros((plan2.nnz,), dtype=A.dtype)
+    else:
+        val = _numeric(t_val, R.val, plan2.pa, plan2.pb, plan2.pc, plan2.nnz, False, conj_r)
+    out = SparseMatrix(CSR(plan2.ptr, plan2.ind, val, shape=plan2.shape), FormatType.csr)
+    out._sypr_plan = (plan1, plan2)
+    return out
+
+
+def syprd(
+    op: Operation,
+    A: SparseMatrix,
+    B,
+    alpha,
+    beta=0.0,
+    C=None,
+    order: Order = Order.row,
+):
+    """Dense C = alpha·A·B·op(A) + beta·C with dense sym/herm B
+    (aoclsparse_?syprd, functions.h:2766-2890). Dense B is taken as stored
+    (full), computations use it directly; C returned full with the upper
+    triangle authoritative like the reference."""
+    _check_handles(A)
+    op = Operation(op)
+    B = jnp.asarray(B)
+    if Order(order) == Order.column:
+        B = B.T
+    cplx = is_complex_dtype(A.dtype)
+    if cplx and op == Operation.transpose:
+        raise AoclSparseError(Status.not_implemented, "syprd: transpose only for real dtypes")
+    if (not cplx) and op == Operation.conjugate_transpose:
+        op = Operation.transpose
+    m, n = A.shape
+    if op == Operation.none:
+        if B.shape != (n, n):
+            raise AoclSparseError(Status.invalid_size, f"B must be ({n},{n})")
+    else:
+        if B.shape != (m, m):
+            raise AoclSparseError(Status.invalid_size, f"B must be ({m},{m})")
+    from ..level3.csrmm import mm as _mm
+
+    dtype = jnp.result_type(A.dtype, B.dtype)
+    if cplx:
+        alpha = complex(np.real(alpha))
+        beta = complex(np.real(beta))
+    # stage 1: T = op(A) @ B (mm keeps the sparse operand on the left)
+    T = _mm(1.0, A, GENERAL, op, B.astype(dtype), 0.0)
+    # stage 2: right-multiply by the remaining A factor, re-using mm by
+    # computing the (conjugate-)transpose of the result instead:
+    if op == Operation.none:
+        # C = T @ A^{T or H}; C^H = A @ T^H (complex) / C^T = A @ T^T (real)
+        rhs = jnp.conj(T).T if cplx else T.T
+        Ct = _mm(1.0, A, GENERAL, Operation.none, rhs, 0.0)
+        Cnew = jnp.conj(Ct).T if cplx else Ct.T
+    else:
+        # C = T @ A; C^T = A^T @ T^T
+        Ct = _mm(1.0, A, GENERAL, Operation.transpose, T.T, 0.0)
+        Cnew = Ct.T
+    mC = Cnew.shape[0]
+    C0 = (
+        jnp.zeros((mC, mC), dtype=dtype)
+        if C is None
+        else (jnp.asarray(C).T if Order(order) == Order.column else jnp.asarray(C)).astype(dtype)
+    )
+    out = jnp.asarray(alpha, dtype) * Cnew.astype(dtype) + jnp.asarray(beta, dtype) * C0
+    return out.T if Order(order) == Order.column else out
+
+
+# ---------------------------------------------------------------------------
+# add — C = alpha*op(A) + B
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("nnz",))
+def _add_numeric(Aval, Bval, srcA, srcB, alpha, nnz: int):
+    a = jnp.where(srcA >= 0, Aval[jnp.clip(srcA, 0)], jnp.zeros((), Aval.dtype))
+    b = jnp.where(srcB >= 0, Bval[jnp.clip(srcB, 0)], jnp.zeros((), Bval.dtype))
+    return alpha * a + b
+
+
+def add(op: Operation, alpha, A: SparseMatrix, B: SparseMatrix) -> SparseMatrix:
+    """C = alpha*op(A) + B (aoclsparse_?add, level3/aoclsparse_csradd.hpp:50,226
+    two-pass merge)."""
+    _check_handles(A, B)
+    effA = _effective(A, GENERAL, Operation(op))
+    effB = _effective(B, GENERAL, Operation.none)
+    if effA.shape != effB.shape:
+        raise AoclSparseError(Status.invalid_size, f"{effA.shape} + {effB.shape}")
+    m, n = effA.shape
+    rowsA = np.repeat(np.arange(m, dtype=np.int64), np.diff(effA.ptr.astype(np.int64)))
+    rowsB = np.repeat(np.arange(m, dtype=np.int64), np.diff(effB.ptr.astype(np.int64)))
+    keysA = rowsA * n + effA.ind.astype(np.int64)
+    keysB = rowsB * n + effB.ind.astype(np.int64)
+    allk = np.concatenate([keysA, keysB])
+    ukeys = np.unique(allk)
+    nnzC = ukeys.size
+    srcA = np.full(nnzC, -1, dtype=np.int64)
+    srcB = np.full(nnzC, -1, dtype=np.int64)
+    srcA[np.searchsorted(ukeys, keysA)] = np.arange(keysA.size)
+    srcB[np.searchsorted(ukeys, keysB)] = np.arange(keysB.size)
+    Cind = (ukeys % n).astype(np.int32)
+    Crows = ukeys // n
+    Cptr = np.zeros(m + 1, dtype=np.int64)
+    if nnzC:
+        np.add.at(Cptr, Crows + 1, 1)
+    Cptr = np.cumsum(Cptr).astype(np.int32)
+    dtype = jnp.result_type(A.dtype, B.dtype)
+    val = _add_numeric(
+        effA.val.astype(dtype),
+        effB.val.astype(dtype),
+        jnp.asarray(srcA),
+        jnp.asarray(srcB),
+        jnp.asarray(alpha, dtype),
+        nnzC,
+    )
+    return SparseMatrix(CSR(Cptr, Cind, val, shape=(m, n)), FormatType.csr)
