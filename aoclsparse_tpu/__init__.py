@@ -63,6 +63,13 @@ from .ops import (  # noqa: F401
     trsv,
     trsv_strided,
 )
+from .solvers import (  # noqa: F401
+    ilu0_factorize,
+    ilu_smoother,
+    sorv,
+    symgs,
+    symgs_mv,
+)
 from .planner import (  # noqa: F401
     optimize,
     set_2m_hint,

@@ -1,0 +1,160 @@
+"""ILU(0) preconditioner.
+
+Reference: sequential IKJ factorization in-place on a value copy
+(aoclsparse_ilu0_factorization, solvers/aoclsparse_ilu0.hpp:37-112), L/U
+substitution solve (:115-162), entry aoclsparse_?ilu_smoother
+(aoclsparse_ilu.cpp); factorization runs once and is cached
+(ilu0.hpp:180-195).
+
+TPU split: the one-time factorization is host-side planner work (numpy now,
+native C++ kernel slot in native/); the per-iteration APPLY — the part that
+runs inside every preconditioned Krylov step — is two blocked triangular
+solves on device (kernels/xla/trsv.py) over the cached LU values, exactly the
+reference's L/U substitution but wavefront-blocked.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.descr import MatrixDescriptor
+from ..core.matrix import SparseMatrix
+from ..core.types import (
+    AoclSparseError,
+    DiagType,
+    FillMode,
+    MatrixType,
+    Operation,
+    Status,
+)
+from ..kernels.xla.trsv import trsv_blocked
+from ..planner.plan import CleanCSR, build_effective_csr, get_plan
+from ..planner.triangular import build_trsv_form
+
+__all__ = ["IluState", "ilu0_factorize", "ilu_smoother"]
+
+
+@dataclasses.dataclass
+class IluState:
+    lu: jnp.ndarray  # (nnz,) LU values on the clean structure
+    lu_clean: CleanCSR  # clean structure with LU values
+    l_form: object = None  # TrsvForm for unit-L solve
+    u_form: object = None  # TrsvForm for U solve
+
+
+def _ilu0_host(m, ptr, ind, val):
+    """IKJ ILU(0) on the sorted CSR pattern (ilu0.hpp:37-112). Host-side,
+    one-time; raises numerical_error on zero pivot like the reference
+    (ilu0.hpp:76-77,97-101)."""
+    ptr = np.asarray(ptr, dtype=np.int64)
+    ind = np.asarray(ind, dtype=np.int64)
+    lu = np.array(val, copy=True)
+    diag = np.full(m, -1, dtype=np.int64)
+    for i in range(m):
+        lo, hi = ptr[i], ptr[i + 1]
+        pos = np.searchsorted(ind[lo:hi], i)
+        if pos < hi - lo and ind[lo + pos] == i:
+            diag[i] = lo + pos
+        else:
+            raise AoclSparseError(Status.invalid_value, f"ILU0: missing diagonal in row {i}")
+    # per-row column->offset maps
+    for i in range(m):
+        lo, hi = int(ptr[i]), int(ptr[i + 1])
+        row_cols = ind[lo:hi]
+        for t in range(lo, hi):
+            k = ind[t]
+            if k >= i:
+                break
+            dk = diag[k]
+            piv = lu[dk]
+            if piv == 0:
+                raise AoclSparseError(Status.numerical_error, f"ILU0: zero pivot at row {k}")
+            lu[t] = lu[t] / piv
+            # update a_ij -= a_ik * u_kj for j > k present in row i
+            kk = dk + 1
+            khi = int(ptr[k + 1])
+            if kk < khi:
+                cols_k = ind[kk:khi]
+                pos_in_i = np.searchsorted(row_cols, cols_k)
+                valid = (pos_in_i < (hi - lo)) & (
+                    row_cols[np.minimum(pos_in_i, hi - lo - 1)] == cols_k
+                )
+                tgt = lo + pos_in_i[valid]
+                lu[tgt] -= lu[t] * lu[kk:khi][valid]
+    return lu
+
+
+def ilu0_factorize(A: SparseMatrix) -> IluState:
+    """Factorize once; cached on the handle (the reference's working-copy
+    model, aoclsparse_optimize_ilu analysis.cpp:390-425)."""
+    if A.ilu_state is not None:
+        return A.ilu_state
+    if A.shape[0] != A.shape[1]:
+        raise AoclSparseError(Status.invalid_size, "ILU0 requires square A")
+    plan = get_plan(A)
+    clean = plan.clean
+    lu = _ilu0_host(clean.m, clean.ptr, clean.ind, np.asarray(clean.val))
+    lu_d = jnp.asarray(lu)
+    lu_clean = CleanCSR(
+        ptr=clean.ptr,
+        ind=clean.ind,
+        val=lu_d,
+        perm=np.arange(lu.size, dtype=np.int64),
+        idiag=clean.idiag,
+        iurow=clean.iurow,
+        has_diag=clean.has_diag,
+        fulldiag=clean.fulldiag,
+        shape=clean.shape,
+    )
+    st = IluState(lu=lu_d, lu_clean=lu_clean)
+    # blocked solve forms over the LU values
+    l_descr = MatrixDescriptor(
+        type=MatrixType.triangular, fill_mode=FillMode.lower, diag_type=DiagType.unit
+    )
+    u_descr = MatrixDescriptor(
+        type=MatrixType.triangular, fill_mode=FillMode.upper, diag_type=DiagType.non_unit
+    )
+    eff_l = build_effective_csr(lu_clean, l_descr, Operation.none)
+    eff_u = build_effective_csr(lu_clean, u_descr, Operation.none)
+    st.l_form = build_trsv_form(lu_clean, l_descr, Operation.none, ("ilu", "l"), eff_l)
+    st.u_form = build_trsv_form(lu_clean, u_descr, Operation.none, ("ilu", "u"), eff_u)
+    A.ilu_state = st
+    return st
+
+
+def _apply_form(form, rhs):
+    m_pad = form.nblk * form.nb
+    r = rhs[:, None] if rhs.ndim == 1 else rhs
+    if form.reversed_:
+        r = r[::-1]
+    if m_pad != form.m:
+        r = jnp.pad(r, ((0, m_pad - form.m), (0, 0)))
+    x = trsv_blocked(form.D, form.Lind, form.Lval, r, form.nb, m_pad)[: form.m]
+    if form.reversed_:
+        x = x[::-1]
+    return x[:, 0] if rhs.ndim == 1 else x
+
+
+def ilu_smoother(
+    A: SparseMatrix,
+    descr: Optional[MatrixDescriptor] = None,
+    b=None,
+    op: Operation = Operation.none,
+):
+    """x = U^{-1} L^{-1} b over the cached ILU0 factors
+    (aoclsparse_?ilu_smoother). Returns x; the LU working values are
+    inspectable via ``A.ilu_state.lu`` (the precond_csr_val analog)."""
+    if b is None:
+        raise AoclSparseError(Status.invalid_pointer, "null b")
+    if Operation(op) != Operation.none:
+        raise AoclSparseError(Status.not_implemented, "ilu_smoother supports op=none (parity)")
+    st = ilu0_factorize(A)
+    b = jnp.asarray(b).astype(A.dtype)
+    if b.shape[0] != A.shape[0]:
+        raise AoclSparseError(Status.invalid_size, "b size mismatch")
+    yz = _apply_form(st.l_form, b)
+    return _apply_form(st.u_form, yz)
