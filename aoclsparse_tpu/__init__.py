@@ -64,8 +64,14 @@ from .ops import (  # noqa: F401
     trsv_strided,
 )
 from .solvers import (  # noqa: F401
+    RciJob,
     ilu0_factorize,
     ilu_smoother,
+    itsol_init,
+    itsol_option_set,
+    itsol_rci_input,
+    itsol_rci_solve,
+    itsol_solve,
     sorv,
     symgs,
     symgs_mv,
