@@ -1,0 +1,111 @@
+"""Fully-jitted CG and its distributed form.
+
+The host-driven RCI CG (solvers/itsol.py) mirrors the reference's reverse-
+communication protocol; this module is the TPU-performance twin: the same
+iteration as ONE compiled XLA program (`lax.while_loop`), so a whole Krylov
+solve is a single dispatch. Under a `jax.sharding.Mesh`, the operand arrays
+are placed row-sharded (A) / sharded (x, b) and XLA inserts the collectives
+(all-gather for the x gather in SpMV, psum for the dots) — the distributed
+rebuild of the reference's single-node OpenMP loop demanded by SURVEY.md
+§2.9/§5.8.
+
+The matvec operand is the padded-ELL execution form (planner's `ell` kind).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["cg_ell_jit", "dist_cg", "prepare_dist_ell"]
+
+
+@partial(jax.jit, static_argnames=("maxit",))
+def cg_ell_jit(ell_ind, ell_val, b, x0, rtol, atol, maxit: int):
+    """CG on a padded-ELL operand as one compiled while_loop.
+
+    Same update order as the reference CG task machine
+    (itsol_functions.hpp:619-870): r=Ax-b, p=-z+beta*p, alpha=rz/pq.
+    Returns (x, iters, rnorm).
+    """
+
+    def matvec(v):
+        g = jnp.take(v, jnp.maximum(ell_ind, 0), axis=0)
+        prods = jnp.where(ell_ind >= 0, ell_val * g, jnp.zeros((), dtype=ell_val.dtype))
+        return jnp.sum(prods, axis=1)
+
+    bnorm = jnp.sqrt(jnp.sum(b * b))
+    brtol = rtol * bnorm
+
+    r0 = matvec(x0) - b
+    rn0 = jnp.sqrt(jnp.sum(r0 * r0))
+
+    def cond(state):
+        x, r, p, rz, k, rnorm = state
+        not_conv = jnp.logical_and(rnorm > atol, rnorm > brtol)
+        return jnp.logical_and(not_conv, k < maxit)
+
+    def body(state):
+        x, r, p, rz, k, rnorm = state
+        z = r  # unpreconditioned
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(k == 0, jnp.zeros_like(rz), rz_new / rz)
+        p = beta * p - z
+        q = matvec(p)
+        pq = jnp.sum(p * q)
+        alpha = rz_new / pq
+        x = x + alpha * p
+        r = r + alpha * q
+        rnorm = jnp.sqrt(jnp.sum(r * r))
+        return (x, r, p, rz_new, k + 1, rnorm)
+
+    state = (x0, r0, jnp.zeros_like(x0), jnp.ones((), b.dtype), jnp.zeros((), jnp.int32), rn0)
+    x, r, p, rz, k, rnorm = jax.lax.while_loop(cond, body, state)
+    return x, k, rnorm
+
+
+def prepare_dist_ell(mesh: Mesh, ell_ind, ell_val, axis: str = "x"):
+    """Row-shard the padded-ELL operand; pad rows to a device multiple."""
+    n_dev = mesh.shape[axis]
+    m = ell_ind.shape[0]
+    m_pad = -(-m // n_dev) * n_dev
+    if m_pad != m:
+        pad = ((0, m_pad - m), (0, 0))
+        ell_ind = jnp.pad(ell_ind, pad, constant_values=-1)
+        ell_val = jnp.pad(ell_val, pad)
+    sh = NamedSharding(mesh, P(axis, None))
+    return jax.device_put(ell_ind, sh), jax.device_put(ell_val, sh), m_pad
+
+
+def dist_cg(
+    mesh: Mesh,
+    ell_ind,
+    ell_val,
+    b,
+    x0=None,
+    rtol: float = 1e-8,
+    atol: float = 0.0,
+    maxit: int = 500,
+    axis: str = "x",
+) -> Tuple[jnp.ndarray, int, float]:
+    """Distributed CG: shard the operand + vectors over the mesh and run the
+    single-dispatch CG. XLA inserts all-gather/psum collectives over ICI."""
+    ind_s, val_s, m_pad = prepare_dist_ell(mesh, ell_ind, ell_val, axis)
+    vsh = NamedSharding(mesh, P(axis))
+    m = b.shape[0]
+    if m_pad != m:
+        b = jnp.pad(jnp.asarray(b), (0, m_pad - m))
+    x0 = jnp.zeros((m_pad,), val_s.dtype) if x0 is None else jnp.asarray(x0)
+    if x0.shape[0] != m_pad:
+        x0 = jnp.pad(x0, (0, m_pad - x0.shape[0]))
+    b = jax.device_put(b.astype(val_s.dtype), vsh)
+    x0 = jax.device_put(x0.astype(val_s.dtype), vsh)
+    x, k, rnorm = cg_ell_jit(
+        ind_s, val_s, b, x0, jnp.asarray(rtol, val_s.dtype), jnp.asarray(atol, val_s.dtype), maxit
+    )
+    return x[:m], int(k), float(rnorm)

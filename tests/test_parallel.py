@@ -1,0 +1,113 @@
+"""Distributed-execution tests on the 8-virtual-device CPU mesh (the
+multi-host test story SURVEY.md §4 requires; the reference has no analog):
+row-sharded SpMV (replicated and sharded-x halo paths), single-dispatch CG
+under sharding, parity with the single-device path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import aoclsparse_tpu as ast
+from aoclsparse_tpu import MatrixDescriptor, Operation
+from aoclsparse_tpu.parallel import (
+    cg_ell_jit,
+    dist_cg,
+    dist_spmv_ell,
+    dist_spmv_ell_sharded_x,
+    make_mesh,
+    prepare_dist_ell,
+    shard_ell,
+)
+from aoclsparse_tpu.planner.plan import get_plan
+from aoclsparse_tpu.utils.tolerances import assert_allclose_spec
+
+from conftest import random_csr
+
+
+def _ell_form(A):
+    plan = get_plan(A)
+    return plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="ell")
+
+
+def test_dist_spmv_matches_local(rng):
+    m = n = 64
+    ptr, ind, val, dense = random_csr(rng, m, n, density=0.2)
+    A = ast.create_csr(m, n, ptr, ind, val)
+    form = _ell_form(A)
+    x = rng.standard_normal(n)
+    want = dense @ x
+
+    mesh = make_mesh(8)
+    ind_s, val_s, m_pad = shard_ell(mesh, form.ell_ind, form.ell_val)
+    y = dist_spmv_ell(mesh, ind_s, val_s, jnp.asarray(x))
+    assert_allclose_spec(np.asarray(y)[:m], want, dtype=np.float64, scale=10)
+
+
+def test_dist_spmv_sharded_x_halo(rng):
+    m = n = 64
+    ptr, ind, val, dense = random_csr(rng, m, n, density=0.2)
+    A = ast.create_csr(m, n, ptr, ind, val)
+    form = _ell_form(A)
+    x = rng.standard_normal(n)
+    mesh = make_mesh(8)
+    ind_s, val_s, m_pad = shard_ell(mesh, form.ell_ind, form.ell_val)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x_sh = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("x")))
+    y = dist_spmv_ell_sharded_x(mesh, ind_s, val_s, x_sh)
+    assert_allclose_spec(np.asarray(y)[:m], dense @ x, dtype=np.float64, scale=10)
+
+
+def _spd(rng, m):
+    B = rng.standard_normal((m, m))
+    B[np.abs(B) < 1.2] = 0
+    dense = B @ B.T + m * np.eye(m)
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int32)
+    ind = np.nonzero(dense)[1].astype(np.int32)
+    return ast.create_csr(m, m, ptr, ind, dense[dense != 0]), dense
+
+
+def test_cg_jit_single_device(rng):
+    m = 48
+    A, dense = _spd(rng, m)
+    form = _ell_form(A)
+    b = rng.standard_normal(m)
+    x, k, rnorm = cg_ell_jit(
+        form.ell_ind,
+        form.ell_val,
+        jnp.asarray(b),
+        jnp.zeros(m),
+        jnp.asarray(1e-10),
+        jnp.asarray(0.0),
+        200,
+    )
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), atol=1e-6)
+    assert int(k) < 200
+
+
+def test_dist_cg_matches_and_same_iters(rng):
+    m = 48
+    A, dense = _spd(rng, m)
+    form = _ell_form(A)
+    b = rng.standard_normal(m)
+    # single-device reference run
+    x1, k1, _ = cg_ell_jit(
+        form.ell_ind, form.ell_val, jnp.asarray(b), jnp.zeros(m),
+        jnp.asarray(1e-10), jnp.asarray(0.0), 200,
+    )
+    mesh = make_mesh(8)
+    x2, k2, rnorm = dist_cg(mesh, form.ell_ind, form.ell_val, b, rtol=1e-10, maxit=200)
+    np.testing.assert_allclose(np.asarray(x2), np.linalg.solve(dense, b), atol=1e-6)
+    assert k2 == int(k1)  # scaling must not change convergence behavior
+
+
+def test_dist_cg_uneven_rows(rng):
+    # m not divisible by device count exercises the padding path
+    m = 37
+    A, dense = _spd(rng, m)
+    form = _ell_form(A)
+    b = rng.standard_normal(m)
+    mesh = make_mesh(8)
+    x, k, rnorm = dist_cg(mesh, form.ell_ind, form.ell_val, b, rtol=1e-10, maxit=200)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), atol=1e-6)
