@@ -47,14 +47,15 @@ def check_csr_arrays(m, n, ptr, ind, val, base: IndexBase = IndexBase.zero, stri
     srt = True
     full_diag = True
     if strict and m > 0:
-        z = ind - b
-        p = ptr - b
-        for i in range(m):
-            row = z[int(p[i]) : int(p[i + 1])]
-            if row.size > 1 and not bool(np.all(np.diff(row) > 0)):
-                srt = False
-            if i < n and not bool(np.any(row == i)):
-                full_diag = False
-            if not srt and not full_diag:
-                break
+        z = (ind - b).astype(np.int64)
+        p = (ptr - b).astype(np.int64)
+        rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(p))
+        if z.size > 1:
+            # sorted iff strictly increasing within each row
+            srt = bool(np.all((z[1:] > z[:-1]) | (rows[1:] != rows[:-1])))
+        if z.size:
+            ndiag = np.bincount(rows[z == rows], minlength=m)
+            full_diag = bool(np.all(ndiag[: min(m, n)] > 0))
+        else:
+            full_diag = min(m, n) == 0
     return srt, full_diag

@@ -92,6 +92,45 @@ class CleanCSR:
         self.val = jnp.asarray(new_val)[jnp.asarray(self.perm)]
 
 
+def _triangle_split(m, ptr, ind_s, rows):
+    """Vectorized idiag/iurow/has_diag over a sorted CSR
+    (aoclsparse_csr_csc_indices analog, csr_util.cpp:389)."""
+    ptr64 = np.asarray(ptr, dtype=np.int64)
+    idiag = np.empty(m, dtype=np.int64)
+    iurow = np.empty(m, dtype=np.int64)
+    has_diag = np.zeros(m, dtype=bool)
+    if ind_s.size == 0 or m == 0:
+        idiag[:] = ptr64[:-1]
+        iurow[:] = ptr64[:-1]
+        return idiag, iurow, has_diag
+    below = (ind_s < rows).astype(np.int64)  # strictly-lower entries
+    on = ind_s == rows
+    # per-row counts via reduceat (empty rows handled by diff==0 rule)
+    lens = np.diff(ptr64)
+    csum_below = np.concatenate([[0], np.cumsum(below)])
+    csum_on = np.concatenate([[0], np.cumsum(on.astype(np.int64))])
+    nbelow = csum_below[ptr64[1:]] - csum_below[ptr64[:-1]]
+    non = csum_on[ptr64[1:]] - csum_on[ptr64[:-1]]
+    idiag[:] = ptr64[:-1] + nbelow
+    has_diag[:] = non > 0
+    iurow[:] = idiag + non
+    return idiag, iurow, has_diag
+
+
+def _ranges_concat(starts, stops):
+    """Vectorized concatenate([arange(s, e) for s, e in zip(starts, stops)])."""
+    starts = np.asarray(starts, dtype=np.int64)
+    stops = np.asarray(stops, dtype=np.int64)
+    lens = stops - starts
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64), lens
+    firsts = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=firsts[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(firsts, lens)
+    return np.repeat(starts, lens) + within, lens
+
+
 def build_clean_csr(A: CSR) -> CleanCSR:
     """Validate + sort + split (aoclsparse_csr_csc_optimize analog). Unlike the
     reference we do NOT inject missing diagonal zeros into the general matrix;
@@ -103,25 +142,21 @@ def build_clean_csr(A: CSR) -> CleanCSR:
     if np.any(lens < 0) or (ind.size and (ind.min() < 0 or ind.max() >= n)):
         raise AoclSparseError(Status.invalid_index_value, "corrupt CSR structure")
     rows = np.repeat(np.arange(m, dtype=np.int64), lens)
-    perm = np.lexsort((ind, rows))
-    sorted_already = bool(np.array_equal(perm, np.arange(perm.size)))
+    # fast sortedness probe before paying an O(nnz log nnz) lexsort: within
+    # rows, sorted means ind strictly setpwise increasing except at row starts
+    if ind.size > 1:
+        nondec = ind[1:] > ind[:-1]
+        row_start = rows[1:] != rows[:-1]
+        sorted_already = bool(np.all(nondec | row_start))
+    else:
+        sorted_already = True
+    perm = (
+        np.arange(ind.size, dtype=np.int64) if sorted_already else np.lexsort((ind, rows))
+    )
     ind_s = ind[perm].astype(np.int32)
     val = A.val if sorted_already else A.val[jnp.asarray(perm)]
-    rows_s = rows  # row ids unchanged by within-row sort
-    # triangle split: idiag = first k in row with ind >= i; has_diag if ==
-    idiag = np.empty(m, dtype=np.int64)
-    iurow = np.empty(m, dtype=np.int64)
-    has_diag = np.zeros(m, dtype=bool)
-    for i in range(m):
-        lo, hi = int(ptr[i]), int(ptr[i + 1])
-        row_ind = ind_s[lo:hi]
-        pos = np.searchsorted(row_ind, i)
-        idiag[i] = lo + pos
-        if pos < hi - lo and row_ind[pos] == i:
-            has_diag[i] = True
-            iurow[i] = lo + pos + 1
-        else:
-            iurow[i] = lo + pos
+    # triangle split (vectorized): idiag = first k in row with ind >= i
+    idiag, iurow, has_diag = _triangle_split(m, ptr, ind_s, rows)
     return CleanCSR(
         ptr=ptr.astype(np.int32),
         ind=ind_s,
@@ -244,15 +279,7 @@ def build_effective_csr(
         strict_lo, strict_hi = clean.iurow, hi_r  # strictly-U
 
     def _extract(starts, stops):
-        lens = stops - starts
-        total = int(lens.sum())
-        src = np.empty(total, dtype=np.int64)
-        p = 0
-        for i in range(m):
-            c = int(lens[i])
-            if c:
-                src[p : p + c] = np.arange(starts[i], stops[i])
-                p += c
+        src, lens = _ranges_concat(starts, stops)
         eptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
         return eptr, ind[src].astype(np.int32), src
 
@@ -279,25 +306,20 @@ def build_effective_csr(
     tptr, tind, tsrc = _extract(tri_lo, tri_hi)
     sptr, sind, ssrc = _extract(strict_lo, strict_hi)
     mptr, mind, msrc = _transpose_structure(sptr, sind, ssrc, m, n)
-    # merge rows of (t) and (mirror)
-    lens = np.diff(tptr.astype(np.int64)) + np.diff(mptr.astype(np.int64))
+    # merge rows of (t) and (mirror), vectorized via global (row, col) lexsort
+    trows = np.repeat(np.arange(m, dtype=np.int64), np.diff(tptr.astype(np.int64)))
+    mrows = np.repeat(np.arange(m, dtype=np.int64), np.diff(mptr.astype(np.int64)))
+    allrows = np.concatenate([trows, mrows])
+    allind = np.concatenate([tind.astype(np.int64), mind.astype(np.int64)])
+    allsrc = np.concatenate([tsrc, msrc])
+    allmir = np.concatenate([np.zeros(trows.size, bool), np.ones(mrows.size, bool)])
+    order = np.lexsort((allind, allrows))
+    tot = order.size
+    eind = allind[order].astype(np.int32)
+    esrc = allsrc[order]
+    mirror_mask = allmir[order]
+    lens = np.bincount(allrows, minlength=m).astype(np.int64)
     eptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
-    tot = int(eptr[-1])
-    eind = np.empty(tot, dtype=np.int32)
-    esrc = np.empty(tot, dtype=np.int64)
-    mirror_mask = np.zeros(tot, dtype=bool)
-    for i in range(m):
-        o = int(eptr[i])
-        a0, a1 = int(tptr[i]), int(tptr[i + 1])
-        b0, b1 = int(mptr[i]), int(mptr[i + 1])
-        na = a1 - a0
-        seg_ind = np.concatenate([tind[a0:a1], mind[b0:b1]])
-        seg_src = np.concatenate([tsrc[a0:a1], msrc[b0:b1]])
-        seg_mir = np.concatenate([np.zeros(na, bool), np.ones(b1 - b0, bool)])
-        order = np.argsort(seg_ind, kind="stable")
-        eind[o : o + seg_ind.size] = seg_ind[order]
-        esrc[o : o + seg_ind.size] = seg_src[order]
-        mirror_mask[o : o + seg_ind.size] = seg_mir[order]
     herm = mtype == MatrixType.hermitian
     conj_mirror_only = herm  # mirror entries conjugated for hermitian
     conj_all = (mtype == MatrixType.symmetric and op == Operation.conjugate_transpose) or (
@@ -325,24 +347,16 @@ def build_effective_csr(
 
 
 def _inject_diag(eptr, eind, esrc, m, lower):
-    """Insert a const-valued diagonal entry into every row (unit diag)."""
-    lens = np.diff(eptr.astype(np.int64)) + 1
-    nptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
-    tot = int(nptr[-1])
-    nind = np.empty(tot, dtype=np.int32)
-    nsrc = np.empty(tot, dtype=np.int64)
-    for i in range(m):
-        o = int(nptr[i])
-        a0, a1 = int(eptr[i]), int(eptr[i + 1])
-        seg = eind[a0:a1]
-        pos = np.searchsorted(seg, i)
-        nind[o : o + pos] = seg[:pos]
-        nsrc[o : o + pos] = esrc[a0 : a0 + pos]
-        nind[o + pos] = i
-        nsrc[o + pos] = -1
-        nind[o + pos + 1 : o + (a1 - a0) + 1] = seg[pos:]
-        nsrc[o + pos + 1 : o + (a1 - a0) + 1] = esrc[a0 + pos : a1]
-    return nptr, nind, nsrc
+    """Insert a const-valued diagonal entry into every row (unit diag).
+    Vectorized: concatenate the diagonal entries then (row, col)-lexsort."""
+    lens0 = np.diff(eptr.astype(np.int64))
+    rows0 = np.repeat(np.arange(m, dtype=np.int64), lens0)
+    allrows = np.concatenate([rows0, np.arange(m, dtype=np.int64)])
+    allind = np.concatenate([eind.astype(np.int64), np.arange(m, dtype=np.int64)])
+    allsrc = np.concatenate([esrc, np.full(m, -1, dtype=np.int64)])
+    order = np.lexsort((allind, allrows))
+    nptr = np.concatenate([[0], np.cumsum(lens0 + 1)]).astype(np.int32)
+    return nptr, allind[order].astype(np.int32), allsrc[order]
 
 
 # ---------------------------------------------------------------------------
@@ -451,12 +465,11 @@ def build_exec_form(eff: EffectiveCSR, kind: Optional[str] = None) -> ExecForm:
     width = max(SUBLANE, int(-(-p75 // SUBLANE) * SUBLANE))
     width = min(width, max(1, w_max))
     src, ind, valid = _build_ell_map(eff, width)
-    # spill entries: per row, offsets beyond width
+    # spill entries: per row, offsets beyond width (vectorized range concat)
     tail = np.maximum(lens - width, 0)
     sp_rows = np.repeat(np.arange(m, dtype=np.int32), tail)
-    sp_src = np.concatenate(
-        [np.arange(eff.ptr[i] + width, eff.ptr[i + 1]) for i in range(m) if tail[i]]
-    ).astype(np.int64) if tail.any() else np.zeros(0, np.int64)
+    ptr64 = eff.ptr.astype(np.int64)
+    sp_src, _ = _ranges_concat(np.minimum(ptr64[:-1] + width, ptr64[1:]), ptr64[1:])
     form = ExecForm(
         kind="ellhyb",
         m=m,

@@ -81,22 +81,21 @@ def _reverse_structure(eff: EffectiveCSR) -> EffectiveCSR:
     upper triangle becomes lower. Entries within each new row re-sorted."""
     m = eff.m
     ptr = eff.ptr.astype(np.int64)
-    lens = np.diff(ptr)
-    new_lens = lens[::-1]
-    nptr = np.concatenate([[0], np.cumsum(new_lens)])
-    tot = int(nptr[-1])
-    nind = np.empty(tot, dtype=np.int32)
-    nsrc = np.empty(tot, dtype=np.int64)
-    for new_i in range(m):
-        old_i = m - 1 - new_i
-        a0, a1 = int(ptr[old_i]), int(ptr[old_i + 1])
-        cols = (m - 1) - eff.ind[a0:a1].astype(np.int64)
-        order = np.argsort(cols, kind="stable")
-        o = int(nptr[new_i])
-        nind[o : o + cols.size] = cols[order]
-        nsrc[o : o + cols.size] = np.arange(a0, a1)[order]
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(ptr))
+    new_rows = (m - 1) - rows
+    new_cols = (m - 1) - eff.ind.astype(np.int64)
+    order = np.lexsort((new_cols, new_rows))
+    lens = np.bincount(new_rows, minlength=m).astype(np.int64) if rows.size else np.zeros(
+        m, np.int64
+    )
+    nptr = np.concatenate([[0], np.cumsum(lens)])
     out = EffectiveCSR(
-        nptr.astype(np.int32), nind, nsrc, False, eff.const_val, (m, m)
+        nptr.astype(np.int32),
+        new_cols[order].astype(np.int32),
+        order.astype(np.int64),  # src: position in eff.val
+        False,
+        eff.const_val,
+        (m, m),
     )
     return out
 
@@ -129,61 +128,61 @@ def build_trsv_form(
     nblk = -(-m // nb) if m else 1
     m_pad = nblk * nb
     ptr64 = ptr.astype(np.int64)
+    lens = np.diff(ptr64)
+    rows = np.repeat(np.arange(m, dtype=np.int64), lens)
+    cols = ind.astype(np.int64)
 
     # structural diagonal check for non-unit solves (reference requires
     # full diag: trsv.cpp:130-134 -> invalid_value)
     if dt == DiagType.zero:
         raise AoclSparseError(Status.invalid_value, "cannot solve with zero diagonal")
     if dt == DiagType.non_unit:
-        for i in range(m):
-            row = ind[ptr64[i] : ptr64[i + 1]]
-            pos = np.searchsorted(row, i)
-            if pos >= row.size or row[pos] != i:
-                raise AoclSparseError(
-                    Status.invalid_value, f"missing diagonal entry in row {i}"
-                )
+        ndiag = np.bincount(rows[cols == rows], minlength=m) if rows.size else np.zeros(m)
+        missing = np.nonzero(ndiag == 0)[0]
+        if missing.size:
+            raise AoclSparseError(
+                Status.invalid_value, f"missing diagonal entry in row {int(missing[0])}"
+            )
 
-    # split each row at the block boundary
-    W = 0
-    left_counts = np.zeros(m, dtype=np.int64)
-    for i in range(m):
-        blk0 = (i // nb) * nb
-        row = ind[ptr64[i] : ptr64[i + 1]]
-        left_counts[i] = int(np.searchsorted(row, blk0))
-    W = int(left_counts.max()) if m else 0
-    W = max(W, 1)
+    # split each entry at its row's block boundary (vectorized)
+    blk_of_row = rows // nb
+    blk0 = blk_of_row * nb
+    is_left = cols < blk0
+    # left entries are a prefix of each (sorted) row
+    csum_left = np.concatenate([[0], np.cumsum(is_left.astype(np.int64))])
+    left_counts = csum_left[ptr64[1:]] - csum_left[ptr64[:-1]]
+    W = max(int(left_counts.max()) if m else 0, 1)
 
     D_src = np.full((nblk, nb, nb), -1, dtype=np.int64)
     D_pad = np.zeros((nblk, nb, nb), dtype=bool)
     L_src = np.full((nblk, nb, W), -1, dtype=np.int64)
     L_ind = np.zeros((nblk, nb, W), dtype=np.int32)
-    for i in range(m):
-        k, r = divmod(i, nb)
-        blk0 = k * nb
-        a0, a1 = int(ptr64[i]), int(ptr64[i + 1])
-        row = ind[a0:a1]
-        cut = int(left_counts[i])
-        # left part
-        L_ind[k, r, :cut] = row[:cut]
-        L_src[k, r, :cut] = src[a0 : a0 + cut] if not reversed_ else src[a0 : a0 + cut]
-        # diagonal block part (cols in [blk0, blk0+nb))
-        for t in range(cut, a1 - a0):
-            c = int(row[t]) - blk0
-            if 0 <= c < nb:
-                D_src[k, r, c] = src[a0 + t]
-    # identity-pad: rows beyond m and any zero diagonal position for unit solves
-    for k in range(nblk):
-        for r in range(nb):
-            i = k * nb + r
-            if i >= m:
-                D_pad[k, r, r] = True
+
+    pos_in_row = np.arange(cols.size, dtype=np.int64) - np.repeat(ptr64[:-1], lens)
+    r_in_blk = (rows % nb).astype(np.int64)
+    # left part fill
+    lmask = is_left
+    if lmask.any():
+        L_ind[blk_of_row[lmask], r_in_blk[lmask], pos_in_row[lmask]] = cols[lmask].astype(
+            np.int32
+        )
+        L_src[blk_of_row[lmask], r_in_blk[lmask], pos_in_row[lmask]] = src[lmask]
+    # diagonal block fill (cols within [blk0, blk0+nb))
+    dmask = (cols >= blk0) & (cols < blk0 + nb)
+    if dmask.any():
+        D_src[blk_of_row[dmask], r_in_blk[dmask], (cols - blk0)[dmask]] = src[dmask]
+    # identity-pad rows beyond m
+    pad_rows = np.arange(m, m_pad, dtype=np.int64)
+    if pad_rows.size:
+        D_pad[pad_rows // nb, pad_rows % nb, pad_rows % nb] = True
     if dt == DiagType.unit:
-        # effective CSR for unit diag injected const 1.0 entries with src=-1;
-        # those positions materialize via const — mark them as pads
-        for i in range(m):
-            k, r = divmod(i, nb)
-            if D_src[k, r, r] < 0:
-                D_pad[k, r, r] = True
+        # effective CSR injected const-1.0 diag entries; any still-missing
+        # diagonal position falls back to an identity pad
+        ii = np.arange(m, dtype=np.int64)
+        miss = D_src[ii // nb, ii % nb, ii % nb] < 0
+        if miss.any():
+            imiss = ii[miss]
+            D_pad[imiss // nb, imiss % nb, imiss % nb] = True
 
     eff_val = eff.val
     form = TrsvForm(
