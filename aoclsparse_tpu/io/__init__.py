@@ -1,0 +1,3 @@
+"""Matrix I/O (MatrixMarket, the reference bench harness's input format)."""
+
+from .mm import read_mtx, read_mtx_arrays, write_mtx  # noqa: F401

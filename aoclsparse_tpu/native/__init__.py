@@ -1,0 +1,235 @@
+"""Native host-kernel bindings (ctypes over src/host_kernels.cpp).
+
+C++ is used exactly where the reference uses it for host-side sequential
+work (ILU0 factorization, ilu0.hpp:37-112; Gustavson symbolic scan,
+csr2m.cpp:89-200) plus the level-scheduling analysis the TPU planner adds.
+The library is compiled on first use with g++ into this package directory
+and cached; every entry point has a numpy fallback so the package works
+without a toolchain (`AOCLSPARSE_TPU_NO_NATIVE=1` forces the fallback).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["available", "ilu0_factor", "level_schedule", "spgemm_nnz"]
+
+_HERE = Path(__file__).resolve().parent
+_SRC = _HERE / "src" / "host_kernels.cpp"
+_LIB = _HERE / "libaoclsparse_host.so"
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++",
+                "-O3",
+                "-march=native",
+                "-shared",
+                "-fPIC",
+                "-std=c++17",
+                str(_SRC),
+                "-o",
+                str(_LIB),
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("AOCLSPARSE_TPU_NO_NATIVE", "0") in ("1", "true"):
+            return None
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:
+            return None
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        for suf, vt in (
+            ("s", ctypes.POINTER(ctypes.c_float)),
+            ("d", ctypes.POINTER(ctypes.c_double)),
+            ("c", ctypes.c_void_p),
+            ("z", ctypes.c_void_p),
+        ):
+            fn = getattr(lib, f"ilu0_{suf}")
+            fn.restype = ctypes.c_int
+            fn.argtypes = [ctypes.c_int64, i64p, i64p, vt, i64p, i64p]
+        lib.level_schedule.restype = ctypes.c_int64
+        lib.level_schedule.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
+        lib.spgemm_nnz.restype = ctypes.c_int64
+        lib.spgemm_nnz.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p, i64p, i64p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _i64(a) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(a), dtype=np.int64)
+
+
+_SUFFIX = {
+    np.dtype(np.float32): "s",
+    np.dtype(np.float64): "d",
+    np.dtype(np.complex64): "c",
+    np.dtype(np.complex128): "z",
+}
+
+
+def ilu0_factor(m: int, ptr, ind, val) -> Tuple[np.ndarray, np.ndarray]:
+    """IKJ ILU(0); returns (lu, diag_ptr). Raises ValueError with the
+    offending row on missing diagonal / zero pivot (caller maps to Status)."""
+    lib = _load()
+    val = np.asarray(val)
+    if lib is None or val.dtype not in _SUFFIX:
+        return _ilu0_numpy(m, ptr, ind, val)
+    ptr64 = _i64(ptr)
+    ind64 = _i64(ind)
+    lu = np.ascontiguousarray(val).copy()
+    diag = np.empty(m, dtype=np.int64)
+    err = np.zeros(1, dtype=np.int64)
+    fn = getattr(lib, f"ilu0_{_SUFFIX[val.dtype]}")
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    if val.dtype == np.float32:
+        vp = lu.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    elif val.dtype == np.float64:
+        vp = lu.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    else:
+        vp = ctypes.c_void_p(lu.ctypes.data)
+    rc = fn(
+        ctypes.c_int64(m),
+        ptr64.ctypes.data_as(i64p),
+        ind64.ctypes.data_as(i64p),
+        vp,
+        diag.ctypes.data_as(i64p),
+        err.ctypes.data_as(i64p),
+    )
+    if rc == 1:
+        raise ValueError(f"missing_diag:{int(err[0])}")
+    if rc == 2:
+        raise ValueError(f"zero_pivot:{int(err[0])}")
+    return lu, diag
+
+
+def _ilu0_numpy(m, ptr, ind, val):
+    """Fallback: same IKJ sweep in numpy (slow path)."""
+    ptr = _i64(ptr)
+    ind = _i64(ind)
+    lu = np.array(val, copy=True)
+    diag = np.full(m, -1, dtype=np.int64)
+    for i in range(m):
+        lo, hi = ptr[i], ptr[i + 1]
+        seg = ind[lo:hi]
+        p = np.searchsorted(seg, i)
+        if p < hi - lo and seg[p] == i:
+            diag[i] = lo + p
+        else:
+            raise ValueError(f"missing_diag:{i}")
+    pos = np.full(m, -1, dtype=np.int64)
+    for i in range(m):
+        lo, hi = int(ptr[i]), int(ptr[i + 1])
+        pos[ind[lo:hi]] = np.arange(lo, hi)
+        for k in range(lo, hi):
+            j = int(ind[k])
+            if j >= i:
+                break
+            piv = lu[diag[j]]
+            if piv == 0:
+                raise ValueError(f"zero_pivot:{j}")
+            lik = lu[k] / piv
+            lu[k] = lik
+            t0, t1 = int(diag[j]) + 1, int(ptr[j + 1])
+            if t0 < t1:
+                tgt = pos[ind[t0:t1]]
+                ok = tgt >= 0
+                lu[tgt[ok]] -= lik * lu[t0:t1][ok]
+        pos[ind[lo:hi]] = -1
+    return lu, diag
+
+
+def level_schedule(m: int, ptr, ind) -> Tuple[np.ndarray, int]:
+    """Wavefront levels of the strictly-lower dependency DAG."""
+    lib = _load()
+    ptr64 = _i64(ptr)
+    ind64 = _i64(ind)
+    levels = np.zeros(m, dtype=np.int64)
+    if lib is not None:
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        nlev = lib.level_schedule(
+            ctypes.c_int64(m),
+            ptr64.ctypes.data_as(i64p),
+            ind64.ctypes.data_as(i64p),
+            levels.ctypes.data_as(i64p),
+        )
+        return levels, int(nlev)
+    nlev = 0
+    for i in range(m):
+        lv = 0
+        for k in range(int(ptr64[i]), int(ptr64[i + 1])):
+            j = int(ind64[k])
+            if j >= i:
+                break
+            lv = max(lv, int(levels[j]) + 1)
+        levels[i] = lv
+        nlev = max(nlev, lv + 1)
+    return levels, nlev
+
+
+def spgemm_nnz(mA: int, nB: int, Aptr, Aind, Bptr, Bind) -> Tuple[np.ndarray, int]:
+    """Symbolic C row pointer (Gustavson marker scan)."""
+    lib = _load()
+    Aptr64, Aind64, Bptr64, Bind64 = _i64(Aptr), _i64(Aind), _i64(Bptr), _i64(Bind)
+    Cptr = np.zeros(mA + 1, dtype=np.int64)
+    if lib is not None:
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        total = lib.spgemm_nnz(
+            ctypes.c_int64(mA),
+            ctypes.c_int64(nB),
+            Aptr64.ctypes.data_as(i64p),
+            Aind64.ctypes.data_as(i64p),
+            Bptr64.ctypes.data_as(i64p),
+            Bind64.ctypes.data_as(i64p),
+            Cptr.ctypes.data_as(i64p),
+        )
+        return Cptr, int(total)
+    marker = np.full(nB, -1, dtype=np.int64)
+    total = 0
+    for i in range(mA):
+        cnt = 0
+        for k in range(int(Aptr64[i]), int(Aptr64[i + 1])):
+            kk = int(Aind64[k])
+            cols = Bind64[int(Bptr64[kk]) : int(Bptr64[kk + 1])]
+            fresh = marker[cols] != i
+            marker[cols[fresh]] = i
+            cnt += int(fresh.sum())
+        total += cnt
+        Cptr[i + 1] = total
+    return Cptr, total

@@ -1,0 +1,141 @@
+// Native host kernels for the planner's inherently sequential passes.
+//
+// The reference implements these in C++ inside the library proper
+// (ILU0: solvers/aoclsparse_ilu0.hpp:37-112; the clean-CSR/level analysis
+// lives in analysis/aoclsparse_csr_util.*). In the TPU-native design the
+// device executes wavefront-blocked solves, but the one-time factorization
+// and dependency-level analysis are host planner work — implemented here in
+// C++ with a numpy fallback in Python (aoclsparse_tpu/native/__init__.py).
+//
+// ABI: plain C, int64 indices, dtype-suffixed entry points (s/d/c/z), the
+// same suffix convention as the reference's public API.
+
+#include <complex>
+#include <cstdint>
+#include <vector>
+
+// ---------------------------------------------------------------------------
+// ILU(0): in-place IKJ factorization over a sorted CSR pattern.
+// Returns 0 on success; 1 = missing diagonal (err = row); 2 = zero pivot
+// (err = row). lu[] holds A's values on entry, combined L\U on exit (unit L
+// implied below the diagonal).
+// ---------------------------------------------------------------------------
+
+template <typename T>
+static int ilu0_impl(int64_t m,
+                     const int64_t *ptr,
+                     const int64_t *ind,
+                     T *lu,
+                     int64_t *diag,
+                     int64_t *err)
+{
+    // locate diagonals
+    for (int64_t i = 0; i < m; ++i) {
+        diag[i] = -1;
+        for (int64_t k = ptr[i]; k < ptr[i + 1]; ++k) {
+            if (ind[k] == i) { diag[i] = k; break; }
+            if (ind[k] > i) break;
+        }
+        if (diag[i] < 0) { *err = i; return 1; }
+    }
+    // column -> offset scatter map for the active row
+    std::vector<int64_t> pos((size_t)m, -1);
+    for (int64_t i = 0; i < m; ++i) {
+        for (int64_t k = ptr[i]; k < ptr[i + 1]; ++k) pos[(size_t)ind[k]] = k;
+        for (int64_t k = ptr[i]; k < ptr[i + 1]; ++k) {
+            const int64_t j = ind[k];
+            if (j >= i) break;
+            const T piv = lu[diag[j]];
+            if (piv == T(0)) { *err = j; return 2; }
+            const T lik = lu[k] / piv;
+            lu[k] = lik;
+            for (int64_t t = diag[j] + 1; t < ptr[j + 1]; ++t) {
+                const int64_t p = pos[(size_t)ind[t]];
+                if (p >= 0) lu[p] -= lik * lu[t];
+            }
+        }
+        for (int64_t k = ptr[i]; k < ptr[i + 1]; ++k) pos[(size_t)ind[k]] = -1;
+    }
+    return 0;
+}
+
+extern "C" {
+
+int ilu0_s(int64_t m, const int64_t *ptr, const int64_t *ind, float *lu,
+           int64_t *diag, int64_t *err)
+{ return ilu0_impl<float>(m, ptr, ind, lu, diag, err); }
+
+int ilu0_d(int64_t m, const int64_t *ptr, const int64_t *ind, double *lu,
+           int64_t *diag, int64_t *err)
+{ return ilu0_impl<double>(m, ptr, ind, lu, diag, err); }
+
+int ilu0_c(int64_t m, const int64_t *ptr, const int64_t *ind, void *lu,
+           int64_t *diag, int64_t *err)
+{ return ilu0_impl<std::complex<float>>(m, ptr, ind,
+      reinterpret_cast<std::complex<float> *>(lu), diag, err); }
+
+int ilu0_z(int64_t m, const int64_t *ptr, const int64_t *ind, void *lu,
+           int64_t *diag, int64_t *err)
+{ return ilu0_impl<std::complex<double>>(m, ptr, ind,
+      reinterpret_cast<std::complex<double> *>(lu), diag, err); }
+
+// ---------------------------------------------------------------------------
+// Level scheduling: levels[i] = 1 + max(levels[j]) over strictly-lower
+// dependencies of row i (the wavefront analysis the planner uses to size
+// blocked sweeps; the reference has no analog — its TRSV is sequential,
+// SURVEY.md §3.3). Returns the number of levels.
+// ---------------------------------------------------------------------------
+
+int64_t level_schedule(int64_t m,
+                       const int64_t *ptr,
+                       const int64_t *ind,
+                       int64_t *levels)
+{
+    int64_t nlev = 0;
+    for (int64_t i = 0; i < m; ++i) {
+        int64_t lv = 0;
+        for (int64_t k = ptr[i]; k < ptr[i + 1]; ++k) {
+            const int64_t j = ind[k];
+            if (j >= i) break;
+            const int64_t cand = levels[j] + 1;
+            if (cand > lv) lv = cand;
+        }
+        levels[i] = lv;
+        if (lv + 1 > nlev) nlev = lv + 1;
+    }
+    return nlev;
+}
+
+// ---------------------------------------------------------------------------
+// Gustavson symbolic row-counts (upper bound pass used to presize product
+// expansion; the analog of the reference's nnz_count stage dense-marker scan,
+// level3/aoclsparse_csr2m.cpp:89-200).
+// ---------------------------------------------------------------------------
+
+int64_t spgemm_nnz(int64_t mA,
+                   int64_t nB,
+                   const int64_t *Aptr,
+                   const int64_t *Aind,
+                   const int64_t *Bptr,
+                   const int64_t *Bind,
+                   int64_t *Cptr /* mA+1, out */)
+{
+    std::vector<int64_t> marker((size_t)nB, -1);
+    int64_t total = 0;
+    Cptr[0] = 0;
+    for (int64_t i = 0; i < mA; ++i) {
+        int64_t cnt = 0;
+        for (int64_t k = Aptr[i]; k < Aptr[i + 1]; ++k) {
+            const int64_t kk = Aind[k];
+            for (int64_t t = Bptr[kk]; t < Bptr[kk + 1]; ++t) {
+                const int64_t j = Bind[t];
+                if (marker[(size_t)j] != i) { marker[(size_t)j] = i; ++cnt; }
+            }
+        }
+        total += cnt;
+        Cptr[i + 1] = total;
+    }
+    return total;
+}
+
+} // extern "C"

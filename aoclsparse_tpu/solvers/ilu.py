@@ -47,44 +47,22 @@ class IluState:
 
 
 def _ilu0_host(m, ptr, ind, val):
-    """IKJ ILU(0) on the sorted CSR pattern (ilu0.hpp:37-112). Host-side,
-    one-time; raises numerical_error on zero pivot like the reference
+    """IKJ ILU(0) on the sorted CSR pattern (ilu0.hpp:37-112). One-time
+    planner work, dispatched to the native C++ kernel
+    (native/src/host_kernels.cpp ilu0_*) with a numpy fallback; raises the
+    reference's statuses on missing diagonal / zero pivot
     (ilu0.hpp:76-77,97-101)."""
-    ptr = np.asarray(ptr, dtype=np.int64)
-    ind = np.asarray(ind, dtype=np.int64)
-    lu = np.array(val, copy=True)
-    diag = np.full(m, -1, dtype=np.int64)
-    for i in range(m):
-        lo, hi = ptr[i], ptr[i + 1]
-        pos = np.searchsorted(ind[lo:hi], i)
-        if pos < hi - lo and ind[lo + pos] == i:
-            diag[i] = lo + pos
-        else:
-            raise AoclSparseError(Status.invalid_value, f"ILU0: missing diagonal in row {i}")
-    # per-row column->offset maps
-    for i in range(m):
-        lo, hi = int(ptr[i]), int(ptr[i + 1])
-        row_cols = ind[lo:hi]
-        for t in range(lo, hi):
-            k = ind[t]
-            if k >= i:
-                break
-            dk = diag[k]
-            piv = lu[dk]
-            if piv == 0:
-                raise AoclSparseError(Status.numerical_error, f"ILU0: zero pivot at row {k}")
-            lu[t] = lu[t] / piv
-            # update a_ij -= a_ik * u_kj for j > k present in row i
-            kk = dk + 1
-            khi = int(ptr[k + 1])
-            if kk < khi:
-                cols_k = ind[kk:khi]
-                pos_in_i = np.searchsorted(row_cols, cols_k)
-                valid = (pos_in_i < (hi - lo)) & (
-                    row_cols[np.minimum(pos_in_i, hi - lo - 1)] == cols_k
-                )
-                tgt = lo + pos_in_i[valid]
-                lu[tgt] -= lu[t] * lu[kk:khi][valid]
+    from .. import native
+
+    try:
+        lu, _diag = native.ilu0_factor(m, ptr, ind, np.asarray(val))
+    except ValueError as e:
+        kind, _, row = str(e).partition(":")
+        if kind == "missing_diag":
+            raise AoclSparseError(
+                Status.invalid_value, f"ILU0: missing diagonal in row {row}"
+            ) from None
+        raise AoclSparseError(Status.numerical_error, f"ILU0: zero pivot at row {row}") from None
     return lu
 
 
