@@ -110,6 +110,46 @@ def spmv_dia(dist: tuple, val, x, m: int, n: int):
     return _run(val, x, tuple(int(d) for d in dist), m, n)
 
 
+@partial(jax.jit, static_argnames=("W", "base8", "n_pad", "mixed"))
+def spmv_bwd(win_val, x, W: int, base8: int, n_pad: int, mixed: bool = False):
+    """Banded-window dense SpMV — the TPU speed-of-light path.
+
+    TPU-native replacement for the reference's AVX-blocked formats
+    (BLKCSR/BR4, aoclsparse_analysis.cpp:35-385): instead of gather-based
+    lane blocking (gathers are catastrophically slow on TPU — measured
+    ~0.2 G elem/s vs ~100 G elem/s for contiguous streams), the planner
+    materializes each 8-row block's band window densely:
+
+        win_val: (nblk, 8, W) with win_val[b, r, t] = A[8b+r, 8b*?+rel]
+        window of block b covers columns [8*(b + base8') .. +W)
+
+    and the kernel is ONE batched matvec over statically-sliced x windows —
+    zero gathers, einsum rides the MXU, traffic = m*W values (the planner
+    bounds the blowup m*W/nnz before choosing this form).
+
+    x is pre-padded to n_pad (multiple of 8, covering every window);
+    `base8` is the first block's window start in 8-element units into the
+    padded x. With mixed=True the multiply runs in bfloat16 with f32
+    accumulation (TPU mixed-precision option; off for parity tests).
+    """
+    nblk = win_val.shape[0]
+    xr = x.reshape(-1, 8)  # (n_pad/8, 8)
+    pats = jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(xr, base8 + j, nblk, 0) for j in range(W // 8)],
+        axis=1,
+    )  # (nblk, W)
+    if mixed:
+        out = jnp.einsum(
+            "brw,bw->br",
+            win_val.astype(jnp.bfloat16),
+            pats.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(win_val.dtype)
+    else:
+        out = jnp.einsum("brw,bw->br", win_val, pats)
+    return out.reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("m", "n"))
 def spmv_csr_dense_ref(ind, val, row_ids, x, m: int, n: int):
     """Debug-only: materialize dense then matmul (tiny matrices)."""

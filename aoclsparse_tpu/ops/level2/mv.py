@@ -75,6 +75,16 @@ def _run_exec_form(form, x, kid):
         return e.fn(
             form.ell_ind, form.ell_val, form.sp_ind, form.sp_val, form.sp_rows, x, form.m
         )
+    if form.kind == "bwd":
+        import os
+
+        xp = jnp.pad(x, (form.bwd_padL, form.bwd_n_pad - form.bwd_padL - form.n))
+        mixed = (
+            os.environ.get("AOCLSPARSE_TPU_MIXED_PRECISION", "0") in ("1", "true")
+            and x.dtype == jnp.float32
+        )
+        y = e.fn(form.bwd_val, xp, form.bwd_W, form.bwd_base8, form.bwd_n_pad, mixed)
+        return y[: form.m]
     raise AoclSparseError(Status.internal_error, f"bad exec form {form.kind}")
 
 
@@ -107,7 +117,7 @@ def _spmv_core(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, x, kid=N
         # with invalid_kid when unsupported, cntx_dispatcher.hpp:272-364)
         for e in registry.table("mv"):
             if e.kid == kid:
-                if e.fmt not in ("segsum", "ell", "ellhyb"):
+                if e.fmt not in ("segsum", "ell", "ellhyb", "bwd"):
                     raise AoclSparseError(
                         Status.invalid_kid, f"kid {kid} serves format '{e.fmt}', not CSR"
                     )

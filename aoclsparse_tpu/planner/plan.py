@@ -369,7 +369,7 @@ class ExecForm:
     """Device-ready SpMV operand in the chosen format. All index arrays are
     device jnp arrays; `*_src` keep host gather maps for value refresh."""
 
-    kind: str  # "segsum" | "ell" | "ellhyb"
+    kind: str  # "segsum" | "ell" | "ellhyb" | "bwd"
     m: int
     n: int
     # segsum
@@ -385,10 +385,24 @@ class ExecForm:
     sp_val: Optional[jax.Array] = None
     sp_rows: Optional[jax.Array] = None
     sp_src: Optional[np.ndarray] = None
+    # bwd (banded-window dense; see kernels/xla/spmv.py spmv_bwd)
+    bwd_val: Optional[jax.Array] = None  # (nblk, 8, W)
+    bwd_src: Optional[np.ndarray] = None  # same shape, int64, -1 = structural zero
+    bwd_W: int = 0
+    bwd_base8: int = 0
+    bwd_padL: int = 0
+    bwd_n_pad: int = 0
 
     def refresh(self, eff_val: jax.Array) -> None:
         if self.kind == "segsum":
             self.val = eff_val
+        elif self.kind == "bwd":
+            src = jnp.asarray(self.bwd_src)
+            self.bwd_val = jnp.where(
+                src >= 0,
+                eff_val[jnp.clip(src, 0)],
+                jnp.zeros((), dtype=eff_val.dtype),
+            )
         else:
             src = jnp.asarray(self.ell_src)
             v = jnp.where(
@@ -401,14 +415,47 @@ class ExecForm:
                 self.sp_val = eff_val[jnp.asarray(self.sp_src)]
 
 
+#: blowup cap for the banded-window dense form: use it while the dense band
+#: traffic stays within BWD_CAP x the nnz traffic (TPU streams beat gathers by
+#: ~400x, so even large caps win; capped for memory)
+BWD_CAP = 16.0
+BWD_MAX_W = 4096
+
+
+def _bwd_window(eff: EffectiveCSR):
+    """Band-window stats: (W, rel_lo) of the 8-row-block relative window, or
+    None when the matrix isn't band-compressible."""
+    if eff.nnz == 0 or eff.m == 0:
+        return None
+    rows = np.repeat(
+        np.arange(eff.m, dtype=np.int64), np.diff(eff.ptr.astype(np.int64))
+    )
+    rel = eff.ind.astype(np.int64) - 8 * (rows // 8)
+    rel_lo = (int(rel.min()) // 8) * 8
+    W = -(-(int(rel.max()) - rel_lo + 1) // 8) * 8
+    return W, rel_lo
+
+
 def choose_mv_format(eff: EffectiveCSR, hint_nop: int = 1) -> str:
-    """TPU re-derivation of the reference's nnz/row heuristics
-    (aoclsparse_analysis.cpp:71-213): padded-ELL when padding waste is low
-    (the BLKCSR/BR4 role), hybrid when a few long rows would blow the pad,
-    segsum when rows are tiny/uniform enough that the gather pad is wasteful."""
+    """Execution-format selection — the TPU re-derivation of the reference's
+    nnz/row heuristics (aoclsparse_optimize_mv, aoclsparse_analysis.cpp:71-213).
+
+    On TPU the decisive fact is that irregular gathers run ~400x below the
+    HBM stream rate while dense streams/matmuls run at roofline (measured on
+    v5e), so band-compressible matrices take the dense banded-window form
+    ("bwd", the BLKCSR/BR4 role); everything else falls back to the gather
+    forms, which on CPU (tests / fallback) are the fast ones anyway."""
     m = eff.m
     if m == 0 or eff.nnz == 0:
         return "segsum"
+    from ..core.context import get_context
+
+    if get_context().is_tpu:
+        win = _bwd_window(eff)
+        if win is not None:
+            W, _ = win
+            if W <= BWD_MAX_W and m * W <= BWD_CAP * max(eff.nnz, 1):
+                return "bwd"
     lens = np.diff(eff.ptr.astype(np.int64))
     w_max = int(lens.max())
     mean = float(lens.mean())
@@ -434,10 +481,47 @@ def _build_ell_map(eff: EffectiveCSR, width: int):
     return src, ind, valid
 
 
+def _build_bwd(eff: EffectiveCSR) -> ExecForm:
+    """Materialize the banded-window dense operand (see spmv_bwd)."""
+    m, n = eff.shape
+    nblk = -(-m // 8)
+    win = _bwd_window(eff)
+    if win is None:
+        W, rel_lo = 8, 0
+    else:
+        W, rel_lo = win
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(eff.ptr.astype(np.int64)))
+    cols = eff.ind.astype(np.int64)
+    blk = rows // 8
+    t = cols - 8 * blk - rel_lo  # position within the block's window
+    src = np.full((nblk, 8, W), -1, dtype=np.int64)
+    src[blk, rows % 8, t] = np.arange(cols.size, dtype=np.int64)
+    # padded x geometry: window of block b starts at column 8*b + rel_lo;
+    # after left-padding by L the start is 8*(b + base8) with L, W mult of 8
+    L = max(0, -rel_lo)
+    base8 = (rel_lo + L) // 8
+    need = 8 * (base8 + W // 8 - 1 + nblk)  # last slice end in padded coords
+    n_pad = max(-(-(L + n) // 8) * 8, need)
+    form = ExecForm(
+        kind="bwd",
+        m=m,
+        n=n,
+        bwd_src=src,
+        bwd_W=int(W),
+        bwd_base8=int(base8),
+        bwd_padL=int(L),
+        bwd_n_pad=int(n_pad),
+    )
+    form.refresh(eff.val)
+    return form
+
+
 def build_exec_form(eff: EffectiveCSR, kind: Optional[str] = None) -> ExecForm:
     if kind is None:
         kind = choose_mv_format(eff)
     m, n = eff.shape
+    if kind == "bwd":
+        return _build_bwd(eff)
     if kind == "segsum":
         rows = np.repeat(
             np.arange(m, dtype=np.int32), np.diff(eff.ptr.astype(np.int64))
