@@ -42,3 +42,39 @@ def spmm_ellhyb(ell_ind, ell_val, sp_ind, sp_val, sp_rows, B, m: int):
             sp_val[:, None] * B[sp_ind], sp_rows, num_segments=m, indices_are_sorted=True
         )
     return C
+
+
+@partial(jax.jit, static_argnames=("G", "Wg", "base", "n_pad", "mixed"))
+def spmm_bwd(grp_val, B, G: int, Wg: int, base: int, n_pad: int, mixed: bool = False):
+    """Group-banded SpMM — TPU block-band path (see spmv_bwd for rationale).
+
+    Rows are grouped into blocks of G; each group's band window (G + halo) is
+    materialized densely: grp_val (ngrp, G, Wg), window of group g covering
+    rows [G*(g + base') .. +Wg) of B. The B windows come from THREE static
+    shifted reshapes of the zero-padded B (windows overlap by Wg - G), and
+    the compute is ONE batched (G x Wg) @ (Wg x k) matmul riding the MXU —
+    zero gathers. This is the csrmm analog of the reference's blocked SpMM
+    (level3/aoclsparse_csrmm.hpp row-partition x column tiles)."""
+    ngrp = grp_val.shape[0]
+    k = B.shape[1]
+    nslice = -(-Wg // G)  # shifted copies needed to cover the window
+    Br = B.reshape(-1, G, k)  # (n_pad/G, G, k)
+    wins = jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(Br, base + j, ngrp, 0) for j in range(nslice)],
+        axis=1,
+    )[:, :Wg, :]  # (ngrp, Wg, k)
+    if mixed:
+        out = jax.lax.dot_general(
+            grp_val.astype(jnp.bfloat16),
+            wins.astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(grp_val.dtype)
+    else:
+        out = jax.lax.dot_general(
+            grp_val,
+            wins,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=grp_val.dtype,
+        )
+    return out.reshape(ngrp * G, k)

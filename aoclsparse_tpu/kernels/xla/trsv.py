@@ -20,6 +20,38 @@ import jax.numpy as jnp
 __all__ = ["trsv_blocked"]
 
 
+@partial(jax.jit, static_argnames=("nb", "m_pad", "WL"))
+def trsv_blocked_win(D, Lwin, b, nb: int, m_pad: int, WL: int):
+    """Banded variant: the left-of-diagonal part of each block is a dense
+    (nb, WL) window ending at the block start, so the scan step reads the
+    already-solved prefix with ONE dynamic slice (no gather — see the bwd
+    SpMV rationale) and a dense matvec. b: (m_pad,) or (m_pad, k)."""
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    k = b.shape[1]
+    nblk = D.shape[0]
+    dtype = D.dtype
+    b = b.astype(dtype)
+
+    def step(xp, args):
+        Dk, lwink, bk, kidx = args
+        xwin = jax.lax.dynamic_slice(xp, (kidx * nb, 0), (WL, k))
+        s = jnp.einsum("rw,wk->rk", lwink, xwin)
+        xk = jax.lax.linalg.triangular_solve(
+            Dk, bk - s, left_side=True, lower=True, unit_diagonal=False
+        )
+        xp = jax.lax.dynamic_update_slice(xp, xk, (WL + kidx * nb, 0))
+        return xp, None
+
+    xp0 = jnp.zeros((WL + m_pad, k), dtype=dtype)
+    bs = b.reshape(nblk, nb, k)
+    idx = jnp.arange(nblk)
+    xp, _ = jax.lax.scan(step, xp0, (D, Lwin, bs, idx))
+    x = xp[WL:]
+    return x[:, 0] if squeeze else x
+
+
 @partial(jax.jit, static_argnames=("nb", "m_pad"))
 def trsv_blocked(D, Lind, Lval, b, nb: int, m_pad: int):
     """Solve L x = b with the blocked lower form. b: (m_pad,) or (m_pad, k)."""

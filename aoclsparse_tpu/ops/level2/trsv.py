@@ -42,7 +42,7 @@ def _solve(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, rhs, kid):
         raise AoclSparseError(
             Status.invalid_value, "trsv requires a triangular or symmetric/hermitian descriptor"
         )
-    e = registry.select("sv", fmt="blocked", kid=kid)
+    registry.select("sv", fmt="blocked", kid=kid)  # KID validation/introspection
     plan = get_plan(A)
     form = trsv_form_for(plan, descr, op)
     m_pad = form.nblk * form.nb
@@ -53,8 +53,7 @@ def _solve(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, rhs, kid):
         r2 = r2[::-1]
     if m_pad != m:
         r2 = jnp.pad(r2, ((0, m_pad - m), (0, 0)))
-    x = e.fn(form.D, form.Lind, form.Lval, r2, form.nb, m_pad)
-    x = x[:m]
+    x = form.solve(r2)[:m]
     if form.reversed_:
         x = x[::-1]
     return x[:, 0] if squeeze else x

@@ -39,6 +39,7 @@ __all__ = ["mm"]
 registry.register("mm", KernelEntry(0, "xla_segsum", K.spmm_segsum, "segsum", "any", 0))
 registry.register("mm", KernelEntry(1, "xla_ell", K.spmm_ell, "ell", "any", 0))
 registry.register("mm", KernelEntry(2, "xla_ellhyb", K.spmm_ellhyb, "ellhyb", "any", 0))
+registry.register("mm", KernelEntry(3, "xla_bwdg", K.spmm_bwd, "bwdg", "any", 1))
 
 
 @jax.jit
@@ -99,6 +100,19 @@ def mm(
                 break
         else:
             raise AoclSparseError(Status.invalid_kid, f"kid {kid} not in table for 'mm'")
+    if kind is None:
+        # TPU: group-banded MXU form when the band blowup is acceptable
+        # (gathers are ~400x off the stream rate there; see planner notes)
+        from ...core.context import get_context
+        from ...planner.plan import BWD_CAP, BWD_MAX_W, _bwd_window
+
+        if get_context().is_tpu:
+            eff = plan.effective_for(descr, op, A.dtype)
+            win = _bwd_window(eff, G=128)
+            if win is not None:
+                W, _ = win
+                if W <= 2 * BWD_MAX_W and eff.m * W <= BWD_CAP * max(eff.nnz, 1):
+                    kind = "bwdg"
     form = plan.exec_form_for(descr, op, kind=kind, dtype=A.dtype)
     e = registry.select("mm", fmt=form.kind, kid=kid)
     Bc = B.astype(A.dtype)
@@ -106,6 +120,19 @@ def mm(
         c_new = e.fn(form.ind, form.val, form.row_ids, Bc, form.m)
     elif form.kind == "ell":
         c_new = e.fn(form.ell_ind, form.ell_val, Bc)
+    elif form.kind == "bwdg":
+        import os
+
+        Bp = jnp.pad(
+            Bc, ((form.bwd_padL, form.bwd_n_pad - form.bwd_padL - form.n), (0, 0))
+        )
+        mixed = (
+            os.environ.get("AOCLSPARSE_TPU_MIXED_PRECISION", "0") in ("1", "true")
+            and Bc.dtype == jnp.float32
+        )
+        c_new = e.fn(
+            form.bwd_val, Bp, form.bwd_G, form.bwd_W, form.bwd_base8, form.bwd_n_pad, mixed
+        )[: form.m]
     else:
         c_new = e.fn(
             form.ell_ind, form.ell_val, form.sp_ind, form.sp_val, form.sp_rows, Bc, form.m

@@ -392,11 +392,12 @@ class ExecForm:
     bwd_base8: int = 0
     bwd_padL: int = 0
     bwd_n_pad: int = 0
+    bwd_G: int = 8
 
     def refresh(self, eff_val: jax.Array) -> None:
         if self.kind == "segsum":
             self.val = eff_val
-        elif self.kind == "bwd":
+        elif self.kind in ("bwd", "bwdg"):
             src = jnp.asarray(self.bwd_src)
             self.bwd_val = jnp.where(
                 src >= 0,
@@ -422,16 +423,17 @@ BWD_CAP = 16.0
 BWD_MAX_W = 4096
 
 
-def _bwd_window(eff: EffectiveCSR):
-    """Band-window stats: (W, rel_lo) of the 8-row-block relative window, or
-    None when the matrix isn't band-compressible."""
+def _bwd_window(eff: EffectiveCSR, G: int = 8):
+    """Band-window stats: (W, rel_lo) of the G-row-group relative window
+    (alignment G for the window start, 8 for the width), or None when the
+    matrix is empty."""
     if eff.nnz == 0 or eff.m == 0:
         return None
     rows = np.repeat(
         np.arange(eff.m, dtype=np.int64), np.diff(eff.ptr.astype(np.int64))
     )
-    rel = eff.ind.astype(np.int64) - 8 * (rows // 8)
-    rel_lo = (int(rel.min()) // 8) * 8
+    rel = eff.ind.astype(np.int64) - G * (rows // G)
+    rel_lo = (int(rel.min()) // G) * G
     W = -(-(int(rel.max()) - rel_lo + 1) // 8) * 8
     return W, rel_lo
 
@@ -481,36 +483,39 @@ def _build_ell_map(eff: EffectiveCSR, width: int):
     return src, ind, valid
 
 
-def _build_bwd(eff: EffectiveCSR) -> ExecForm:
-    """Materialize the banded-window dense operand (see spmv_bwd)."""
+def _build_bwd(eff: EffectiveCSR, G: int = 8, kind: str = "bwd") -> ExecForm:
+    """Materialize the G-row-group banded-window dense operand
+    (see kernels/xla/spmv.py spmv_bwd and spmm.py spmm_bwd)."""
     m, n = eff.shape
-    nblk = -(-m // 8)
-    win = _bwd_window(eff)
+    ngrp = -(-m // G)
+    win = _bwd_window(eff, G)
     if win is None:
-        W, rel_lo = 8, 0
+        W, rel_lo = G, 0
     else:
         W, rel_lo = win
     rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(eff.ptr.astype(np.int64)))
     cols = eff.ind.astype(np.int64)
-    blk = rows // 8
-    t = cols - 8 * blk - rel_lo  # position within the block's window
-    src = np.full((nblk, 8, W), -1, dtype=np.int64)
-    src[blk, rows % 8, t] = np.arange(cols.size, dtype=np.int64)
-    # padded x geometry: window of block b starts at column 8*b + rel_lo;
-    # after left-padding by L the start is 8*(b + base8) with L, W mult of 8
+    blk = rows // G
+    t = cols - G * blk - rel_lo  # position within the group's window
+    src = np.full((ngrp, G, W), -1, dtype=np.int64)
+    src[blk, rows % G, t] = np.arange(cols.size, dtype=np.int64)
+    # padded x geometry: window of group g starts at column G*g + rel_lo;
+    # after left-padding by L the start is G*(g + base) with L mult of G
     L = max(0, -rel_lo)
-    base8 = (rel_lo + L) // 8
-    need = 8 * (base8 + W // 8 - 1 + nblk)  # last slice end in padded coords
-    n_pad = max(-(-(L + n) // 8) * 8, need)
+    base = (rel_lo + L) // G
+    nslice = -(-W // G)
+    need = G * (base + nslice - 1 + ngrp)  # last slice end in padded coords
+    n_pad = max(-(-(L + n) // G) * G, need)
     form = ExecForm(
-        kind="bwd",
+        kind=kind,
         m=m,
         n=n,
         bwd_src=src,
         bwd_W=int(W),
-        bwd_base8=int(base8),
+        bwd_base8=int(base),
         bwd_padL=int(L),
         bwd_n_pad=int(n_pad),
+        bwd_G=G,
     )
     form.refresh(eff.val)
     return form
@@ -521,7 +526,9 @@ def build_exec_form(eff: EffectiveCSR, kind: Optional[str] = None) -> ExecForm:
         kind = choose_mv_format(eff)
     m, n = eff.shape
     if kind == "bwd":
-        return _build_bwd(eff)
+        return _build_bwd(eff, G=8, kind="bwd")
+    if kind == "bwdg":
+        return _build_bwd(eff, G=128, kind="bwdg")
     if kind == "segsum":
         rows = np.repeat(
             np.arange(m, dtype=np.int32), np.diff(eff.ptr.astype(np.int64))

@@ -41,7 +41,9 @@ DEFAULT_BLOCK = 64
 @dataclasses.dataclass
 class TrsvForm:
     """Blocked lower-triangular operand (post reversal-permutation if the
-    effective triangle was upper)."""
+    effective triangle was upper). kind="gather" keeps the left part as a
+    padded-ELL gather; kind="win" stores it as a dense (nb, WL) window ending
+    at the block start (the TPU path — zero gathers in the scan)."""
 
     nb: int  # block size
     nblk: int  # number of blocks (m_pad = nblk*nb)
@@ -51,16 +53,27 @@ class TrsvForm:
     # device arrays
     D: jax.Array  # (nblk, nb, nb) dense diagonal blocks
     Lind: jax.Array  # (nblk, nb, W) left-part column indices (into padded x)
-    Lval: jax.Array  # (nblk, nb, W)
+    Lval: jax.Array  # (nblk, nb, W) — or (nblk, nb, WL) dense window if "win"
     # host refresh maps into the effective CSR values
     _D_src: np.ndarray  # (nblk, nb, nb) int64, -1 = structural zero / identity pad
     _D_pad: np.ndarray  # (nblk, nb, nb) bool: identity padding positions (1.0)
     _L_src: np.ndarray  # (nblk, nb, W) int64, -1 = padding
     _eff_key: Tuple  # key of the effective CSR this form derives from
+    kind: str = "gather"
+    WL: int = 0
 
     def refresh(self, eff_val: jax.Array) -> None:
         self.D = _materialize_D(eff_val, self._D_src, self._D_pad)
         self.Lval = _materialize_L(eff_val, self._L_src)
+
+    def solve(self, r2) -> jax.Array:
+        """Run the blocked solve on a padded (m_pad, k) rhs."""
+        from ..kernels.xla.trsv import trsv_blocked, trsv_blocked_win
+
+        m_pad = self.nblk * self.nb
+        if self.kind == "win":
+            return trsv_blocked_win(self.D, self.Lval, r2, self.nb, m_pad, self.WL)
+        return trsv_blocked(self.D, self.Lind, self.Lval, r2, self.nb, m_pad)
 
 
 @jax.jit
@@ -155,18 +168,33 @@ def build_trsv_form(
 
     D_src = np.full((nblk, nb, nb), -1, dtype=np.int64)
     D_pad = np.zeros((nblk, nb, nb), dtype=bool)
-    L_src = np.full((nblk, nb, W), -1, dtype=np.int64)
-    L_ind = np.zeros((nblk, nb, W), dtype=np.int32)
 
     pos_in_row = np.arange(cols.size, dtype=np.int64) - np.repeat(ptr64[:-1], lens)
     r_in_blk = (rows % nb).astype(np.int64)
-    # left part fill
     lmask = is_left
-    if lmask.any():
-        L_ind[blk_of_row[lmask], r_in_blk[lmask], pos_in_row[lmask]] = cols[lmask].astype(
-            np.int32
-        )
-        L_src[blk_of_row[lmask], r_in_blk[lmask], pos_in_row[lmask]] = src[lmask]
+
+    # dense-left-window variant ("win"): left entries within [blk0-WL, blk0)
+    # become a dense window so the scan step is slice+matvec, no gather —
+    # chosen when the band blowup is acceptable (always preferred on TPU,
+    # where gathers are ~400x off the stream rate; fine on CPU too).
+    WL_need = int((blk0 - cols)[lmask].max()) if lmask.any() else 0
+    WL = max(8, -(-WL_need // 8) * 8)
+    use_win = (nblk * nb * WL) <= max(8 * cols.size, 64 * nb * nb) and WL <= 8192
+    if use_win:
+        L_src = np.full((nblk, nb, WL), -1, dtype=np.int64)
+        L_ind = jnp.zeros((1,), dtype=jnp.int32)  # unused in win mode
+        if lmask.any():
+            t = (cols - blk0 + WL)[lmask]
+            L_src[blk_of_row[lmask], r_in_blk[lmask], t] = src[lmask]
+    else:
+        L_src = np.full((nblk, nb, W), -1, dtype=np.int64)
+        L_ind_np = np.zeros((nblk, nb, W), dtype=np.int32)
+        if lmask.any():
+            L_ind_np[blk_of_row[lmask], r_in_blk[lmask], pos_in_row[lmask]] = cols[
+                lmask
+            ].astype(np.int32)
+            L_src[blk_of_row[lmask], r_in_blk[lmask], pos_in_row[lmask]] = src[lmask]
+        L_ind = jnp.asarray(L_ind_np)
     # diagonal block fill (cols within [blk0, blk0+nb))
     dmask = (cols >= blk0) & (cols < blk0 + nb)
     if dmask.any():
@@ -192,12 +220,14 @@ def build_trsv_form(
         reversed_=reversed_,
         unit_diag=(dt == DiagType.unit),
         D=_materialize_D(eff_val, D_src, D_pad),
-        Lind=jnp.asarray(L_ind),
+        Lind=L_ind if not use_win else jnp.asarray(L_ind),
         Lval=_materialize_L(eff_val, L_src),
         _D_src=D_src,
         _D_pad=D_pad,
         _L_src=L_src,
         _eff_key=eff_key,
+        kind="win" if use_win else "gather",
+        WL=WL if use_win else 0,
     )
     return form
 

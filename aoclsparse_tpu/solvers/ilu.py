@@ -111,7 +111,7 @@ def _apply_form(form, rhs):
         r = r[::-1]
     if m_pad != form.m:
         r = jnp.pad(r, ((0, m_pad - form.m), (0, 0)))
-    x = trsv_blocked(form.D, form.Lind, form.Lval, r, form.nb, m_pad)[: form.m]
+    x = form.solve(r)[: form.m]
     if form.reversed_:
         x = x[::-1]
     return x[:, 0] if rhs.ndim == 1 else x

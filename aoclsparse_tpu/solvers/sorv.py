@@ -113,5 +113,4 @@ def sorv(
     r = rhs[:, None]
     if m_pad != m:
         r = jnp.pad(r, ((0, m_pad - m), (0, 0)))
-    out = trsv_blocked(form.D, form.Lind, form.Lval, r, form.nb, m_pad)[:m, 0]
-    return out
+    return form.solve(r)[:m, 0]
