@@ -43,6 +43,14 @@ from .core.matrix import (  # noqa: F401
     set_value,
     update_values,
 )
+from .core.auxiliary import (  # noqa: F401
+    convert_format,
+    convert_bsr,
+    convert_csr,
+    debug_get,
+    enable_instructions,
+    is_tpu_build,
+)
 from .core.context import get_context  # noqa: F401
 from .kernels.registry import debug_dispatcher  # noqa: F401
 from .ops import (  # noqa: F401

@@ -50,31 +50,25 @@ def spmm_bwd(grp_val, B, G: int, Wg: int, base: int, n_pad: int, mixed: bool = F
 
     Rows are grouped into blocks of G; each group's band window (G + halo) is
     materialized densely: grp_val (ngrp, G, Wg), window of group g covering
-    rows [G*(g + base') .. +Wg) of B. The B windows come from THREE static
-    shifted reshapes of the zero-padded B (windows overlap by Wg - G), and
-    the compute is ONE batched (G x Wg) @ (Wg x k) matmul riding the MXU —
-    zero gathers. This is the csrmm analog of the reference's blocked SpMM
-    (level3/aoclsparse_csrmm.hpp row-partition x column tiles)."""
+    rows [G*(g + base) .. +Wg) of the padded B. Compute is a lax.scan over
+    groups, each step ONE plain 2-D (G x Wg) @ (Wg x k) MXU matmul against a
+    dynamic slice of B — zero gathers, and deliberately NO batched
+    dot_general (measured catastrophically slow on this TPU stack: 0.1-0.15
+    TFLOP/s for batched vs ~36 TFLOP/s for 2-D). csrmm analog of the
+    reference's blocked SpMM (level3/aoclsparse_csrmm.hpp)."""
     ngrp = grp_val.shape[0]
     k = B.shape[1]
-    nslice = -(-Wg // G)  # shifted copies needed to cover the window
-    Br = B.reshape(-1, G, k)  # (n_pad/G, G, k)
-    wins = jnp.concatenate(
-        [jax.lax.dynamic_slice_in_dim(Br, base + j, ngrp, 0) for j in range(nslice)],
-        axis=1,
-    )[:, :Wg, :]  # (ngrp, Wg, k)
+    out_dtype = grp_val.dtype
+    acc = jnp.float32 if mixed or grp_val.dtype == jnp.float32 else grp_val.dtype
     if mixed:
-        out = jax.lax.dot_general(
-            grp_val.astype(jnp.bfloat16),
-            wins.astype(jnp.bfloat16),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(grp_val.dtype)
-    else:
-        out = jax.lax.dot_general(
-            grp_val,
-            wins,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=grp_val.dtype,
-        )
-    return out.reshape(ngrp * G, k)
+        grp_val = grp_val.astype(jnp.bfloat16)
+        B = B.astype(jnp.bfloat16)
+
+    def step(_, args):
+        a_g, gidx = args
+        bwin = jax.lax.dynamic_slice(B, (G * (gidx + base), 0), (Wg, k))
+        out = jnp.dot(a_g, bwin, preferred_element_type=acc)
+        return None, out
+
+    _, outs = jax.lax.scan(step, None, (grp_val, jnp.arange(ngrp)))
+    return outs.reshape(ngrp * G, k).astype(out_dtype)

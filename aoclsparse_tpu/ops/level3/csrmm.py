@@ -103,10 +103,13 @@ def mm(
     if kind is None:
         # TPU: group-banded MXU form when the band blowup is acceptable
         # (gathers are ~400x off the stream rate there; see planner notes)
+        import os
+
         from ...core.context import get_context
         from ...planner.plan import BWD_CAP, BWD_MAX_W, _bwd_window
 
-        if get_context().is_tpu:
+        force_generic = os.environ.get("AOCLSPARSE_TPU_FORCE_GENERIC", "0") in ("1", "true")
+        if get_context().is_tpu and not force_generic:
             eff = plan.effective_for(descr, op, A.dtype)
             win = _bwd_window(eff, G=128)
             if win is not None:

@@ -25,6 +25,51 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["cg_ell_jit", "dist_cg", "prepare_dist_ell"]
 
 
+@partial(jax.jit, static_argnames=("maxit", "W", "base8", "padL", "n_pad"))
+def cg_bwd_jit(
+    win_val, b, x0, rtol, atol, maxit: int, W: int, base8: int, padL: int, n_pad: int
+):
+    """CG over the banded-window operand (kernels/xla/spmv.py spmv_bwd) as one
+    compiled while_loop — the TPU fast path (no gathers). Operand rows can be
+    sharded over a mesh axis; vectors replicated; XLA all-gathers the sharded
+    einsum output per iteration."""
+
+    def matvec(v):
+        vp = jnp.pad(v, (padL, n_pad - padL - v.shape[0]))
+        xr = vp.reshape(-1, 8)
+        nblk = win_val.shape[0]
+        pats = jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(xr, base8 + j, nblk, 0) for j in range(W // 8)],
+            axis=1,
+        )
+        return jnp.einsum("brw,bw->br", win_val, pats).reshape(-1)[: v.shape[0]]
+
+    bnorm = jnp.sqrt(jnp.sum(b * b))
+    brtol = rtol * bnorm
+    r0 = matvec(x0) - b
+    rn0 = jnp.sqrt(jnp.sum(r0 * r0))
+
+    def cond(state):
+        x, r, p, rz, k, rnorm = state
+        not_conv = jnp.logical_and(rnorm > atol, rnorm > brtol)
+        return jnp.logical_and(not_conv, k < maxit)
+
+    def body(state):
+        x, r, p, rz, k, rnorm = state
+        rz_new = jnp.sum(r * r)
+        beta = jnp.where(k == 0, jnp.zeros_like(rz), rz_new / rz)
+        p = beta * p - r
+        q = matvec(p)
+        alpha = rz_new / jnp.sum(p * q)
+        x = x + alpha * p
+        r = r + alpha * q
+        return (x, r, p, rz_new, k + 1, jnp.sqrt(jnp.sum(r * r)))
+
+    state = (x0, r0, jnp.zeros_like(x0), jnp.ones((), b.dtype), jnp.zeros((), jnp.int32), rn0)
+    x, r, p, rz, k, rnorm = jax.lax.while_loop(cond, body, state)
+    return x, k, rnorm
+
+
 @partial(jax.jit, static_argnames=("maxit",))
 def cg_ell_jit(ell_ind, ell_val, b, x0, rtol, atol, maxit: int):
     """CG on a padded-ELL operand as one compiled while_loop.

@@ -450,9 +450,12 @@ def choose_mv_format(eff: EffectiveCSR, hint_nop: int = 1) -> str:
     m = eff.m
     if m == 0 or eff.nnz == 0:
         return "segsum"
+    import os
+
     from ..core.context import get_context
 
-    if get_context().is_tpu:
+    force_generic = os.environ.get("AOCLSPARSE_TPU_FORCE_GENERIC", "0") in ("1", "true")
+    if get_context().is_tpu and not force_generic:
         win = _bwd_window(eff)
         if win is not None:
             W, _ = win
@@ -528,7 +531,10 @@ def build_exec_form(eff: EffectiveCSR, kind: Optional[str] = None) -> ExecForm:
     if kind == "bwd":
         return _build_bwd(eff, G=8, kind="bwd")
     if kind == "bwdg":
-        return _build_bwd(eff, G=128, kind="bwdg")
+        # G=512: scan-of-2D-matmul SpMM wants few, large groups (per-step
+        # scan overhead ~8us on this stack; batched dot_general is avoided
+        # entirely — see kernels/xla/spmm.py)
+        return _build_bwd(eff, G=512, kind="bwdg")
     if kind == "segsum":
         rows = np.repeat(
             np.arange(m, dtype=np.int32), np.diff(eff.ptr.astype(np.int64))

@@ -233,11 +233,18 @@ def build_trsv_form(
 
 
 def trsv_form_for(
-    plan: Plan, descr: MatrixDescriptor, op: Operation, nb: int = DEFAULT_BLOCK
+    plan: Plan, descr: MatrixDescriptor, op: Operation, nb: Optional[int] = None
 ) -> TrsvForm:
     """Cached TrsvForm lookup on the matrix plan. The descriptor is coerced
     to triangular semantics (the reference treats symmetric descriptors as
-    triangular in trsv, aoclsparse_trsv.cpp:141-151)."""
+    triangular in trsv, aoclsparse_trsv.cpp:141-151).
+
+    nb=None picks an adaptive block size targeting ~512 scan steps (each
+    step costs ~8us of scan overhead on this stack, so fewer/larger blocks
+    win until the dense diagonal blocks dominate memory)."""
+    if nb is None:
+        m = plan.clean.m
+        nb = int(min(512, max(DEFAULT_BLOCK, 1 << int(np.ceil(np.log2(max(m / 512, 1)))))))
     tri_descr = MatrixDescriptor(
         type=MatrixType.triangular,
         fill_mode=descr.fill_mode,

@@ -78,7 +78,7 @@ def test_spmm_bwdg_kernel(rng):
     A = ast.create_csr(m, n, ptr, ind, val)
     plan = get_plan(A)
     form = plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="bwdg")
-    assert form.kind == "bwdg" and form.bwd_G == 128
+    assert form.kind == "bwdg" and form.bwd_G == 512
     B = rng.standard_normal((n, k))
     import jax.numpy as jnp
     from aoclsparse_tpu.kernels.xla.spmm import spmm_bwd
