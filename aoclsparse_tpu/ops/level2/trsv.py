@@ -25,7 +25,7 @@ from ...kernels.xla.trsv import trsv_blocked
 from ...planner.plan import get_plan
 from ...planner.triangular import trsv_form_for
 
-__all__ = ["trsv", "trsv_strided"]
+__all__ = ["trsv", "trsv_strided", "csrsv"]
 
 registry.register("sv", KernelEntry(0, "xla_blocked_scan", trsv_blocked, "blocked", "any", 0))
 
@@ -75,6 +75,12 @@ def trsv(
     return _solve(A, descr, op, (jnp.asarray(alpha, dtype) * b).astype(A.dtype), kid).astype(
         dtype
     )
+
+
+def csrsv(alpha, A, descr, op, b, kid=None):
+    """Deprecated alias of trsv (the reference deprecates aoclsparse_?csrsv
+    in favor of ?trsv, include/aoclsparse_functions.h:1203)."""
+    return trsv(alpha, A, descr, op, b, kid=kid)
 
 
 def trsv_strided(

@@ -127,6 +127,59 @@ def prepare_dist_ell(mesh: Mesh, ell_ind, ell_val, axis: str = "x"):
     return jax.device_put(ell_ind, sh), jax.device_put(ell_val, sh), m_pad
 
 
+def dist_cg_bwd(
+    mesh: Mesh,
+    form,
+    b,
+    x0=None,
+    rtol: float = 1e-8,
+    atol: float = 0.0,
+    maxit: int = 500,
+    axis: str = "x",
+):
+    """Distributed CG over a planner banded-window ExecForm: the (nblk, 8, W)
+    operand is row-sharded over the mesh, vectors replicated; the sharded
+    einsum's output all-gathers over ICI each iteration. Returns
+    (x, iters, rnorm) with the padded tail trimmed."""
+    n_dev = mesh.shape[axis]
+    wv = form.bwd_val
+    nblk = wv.shape[0]
+    nblk_pad = -(-nblk // n_dev) * n_dev
+    if nblk_pad != nblk:
+        wv = jnp.pad(wv, ((0, nblk_pad - nblk), (0, 0), (0, 0)))
+    m_pad = nblk_pad * 8
+    # n_pad must still cover every slice after padding rows
+    n_pad = max(form.bwd_n_pad, 8 * (form.bwd_base8 + form.bwd_W // 8 - 1 + nblk_pad))
+    wv = jax.device_put(wv, NamedSharding(mesh, P(axis, None, None)))
+    rep = NamedSharding(mesh, P())
+    m = form.m
+    b = jnp.asarray(b)
+    bp = jnp.pad(b, (0, m_pad - b.shape[0]))
+    x0p = (
+        jnp.zeros((m_pad,), wv.dtype)
+        if x0 is None
+        else jnp.pad(jnp.asarray(x0), (0, m_pad - np.shape(x0)[0]))
+    )
+    bp = jax.device_put(bp.astype(wv.dtype), rep)
+    x0p = jax.device_put(x0p.astype(wv.dtype), rep)
+
+    # the kernel pads x by (padL, n_pad - padL - len): feed the padded-rows
+    # vector and let the matvec's internal pad cover the window tail
+    x, k, rnorm = cg_bwd_jit(
+        wv,
+        bp,
+        x0p,
+        jnp.asarray(rtol, wv.dtype),
+        jnp.asarray(atol, wv.dtype),
+        maxit,
+        form.bwd_W,
+        form.bwd_base8,
+        form.bwd_padL,
+        n_pad,
+    )
+    return x[:m], int(k), float(rnorm)
+
+
 def dist_cg(
     mesh: Mesh,
     ell_ind,

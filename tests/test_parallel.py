@@ -102,6 +102,21 @@ def test_dist_cg_matches_and_same_iters(rng):
     assert k2 == int(k1)  # scaling must not change convergence behavior
 
 
+def test_dist_cg_bwd(rng):
+    """Distributed CG over the banded-window operand (the TPU hot path)."""
+    from aoclsparse_tpu import MatrixDescriptor, Operation
+    from aoclsparse_tpu.parallel import dist_cg_bwd
+
+    m = 72  # not a multiple of 8*8 devices -> exercises padding
+    A, dense = _spd(rng, m)
+    form = get_plan(A).exec_form_for(MatrixDescriptor(), Operation.none, kind="bwd")
+    b = rng.standard_normal(m)
+    mesh = make_mesh(8)
+    x, k, rn = dist_cg_bwd(mesh, form, b, rtol=1e-10, maxit=300)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), atol=1e-6)
+    assert k > 0
+
+
 def test_dist_cg_uneven_rows(rng):
     # m not divisible by device count exercises the padding path
     m = 37
