@@ -386,8 +386,8 @@ class ExecForm:
     sp_rows: Optional[jax.Array] = None
     sp_src: Optional[np.ndarray] = None
     # bwd (banded-window dense; see kernels/xla/spmv.py spmv_bwd)
-    bwd_val: Optional[jax.Array] = None  # (nblk, 8, W)
-    bwd_src: Optional[np.ndarray] = None  # same shape, int64, -1 = structural zero
+    bwd_val: Optional[jax.Array] = None  # (ngrp, G, W)
+    bwd_dest: Optional[np.ndarray] = None  # (nnzE,) flat positions into bwd_val
     bwd_W: int = 0
     bwd_base8: int = 0
     bwd_padL: int = 0
@@ -398,12 +398,14 @@ class ExecForm:
         if self.kind == "segsum":
             self.val = eff_val
         elif self.kind in ("bwd", "bwdg"):
-            src = jnp.asarray(self.bwd_src)
-            self.bwd_val = jnp.where(
-                src >= 0,
-                eff_val[jnp.clip(src, 0)],
-                jnp.zeros((), dtype=eff_val.dtype),
-            )
+            # host-side scatter + device_put: device gathers are the slow
+            # path on TPU, and a dense int64 source map would cost 8x the
+            # operand itself in host RAM
+            ngrp = -(-self.m // self.bwd_G)
+            vh = np.asarray(eff_val)
+            buf = np.zeros(ngrp * self.bwd_G * self.bwd_W, dtype=vh.dtype)
+            buf[self.bwd_dest] = vh
+            self.bwd_val = jnp.asarray(buf.reshape(ngrp, self.bwd_G, self.bwd_W))
         else:
             src = jnp.asarray(self.ell_src)
             v = jnp.where(
@@ -500,8 +502,7 @@ def _build_bwd(eff: EffectiveCSR, G: int = 8, kind: str = "bwd") -> ExecForm:
     cols = eff.ind.astype(np.int64)
     blk = rows // G
     t = cols - G * blk - rel_lo  # position within the group's window
-    src = np.full((ngrp, G, W), -1, dtype=np.int64)
-    src[blk, rows % G, t] = np.arange(cols.size, dtype=np.int64)
+    dest = (blk * G + rows % G) * W + t  # flat scatter positions (eff order)
     # padded x geometry: window of group g starts at column G*g + rel_lo;
     # after left-padding by L the start is G*(g + base) with L mult of G
     L = max(0, -rel_lo)
@@ -513,7 +514,7 @@ def _build_bwd(eff: EffectiveCSR, G: int = 8, kind: str = "bwd") -> ExecForm:
         kind=kind,
         m=m,
         n=n,
-        bwd_src=src,
+        bwd_dest=dest,
         bwd_W=int(W),
         bwd_base8=int(base),
         bwd_padL=int(L),

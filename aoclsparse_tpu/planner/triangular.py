@@ -54,17 +54,27 @@ class TrsvForm:
     D: jax.Array  # (nblk, nb, nb) dense diagonal blocks
     Lind: jax.Array  # (nblk, nb, W) left-part column indices (into padded x)
     Lval: jax.Array  # (nblk, nb, W) — or (nblk, nb, WL) dense window if "win"
-    # host refresh maps into the effective CSR values
-    _D_src: np.ndarray  # (nblk, nb, nb) int64, -1 = structural zero / identity pad
-    _D_pad: np.ndarray  # (nblk, nb, nb) bool: identity padding positions (1.0)
-    _L_src: np.ndarray  # (nblk, nb, W) int64, -1 = padding
+    # host refresh maps (scatter lists — dense int64 maps would cost 8x the
+    # operand in host RAM, and device gathers are the TPU slow path)
+    _D_dest: np.ndarray  # flat positions into D
+    _D_srcpos: np.ndarray  # positions into eff values
+    _D_paddest: np.ndarray  # flat positions that get identity 1.0
+    _L_dest: np.ndarray
+    _L_srcpos: np.ndarray
+    _L_shape: Tuple
     _eff_key: Tuple  # key of the effective CSR this form derives from
     kind: str = "gather"
     WL: int = 0
 
     def refresh(self, eff_val: jax.Array) -> None:
-        self.D = _materialize_D(eff_val, self._D_src, self._D_pad)
-        self.Lval = _materialize_L(eff_val, self._L_src)
+        vh = np.asarray(eff_val)
+        D = np.zeros(self.nblk * self.nb * self.nb, dtype=vh.dtype)
+        D[self._D_dest] = vh[self._D_srcpos]
+        D[self._D_paddest] = 1.0
+        self.D = jnp.asarray(D.reshape(self.nblk, self.nb, self.nb))
+        L = np.zeros(int(np.prod(self._L_shape)), dtype=vh.dtype)
+        L[self._L_dest] = vh[self._L_srcpos]
+        self.Lval = jnp.asarray(L.reshape(self._L_shape))
 
     def solve(self, r2) -> jax.Array:
         """Run the blocked solve on a padded (m_pad, k) rhs."""
@@ -74,19 +84,6 @@ class TrsvForm:
         if self.kind == "win":
             return trsv_blocked_win(self.D, self.Lval, r2, self.nb, m_pad, self.WL)
         return trsv_blocked(self.D, self.Lind, self.Lval, r2, self.nb, m_pad)
-
-
-@jax.jit
-def _materialize_D(val, src, pad):
-    src = jnp.asarray(src)
-    v = jnp.where(src >= 0, val[jnp.clip(src, 0)], jnp.zeros((), dtype=val.dtype))
-    return jnp.where(jnp.asarray(pad), jnp.ones((), dtype=val.dtype), v)
-
-
-@jax.jit
-def _materialize_L(val, src):
-    src = jnp.asarray(src)
-    return jnp.where(src >= 0, val[jnp.clip(src, 0)], jnp.zeros((), dtype=val.dtype))
 
 
 def _reverse_structure(eff: EffectiveCSR) -> EffectiveCSR:
@@ -166,9 +163,6 @@ def build_trsv_form(
     left_counts = csum_left[ptr64[1:]] - csum_left[ptr64[:-1]]
     W = max(int(left_counts.max()) if m else 0, 1)
 
-    D_src = np.full((nblk, nb, nb), -1, dtype=np.int64)
-    D_pad = np.zeros((nblk, nb, nb), dtype=bool)
-
     pos_in_row = np.arange(cols.size, dtype=np.int64) - np.repeat(ptr64[:-1], lens)
     r_in_blk = (rows % nb).astype(np.int64)
     lmask = is_left
@@ -181,54 +175,53 @@ def build_trsv_form(
     WL = max(8, -(-WL_need // 8) * 8)
     use_win = (nblk * nb * WL) <= max(8 * cols.size, 64 * nb * nb) and WL <= 8192
     if use_win:
-        L_src = np.full((nblk, nb, WL), -1, dtype=np.int64)
+        Lw = WL
+        t_l = (cols - blk0 + WL)[lmask]
         L_ind = jnp.zeros((1,), dtype=jnp.int32)  # unused in win mode
-        if lmask.any():
-            t = (cols - blk0 + WL)[lmask]
-            L_src[blk_of_row[lmask], r_in_blk[lmask], t] = src[lmask]
     else:
-        L_src = np.full((nblk, nb, W), -1, dtype=np.int64)
+        Lw = W
+        t_l = pos_in_row[lmask]
         L_ind_np = np.zeros((nblk, nb, W), dtype=np.int32)
         if lmask.any():
-            L_ind_np[blk_of_row[lmask], r_in_blk[lmask], pos_in_row[lmask]] = cols[
-                lmask
-            ].astype(np.int32)
-            L_src[blk_of_row[lmask], r_in_blk[lmask], pos_in_row[lmask]] = src[lmask]
+            L_ind_np[blk_of_row[lmask], r_in_blk[lmask], t_l] = cols[lmask].astype(np.int32)
         L_ind = jnp.asarray(L_ind_np)
+    L_dest = ((blk_of_row[lmask] * nb + r_in_blk[lmask]) * Lw + t_l).astype(np.int64)
+    L_srcpos = src[lmask].astype(np.int64)
     # diagonal block fill (cols within [blk0, blk0+nb))
     dmask = (cols >= blk0) & (cols < blk0 + nb)
-    if dmask.any():
-        D_src[blk_of_row[dmask], r_in_blk[dmask], (cols - blk0)[dmask]] = src[dmask]
-    # identity-pad rows beyond m
+    D_dest = ((blk_of_row[dmask] * nb + r_in_blk[dmask]) * nb + (cols - blk0)[dmask]).astype(
+        np.int64
+    )
+    D_srcpos = src[dmask].astype(np.int64)
+    # identity-pad rows beyond m (+ missing unit diagonals)
     pad_rows = np.arange(m, m_pad, dtype=np.int64)
-    if pad_rows.size:
-        D_pad[pad_rows // nb, pad_rows % nb, pad_rows % nb] = True
     if dt == DiagType.unit:
-        # effective CSR injected const-1.0 diag entries; any still-missing
-        # diagonal position falls back to an identity pad
-        ii = np.arange(m, dtype=np.int64)
-        miss = D_src[ii // nb, ii % nb, ii % nb] < 0
-        if miss.any():
-            imiss = ii[miss]
-            D_pad[imiss // nb, imiss % nb, imiss % nb] = True
+        have = np.zeros(m, dtype=bool)
+        have[rows[dmask & (cols == rows)]] = True
+        miss = np.nonzero(~have)[0].astype(np.int64)
+        pad_rows = np.concatenate([pad_rows, miss])
+    D_paddest = ((pad_rows // nb) * nb + pad_rows % nb) * nb + pad_rows % nb
 
-    eff_val = eff.val
     form = TrsvForm(
         nb=nb,
         nblk=nblk,
         m=m,
         reversed_=reversed_,
         unit_diag=(dt == DiagType.unit),
-        D=_materialize_D(eff_val, D_src, D_pad),
-        Lind=L_ind if not use_win else jnp.asarray(L_ind),
-        Lval=_materialize_L(eff_val, L_src),
-        _D_src=D_src,
-        _D_pad=D_pad,
-        _L_src=L_src,
+        D=None,
+        Lind=L_ind,
+        Lval=None,
+        _D_dest=D_dest,
+        _D_srcpos=D_srcpos,
+        _D_paddest=D_paddest,
+        _L_dest=L_dest,
+        _L_srcpos=L_srcpos,
+        _L_shape=(nblk, nb, Lw),
         _eff_key=eff_key,
         kind="win" if use_win else "gather",
         WL=WL if use_win else 0,
     )
+    form.refresh(eff.val)
     return form
 
 
