@@ -85,6 +85,8 @@ def _run_exec_form(form, x, kid):
         )
         y = e.fn(form.bwd_val, xp, form.bwd_W, form.bwd_base8, form.bwd_n_pad, mixed)
         return y[: form.m]
+    if form.kind == "diag":
+        return e.fn(form.dia_val, form.dia_offs, x, form.m, form.dia_L, form.dia_n_pad)
     raise AoclSparseError(Status.internal_error, f"bad exec form {form.kind}")
 
 
@@ -117,7 +119,7 @@ def _spmv_core(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, x, kid=N
         # with invalid_kid when unsupported, cntx_dispatcher.hpp:272-364)
         for e in registry.table("mv"):
             if e.kid == kid:
-                if e.fmt not in ("segsum", "ell", "ellhyb", "bwd"):
+                if e.fmt not in ("segsum", "ell", "ellhyb", "bwd", "diag"):
                     raise AoclSparseError(
                         Status.invalid_kid, f"kid {kid} serves format '{e.fmt}', not CSR"
                     )

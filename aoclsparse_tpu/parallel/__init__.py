@@ -1,6 +1,7 @@
 """Distributed execution over jax.sharding meshes (SURVEY.md §2.9/§5.8)."""
 
 from .cg import cg_bwd_jit, cg_ell_jit, dist_cg, dist_cg_bwd, prepare_dist_ell  # noqa: F401
+from .gmres import dist_gmres_bwd, gmres_bwd_jit  # noqa: F401
 from .spmv import (  # noqa: F401
     dist_spmv_ell,
     dist_spmv_ell_sharded_x,

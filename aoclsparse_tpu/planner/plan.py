@@ -393,10 +393,22 @@ class ExecForm:
     bwd_padL: int = 0
     bwd_n_pad: int = 0
     bwd_G: int = 8
+    # diag (scan-over-diagonals; see kernels/xla/spmv.py spmv_diag_scan)
+    dia_val: Optional[jax.Array] = None  # (ndiag, m)
+    dia_offs: Optional[jax.Array] = None  # (ndiag,) int32
+    dia_dest: Optional[np.ndarray] = None  # (nnzE,) flat positions into dia_val
+    dia_L: int = 0
+    dia_n_pad: int = 0
 
     def refresh(self, eff_val: jax.Array) -> None:
         if self.kind == "segsum":
             self.val = eff_val
+        elif self.kind == "diag":
+            vh = np.asarray(eff_val)
+            ndiag = int(self.dia_offs.shape[0])
+            buf = np.zeros(ndiag * self.m, dtype=vh.dtype)
+            buf[self.dia_dest] = vh
+            self.dia_val = jnp.asarray(buf.reshape(ndiag, self.m))
         elif self.kind in ("bwd", "bwdg"):
             # host-side scatter + device_put: device gathers are the slow
             # path on TPU, and a dense int64 source map would cost 8x the
@@ -458,11 +470,19 @@ def choose_mv_format(eff: EffectiveCSR, hint_nop: int = 1) -> str:
 
     force_generic = os.environ.get("AOCLSPARSE_TPU_FORCE_GENERIC", "0") in ("1", "true")
     if get_context().is_tpu and not force_generic:
+        # cost model between the two gather-free forms: dense traffic is
+        # ndiag*m (diag) vs W*m (bwd); diag also pays ~8us scan overhead per
+        # diagonal, folded in as an effective +1 width per diagonal
         win = _bwd_window(eff)
-        if win is not None:
-            W, _ = win
-            if W <= BWD_MAX_W and m * W <= BWD_CAP * max(eff.nnz, 1):
-                return "bwd"
+        W = win[0] if win is not None else None
+        offs, _d = _diag_stats(eff)
+        ndiag = int(offs.size)
+        diag_ok = 0 < ndiag <= DIA_MAX and ndiag * m <= BWD_CAP * max(eff.nnz, 1)
+        bwd_ok = W is not None and W <= BWD_MAX_W and m * W <= BWD_CAP * max(eff.nnz, 1)
+        if diag_ok and (not bwd_ok or 2 * ndiag < W):
+            return "diag"
+        if bwd_ok:
+            return "bwd"
     lens = np.diff(eff.ptr.astype(np.int64))
     w_max = int(lens.max())
     mean = float(lens.mean())
@@ -525,10 +545,49 @@ def _build_bwd(eff: EffectiveCSR, G: int = 8, kind: str = "bwd") -> ExecForm:
     return form
 
 
+def _diag_stats(eff: EffectiveCSR):
+    """Distinct generalized diagonals (j - i) of the effective matrix."""
+    if eff.nnz == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    rows = np.repeat(np.arange(eff.m, dtype=np.int64), np.diff(eff.ptr.astype(np.int64)))
+    d = eff.ind.astype(np.int64) - rows
+    offs = np.unique(d)
+    return offs, d
+
+
+#: max distinct diagonals for the scan-over-diagonals form
+DIA_MAX = 96
+
+
+def _build_diag(eff: EffectiveCSR) -> ExecForm:
+    """Scan-over-diagonals operand (see spmv_diag_scan)."""
+    m, n = eff.shape
+    offs, d = _diag_stats(eff)
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(eff.ptr.astype(np.int64)))
+    didx = np.searchsorted(offs, d)
+    dest = didx * m + rows
+    L = int(max(0, -(offs.min() if offs.size else 0)))
+    max_off = int(offs.max()) if offs.size else 0
+    n_pad = max(L + n, L + max_off + m)
+    form = ExecForm(
+        kind="diag",
+        m=m,
+        n=n,
+        dia_offs=jnp.asarray(offs.astype(np.int32)),
+        dia_dest=dest,
+        dia_L=L,
+        dia_n_pad=int(n_pad),
+    )
+    form.refresh(eff.val)
+    return form
+
+
 def build_exec_form(eff: EffectiveCSR, kind: Optional[str] = None) -> ExecForm:
     if kind is None:
         kind = choose_mv_format(eff)
     m, n = eff.shape
+    if kind == "diag":
+        return _build_diag(eff)
     if kind == "bwd":
         return _build_bwd(eff, G=8, kind="bwd")
     if kind == "bwdg":

@@ -50,6 +50,11 @@ def banded(rng, m, n, half_bw, row_nnz, dtype=np.float32, diag_boost=0.0):
 
 def main():
     import jax
+
+    # persistent compile cache: remote compiles cost ~100s/kernel here
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     import jax.numpy as jnp
 
     import aoclsparse_tpu as ast

@@ -117,6 +117,54 @@ def test_dist_cg_bwd(rng):
     assert k > 0
 
 
+def test_gmres_bwd_jit_single(rng):
+    from aoclsparse_tpu import MatrixDescriptor, Operation
+    from aoclsparse_tpu.parallel import gmres_bwd_jit
+
+    m = 60
+    dense = rng.standard_normal((m, m))
+    dense[np.abs(dense) < 1.0] = 0
+    np.fill_diagonal(dense, m / 2.0)
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int32)
+    ind = np.nonzero(dense)[1].astype(np.int32)
+    A = ast.create_csr(m, m, ptr, ind, dense[dense != 0])
+    form = get_plan(A).exec_form_for(MatrixDescriptor(), Operation.none, kind="bwd")
+    b = rng.standard_normal(m)
+    x, ncyc, rnorm = gmres_bwd_jit(
+        form.bwd_val,
+        jnp.asarray(b),
+        jnp.zeros(m),
+        jnp.asarray(1e-10),
+        jnp.asarray(0.0),
+        20,
+        30,
+        form.bwd_W,
+        form.bwd_base8,
+        form.bwd_padL,
+        form.bwd_n_pad,
+    )
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), atol=1e-6)
+    assert float(rnorm) < 1e-8
+
+
+def test_dist_gmres_bwd(rng):
+    from aoclsparse_tpu import MatrixDescriptor, Operation
+    from aoclsparse_tpu.parallel import dist_gmres_bwd
+
+    m = 72
+    dense = rng.standard_normal((m, m))
+    dense[np.abs(dense) < 1.0] = 0
+    np.fill_diagonal(dense, m / 2.0)
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int32)
+    ind = np.nonzero(dense)[1].astype(np.int32)
+    A = ast.create_csr(m, m, ptr, ind, dense[dense != 0])
+    form = get_plan(A).exec_form_for(MatrixDescriptor(), Operation.none, kind="bwd")
+    b = rng.standard_normal(m)
+    mesh = make_mesh(8)
+    x, iters, rnorm = dist_gmres_bwd(mesh, form, b, rtol=1e-10, maxit=300)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), atol=1e-6)
+
+
 def test_dist_cg_uneven_rows(rng):
     # m not divisible by device count exercises the padding path
     m = 37
