@@ -1,0 +1,77 @@
+"""Distributed SpGEMM numeric stage.
+
+SURVEY.md §5.8(ii): the reference's shared-memory Gustavson row-merge
+(level3/aoclsparse_csr2m.cpp:89-200, per-thread dense markers over a static
+row split) becomes, on a mesh: the host symbolic stage partitions the
+*product list* by C-row blocks (the same static row split), each device
+reduces its products with a local segment-sum, and the sharded C values
+concatenate row-aligned — no cross-device traffic in the numeric stage at
+all because products are grouped by their output row (A's values replicate;
+they are nnz-sized, tiny next to the product stream).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+__all__ = ["partition_products", "dist_spgemm_numeric"]
+
+
+def partition_products(plan, n_dev: int):
+    """Split a SpgemmPlan's (pa, pb, pc) by C-row blocks into n_dev equal
+    shards (padded with no-op products pointing at a scratch slot)."""
+    pa = np.asarray(plan.pa)
+    pb = np.asarray(plan.pb)
+    pc = np.asarray(plan.pc)
+    nnzC = plan.nnz
+    # device d owns C value rows [d*chunk, (d+1)*chunk)
+    chunk = -(-nnzC // n_dev) if nnzC else 1
+    owner = np.minimum(pc // chunk, n_dev - 1) if pc.size else pc
+    counts = np.bincount(owner, minlength=n_dev) if pc.size else np.zeros(n_dev, np.int64)
+    P_max = int(counts.max()) if counts.size else 0
+    P_max = max(P_max, 1)
+    pa_s = np.zeros((n_dev, P_max), dtype=np.int64)
+    pb_s = np.zeros((n_dev, P_max), dtype=np.int64)
+    pc_s = np.full((n_dev, P_max), chunk, dtype=np.int64)  # pad -> scratch slot
+    for d in range(n_dev):
+        sel = owner == d
+        cnt = int(counts[d])
+        pa_s[d, :cnt] = pa[sel]
+        pb_s[d, :cnt] = pb[sel]
+        pc_s[d, :cnt] = pc[sel] - d * chunk  # local offsets
+    return pa_s, pb_s, pc_s, chunk
+
+
+def dist_spgemm_numeric(mesh: Mesh, plan, a_val, b_val, axis: str = "x"):
+    """Numeric stage on the mesh; returns the (nnzC,) C value vector."""
+    n_dev = mesh.shape[axis]
+    pa_s, pb_s, pc_s, chunk = partition_products(plan, n_dev)
+    sh2 = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P())
+    pa_d = jax.device_put(jnp.asarray(pa_s), sh2)
+    pb_d = jax.device_put(jnp.asarray(pb_s), sh2)
+    pc_d = jax.device_put(jnp.asarray(pc_s), sh2)
+    a_d = jax.device_put(jnp.asarray(a_val), rep)
+    b_d = jax.device_put(jnp.asarray(b_val), rep)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(), P()),
+        out_specs=P(axis, None),
+    )
+    def _local(pa, pb, pc, av, bv):
+        prods = av[pa[0]] * bv[pb[0]]
+        # chunk+1 segments: the last is the padding scratch slot
+        out = jax.ops.segment_sum(prods, pc[0], num_segments=chunk + 1)
+        return out[None, :chunk]
+
+    c_blocks = _local(pa_d, pb_d, pc_d, a_d, b_d)  # (n_dev, chunk)
+    return c_blocks.reshape(-1)[: plan.nnz]

@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """Multi-op benchmark suite (reference: aoclsparse-bench drivers,
-tests/benchmarks/aoclsparse_test.cpp + testing_*.hpp): SpMV / SpMM / TRSV /
-CG on a cant-like banded operand, one JSON line per metric.
+tests/benchmarks/aoclsparse_test.cpp + testing_*.hpp): SpMV (band + diag
+forms) / SpMM / TRSV / CG / SpGEMM numeric, one JSON line per metric.
 
-Run single-process on the TPU (see .claude/skills/verify gotchas).
+Timing = best-of-chunks chained dispatch (the TPU pool behind the tunnel is
+contended; medians across chunks wobble 2-5x, min is the honest kernel time).
+Run single-process on the TPU.
 """
 
 import json
@@ -16,17 +18,20 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def chain_time(run, iters=100):
-    y = run()
+def chain_min(run, iters_per=20, chunks=5):
     import jax
 
+    y = run()
     jax.block_until_ready(y)
     np.asarray(np.ravel(np.asarray(y))[:1])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = run()
-    np.asarray(np.ravel(np.asarray(y))[:1])
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(chunks):
+        t0 = time.perf_counter()
+        for _ in range(iters_per):
+            y = run()
+        np.asarray(np.ravel(np.asarray(y))[:1])
+        best = min(best, (time.perf_counter() - t0) / iters_per)
+    return best
 
 
 def banded(rng, m, n, half_bw, row_nnz, dtype=np.float32, diag_boost=0.0):
@@ -35,10 +40,9 @@ def banded(rng, m, n, half_bw, row_nnz, dtype=np.float32, diag_boost=0.0):
     pick = np.argsort(rng.random((m, win)), axis=1)[:, : row_nnz - 1]
     cols = base[:, None] + pick
     cols = np.concatenate([cols, np.minimum(np.arange(m), n - 1)[:, None]], axis=1)
-    # unique+sort per row via lexsort trick
     cols = np.sort(cols, axis=1)
     dup = np.concatenate([np.zeros((m, 1), bool), cols[:, 1:] == cols[:, :-1]], axis=1)
-    cols[dup] += 1  # nudge duplicates (stays in band)
+    cols[dup] += 1
     cols = np.sort(np.clip(cols, 0, n - 1), axis=1)
     ptr = np.arange(m + 1, dtype=np.int64) * cols.shape[1]
     val = rng.standard_normal(cols.size).astype(dtype)
@@ -48,10 +52,32 @@ def banded(rng, m, n, half_bw, row_nnz, dtype=np.float32, diag_boost=0.0):
     return ptr, cols.reshape(-1).astype(np.int32), val
 
 
+def stencil5(nx, dtype=np.float32):
+    """5-point Laplacian on nx*nx grid, built directly in diagonal form."""
+    n = nx * nx
+    offs = np.array([-nx, -1, 0, 1, nx])
+    rows = np.arange(n)
+    entries = []
+    for d in offs:
+        j = rows + d
+        ok = (j >= 0) & (j < n)
+        if d in (1, -1):  # no wrap across grid rows
+            ok &= (rows // nx) == (j // nx)
+        entries.append((rows[ok], j[ok]))
+    allr = np.concatenate([r for r, _ in entries])
+    allc = np.concatenate([c for _, c in entries])
+    order = np.lexsort((allc, allr))
+    allr, allc = allr[order], allc[order]
+    val = np.where(allr == allc, 4.0, -1.0).astype(dtype)
+    ptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(ptr, allr + 1, 1)
+    ptr = np.cumsum(ptr)
+    return ptr, allc.astype(np.int32), val, n
+
+
 def main():
     import jax
 
-    # persistent compile cache: remote compiles cost ~100s/kernel here
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
@@ -61,7 +87,7 @@ def main():
     from aoclsparse_tpu import MatrixDescriptor, MatrixType, Operation
     from aoclsparse_tpu.core.context import get_context
     from aoclsparse_tpu.kernels.xla.spmm import spmm_bwd
-    from aoclsparse_tpu.kernels.xla.spmv import spmv_bwd
+    from aoclsparse_tpu.kernels.xla.spmv import spmv_bwd, spmv_diag_scan
     from aoclsparse_tpu.planner.plan import get_plan
     from aoclsparse_tpu.planner.triangular import trsv_form_for
 
@@ -77,49 +103,69 @@ def main():
     plan = get_plan(A)
     x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
 
-    # ---- SpMV (bwd) ----
-    form = plan.exec_form_for(MatrixDescriptor(), Operation.none)
-    if form.kind == "bwd":
-        xp = jnp.pad(x, (form.bwd_padL, form.bwd_n_pad - form.bwd_padL - n))
-        for mixed in (False, True):
-            t = chain_time(
-                lambda: spmv_bwd(form.bwd_val, xp, form.bwd_W, form.bwd_base8, form.bwd_n_pad, mixed)
-            )
-            gbytes = ((m + 1 + nnz) * 4 + (nnz + n + m) * 4) / 1e9
-            results.append(
-                {
-                    "metric": f"spmv_f32{'_bf16mul' if mixed else ''}",
-                    "value": round(gbytes / t, 2),
-                    "unit": "GB/s(effective)",
-                    "extra": {
-                        "gflops": round(2 * nnz / t / 1e9, 1),
-                        "gnnz_s": round(nnz / t / 1e9, 2),
-                        "t_us": round(t * 1e6, 1),
-                        "W": form.bwd_W,
-                    },
-                }
-            )
+    # ---- SpMV banded (bwd) ----
+    form = plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="bwd")
+    xp = jnp.pad(x, (form.bwd_padL, form.bwd_n_pad - form.bwd_padL - n))
+    for mixed in (False, True):
+        t = chain_min(
+            lambda: spmv_bwd(form.bwd_val, xp, form.bwd_W, form.bwd_base8, form.bwd_n_pad, mixed)
+        )
+        gbytes = ((m + 1 + nnz) * 4 + (nnz + n + m) * 4) / 1e9
+        results.append(
+            {
+                "metric": f"spmv_band_f32{'_bf16mul' if mixed else ''}",
+                "value": round(gbytes / t, 2),
+                "unit": "GB/s(effective)",
+                "extra": {
+                    "gflops": round(2 * nnz / t / 1e9, 1),
+                    "gnnz_s": round(nnz / t / 1e9, 2),
+                    "t_us": round(t * 1e6, 1),
+                    "W": form.bwd_W,
+                },
+            }
+        )
 
-    # ---- SpMM k=128 (bwdg) ----
+    # ---- SpMV stencil (diag) ----
+    sptr, sind, sval, ns = stencil5(512)  # 262144 rows, 5 diagonals
+    S = ast.create_csr(ns, ns, sptr, sind, sval)
+    sform = get_plan(S).exec_form_for(MatrixDescriptor(), Operation.none, kind="diag")
+    xs = jnp.asarray(rng.standard_normal(ns).astype(np.float32))
+    t = chain_min(
+        lambda: spmv_diag_scan(
+            sform.dia_val, sform.dia_offs, xs, sform.m, sform.dia_L, sform.dia_n_pad
+        )
+    )
+    snnz = sind.size
+    results.append(
+        {
+            "metric": "spmv_stencil5_diag_f32",
+            "value": round(((ns + 1 + snnz) * 4 + (snnz + 2 * ns) * 4) / 1e9 / t, 2),
+            "unit": "GB/s(effective)",
+            "extra": {"gnnz_s": round(snnz / t / 1e9, 2), "t_us": round(t * 1e6, 1),
+                      "ndiag": int(sform.dia_offs.shape[0])},
+        }
+    )
+
+    # ---- SpMM k=128 (bwdg scan) ----
     formg = plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="bwdg")
     k = 128
     B = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
     Bp = jnp.pad(B, ((formg.bwd_padL, formg.bwd_n_pad - formg.bwd_padL - n), (0, 0)))
-    for mixed in (False, True):
-        t = chain_time(
-            lambda: spmm_bwd(
-                formg.bwd_val, Bp, formg.bwd_G, formg.bwd_W, formg.bwd_base8, formg.bwd_n_pad, mixed
-            ),
-            iters=50,
-        )
-        results.append(
-            {
-                "metric": f"spmm_k{k}_f32{'_bf16mul' if mixed else ''}",
-                "value": round(2 * nnz * k / t / 1e12, 3),
-                "unit": "TFLOP/s",
-                "extra": {"t_ms": round(t * 1e3, 3), "Wg": formg.bwd_W},
-            }
-        )
+    t = chain_min(
+        lambda: spmm_bwd(
+            formg.bwd_val, Bp, formg.bwd_G, formg.bwd_W, formg.bwd_base8, formg.bwd_n_pad, False
+        ),
+        iters_per=5,
+        chunks=4,
+    )
+    results.append(
+        {
+            "metric": f"spmm_k{k}_f32",
+            "value": round(2 * nnz * k / t / 1e12, 3),
+            "unit": "TFLOP/s",
+            "extra": {"t_ms": round(t * 1e3, 3), "Wg": formg.bwd_W, "G": formg.bwd_G},
+        }
+    )
 
     # ---- TRSV (win) ----
     descr_t = MatrixDescriptor(type=MatrixType.triangular)
@@ -127,42 +173,73 @@ def main():
     b = jnp.asarray(rng.standard_normal(m).astype(np.float32))
     m_pad = tform.nblk * tform.nb
     b2 = jnp.pad(b[:, None], ((0, m_pad - m), (0, 0)))
-    t = chain_time(lambda: tform.solve(b2), iters=20)
-    tri_nnz = int(np.sum(ind <= np.repeat(np.arange(m), row_nnz)))
+    t = chain_min(lambda: tform.solve(b2), iters_per=5, chunks=4)
+    tri_nnz = int(np.sum(ind <= np.repeat(np.arange(m), ind.size // m)))
     results.append(
         {
             "metric": "trsv_f32",
             "value": round((2 * tri_nnz - m) / t / 1e9, 2),
             "unit": "GFLOP/s",
             "extra": {"t_ms": round(t * 1e3, 3), "kind": tform.kind, "WL": tform.WL,
-                      "nblk": tform.nblk},
+                      "nblk": tform.nblk, "nb": tform.nb},
         }
     )
 
-    # ---- CG iteration throughput (jitted while_loop on bwd-like ELL) ----
-    from aoclsparse_tpu.parallel.cg import cg_ell_jit
+    # ---- CG on band form: time per iteration ----
+    from aoclsparse_tpu.parallel.cg import cg_bwd_jit
 
-    form_e = plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="ell")
     bb = jnp.asarray(rng.standard_normal(m).astype(np.float32))
-    t0 = time.perf_counter()
-    xs, iters_done, rn = cg_ell_jit(
-        form_e.ell_ind, form_e.ell_val, bb, jnp.zeros(m, jnp.float32),
-        jnp.asarray(0.0, jnp.float32), jnp.asarray(1e-3, jnp.float32), 20,
-    )
-    np.asarray(xs[:1])
-    t = (time.perf_counter() - t0) / max(int(iters_done), 1)
+    def run_cg():
+        xr, it, rn = cg_bwd_jit(
+            form.bwd_val, bb, jnp.zeros(m, jnp.float32),
+            jnp.asarray(0.0, jnp.float32), jnp.asarray(1e-30, jnp.float32), 25,
+            form.bwd_W, form.bwd_base8, form.bwd_padL, form.bwd_n_pad,
+        )
+        return xr
+    t = chain_min(run_cg, iters_per=2, chunks=3)
     results.append(
         {
-            "metric": "cg_iter_time_ell",
-            "value": round(t * 1e3, 2),
+            "metric": "cg_band_iter_time",
+            "value": round(t / 25 * 1e3, 3),
             "unit": "ms/iter",
-            "extra": {"iters": int(iters_done), "note": "gather path incl. compile"},
+            "extra": {"t_solve25_ms": round(t * 1e3, 2)},
+        }
+    )
+
+    # ---- SpGEMM: host symbolic + device numeric ----
+    from aoclsparse_tpu.core.descr import GENERAL
+    from aoclsparse_tpu.ops.level3.spgemm import _effective, _numeric, _symbolic
+
+    mA = 65536
+    ptr2, ind2, val2 = banded(rng, mA, mA, 32, 16)
+    A2 = ast.create_csr(mA, mA, ptr2, ind2, val2)
+    effA = _effective(A2, GENERAL, Operation.none)
+    t0 = time.perf_counter()
+    plan2 = _symbolic(effA, effA)
+    t_sym = time.perf_counter() - t0
+    t = chain_min(
+        lambda: _numeric(effA.val, effA.val, plan2.pa, plan2.pb, plan2.pc, plan2.nnz, False, False),
+        iters_per=5,
+        chunks=4,
+    )
+    P = int(np.asarray(plan2.pa).shape[0])
+    results.append(
+        {
+            "metric": "spgemm_numeric",
+            "value": round(2 * P / t / 1e9, 2),
+            "unit": "GFLOP/s",
+            "extra": {
+                "t_ms": round(t * 1e3, 3),
+                "products_M": round(P / 1e6, 1),
+                "nnzC_M": round(plan2.nnz / 1e6, 2),
+                "symbolic_host_s": round(t_sym, 2),
+            },
         }
     )
 
     for r in results:
         r["device"] = ctx.device_kind
-        print(json.dumps(r))
+        print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":

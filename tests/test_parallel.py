@@ -117,6 +117,26 @@ def test_dist_cg_bwd(rng):
     assert k > 0
 
 
+def test_dist_spgemm_numeric(rng):
+    from aoclsparse_tpu.core.descr import GENERAL
+    from aoclsparse_tpu.ops.level3.spgemm import _effective, _symbolic
+    from aoclsparse_tpu.parallel import dist_spgemm_numeric
+    from aoclsparse_tpu.utils.reference import csr_to_dense
+
+    mA, k, nB = 30, 25, 28
+    ptrA, indA, valA, dA = random_csr(rng, mA, k, density=0.25)
+    ptrB, indB, valB, dB = random_csr(rng, k, nB, density=0.25)
+    A = ast.create_csr(mA, k, ptrA, indA, valA)
+    B = ast.create_csr(k, nB, ptrB, indB, valB)
+    effA = _effective(A, GENERAL, Operation.none)
+    effB = _effective(B, GENERAL, Operation.none)
+    plan = _symbolic(effA, effB)
+    mesh = make_mesh(8)
+    cval = dist_spgemm_numeric(mesh, plan, effA.val, effB.val)
+    got = csr_to_dense(mA, nB, plan.ptr, plan.ind, np.asarray(cval))
+    np.testing.assert_allclose(got, dA @ dB, atol=1e-12)
+
+
 def test_gmres_bwd_jit_single(rng):
     from aoclsparse_tpu import MatrixDescriptor, Operation
     from aoclsparse_tpu.parallel import gmres_bwd_jit
