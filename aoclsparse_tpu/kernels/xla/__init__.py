@@ -16,4 +16,4 @@ registry.register("mv", KernelEntry(2, "xla_ellhyb", spmv.spmv_ellhyb, "ellhyb",
 registry.register("mv", KernelEntry(3, "xla_bsr", spmv.spmv_bsr, "bsr", "any", 0))
 registry.register("mv", KernelEntry(4, "xla_dia", spmv.spmv_dia, "dia", "any", 0))
 registry.register("mv", KernelEntry(5, "xla_bwd", spmv.spmv_bwd, "bwd", "any", 1))
-registry.register("mv", KernelEntry(6, "xla_diag_scan", spmv.spmv_diag_scan, "diag", "any", 1))
+registry.register("mv", KernelEntry(6, "xla_diag", spmv.spmv_diag, "diag", "any", 1))

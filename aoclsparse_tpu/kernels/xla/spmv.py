@@ -150,6 +150,28 @@ def spmv_bwd(win_val, x, W: int, base8: int, n_pad: int, mixed: bool = False):
     return out.reshape(-1)
 
 
+#: unroll threshold: static slices fuse into one kernel (fast); beyond this,
+#: compile time would grow linearly so we fall back to the on-device scan
+DIA_UNROLL = 32
+
+
+def spmv_diag(dvals, offs, x, m: int, L: int, n_pad: int, offs_static=None):
+    """Dispatcher: unrolled static-slice kernel for few diagonals (fuses into
+    one XLA kernel like spmv_bwd), scan fallback for many."""
+    if offs_static is not None and len(offs_static) <= DIA_UNROLL:
+        return _spmv_diag_unrolled(dvals, x, tuple(int(o) for o in offs_static), m, L, n_pad)
+    return spmv_diag_scan(dvals, offs, x, m, L, n_pad)
+
+
+@partial(jax.jit, static_argnames=("offs", "m", "L", "n_pad"))
+def _spmv_diag_unrolled(dvals, x, offs: tuple, m: int, L: int, n_pad: int):
+    xp = jnp.pad(x, (L, n_pad - L - x.shape[0]))
+    acc = jnp.zeros((m,), dvals.dtype)
+    for k, d in enumerate(offs):
+        acc = acc + dvals[k] * jax.lax.dynamic_slice_in_dim(xp, d + L, m, 0)
+    return acc
+
+
 @partial(jax.jit, static_argnames=("m", "L", "n_pad"))
 def spmv_diag_scan(dvals, offs, x, m: int, L: int, n_pad: int):
     """Scan-over-diagonals SpMV — the gather-free form for stencil-type

@@ -86,7 +86,15 @@ def _run_exec_form(form, x, kid):
         y = e.fn(form.bwd_val, xp, form.bwd_W, form.bwd_base8, form.bwd_n_pad, mixed)
         return y[: form.m]
     if form.kind == "diag":
-        return e.fn(form.dia_val, form.dia_offs, x, form.m, form.dia_L, form.dia_n_pad)
+        return e.fn(
+            form.dia_val,
+            form.dia_offs,
+            x,
+            form.m,
+            form.dia_L,
+            form.dia_n_pad,
+            offs_static=form.dia_offs_static,
+        )
     raise AoclSparseError(Status.internal_error, f"bad exec form {form.kind}")
 
 

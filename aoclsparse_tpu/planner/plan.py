@@ -397,6 +397,7 @@ class ExecForm:
     dia_val: Optional[jax.Array] = None  # (ndiag, m)
     dia_offs: Optional[jax.Array] = None  # (ndiag,) int32
     dia_dest: Optional[np.ndarray] = None  # (nnzE,) flat positions into dia_val
+    dia_offs_static: Optional[Tuple] = None  # static copy for unrolled kernel
     dia_L: int = 0
     dia_n_pad: int = 0
 
@@ -575,6 +576,7 @@ def _build_diag(eff: EffectiveCSR) -> ExecForm:
         n=n,
         dia_offs=jnp.asarray(offs.astype(np.int32)),
         dia_dest=dest,
+        dia_offs_static=tuple(int(o) for o in offs),
         dia_L=L,
         dia_n_pad=int(n_pad),
     )
