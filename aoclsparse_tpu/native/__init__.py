@@ -19,7 +19,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["available", "ilu0_factor", "level_schedule", "spgemm_nnz"]
+__all__ = ["available", "ilu0_factor", "level_schedule", "spgemm_nnz", "spgemm_expand"]
 
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "src" / "host_kernels.cpp"
@@ -84,6 +84,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.level_schedule.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
         lib.spgemm_nnz.restype = ctypes.c_int64
         lib.spgemm_nnz.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p, i64p, i64p]
+        lib.spgemm_expand.restype = ctypes.c_int64
+        lib.spgemm_expand.argtypes = [ctypes.c_int64] + [i64p] * 9 + [
+            ctypes.c_uint8,
+            i64p,
+        ]
         _lib = lib
         return _lib
 
@@ -201,6 +206,42 @@ def level_schedule(m: int, ptr, ind) -> Tuple[np.ndarray, int]:
         levels[i] = lv
         nlev = max(nlev, lv + 1)
     return levels, nlev
+
+
+def spgemm_expand(mA: int, Aptr, Aind, Bptr, Bind, upper_only: bool = False):
+    """Full symbolic stage: returns (pa, pb, pc, Cptr, Cind) with products
+    ordered by (row, col), or None when the native library is unavailable
+    (caller falls back to the numpy sort path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    Aptr64, Aind64 = _i64(Aptr), _i64(Aind)
+    Bptr64, Bind64 = _i64(Bptr), _i64(Bind)
+    lensB = np.diff(Bptr64)
+    P = int(lensB[Aind64].sum()) if Aind64.size else 0  # upper bound on products
+    pa = np.empty(P, dtype=np.int64)
+    pb = np.empty(P, dtype=np.int64)
+    pc = np.empty(P, dtype=np.int64)
+    Cptr = np.zeros(mA + 1, dtype=np.int64)
+    Cind = np.empty(max(P, 1), dtype=np.int64)
+    kept = np.zeros(1, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    nnzC = lib.spgemm_expand(
+        ctypes.c_int64(mA),
+        Aptr64.ctypes.data_as(i64p),
+        Aind64.ctypes.data_as(i64p),
+        Bptr64.ctypes.data_as(i64p),
+        Bind64.ctypes.data_as(i64p),
+        pa.ctypes.data_as(i64p),
+        pb.ctypes.data_as(i64p),
+        pc.ctypes.data_as(i64p),
+        Cptr.ctypes.data_as(i64p),
+        Cind.ctypes.data_as(i64p),
+        ctypes.c_uint8(1 if upper_only else 0),
+        kept.ctypes.data_as(i64p),
+    )
+    kp = int(kept[0])
+    return pa[:kp], pb[:kp], pc[:kp], Cptr, Cind[:nnzC]
 
 
 def spgemm_nnz(mA: int, nB: int, Aptr, Aind, Bptr, Bind) -> Tuple[np.ndarray, int]:

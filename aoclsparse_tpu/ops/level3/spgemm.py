@@ -114,6 +114,23 @@ def _symbolic(
     mB, nB = effB.shape
     if nA != mB:
         raise AoclSparseError(Status.invalid_size, f"inner dims mismatch {nA} vs {mB}")
+    # native C++ Gustavson expansion (~100x the numpy sort path)
+    from ... import native
+
+    nat = native.spgemm_expand(mA, effA.ptr, effA.ind, effB.ptr, effB.ind, upper_only)
+    if nat is not None:
+        pa, pb, pc, Cptr, Cind = nat
+        return SpgemmPlan(
+            shape=(mA, nB),
+            ptr=Cptr.astype(np.int32),
+            ind=Cind.astype(np.int32),
+            pa=jnp.asarray(pa),
+            pb=jnp.asarray(pb),
+            pc=jnp.asarray(pc),
+            nnz=int(Cind.size),
+            conj_a=conj_a,
+            conj_b=conj_b,
+        )
     rows, pa, pb = _expand(effA.ptr, effA.ind, effB.ptr, effB.ind, mA)
     cols = effB.ind.astype(np.int64)[pb] if pb.size else pb
     if upper_only:
