@@ -84,7 +84,16 @@ def _run_exec_form(form, x, kid):
             and x.dtype == jnp.float32
         )
         y = e.fn(form.bwd_val, xp, form.bwd_W, form.bwd_base8, form.bwd_n_pad, mixed)
-        return y[: form.m]
+        y = y[: form.m]
+        if form.sp_ind is not None and form.sp_ind.shape[0]:
+            # edge-peel spill: the few window-outlier entries (planner peel)
+            y = y + jax.ops.segment_sum(
+                form.sp_val * x[form.sp_ind],
+                form.sp_rows,
+                num_segments=form.m,
+                indices_are_sorted=True,
+            )
+        return y
     if form.kind == "diag":
         return e.fn(
             form.dia_val,

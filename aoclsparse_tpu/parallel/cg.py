@@ -27,12 +27,25 @@ __all__ = ["cg_ell_jit", "dist_cg", "prepare_dist_ell"]
 
 @partial(jax.jit, static_argnames=("maxit", "W", "base8", "padL", "n_pad"))
 def cg_bwd_jit(
-    win_val, b, x0, rtol, atol, maxit: int, W: int, base8: int, padL: int, n_pad: int
+    win_val,
+    b,
+    x0,
+    rtol,
+    atol,
+    maxit: int,
+    W: int,
+    base8: int,
+    padL: int,
+    n_pad: int,
+    sp_ind=None,
+    sp_rows=None,
+    sp_val=None,
 ):
     """CG over the banded-window operand (kernels/xla/spmv.py spmv_bwd) as one
     compiled while_loop — the TPU fast path (no gathers). Operand rows can be
     sharded over a mesh axis; vectors replicated; XLA all-gathers the sharded
-    einsum output per iteration."""
+    einsum output per iteration. sp_* carry the planner's edge-peel spill
+    (may be empty/None)."""
 
     def matvec(v):
         vp = jnp.pad(v, (padL, n_pad - padL - v.shape[0]))
@@ -42,7 +55,12 @@ def cg_bwd_jit(
             [jax.lax.dynamic_slice_in_dim(xr, base8 + j, nblk, 0) for j in range(W // 8)],
             axis=1,
         )
-        return jnp.einsum("brw,bw->br", win_val, pats).reshape(-1)[: v.shape[0]]
+        y = jnp.einsum("brw,bw->br", win_val, pats).reshape(-1)[: v.shape[0]]
+        if sp_ind is not None and sp_ind.shape[0]:
+            y = y + jax.ops.segment_sum(
+                sp_val * v[sp_ind], sp_rows, num_segments=v.shape[0], indices_are_sorted=True
+            )
+        return y
 
     bnorm = jnp.sqrt(jnp.sum(b * b))
     brtol = rtol * bnorm
@@ -165,6 +183,11 @@ def dist_cg_bwd(
 
     # the kernel pads x by (padL, n_pad - padL - len): feed the padded-rows
     # vector and let the matvec's internal pad cover the window tail
+    sp_ind = sp_rows = sp_val = None
+    if form.sp_ind is not None and form.sp_ind.shape[0]:
+        sp_ind = jax.device_put(form.sp_ind, rep)
+        sp_rows = jax.device_put(form.sp_rows, rep)
+        sp_val = jax.device_put(form.sp_val, rep)
     x, k, rnorm = cg_bwd_jit(
         wv,
         bp,
@@ -176,6 +199,9 @@ def dist_cg_bwd(
         form.bwd_base8,
         form.bwd_padL,
         n_pad,
+        sp_ind,
+        sp_rows,
+        sp_val,
     )
     return x[:m], int(k), float(rnorm)
 

@@ -36,6 +36,9 @@ def gmres_bwd_jit(
     base8: int,
     padL: int,
     n_pad: int,
+    sp_ind=None,
+    sp_rows=None,
+    sp_val=None,
 ):
     """Returns (x, cycles, rnorm). R = restart length (static)."""
     mq = b.shape[0]
@@ -50,7 +53,12 @@ def gmres_bwd_jit(
             [jax.lax.dynamic_slice_in_dim(xr, base8 + j, nblk, 0) for j in range(W // 8)],
             axis=1,
         )
-        return jnp.einsum("brw,bw->br", win_val, pats).reshape(-1)[:mq]
+        y = jnp.einsum("brw,bw->br", win_val, pats).reshape(-1)[:mq]
+        if sp_ind is not None and sp_ind.shape[0]:
+            y = y + jax.ops.segment_sum(
+                sp_val * v[sp_ind], sp_rows, num_segments=mq, indices_are_sorted=True
+            )
+        return y
 
     bnorm = jnp.sqrt(jnp.sum(b * b))
     brtol = rtol * bnorm
@@ -146,6 +154,11 @@ def dist_gmres_bwd(
     )
     x0p = jax.device_put(x0p, rep)
     maxcycles = max(1, -(-maxit // restart))
+    sp_ind = sp_rows = sp_val = None
+    if form.sp_ind is not None and form.sp_ind.shape[0]:
+        sp_ind = jax.device_put(form.sp_ind, rep)
+        sp_rows = jax.device_put(form.sp_rows, rep)
+        sp_val = jax.device_put(form.sp_val, rep)
     x, ncyc, rnorm = gmres_bwd_jit(
         wv,
         bp,
@@ -158,5 +171,8 @@ def dist_gmres_bwd(
         form.bwd_base8,
         form.bwd_padL,
         n_pad,
+        sp_ind,
+        sp_rows,
+        sp_val,
     )
     return x[:m], int(ncyc) * restart, float(rnorm)

@@ -387,7 +387,8 @@ class ExecForm:
     sp_src: Optional[np.ndarray] = None
     # bwd (banded-window dense; see kernels/xla/spmv.py spmv_bwd)
     bwd_val: Optional[jax.Array] = None  # (ngrp, G, W)
-    bwd_dest: Optional[np.ndarray] = None  # (nnzE,) flat positions into bwd_val
+    bwd_dest: Optional[np.ndarray] = None  # (kept,) flat positions into bwd_val
+    bwd_srcpos: Optional[np.ndarray] = None  # (kept,) positions into eff val (None = all)
     bwd_W: int = 0
     bwd_base8: int = 0
     bwd_padL: int = 0
@@ -417,8 +418,10 @@ class ExecForm:
             ngrp = -(-self.m // self.bwd_G)
             vh = np.asarray(eff_val)
             buf = np.zeros(ngrp * self.bwd_G * self.bwd_W, dtype=vh.dtype)
-            buf[self.bwd_dest] = vh
+            buf[self.bwd_dest] = vh if self.bwd_srcpos is None else vh[self.bwd_srcpos]
             self.bwd_val = jnp.asarray(buf.reshape(ngrp, self.bwd_G, self.bwd_W))
+            if self.sp_src is not None and self.sp_src.size:
+                self.sp_val = jnp.asarray(vh[self.sp_src])
         else:
             src = jnp.asarray(self.ell_src)
             v = jnp.where(
@@ -511,7 +514,12 @@ def _build_ell_map(eff: EffectiveCSR, width: int):
 
 def _build_bwd(eff: EffectiveCSR, G: int = 8, kind: str = "bwd") -> ExecForm:
     """Materialize the G-row-group banded-window dense operand
-    (see kernels/xla/spmv.py spmv_bwd and spmm.py spmm_bwd)."""
+    (see kernels/xla/spmv.py spmv_bwd and spmm.py spmm_bwd).
+
+    Edge peel (G=8 only): boundary rows inflate the global window (the bench
+    matrix's W goes 192 -> 248 from ~128 edge rows); entries outside the
+    0.25..99.75 percentile window spill to a tiny COO segment-sum instead of
+    paying dense width for everyone."""
     m, n = eff.shape
     ngrp = -(-m // G)
     win = _bwd_window(eff, G)
@@ -522,8 +530,22 @@ def _build_bwd(eff: EffectiveCSR, G: int = 8, kind: str = "bwd") -> ExecForm:
     rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(eff.ptr.astype(np.int64)))
     cols = eff.ind.astype(np.int64)
     blk = rows // G
-    t = cols - G * blk - rel_lo  # position within the group's window
-    dest = (blk * G + rows % G) * W + t  # flat scatter positions (eff order)
+    rel = cols - G * blk
+    spill_mask = None
+    if kind == "bwd" and rel.size > 4096:
+        lo_c = (int(np.percentile(rel, 0.25)) // G) * G
+        hi_c = int(np.percentile(rel, 99.75))
+        W_core = -(-(hi_c - lo_c + 1) // 8) * 8
+        outside = (rel < lo_c) | (rel >= lo_c + W_core)
+        n_out = int(outside.sum())
+        if W_core <= W - 16 and n_out <= max(1024, rel.size // 100):
+            spill_mask = outside
+            W, rel_lo = W_core, lo_c
+    if spill_mask is None:
+        spill_mask = np.zeros(rel.size, dtype=bool)
+    keep = ~spill_mask
+    t = (rel - rel_lo)[keep]  # position within the group's window
+    dest = ((blk * G + rows % G)[keep]) * W + t  # flat scatter positions
     # padded x geometry: window of group g starts at column G*g + rel_lo;
     # after left-padding by L the start is G*(g + base) with L mult of G
     L = max(0, -rel_lo)
@@ -531,16 +553,21 @@ def _build_bwd(eff: EffectiveCSR, G: int = 8, kind: str = "bwd") -> ExecForm:
     nslice = -(-W // G)
     need = G * (base + nslice - 1 + ngrp)  # last slice end in padded coords
     n_pad = max(-(-(L + n) // G) * G, need)
+    spilled = bool(spill_mask.any())
     form = ExecForm(
         kind=kind,
         m=m,
         n=n,
         bwd_dest=dest,
+        bwd_srcpos=np.nonzero(keep)[0] if spilled else None,
         bwd_W=int(W),
         bwd_base8=int(base),
         bwd_padL=int(L),
         bwd_n_pad=int(n_pad),
         bwd_G=G,
+        sp_src=np.nonzero(spill_mask)[0] if spilled else None,
+        sp_ind=jnp.asarray(cols[spill_mask].astype(np.int32)) if spilled else None,
+        sp_rows=jnp.asarray(rows[spill_mask].astype(np.int32)) if spilled else None,
     )
     form.refresh(eff.val)
     return form

@@ -60,28 +60,29 @@ def main():
     form = plan.exec_form_for(MatrixDescriptor(), Operation.none)
     x_d = jnp.asarray(x)
 
-    if form.kind == "bwd":
-        xp = jnp.pad(x_d, (form.bwd_padL, form.bwd_n_pad - form.bwd_padL - form.n))
+    from aoclsparse_tpu.ops.level2.mv import _run_exec_form
 
-        def run():
-            return spmv_bwd(form.bwd_val, xp, form.bwd_W, form.bwd_base8, form.bwd_n_pad, False)
-
-    else:
-
-        def run():
-            return spmv_ell(form.ell_ind, form.ell_val, x_d)
+    def run():
+        # the library's actual dispatch path for this form (band kernel +
+        # edge-peel spill when the planner created one)
+        return _run_exec_form(form, x_d, None)
 
     # warmup / compile
     y = run()
     jax.block_until_ready(y)
     np.asarray(y[:1])
 
-    iters = 200
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = run()
-    np.asarray(y[:1])  # one sync for the whole chain
-    t = (time.perf_counter() - t0) / iters
+    # best-of-chunks chained timing: the TPU pool behind the tunnel is
+    # contended (identical kernels vary 2-100x between windows); min over
+    # chunks is the honest kernel time
+    iters_per, chunks = 50, 6
+    t = float("inf")
+    for _ in range(chunks):
+        t0 = time.perf_counter()
+        for _ in range(iters_per):
+            y = run()
+        np.asarray(y[:1])  # one sync per chunk
+        t = min(t, (time.perf_counter() - t0) / iters_per)
 
     isize = 4
     vsize = np.dtype(dtype).itemsize

@@ -122,6 +122,37 @@ def test_bwd_refresh_after_update(rng):
     assert_allclose_spec(got, 3.0 * dense @ x, dtype=np.float64, scale=10)
 
 
+def test_bwd_edge_peel(rng):
+    """A matrix whose band is narrow except for a few outlier rows must peel
+    those entries into the spill and still match the dense product."""
+    m = 2048
+    dense = np.zeros((m, m))
+    for i in range(m):
+        cs = np.unique(np.clip(i + rng.integers(-4, 5, 3), 0, m - 1))
+        dense[i, cs] = rng.standard_normal(cs.size)
+    # outliers: a handful of entries far off the band
+    for i in rng.choice(m, 5, replace=False):
+        dense[i, (i + m // 2) % m] = 7.0
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))])
+    ind = np.nonzero(dense)[1].astype(np.int32)
+    val = dense[dense != 0]
+    A = ast.create_csr(m, m, ptr, ind, val)
+    plan = get_plan(A)
+    form = plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="bwd")
+    assert form.sp_ind is not None and int(form.sp_ind.shape[0]) >= 5
+    assert form.bwd_W <= 24  # window stays narrow thanks to the peel
+    x = rng.standard_normal(m)
+    from aoclsparse_tpu.ops.level2.mv import _run_exec_form
+    import jax.numpy as jnp
+
+    got = np.asarray(_run_exec_form(form, jnp.asarray(x), None))
+    assert_allclose_spec(got, dense @ x, dtype=np.float64, scale=10)
+    # refresh keeps both parts aligned
+    ast.update_values(A, np.asarray(val) * 2.0)
+    got2 = np.asarray(_run_exec_form(form, jnp.asarray(x), None))
+    assert_allclose_spec(got2, 2.0 * dense @ x, dtype=np.float64, scale=10)
+
+
 def test_bwd_mixed_precision_path(rng):
     m = 48
     ptr, ind, val, dense = _banded(rng, m, m, 6, 3, dtype=np.float32)
