@@ -212,10 +212,13 @@ class CgRci:
                 if self.precond and result is not None:
                     self.z = result
                 rz_new = _dotu(self.r, self.z)
-                rz_abs = complex(np.asarray(self.rz)).real if np.iscomplexobj(
-                    np.asarray(self.rz)
-                ) else float(self.rz)
-                if rz_abs <= 0 or abs(rz_abs) < 1e-300:
+                rz_c = complex(np.asarray(self.rz))
+                # real dtypes: rz must stay positive (is_negative_or_nearzero);
+                # complex (unconjugated dots): only magnitude breakdown applies
+                if np.iscomplexobj(np.asarray(self.b)):
+                    if abs(rz_c) < 1e-300:
+                        raise AoclSparseError(Status.numerical_error, "CG breakdown: rz ~ 0")
+                elif rz_c.real <= 0 or abs(rz_c.real) < 1e-300:
                     raise AoclSparseError(Status.numerical_error, "CG breakdown: rz <= 0")
                 beta = rz_new / self.rz
                 self.rz = rz_new
@@ -226,8 +229,11 @@ class CgRci:
             if self.task == "take_step":
                 self.q = result
                 pq = _dotu(self.p, self.q)
-                pq_real = complex(np.asarray(pq)).real
-                if pq_real <= 0 or abs(pq_real) < 1e-300:
+                pq_c = complex(np.asarray(pq))
+                if np.iscomplexobj(np.asarray(self.b)):
+                    if abs(pq_c) < 1e-300:
+                        raise AoclSparseError(Status.numerical_error, "CG breakdown: pq ~ 0")
+                elif pq_c.real <= 0 or abs(pq_c.real) < 1e-300:
                     raise AoclSparseError(
                         Status.numerical_error, "CG: matrix not positive definite"
                     )

@@ -212,6 +212,41 @@ def test_monitoring_user_stop(rng):
     assert len(calls) == 3
 
 
+def test_gmres_complex(rng):
+    m = 20
+    dense = rng.standard_normal((m, m)) + 1j * rng.standard_normal((m, m))
+    dense[np.abs(dense) < 1.2] = 0
+    np.fill_diagonal(dense, m)
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int32)
+    ind = np.nonzero(dense)[1].astype(np.int32)
+    A = ast.create_csr(m, m, ptr, ind, dense[dense != 0])
+    b = (rng.standard_normal(m) + 1j * rng.standard_normal(m)).astype(np.complex128)
+    h = ast.itsol_init(np.complex128)
+    ast.itsol_option_set(h, "iterative method", "GMRES")
+    ast.itsol_option_set(h, "gmres rel tolerance", 1e-12)
+    x, rinfo, status = ast.itsol_solve(h, m, A, GEN, b)
+    assert status == Status.success
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), atol=1e-7)
+
+
+def test_cg_complex_symmetric(rng):
+    # complex-symmetric positive-definite-ish system (unconjugated dots, like
+    # the reference's c/z CG loops)
+    m = 16
+    B = rng.standard_normal((m, m))
+    dense = (B @ B.T + m * np.eye(m)).astype(np.complex128)
+    dense += 1j * 0.01 * (np.ones((m, m)) + np.eye(m))
+    dense = (dense + dense.T) / 2  # complex symmetric
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int32)
+    ind = np.nonzero(dense)[1].astype(np.int32)
+    A = ast.create_csr(m, m, ptr, ind, dense[dense != 0])
+    b = (rng.standard_normal(m) + 1j * rng.standard_normal(m)).astype(np.complex128)
+    h = ast.itsol_init(np.complex128)
+    x, rinfo, status = ast.itsol_solve(h, m, A, GEN, b)
+    assert status == Status.success
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), atol=1e-6)
+
+
 @pytest.mark.parametrize("dtype", [np.float32, np.float64])
 def test_cg_dtypes(rng, dtype):
     m = 15
