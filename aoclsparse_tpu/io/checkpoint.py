@@ -89,7 +89,7 @@ def _attach_solve_forms(st, lu_clean) -> None:
     from ..core.descr import MatrixDescriptor
     from ..core.types import DiagType, FillMode, MatrixType, Operation
     from ..planner.plan import build_effective_csr
-    from ..planner.triangular import build_trsv_form
+    from ..planner.triangular import adaptive_nb, build_trsv_form
 
     l_descr = MatrixDescriptor(
         type=MatrixType.triangular, fill_mode=FillMode.lower, diag_type=DiagType.unit
@@ -99,5 +99,6 @@ def _attach_solve_forms(st, lu_clean) -> None:
     )
     eff_l = build_effective_csr(lu_clean, l_descr, Operation.none)
     eff_u = build_effective_csr(lu_clean, u_descr, Operation.none)
-    st.l_form = build_trsv_form(lu_clean, l_descr, Operation.none, ("ilu", "l"), eff_l)
-    st.u_form = build_trsv_form(lu_clean, u_descr, Operation.none, ("ilu", "u"), eff_u)
+    nb = adaptive_nb(lu_clean.m)
+    st.l_form = build_trsv_form(lu_clean, l_descr, Operation.none, ("ilu", "l"), eff_l, nb)
+    st.u_form = build_trsv_form(lu_clean, u_descr, Operation.none, ("ilu", "u"), eff_u, nb)

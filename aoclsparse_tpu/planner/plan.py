@@ -321,29 +321,49 @@ def build_effective_csr(
     lens = np.bincount(allrows, minlength=m).astype(np.int64)
     eptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
     herm = mtype == MatrixType.hermitian
-    conj_mirror_only = herm  # mirror entries conjugated for hermitian
     conj_all = (mtype == MatrixType.symmetric and op == Operation.conjugate_transpose) or (
         herm and op == Operation.transpose
     )
+    # conjugation pattern over the merged structure:
+    #   herm, op in {none, conj_transpose} -> conjugate MIRROR entries
+    #   sym + conj_transpose              -> conjugate ALL
+    #   herm + transpose (= conj(A))      -> conjugate NON-mirror entries
+    if herm and not conj_all:
+        conj_mode = "mirror"
+    elif conj_all and not herm:
+        conj_mode = "all"
+    elif conj_all and herm:
+        conj_mode = "nonmirror"
+    else:
+        conj_mode = "none"
     out = EffectiveCSR(eptr, eind, esrc, False, 0.0, (m, n))
-    v = _gather_vals_jit(clean.val, jnp.asarray(esrc), 0.0)
-    if jnp.iscomplexobj(v):
-        if conj_mirror_only and not conj_all:
-            v = jnp.where(jnp.asarray(mirror_mask), jnp.conj(v), v)
-        elif conj_all and not conj_mirror_only:
-            v = jnp.conj(v)
-        elif conj_all and conj_mirror_only:
-            v = jnp.where(jnp.asarray(mirror_mask), v, jnp.conj(v))
-        if herm:
-            # hermitian diagonal is real by definition
-            diag_mask = eind == np.arange(m).repeat(np.diff(eptr.astype(np.int64)))
-            v = jnp.where(jnp.asarray(diag_mask), jnp.real(v).astype(v.dtype), v)
-    # remember the mirror mask for refresh
     out._mirror_mask = mirror_mask  # type: ignore[attr-defined]
-    out._conj_mirror_only = conj_mirror_only and not conj_all  # type: ignore[attr-defined]
-    out.conj = bool(conj_all and not conj_mirror_only)
-    out.val = v
+    out._conj_mode = conj_mode  # type: ignore[attr-defined]
+    if herm:
+        out._herm_diag_mask = eind == np.arange(m).repeat(  # type: ignore[attr-defined]
+            np.diff(eptr.astype(np.int64))
+        )
+    out.val = _apply_conj_pattern(out, _gather_vals_jit(clean.val, jnp.asarray(esrc), 0.0))
     return out
+
+
+def _apply_conj_pattern(eff: EffectiveCSR, v):
+    """Apply the stored conjugation pattern + hermitian-diagonal realification
+    (shared by build and refresh so update_values stays consistent)."""
+    if not jnp.iscomplexobj(v):
+        return v
+    mode = getattr(eff, "_conj_mode", "all" if eff.conj else "none")
+    mm = getattr(eff, "_mirror_mask", None)
+    if mode == "all":
+        v = jnp.conj(v)
+    elif mode == "mirror" and mm is not None:
+        v = jnp.where(jnp.asarray(mm), jnp.conj(v), v)
+    elif mode == "nonmirror" and mm is not None:
+        v = jnp.where(jnp.asarray(mm), v, jnp.conj(v))
+    dm = getattr(eff, "_herm_diag_mask", None)
+    if dm is not None:
+        v = jnp.where(jnp.asarray(dm), jnp.real(v).astype(v.dtype), v)
+    return v
 
 
 def _inject_diag(eptr, eind, esrc, m, lower):
@@ -709,13 +729,7 @@ class Plan:
         self.clean.refresh(new_val)
         for eff in self.effective.values():
             v = _gather_vals_jit(self.clean.val, jnp.asarray(eff.src), eff.const_val)
-            if jnp.iscomplexobj(v):
-                mm = getattr(eff, "_mirror_mask", None)
-                if mm is not None and getattr(eff, "_conj_mirror_only", False):
-                    v = jnp.where(jnp.asarray(mm), jnp.conj(v), v)
-                elif eff.conj:
-                    v = jnp.conj(v)
-            eff.val = v
+            eff.val = _apply_conj_pattern(eff, v)
         for key, form in self.exec_forms.items():
             ekey = key[:4]
             form.refresh(self.effective[ekey].val)

@@ -38,6 +38,12 @@ __all__ = ["TrsvForm", "build_trsv_form", "trsv_form_for"]
 DEFAULT_BLOCK = 64
 
 
+def adaptive_nb(m: int) -> int:
+    """Block size targeting ~512 scan steps (per-step scan overhead ~8us on
+    this stack; see trsv_form_for)."""
+    return int(min(512, max(DEFAULT_BLOCK, 1 << int(np.ceil(np.log2(max(m / 512, 1)))))))
+
+
 @dataclasses.dataclass
 class TrsvForm:
     """Blocked lower-triangular operand (post reversal-permutation if the
@@ -236,8 +242,7 @@ def trsv_form_for(
     step costs ~8us of scan overhead on this stack, so fewer/larger blocks
     win until the dense diagonal blocks dominate memory)."""
     if nb is None:
-        m = plan.clean.m
-        nb = int(min(512, max(DEFAULT_BLOCK, 1 << int(np.ceil(np.log2(max(m / 512, 1)))))))
+        nb = adaptive_nb(plan.clean.m)
     tri_descr = MatrixDescriptor(
         type=MatrixType.triangular,
         fill_mode=descr.fill_mode,

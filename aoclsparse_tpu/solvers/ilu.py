@@ -33,7 +33,7 @@ from ..core.types import (
 )
 from ..kernels.xla.trsv import trsv_blocked
 from ..planner.plan import CleanCSR, build_effective_csr, get_plan
-from ..planner.triangular import build_trsv_form
+from ..planner.triangular import adaptive_nb, build_trsv_form
 
 __all__ = ["IluState", "ilu0_factorize", "ilu_smoother"]
 
@@ -98,8 +98,9 @@ def ilu0_factorize(A: SparseMatrix) -> IluState:
     )
     eff_l = build_effective_csr(lu_clean, l_descr, Operation.none)
     eff_u = build_effective_csr(lu_clean, u_descr, Operation.none)
-    st.l_form = build_trsv_form(lu_clean, l_descr, Operation.none, ("ilu", "l"), eff_l)
-    st.u_form = build_trsv_form(lu_clean, u_descr, Operation.none, ("ilu", "u"), eff_u)
+    nb = adaptive_nb(lu_clean.m)
+    st.l_form = build_trsv_form(lu_clean, l_descr, Operation.none, ("ilu", "l"), eff_l, nb)
+    st.u_form = build_trsv_form(lu_clean, u_descr, Operation.none, ("ilu", "u"), eff_u, nb)
     A.ilu_state = st
     return st
 

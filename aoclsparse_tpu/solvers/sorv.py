@@ -37,7 +37,7 @@ from ..core.types import (
 from ..kernels.xla.trsv import trsv_blocked
 from ..ops.level2.mv import mv
 from ..planner.plan import build_effective_csr, get_plan
-from ..planner.triangular import build_trsv_form
+from ..planner.triangular import adaptive_nb, build_trsv_form
 
 __all__ = ["sorv"]
 
@@ -91,7 +91,7 @@ def sorv(
             jnp.asarray(is_diag), eff.val, jnp.asarray(omega, dtype) * eff.val
         )
         form = build_trsv_form(
-            plan.clean, tri_l, Operation.none, ("sorv", omega), eff
+            plan.clean, tri_l, Operation.none, ("sorv", omega), eff, adaptive_nb(m)
         )
         plan.levels[key] = form
 

@@ -189,6 +189,27 @@ def test_mv_update_values_refresh(rng):
     assert_allclose_spec(got, want, dtype=np.float64, scale=10)
 
 
+@pytest.mark.parametrize(
+    "mtype", [MatrixType.symmetric, MatrixType.hermitian]
+)
+@pytest.mark.parametrize("op", [Operation.none, Operation.transpose, Operation.conjugate_transpose])
+def test_mv_complex_descr_refresh_after_update(rng, mtype, op):
+    """Regression: the conjugation pattern (mirror/all/nonmirror) must be
+    reapplied identically when update_values refreshes cached copies."""
+    m = 13
+    A, (ptr, ind, val) = _mk(rng, m, m, np.complex128, ensure_diag=True)
+    descr = MatrixDescriptor(type=mtype, fill_mode=FillMode.lower)
+    x = (rng.standard_normal(m) + 1j * rng.standard_normal(m)).astype(np.complex128)
+    _ = ast.mv(1.0, A, descr, op, x, 0.0)  # build + cache the copy
+    newval = (rng.standard_normal(len(val)) + 1j * rng.standard_normal(len(val))).astype(
+        np.complex128
+    )
+    ast.update_values(A, newval)
+    got = ast.mv(1.0, A, descr, op, x, 0.0)
+    want = ref_mv(1.0, m, m, ptr, ind, newval, descr, op, x, 0.0, np.zeros(m, complex))
+    assert_allclose_spec(got, want, dtype=np.complex128, scale=10)
+
+
 def test_dotmv(rng):
     m = 21
     A, (ptr, ind, val) = _mk(rng, m, m, np.float64)
