@@ -23,9 +23,10 @@ __all__ = ["trsv_blocked"]
 @partial(jax.jit, static_argnames=("nb", "m_pad", "WL"))
 def trsv_blocked_win(D, Lwin, b, nb: int, m_pad: int, WL: int):
     """Banded variant: the left-of-diagonal part of each block is a dense
-    (nb, WL) window ending at the block start, so the scan step reads the
-    already-solved prefix with ONE dynamic slice (no gather — see the bwd
-    SpMV rationale) and a dense matvec. b: (m_pad,) or (m_pad, k)."""
+    (nb, WL) window ending at the block start. The scan carries that window
+    as a ROLLING buffer (concat + static slice — traced-index dynamic slices
+    cost ~0.4 ms each on this stack) and emits each solved block as a scan
+    output. b: (m_pad,) or (m_pad, k)."""
     squeeze = b.ndim == 1
     if squeeze:
         b = b[:, None]
@@ -34,21 +35,67 @@ def trsv_blocked_win(D, Lwin, b, nb: int, m_pad: int, WL: int):
     dtype = D.dtype
     b = b.astype(dtype)
 
-    def step(xp, args):
-        Dk, lwink, bk, kidx = args
-        xwin = jax.lax.dynamic_slice(xp, (kidx * nb, 0), (WL, k))
-        s = jnp.einsum("rw,wk->rk", lwink, xwin)
+    def step(w, args):
+        # w: (WL, k) = x rows [blk0-WL, blk0) of the current block
+        Dk, lwink, bk = args
+        s = jnp.einsum("rw,wk->rk", lwink, w)
         xk = jax.lax.linalg.triangular_solve(
             Dk, bk - s, left_side=True, lower=True, unit_diagonal=False
         )
-        xp = jax.lax.dynamic_update_slice(xp, xk, (WL + kidx * nb, 0))
-        return xp, None
+        w = jnp.concatenate([w, xk], axis=0)[-WL:]
+        return w, xk
 
-    xp0 = jnp.zeros((WL + m_pad, k), dtype=dtype)
+    w0 = jnp.zeros((WL, k), dtype=dtype)
     bs = b.reshape(nblk, nb, k)
-    idx = jnp.arange(nblk)
-    xp, _ = jax.lax.scan(step, xp0, (D, Lwin, bs, idx))
-    x = xp[WL:]
+    _, xs = jax.lax.scan(step, w0, (D, Lwin, bs))
+    x = xs.reshape(m_pad, k)
+    return x[:, 0] if squeeze else x
+
+
+@jax.jit
+def invert_diag_blocks(D):
+    """Invert the (nblk, nb, nb) lower-triangular diagonal blocks once
+    (scan of 2-D solves — batched solves are pathological on this stack).
+    Lets the per-step solve become one MXU matmul (trsv_blocked_win_inv)."""
+    nb = D.shape[1]
+    eye = jnp.eye(nb, dtype=D.dtype)
+
+    def step(_, Dk):
+        return None, jax.lax.linalg.triangular_solve(
+            Dk, eye, left_side=True, lower=True, unit_diagonal=False
+        )
+
+    _, Dinv = jax.lax.scan(step, None, D)
+    return Dinv
+
+
+@partial(jax.jit, static_argnames=("nb", "m_pad", "WL"))
+def trsv_blocked_win_inv(Dinv, Lwin, b, nb: int, m_pad: int, WL: int):
+    """Rolling-window solve with pre-inverted diagonal blocks: each scan step
+    is two dense matmuls (left-window matvec + Dinv multiply) — the
+    per-step `triangular_solve` latency dominates trsv_blocked_win on this
+    stack. Numerics: inv-multiply instead of substitution; within the
+    tolerance model for the well-conditioned diagonal blocks the planner
+    builds, and gated off by AOCLSPARSE_TPU_TRSV_EXACT=1."""
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    k = b.shape[1]
+    nblk = Dinv.shape[0]
+    dtype = Dinv.dtype
+    b = b.astype(dtype)
+
+    def step(w, args):
+        Dik, lwink, bk = args
+        s = jnp.einsum("rw,wk->rk", lwink, w)
+        xk = jnp.dot(Dik, bk - s, preferred_element_type=dtype)
+        w = jnp.concatenate([w, xk], axis=0)[-WL:]
+        return w, xk
+
+    w0 = jnp.zeros((WL, k), dtype=dtype)
+    bs = b.reshape(nblk, nb, k)
+    _, xs = jax.lax.scan(step, w0, (Dinv, Lwin, bs))
+    x = xs.reshape(m_pad, k)
     return x[:, 0] if squeeze else x
 
 

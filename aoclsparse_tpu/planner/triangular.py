@@ -73,6 +73,7 @@ class TrsvForm:
     WL: int = 0
 
     def refresh(self, eff_val: jax.Array) -> None:
+        self._Dinv = None  # inverse blocks derive from D
         vh = np.asarray(eff_val)
         D = np.zeros(self.nblk * self.nb * self.nb, dtype=vh.dtype)
         D[self._D_dest] = vh[self._D_srcpos]
@@ -83,11 +84,26 @@ class TrsvForm:
         self.Lval = jnp.asarray(L.reshape(self._L_shape))
 
     def solve(self, r2) -> jax.Array:
-        """Run the blocked solve on a padded (m_pad, k) rhs."""
-        from ..kernels.xla.trsv import trsv_blocked, trsv_blocked_win
+        """Run the blocked solve on a padded (m_pad, k) rhs. On TPU the win
+        variant uses pre-inverted diagonal blocks (matmul per step) unless
+        AOCLSPARSE_TPU_TRSV_EXACT=1 forces substitution."""
+        import os
+
+        from ..core.context import get_context
+        from ..kernels.xla.trsv import (
+            invert_diag_blocks,
+            trsv_blocked,
+            trsv_blocked_win,
+            trsv_blocked_win_inv,
+        )
 
         m_pad = self.nblk * self.nb
         if self.kind == "win":
+            exact = os.environ.get("AOCLSPARSE_TPU_TRSV_EXACT", "0") in ("1", "true")
+            if get_context().is_tpu and not exact:
+                if getattr(self, "_Dinv", None) is None:
+                    self._Dinv = invert_diag_blocks(self.D)
+                return trsv_blocked_win_inv(self._Dinv, self.Lval, r2, self.nb, m_pad, self.WL)
             return trsv_blocked_win(self.D, self.Lval, r2, self.nb, m_pad, self.WL)
         return trsv_blocked(self.D, self.Lind, self.Lval, r2, self.nb, m_pad)
 

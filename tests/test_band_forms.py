@@ -72,6 +72,36 @@ def test_trsv_win_unit_diag(rng):
     assert_allclose_spec(got, want, dtype=np.float64, scale=100)
 
 
+def test_trsv_win_inverse_variant(rng):
+    """The pre-inverted-diagonal-block solve must match substitution within
+    the tolerance model (TPU default path, exercised here directly)."""
+    import jax.numpy as jnp
+
+    from aoclsparse_tpu.kernels.xla.trsv import (
+        invert_diag_blocks,
+        trsv_blocked_win,
+        trsv_blocked_win_inv,
+    )
+    from aoclsparse_tpu.planner.plan import get_plan
+    from aoclsparse_tpu.planner.triangular import trsv_form_for
+
+    m = 512
+    ptr, ind, val, dense = _banded(rng, m, m, 10, 6)
+    A = ast.create_csr(m, m, ptr, ind, val)
+    descr = MatrixDescriptor(type=MatrixType.triangular, fill_mode=FillMode.lower)
+    form = trsv_form_for(get_plan(A), descr, Operation.none)
+    assert form.kind == "win"
+    b = rng.standard_normal(m)
+    m_pad = form.nblk * form.nb
+    b2 = jnp.pad(jnp.asarray(b)[:, None], ((0, m_pad - m), (0, 0)))
+    x_exact = np.asarray(trsv_blocked_win(form.D, form.Lval, b2, form.nb, m_pad, form.WL))
+    Dinv = invert_diag_blocks(form.D)
+    x_inv = np.asarray(trsv_blocked_win_inv(Dinv, form.Lval, b2, form.nb, m_pad, form.WL))
+    np.testing.assert_allclose(x_inv[:m], x_exact[:m], rtol=1e-8, atol=1e-10)
+    want = ref_trsv(1.0, m, ptr, ind, val, descr, Operation.none, b)
+    assert_allclose_spec(x_inv[:m, 0], want, dtype=np.float64, scale=100)
+
+
 def test_spmm_bwdg_kernel(rng):
     m, n, k = 300, 280, 17
     ptr, ind, val, dense = _banded(rng, m, n, 12, 5)
