@@ -69,12 +69,16 @@ class CleanCSR:
     ptr: np.ndarray  # (m+1,) int32 host copy (planner uses it for structure)
     ind: np.ndarray  # (nnz,) int32 host copy
     val: jax.Array  # (nnz,) device values (sorted order)
-    perm: np.ndarray  # (nnz,) int64: val[k] == original_val[perm[k]]
+    perm: np.ndarray  # (nnz_in,) int64: sorted-order source positions
     idiag: np.ndarray  # (m,)
     iurow: np.ndarray  # (m,)
     has_diag: np.ndarray  # (m,) bool: row i stores its diagonal entry
     fulldiag: bool
     shape: Tuple[int, int]
+    #: set when the input had duplicate (row, col) entries: maps each sorted
+    #: input entry to its merged slot (values accumulate, matching the dense
+    #: oracle's duplicate-summing semantics)
+    merge_seg: Optional[np.ndarray] = None
 
     @property
     def m(self) -> int:
@@ -89,7 +93,10 @@ class CleanCSR:
         return int(self.ind.size)
 
     def refresh(self, new_val) -> None:
-        self.val = jnp.asarray(new_val)[jnp.asarray(self.perm)]
+        v = jnp.asarray(new_val)[jnp.asarray(self.perm)]
+        if self.merge_seg is not None:
+            v = jnp.zeros((self.nnz,), dtype=v.dtype).at[jnp.asarray(self.merge_seg)].add(v)
+        self.val = v
 
 
 def _triangle_split(m, ptr, ind_s, rows):
@@ -155,6 +162,22 @@ def build_clean_csr(A: CSR) -> CleanCSR:
     )
     ind_s = ind[perm].astype(np.int32)
     val = A.val if sorted_already else A.val[jnp.asarray(perm)]
+    # merge duplicate (row, col) entries by summation (dense-oracle semantics;
+    # the scatter-based execution forms require unique slots)
+    merge_seg = None
+    if ind_s.size > 1:
+        same = (ind_s[1:] == ind_s[:-1]) & (rows[perm][1:] == rows[perm][:-1])
+        if same.any():
+            first = np.concatenate([[True], ~same])
+            merge_seg = (np.cumsum(first) - 1).astype(np.int64)
+            nuniq = int(merge_seg[-1]) + 1
+            val = jnp.zeros((nuniq,), dtype=val.dtype).at[jnp.asarray(merge_seg)].add(val)
+            rows_u = rows[perm][first]
+            ind_s = ind_s[first]
+            lens_u = np.bincount(rows_u, minlength=m).astype(np.int64)
+            ptr = np.concatenate([[0], np.cumsum(lens_u)])
+            rows = rows_u
+            lens = lens_u
     # triangle split (vectorized): idiag = first k in row with ind >= i
     idiag, iurow, has_diag = _triangle_split(m, ptr, ind_s, rows)
     return CleanCSR(
@@ -167,6 +190,7 @@ def build_clean_csr(A: CSR) -> CleanCSR:
         has_diag=has_diag,
         fulldiag=bool(has_diag[: min(m, n)].all()) if m and n else True,
         shape=(m, n),
+        merge_seg=merge_seg,
     )
 
 

@@ -137,6 +137,37 @@ def test_one_based_flow_through_ops(rng):
     assert_allclose_spec(np.asarray(xs), want)
 
 
+def test_duplicate_entries_merge_consistently(rng):
+    """Duplicate (row, col) inputs must SUM across every execution form and
+    survive update_values (dense-oracle semantics; regression for the
+    scatter-form last-write bug)."""
+    from aoclsparse_tpu.planner.plan import get_plan
+    from aoclsparse_tpu.utils.reference import ref_mv
+    import jax.numpy as jnp
+
+    m = 64
+    ptr = np.arange(m + 1) * 4
+    base = np.clip(np.arange(m)[:, None] + np.array([[-1, 0, 0, 1]]), 0, m - 1)
+    ind = base.reshape(-1).astype(np.int32)  # col dup in every row
+    val = rng.standard_normal(m * 4)
+    A = ast.create_csr(m, m, ptr, ind, val)
+    x = rng.standard_normal(m)
+    want = ref_mv(1.0, m, m, ptr, ind, val, MatrixDescriptor(), Operation.none, x, 0.0, np.zeros(m))
+    for kind in ["segsum", "ell", "bwd", "diag"]:
+        form = get_plan(A).exec_form_for(MatrixDescriptor(), Operation.none, kind=kind)
+        from aoclsparse_tpu.ops.level2.mv import _run_exec_form
+
+        got = np.asarray(_run_exec_form(form, jnp.asarray(x), None))
+        assert_allclose_spec(got, want, err_msg=kind)
+    ast.update_values(A, np.asarray(val) * -1.0)
+    for kind in ["segsum", "bwd"]:
+        form = get_plan(A).exec_form_for(MatrixDescriptor(), Operation.none, kind=kind)
+        from aoclsparse_tpu.ops.level2.mv import _run_exec_form
+
+        got = np.asarray(_run_exec_form(form, jnp.asarray(x), None))
+        assert_allclose_spec(got, -want, err_msg=f"refresh-{kind}")
+
+
 def test_rng_reproducibility():
     """rng_tests.cpp analog: the test-fixture generator is deterministic."""
     from conftest import random_csr
