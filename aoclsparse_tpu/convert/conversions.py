@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.formats import BSR, COO, CSC, CSR, DIA, ELL, SELL
-from ..core.types import AoclSparseError, Operation, Status, index_dtype
+from ..core.types import AoclSparseError, Operation, Status
 
 __all__ = [
     "to_csr",

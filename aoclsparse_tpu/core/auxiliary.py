@@ -10,7 +10,6 @@ from __future__ import annotations
 from typing import Optional
 
 from ..core.context import get_context, reset_context
-from ..core.formats import BSR, CSC, CSR
 from ..core.matrix import SparseMatrix
 from ..core.types import AoclSparseError, FormatType, Operation, Status
 

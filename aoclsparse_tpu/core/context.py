@@ -16,7 +16,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import threading
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 

@@ -20,13 +20,13 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import field
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .types import AoclSparseError, Status, check_value_dtype, index_dtype
+from .types import AoclSparseError, Status, index_dtype
 
 __all__ = ["CSR", "CSC", "COO", "ELL", "DIA", "BSR", "SELL", "nnz_of"]
 

@@ -15,7 +15,7 @@ src/extra/aoclsparse_auxiliary.cpp:366-1014). Differences by design:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -23,7 +23,6 @@ import numpy as np
 from .descr import GENERAL, MatrixDescriptor
 from .formats import BSR, COO, CSC, CSR, DIA, ELL
 from .types import (
-    AoclSparseError,
     FormatType,
     IndexBase,
     MatrixSort,

@@ -59,7 +59,7 @@ def load_matrix(path) -> SparseMatrix:
     if "ilu_lu" in z.files:
         # rebuild the IluState around the saved LU values
         from ..planner.plan import get_plan
-        from ..solvers.ilu import IluState, ilu0_factorize
+        from ..solvers.ilu import IluState
 
         plan = get_plan(h)
         import jax.numpy as jnp

@@ -16,7 +16,7 @@ from typing import Tuple
 
 import numpy as np
 
-from ..core.formats import COO, CSR
+from ..core.formats import COO
 from ..core.matrix import SparseMatrix
 from ..core.types import AoclSparseError, FormatType, Status
 from ..convert.conversions import coo_to_csr

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.descr import MatrixDescriptor, get_doid
+from ...core.descr import MatrixDescriptor
 from ...core.formats import BSR, DIA, ELL
 from ...core.matrix import SparseMatrix
 from ...core.types import (
@@ -32,7 +32,6 @@ from ...core.types import (
     Status,
 )
 from ...kernels.registry import registry
-from ...kernels.xla import spmv as K
 from ...planner.plan import get_plan
 
 __all__ = ["mv", "dotmv"]

@@ -13,7 +13,6 @@ B_T/C_T), matching aoclsparse.hpp's C++ overloads semantically.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -15,7 +15,7 @@ The matvec operand is the padded-ELL execution form (planner's `ell` kind).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

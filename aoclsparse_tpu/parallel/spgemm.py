@@ -13,8 +13,6 @@ they are nnz-sized, tiny next to the product stream).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

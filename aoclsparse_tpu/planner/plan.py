@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.descr import Doid, MatrixDescriptor, get_doid
-from ..core.formats import BSR, COO, CSC, CSR, DIA, ELL
+from ..core.descr import MatrixDescriptor
+from ..core.formats import CSR
 from ..core.types import (
     AoclSparseError,
     DiagType,
@@ -34,7 +34,7 @@ from ..core.types import (
     Operation,
     Status,
 )
-from ..core.matrix import Hint, SparseMatrix
+from ..core.matrix import SparseMatrix
 
 __all__ = [
     "CleanCSR",

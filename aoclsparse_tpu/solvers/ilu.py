@@ -31,7 +31,6 @@ from ..core.types import (
     Operation,
     Status,
 )
-from ..kernels.xla.trsv import trsv_blocked
 from ..planner.plan import CleanCSR, build_effective_csr, get_plan
 from ..planner.triangular import adaptive_nb, build_trsv_form
 

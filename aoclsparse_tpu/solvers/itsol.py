@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.descr import GENERAL, MatrixDescriptor
+from ..core.descr import MatrixDescriptor
 from ..core.matrix import SparseMatrix
 from ..core.types import AoclSparseError, Operation, Status
 from ..ops.level2.mv import mv
@@ -38,7 +38,6 @@ from .options import (
     PRECOND_SGS,
     PRECOND_USER,
     SOLVER_CG,
-    SOLVER_GMRES,
     default_registry,
 )
 

@@ -19,7 +19,7 @@ and the registered set (solvers/aoclsparse_itsol_list_options.hpp:94-240):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Union
+from typing import Any, Dict, Optional
 
 import numpy as np
 

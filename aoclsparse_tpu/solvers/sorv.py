@@ -16,8 +16,6 @@ omega — a jitted elementwise pass over the cached triangle values).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,7 +32,6 @@ from ..core.types import (
     Status,
     is_complex_dtype,
 )
-from ..kernels.xla.trsv import trsv_blocked
 from ..ops.level2.mv import mv
 from ..planner.plan import build_effective_csr, get_plan
 from ..planner.triangular import adaptive_nb, build_trsv_form
