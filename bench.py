@@ -75,14 +75,16 @@ def main():
     # best-of-chunks chained timing: the TPU pool behind the tunnel is
     # contended (identical kernels vary 2-100x between windows); min over
     # chunks is the honest kernel time
-    iters_per, chunks = 50, 6
+    iters_per, chunks = 40, 12
     t = float("inf")
-    for _ in range(chunks):
+    for c in range(chunks):
         t0 = time.perf_counter()
         for _ in range(iters_per):
             y = run()
         np.asarray(y[:1])  # one sync per chunk
         t = min(t, (time.perf_counter() - t0) / iters_per)
+        if c % 4 == 3:
+            time.sleep(2.0)  # sample across throttle sub-windows
 
     isize = 4
     vsize = np.dtype(dtype).itemsize
