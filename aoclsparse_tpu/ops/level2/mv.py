@@ -82,7 +82,14 @@ def _run_exec_form(form, x, kid):
             os.environ.get("AOCLSPARSE_TPU_MIXED_PRECISION", "0") in ("1", "true")
             and x.dtype == jnp.float32
         )
-        y = e.fn(form.bwd_val, xp, form.bwd_W, form.bwd_base8, form.bwd_n_pad, mixed)
+        wv = form.bwd_val
+        if mixed:
+            # cache the bf16 operand: casting per call would re-stream the
+            # full band (the whole point of bf16 is halving that traffic)
+            if getattr(form, "_bwd_val_bf16", None) is None:
+                form._bwd_val_bf16 = wv.astype(jnp.bfloat16)
+            wv = form._bwd_val_bf16
+        y = e.fn(wv, xp, form.bwd_W, form.bwd_base8, form.bwd_n_pad, mixed)
         y = y[: form.m]
         if form.sp_ind is not None and form.sp_ind.shape[0]:
             # edge-peel spill: the few window-outlier entries (planner peel)

@@ -132,9 +132,14 @@ def mm(
             os.environ.get("AOCLSPARSE_TPU_MIXED_PRECISION", "0") in ("1", "true")
             and Bc.dtype == jnp.float32
         )
-        c_new = e.fn(
-            form.bwd_val, Bp, form.bwd_G, form.bwd_W, form.bwd_base8, form.bwd_n_pad, mixed
-        )[: form.m]
+        wv = form.bwd_val
+        if mixed:
+            if getattr(form, "_bwd_val_bf16", None) is None:
+                form._bwd_val_bf16 = wv.astype(jnp.bfloat16)
+            wv = form._bwd_val_bf16
+        c_new = e.fn(wv, Bp, form.bwd_G, form.bwd_W, form.bwd_base8, form.bwd_n_pad, mixed)[
+            : form.m
+        ]
     else:
         c_new = e.fn(
             form.ell_ind, form.ell_val, form.sp_ind, form.sp_val, form.sp_rows, Bc, form.m

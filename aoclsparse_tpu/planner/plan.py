@@ -447,6 +447,7 @@ class ExecForm:
     dia_n_pad: int = 0
 
     def refresh(self, eff_val: jax.Array) -> None:
+        self._bwd_val_bf16 = None  # derived bf16 operand (mixed-precision path)
         if self.kind == "segsum":
             self.val = eff_val
         elif self.kind == "diag":
