@@ -75,6 +75,7 @@ def main():
     # best-of-chunks chained timing: the TPU pool behind the tunnel is
     # contended (identical kernels vary 2-100x between windows); min over
     # chunks is the honest kernel time
+    deadline = time.perf_counter() + 150.0  # overall sampling budget
     iters_per, chunks = 40, 12
     t = float("inf")
     for c in range(chunks):
@@ -83,8 +84,33 @@ def main():
             y = run()
         np.asarray(y[:1])  # one sync per chunk
         t = min(t, (time.perf_counter() - t0) / iters_per)
+        if time.perf_counter() > deadline:
+            break
         if c % 4 == 3:
             time.sleep(2.0)  # sample across throttle sub-windows
+
+    # secondary: bf16-multiply variant (f32 accumulate) for the extras field
+    # (skipped when the sampling budget is already spent — compile costs
+    # ~100 s through the remote tunnel)
+    t_bf16 = None
+    if form.kind == "bwd" and time.perf_counter() < deadline - 30:
+        import os as _os
+
+        _os.environ["AOCLSPARSE_TPU_MIXED_PRECISION"] = "1"
+        try:
+            y = run()
+            np.asarray(y[:1])
+            t_bf16 = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(30):
+                    y = run()
+                np.asarray(y[:1])
+                t_bf16 = min(t_bf16, (time.perf_counter() - t0) / 30)
+        except Exception:
+            t_bf16 = None
+        finally:
+            _os.environ.pop("AOCLSPARSE_TPU_MIXED_PRECISION", None)
 
     isize = 4
     vsize = np.dtype(dtype).itemsize
@@ -102,6 +128,7 @@ def main():
                 "extra": {
                     "gflops": round(gflops, 3),
                     "gnnz_per_s": round(nnz / t / 1e9, 3),
+                    "bf16mul_gnnz_per_s": round(nnz / t_bf16 / 1e9, 3) if t_bf16 else None,
                     "t_iter_us": round(t * 1e6, 2),
                     "exec_form": form.kind,
                     "bwd_W": getattr(form, "bwd_W", None),
