@@ -167,6 +167,32 @@ def test_rci_manual_drive(rng):
     assert n_mv == int(h.rinfo[RINFO_ITER]) + 1  # one mv per iter + initial residual
 
 
+def test_gmres_rci_manual_drive(rng):
+    """Drive the GMRES RCI stepper by hand with a user preconditioner."""
+    m = 24
+    A, dense = _general_csr(rng, m)
+    b = rng.standard_normal(m)
+    d = np.diag(dense)
+    h = ast.itsol_init(np.float64)
+    ast.itsol_option_set(h, "iterative method", "GMRES")
+    ast.itsol_option_set(h, "gmres rel tolerance", 1e-10)
+    ast.itsol_option_set(h, "gmres preconditioner", "User")
+    ast.itsol_rci_input(h, m, b)
+    rci = ast.itsol_rci_solve(h)
+    job, u = rci.step()
+    bounces = 0
+    while job != RciJob.stop and bounces < 10000:
+        bounces += 1
+        if job == RciJob.mv:
+            job, u = rci.step(ast.mv(1.0, A, GEN, Operation.none, u, 0.0))
+        elif job == RciJob.precond:
+            job, u = rci.step(np.asarray(u) / d)  # Jacobi as user precond
+        else:
+            job, u = rci.step()
+    np.testing.assert_allclose(np.asarray(rci.x), np.linalg.solve(dense, b), atol=1e-6)
+    assert h.rinfo[RINFO_RES_NORM] <= 1e-10 * np.linalg.norm(b) * 1.01 or rci.rnorm2 < 1e-8
+
+
 def test_rci_interrupt(rng):
     m = 20
     A, dense = _spd_csr(rng, m)

@@ -88,6 +88,20 @@ def test_csr2m_spmm(rng):
     assert_allclose_spec(_dense_of(C2), dA @ dB, dtype=np.float64, scale=30)
 
 
+def test_sp2m_symmetric_descriptors(rng):
+    """sp2m with a symmetric descriptor expands the triangle first."""
+    from aoclsparse_tpu import FillMode, MatrixType
+
+    k = 8
+    A, dA = _mk(rng, k, k, ensure_diag=True)
+    B, dB = _mk(rng, k, k)
+    descrA = MatrixDescriptor(type=MatrixType.symmetric, fill_mode=FillMode.lower)
+    mA, nA, nnzA, pA, iA, vA = ast.export_csr(A)
+    effA = effective_dense(k, k, pA, iA, vA, descrA)
+    C = ast.sp2m(Operation.none, descrA, A, Operation.none, GEN, B)
+    assert_allclose_spec(_dense_of(C), effA @ dB, dtype=np.float64, scale=30)
+
+
 def test_sp2m_dim_mismatch(rng):
     A, _ = _mk(rng, 5, 4)
     B, _ = _mk(rng, 5, 4)
