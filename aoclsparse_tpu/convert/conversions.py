@@ -246,34 +246,30 @@ def csr_to_bsr(A: CSR, block_dim: int) -> BSR:
 
 
 def bsr_to_csr(A: BSR) -> CSR:
+    """Expand stored blocks to element CSR (vectorized — host structure work
+    must not be per-element Python loops on this box). Every in-band entry of
+    a stored block is kept, including zeros: filtering on value would change
+    the stored pattern and break value-path refresh assumptions."""
     bs = A.block_dim
     mb = A.mb
-    bptr = _np(A.ptr)
-    bind = _np(A.ind)
+    bptr = _np(A.ptr).astype(np.int64)
+    bind = _np(A.ind).astype(np.int64)
     bval = _np(A.val)
     m, n = A.shape
-    ptr = [0]
-    ind_out = []
-    val_out = []
-    for ib in range(mb):
-        for r in range(bs):
-            i = ib * bs + r
-            if i >= m:
-                break
-            for k in range(int(bptr[ib]), int(bptr[ib + 1])):
-                jb = int(bind[k])
-                for c in range(bs):
-                    j = jb * bs + c
-                    if j < n and bval[k, r, c] != 0:
-                        ind_out.append(j)
-                        val_out.append(bval[k, r, c])
-            ptr.append(len(ind_out))
-    return CSR(
-        np.asarray(ptr, np.int32),
-        np.asarray(ind_out, np.int32),
-        jnp.asarray(np.asarray(val_out, dtype=bval.dtype)),
-        shape=(m, n),
-    )
+    nnzb = bind.shape[0]
+    brow = np.repeat(np.arange(mb, dtype=np.int64), np.diff(bptr))
+    r = np.arange(bs, dtype=np.int64)
+    i = np.broadcast_to(brow[:, None, None] * bs + r[None, :, None], (nnzb, bs, bs)).ravel()
+    j = np.broadcast_to(bind[:, None, None] * bs + r[None, None, :], (nnzb, bs, bs)).ravel()
+    v = bval.reshape(nnzb * bs * bs)
+    keep = (i < m) & (j < n)
+    i, j, v = i[keep], j[keep], v[keep]
+    order = np.lexsort((j, i))
+    i, j, v = i[order], j[order], v[order]
+    ptr = np.zeros(m + 1, dtype=np.int64)
+    np.add.at(ptr, i + 1, 1)
+    ptr = np.cumsum(ptr)
+    return CSR(ptr.astype(np.int32), j.astype(np.int32), jnp.asarray(v), shape=(m, n))
 
 
 def csr_to_sell(A: CSR, slice_rows: int = 8, lane: int = 128) -> SELL:

@@ -8,12 +8,30 @@ import numpy as np
 
 from .types import AoclSparseError, IndexBase, Status
 
-__all__ = ["check_csr_arrays", "check_sizes", "require"]
+__all__ = ["check_csr_arrays", "check_dtype_compat", "check_sizes", "require"]
 
 
 def require(cond: bool, status: Status, msg: str = ""):
     if not cond:
         raise AoclSparseError(status, msg)
+
+
+def check_dtype_compat(mat_dtype, operand_dtype, what: str = "operand"):
+    """Reject operand dtypes the matrix compute dtype cannot represent.
+
+    The reference API is typed (s/d/c/z entry points), so a complex operand
+    against a real matrix or a double operand against a float matrix is
+    impossible there; here it would silently narrow (wrong_type analog,
+    e.g. the per-type wrappers in level2/aoclsparse_mv.cpp:411). A safe
+    up-cast of the operand into mat_dtype remains allowed.
+    """
+    mat_dtype = np.dtype(mat_dtype)
+    if np.result_type(mat_dtype, np.dtype(operand_dtype)) != mat_dtype:
+        raise AoclSparseError(
+            Status.wrong_type,
+            f"{what} dtype {np.dtype(operand_dtype).name} does not fit matrix "
+            f"dtype {mat_dtype.name}: computation would narrow",
+        )
 
 
 def check_sizes(m: int, n: int, nnz: int):

@@ -166,6 +166,9 @@ def mv(
 ):
     """y = alpha * op(descr(A)) @ x + beta * y  (aoclsparse_?mv)."""
     op, x, y, ny = _validate(A, descr, op, x, y)
+    from ...core.validate import check_dtype_compat
+
+    check_dtype_compat(A.dtype, x.dtype, "x")
     dtype = jnp.result_type(A.dtype, x.dtype)
     alpha_c = jnp.asarray(alpha, dtype=dtype)
     beta_c = jnp.asarray(beta, dtype=dtype)

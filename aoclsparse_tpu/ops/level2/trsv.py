@@ -71,6 +71,9 @@ def trsv(
     b = jnp.asarray(b)
     if b.ndim != 1 or b.shape[0] != A.shape[0]:
         raise AoclSparseError(Status.invalid_size, f"b must be ({A.shape[0]},), got {b.shape}")
+    from ...core.validate import check_dtype_compat
+
+    check_dtype_compat(A.dtype, b.dtype, "b")
     dtype = jnp.result_type(A.dtype, b.dtype)
     return _solve(A, descr, op, (jnp.asarray(alpha, dtype) * b).astype(A.dtype), kid).astype(
         dtype

@@ -82,6 +82,9 @@ def mm(
     if MatrixType(descr.type) != MatrixType.general and m != n:
         raise AoclSparseError(Status.invalid_size, f"{descr.type.name} requires square A")
 
+    from ...core.validate import check_dtype_compat
+
+    check_dtype_compat(A.dtype, B.dtype, "B")
     dtype = jnp.result_type(A.dtype, B.dtype)
     c_old = jnp.zeros((ma, k), dtype=dtype) if C is None else C.astype(dtype)
     alpha_c = jnp.asarray(alpha, dtype=dtype)

@@ -392,6 +392,10 @@ def syrkd(opA: Operation, A: SparseMatrix, alpha, beta=0.0, C=None, order: Order
         conj_a,
         conj_b,
     )
+    # the reference's beta loops only touch j >= i (aoclsparse_syrkd.hpp):
+    # the caller's strict lower triangle passes through unscaled
+    triu = jnp.arange(m)[:, None] <= jnp.arange(m)[None, :]
+    out = jnp.where(triu, out, C0)
     return out.T if Order(order) == Order.column else out
 
 

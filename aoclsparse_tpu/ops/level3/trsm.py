@@ -39,6 +39,9 @@ def trsm(
         raise AoclSparseError(
             Status.invalid_size, f"B must be ({A.shape[0]}, k), got {B.shape}"
         )
+    from ...core.validate import check_dtype_compat
+
+    check_dtype_compat(A.dtype, B.dtype, "B")
     dtype = jnp.result_type(A.dtype, B.dtype)
     X = _solve(A, descr, op, (jnp.asarray(alpha, dtype) * B).astype(A.dtype), kid).astype(dtype)
     return X.T if order == Order.column else X

@@ -294,13 +294,31 @@ class GmresRci:
         s = np.conj(g) * (f / af) / d
         return c, s, r
 
+    @staticmethod
+    def _backsolve(R, g):
+        """Upper-triangular back-substitution y = R^{-1} g.
+
+        The reference solves the rotated Hessenberg system the same way
+        (itsol_functions.hpp:1237-1255) rather than with a general solver —
+        H[:j,:j] is upper triangular by construction after the Givens sweep,
+        and a general LU here could silently mask a rotation bug."""
+        j = len(g)
+        y = np.zeros(j, dtype=R.dtype)
+        for i in range(j - 1, -1, -1):
+            acc = g[i] - R[i, i + 1 :] @ y[i + 1 :]
+            y[i] = acc / R[i, i]
+        return y
+
     def _start_cycle_residual(self, v):
-        """v = A x computed; build r0 = b - v, check convergence, set v0."""
+        """v = A x computed; build r0 = b - v, check convergence, set v0.
+
+        beta == 0 (exact initial guess / b == 0) counts as converged — the
+        basis normalization r0/beta below would otherwise produce NaN."""
         r0 = self.b - v
         beta = float(_nrm2(r0))
         self.rinfo[RINFO_RES_NORM] = beta
         self.rnorm2 = beta
-        if (0.0 < beta <= self.atol) or (0.0 < beta <= self.brtol):
+        if beta <= self.atol or beta <= self.brtol:
             self.rinfo[RINFO_ITER] = self.niter
             return True
         self.V = [r0 / beta]
@@ -359,17 +377,13 @@ class GmresRci:
                     hcol[i] = hij
                     w = w - hcol[i] * self.V[i]
                 hh = float(_nrm2(w))
-                if (hh < self.atol) or (hh < self.brtol):
-                    # residual already orthogonal: accept current x
-                    self.j = j + 1
-                    self.niter += self.j
-                    self.rinfo[RINFO_ITER] = self.niter
-                    self.rinfo[RINFO_RES_NORM] = hh
-                    self.task = "x_update_ortho"
-                    continue
-                self.V.append(w / hh)
+                breakdown = (hh < self.atol) or (hh < self.brtol)
+                if not breakdown:
+                    self.V.append(w / hh)
                 hcol[j + 1] = hh
-                # apply previous rotations
+                # apply previous rotations, then the new one — also on the
+                # happy-breakdown path, so H[:j+1,:j+1] stays a complete
+                # upper-triangular factor for the x-update back-solve
                 for i in range(j):
                     r1, r2 = hcol[i], hcol[i + 1]
                     hcol[i] = self.c[i] * r1 + self.s[i] * r2
@@ -384,6 +398,13 @@ class GmresRci:
                 self.rnorm2 = abs(self.g[j + 1])
                 self.rinfo[RINFO_RES_NORM] = self.rnorm2
                 self.j += 1
+                if breakdown:
+                    # residual already (numerically) in span(V): solve with the
+                    # j+1 completed columns and accept the updated x
+                    self.niter += self.j
+                    self.rinfo[RINFO_ITER] = self.niter
+                    self.task = "x_update_ortho"
+                    continue
                 if self.j >= m:
                     self.task = "x_update"
                     continue
@@ -393,7 +414,7 @@ class GmresRci:
             if self.task in ("x_update", "x_update_ortho"):
                 j = self.j
                 if j > 0:
-                    y = np.linalg.solve(self.H[:j, :j], self.g[:j]) if j else None
+                    y = self._backsolve(self.H[:j, :j], self.g[:j])
                     basis = self.Z if self.precond else self.V
                     upd = jnp.zeros_like(self.x)
                     for i in range(j):
@@ -403,9 +424,7 @@ class GmresRci:
                     return RciJob.stop, None
                 self.niter += j
                 self.rinfo[RINFO_ITER] = self.niter
-                converged = (0.0 < self.atol and self.rnorm2 <= self.atol) or (
-                    0.0 < self.rnorm2 <= self.brtol
-                )
+                converged = self.rnorm2 <= self.atol or self.rnorm2 <= self.brtol
                 if self.maxit > 0 and self.niter >= self.maxit and not converged:
                     self.status = Status.maxit
                     return RciJob.stop, None
