@@ -17,3 +17,4 @@ registry.register("mv", KernelEntry(3, "xla_bsr", spmv.spmv_bsr, "bsr", "any", 0
 registry.register("mv", KernelEntry(4, "xla_dia", spmv.spmv_dia, "dia", "any", 0))
 registry.register("mv", KernelEntry(5, "xla_bwd", spmv.spmv_bwd, "bwd", "any", 1))
 registry.register("mv", KernelEntry(6, "xla_diag", spmv.spmv_diag, "diag", "any", 1))
+registry.register("mv", KernelEntry(7, "xla_gen", spmv.spmv_gen, "gen", "any", 1))

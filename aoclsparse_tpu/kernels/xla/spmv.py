@@ -150,6 +150,94 @@ def spmv_bwd(win_val, x, W: int, base8: int, n_pad: int, mixed: bool = False):
     return out.reshape(-1)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "B",
+        "W",
+        "base8",
+        "padL",
+        "n_pad",
+        "m",
+        "m_pad",
+        "mixed",
+        "has_hub",
+        "has_hubrow",
+        "has_spill",
+    ),
+)
+def spmv_gen(
+    win_val,
+    x,
+    bperm,
+    bout,
+    hub_slab,
+    hub_cols,
+    hubr_slab,
+    hubr_rows,
+    sp_val,
+    sp_ind,
+    sp_rows,
+    B: int,
+    W: int,
+    base8: int,
+    padL: int,
+    n_pad: int,
+    m: int,
+    m_pad: int,
+    mixed: bool = False,
+    has_hub: bool = False,
+    has_hubrow: bool = False,
+    has_spill: bool = False,
+):
+    """General-sparsity SpMV: block-RCM-permuted band window + dense
+    hub-column slab + COO spill, fused into ONE compiled program
+    (per-dispatch latency through the remote tunnel is ~ms, so the
+    composition must not multiply it).
+
+    The decomposition P A P^T = Band + HubSlab + Spill is planner-built
+    (plan._build_gen). P is BLOCK-granular (B-element blocks of the
+    index space are reordered whole): a full-length elementwise
+    permutation gathers at ~0.08 G elem/s on this TPU while B=128-wide
+    panel gathers run ~3 G elem/s (benchmarks/PROBE_general.jsonl), so
+    x/y permutes are reshaped panel gathers, not scalar gathers. After
+    permutation, near-diagonal entries ride the banded-window dense form
+    (spmv_bwd layout), dense columns (power-law hubs, ORIGINAL column
+    ids) become a dense (m_pad, k) slab on the MXU, and window outliers
+    spill to a sorted segment-sum. Covers the structure classes the
+    reference's gather-kernel SpMV handles uniformly on x86
+    (level2/aoclsparse_csrmv_kt.cpp:31-108) — gathers here are O(m/B)
+    panels and the O(k) hub pick, never O(nnz).
+    """
+    nblk = m_pad // B
+    xb = jnp.pad(x, (0, m_pad - x.shape[0])).reshape(nblk, B)
+    xp = xb[bperm].reshape(-1)  # (m_pad,) block-permuted x
+    xpad = jnp.pad(xp, (padL, n_pad - padL - m_pad))
+    yp = spmv_bwd(win_val, xpad, W, base8, n_pad, mixed)[:m_pad]
+    if has_spill:
+        yp = yp + jax.ops.segment_sum(
+            sp_val * xp[sp_ind], sp_rows, num_segments=m_pad, indices_are_sorted=True
+        )
+    if has_hub:
+        if mixed:
+            yp = yp + (
+                hub_slab.astype(jnp.bfloat16) @ x[hub_cols].astype(jnp.bfloat16)
+            ).astype(yp.dtype)
+        else:
+            yp = yp + hub_slab @ x[hub_cols]
+    if has_hubrow:
+        # dense rows (transpose-side hubs): (kr, m_pad) slab against the
+        # permuted x, scattered back at kr permuted row positions
+        if mixed:
+            contrib = (
+                hubr_slab.astype(jnp.bfloat16) @ xp.astype(jnp.bfloat16)
+            ).astype(yp.dtype)
+        else:
+            contrib = hubr_slab @ xp
+        yp = yp.at[hubr_rows].add(contrib)
+    return yp.reshape(nblk, B)[bout].reshape(-1)[:m]
+
+
 #: unroll threshold: static slices fuse into one kernel (fast); beyond this,
 #: compile time would grow linearly so we fall back to the on-device scan
 DIA_UNROLL = 32

@@ -19,7 +19,14 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["available", "ilu0_factor", "level_schedule", "spgemm_nnz", "spgemm_expand"]
+__all__ = [
+    "available",
+    "ilu0_factor",
+    "level_schedule",
+    "rcm_permutation",
+    "spgemm_nnz",
+    "spgemm_expand",
+]
 
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "src" / "host_kernels.cpp"
@@ -82,6 +89,8 @@ def _load() -> Optional[ctypes.CDLL]:
             fn.argtypes = [ctypes.c_int64, i64p, i64p, vt, i64p, i64p]
         lib.level_schedule.restype = ctypes.c_int64
         lib.level_schedule.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
+        lib.rcm.restype = ctypes.c_int64
+        lib.rcm.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
         lib.spgemm_nnz.restype = ctypes.c_int64
         lib.spgemm_nnz.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p, i64p, i64p]
         lib.spgemm_expand.restype = ctypes.c_int64
@@ -206,6 +215,75 @@ def level_schedule(m: int, ptr, ind) -> Tuple[np.ndarray, int]:
         levels[i] = lv
         nlev = max(nlev, lv + 1)
     return levels, nlev
+
+
+def rcm_permutation(m: int, ptr, ind) -> Tuple[np.ndarray, int]:
+    """Reverse Cuthill-McKee ordering on the symmetrized pattern.
+
+    Returns (perm, half_bandwidth_after): perm[k] = original row placed at
+    position k; applying it symmetrically (B = A[perm][:, perm]) gives the
+    reported half bandwidth. The planner uses this to route general-sparsity
+    matrices to the banded-window TPU form (new analysis — the reference's
+    gather kernels are structure-agnostic on x86 and never reorder)."""
+    lib = _load()
+    ptr64 = _i64(ptr)
+    ind64 = _i64(ind)
+    perm = np.empty(m, dtype=np.int64)
+    if lib is not None:
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        bw = lib.rcm(
+            ctypes.c_int64(m),
+            ptr64.ctypes.data_as(i64p),
+            ind64.ctypes.data_as(i64p),
+            perm.ctypes.data_as(i64p),
+        )
+        return perm, int(bw)
+    return _rcm_numpy(m, ptr64, ind64)
+
+
+def _rcm_numpy(m, ptr, ind):
+    """Vectorized-per-level numpy fallback (per-node Python loops are
+    throttled on this host; BFS levels batch with bincount/argsort)."""
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(ptr))
+    keep = (ind < m) & (ind != rows)
+    src = np.concatenate([rows[keep], ind[keep]])
+    dst = np.concatenate([ind[keep], rows[keep]])
+    order2 = np.lexsort((dst, src))
+    src, dst = src[order2], dst[order2]
+    # dedup edges
+    if src.size:
+        uniq = np.concatenate([[True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])])
+        src, dst = src[uniq], dst[uniq]
+    aptr = np.zeros(m + 1, dtype=np.int64)
+    np.add.at(aptr, src + 1, 1)
+    aptr = np.cumsum(aptr)
+    deg = np.diff(aptr)
+    visited = np.zeros(m, dtype=bool)
+    order = []
+    remaining = np.argsort(deg, kind="stable")
+    for seed in remaining:
+        if visited[seed]:
+            continue
+        frontier = np.array([seed], dtype=np.int64)
+        visited[seed] = True
+        while frontier.size:
+            order.append(frontier)
+            # gather all neighbors of the frontier, dedup, drop visited
+            starts, stops = aptr[frontier], aptr[frontier + 1]
+            if stops.sum() - starts.sum() == 0:
+                nxt = np.zeros(0, dtype=np.int64)
+            else:
+                chunks = [dst[a:b] for a, b in zip(starts, stops)]
+                nxt = np.unique(np.concatenate(chunks)) if chunks else np.zeros(0, np.int64)
+                nxt = nxt[~visited[nxt]]
+            visited[nxt] = True
+            # degree-ascending within the level (CM tie-break)
+            frontier = nxt[np.argsort(deg[nxt], kind="stable")] if nxt.size else nxt
+    perm = np.concatenate(order)[::-1].copy() if order else np.zeros(0, np.int64)
+    ip = np.empty(m, dtype=np.int64)
+    ip[perm] = np.arange(m)
+    bw = int(np.abs(ip[rows[keep]] - ip[ind[keep]]).max()) if keep.any() else 0
+    return perm, bw
 
 
 def spgemm_expand(mA: int, Aptr, Aind, Bptr, Bind, upper_only: bool = False):

@@ -191,4 +191,131 @@ int64_t spgemm_expand(int64_t mA,
     return c_out;
 }
 
+// ---------------------------------------------------------------------------
+// Reverse Cuthill-McKee ordering on the symmetrized pattern of A.
+// Bandwidth reduction is the planner's lever for making general matrices
+// band-compressible on TPU (the banded-window execution form): the
+// reference never needs this (its gather-based kernels are
+// structure-agnostic on x86), so this is a new TPU-motivated analysis.
+// perm[k] = original index of the row placed at position k.
+// Returns the post-permutation half bandwidth (max |perm^-1[i]-perm^-1[j]|).
+// ---------------------------------------------------------------------------
+
+int64_t rcm(int64_t m,
+            const int64_t *ptr,
+            const int64_t *ind,
+            int64_t *perm)
+{
+    // build symmetrized adjacency (A + A^T, self-loops dropped, dedup)
+    std::vector<int64_t> deg((size_t)m, 0);
+    const int64_t nnz = ptr[m];
+    for (int64_t i = 0; i < m; ++i) {
+        for (int64_t k = ptr[i]; k < ptr[i + 1]; ++k) {
+            const int64_t j = ind[k];
+            if (j == i || j >= m) continue;
+            ++deg[(size_t)i];
+            ++deg[(size_t)j];
+        }
+    }
+    std::vector<int64_t> aptr((size_t)m + 1, 0);
+    for (int64_t i = 0; i < m; ++i) aptr[(size_t)i + 1] = aptr[(size_t)i] + deg[(size_t)i];
+    std::vector<int64_t> adj((size_t)aptr[(size_t)m]);
+    std::vector<int64_t> fill((size_t)m, 0);
+    for (int64_t i = 0; i < m; ++i) {
+        for (int64_t k = ptr[i]; k < ptr[i + 1]; ++k) {
+            const int64_t j = ind[k];
+            if (j == i || j >= m) continue;
+            adj[(size_t)(aptr[(size_t)i] + fill[(size_t)i]++)] = j;
+            adj[(size_t)(aptr[(size_t)j] + fill[(size_t)j]++)] = i;
+        }
+    }
+    // dedup + degree-sort each adjacency row (CM wants ascending degree)
+    for (int64_t i = 0; i < m; ++i) {
+        auto b = adj.begin() + aptr[(size_t)i];
+        auto e = adj.begin() + aptr[(size_t)i] + fill[(size_t)i];
+        std::sort(b, e);
+        auto ne = std::unique(b, e);
+        fill[(size_t)i] = ne - b;
+    }
+    for (int64_t i = 0; i < m; ++i) deg[(size_t)i] = fill[(size_t)i];
+    for (int64_t i = 0; i < m; ++i) {
+        auto b = adj.begin() + aptr[(size_t)i];
+        auto e = b + fill[(size_t)i];
+        std::sort(b, e, [&](int64_t x, int64_t y) {
+            return deg[(size_t)x] != deg[(size_t)y] ? deg[(size_t)x] < deg[(size_t)y]
+                                                    : x < y;
+        });
+    }
+
+    std::vector<uint8_t> visited((size_t)m, 0);
+    std::vector<int64_t> order;
+    order.reserve((size_t)m);
+    std::vector<int64_t> queue;
+    queue.reserve((size_t)m);
+    std::vector<int64_t> level((size_t)m, 0);
+
+    // one BFS pass from s; returns index (into q) of start of last level
+    auto bfs = [&](int64_t s, std::vector<int64_t> &q) -> size_t {
+        q.clear();
+        q.push_back(s);
+        std::vector<uint8_t> seen((size_t)m, 0);
+        seen[(size_t)s] = 1;
+        level[(size_t)s] = 0;
+        size_t head = 0, last_lvl_start = 0;
+        int64_t cur_lvl = 0;
+        while (head < q.size()) {
+            const int64_t u = q[head++];
+            if (level[(size_t)u] != cur_lvl) {
+                cur_lvl = level[(size_t)u];
+                last_lvl_start = head - 1;
+            }
+            for (int64_t k = aptr[(size_t)u]; k < aptr[(size_t)u] + fill[(size_t)u]; ++k) {
+                const int64_t v = adj[(size_t)k];
+                if (!seen[(size_t)v] && !visited[(size_t)v]) {
+                    seen[(size_t)v] = 1;
+                    level[(size_t)v] = level[(size_t)u] + 1;
+                    q.push_back(v);
+                }
+            }
+        }
+        return last_lvl_start;
+    };
+
+    for (int64_t seed = 0; seed < m; ++seed) {
+        if (visited[(size_t)seed]) continue;
+        // component start: min-degree node reachable check via BFS growth
+        int64_t s = seed;
+        // George-Liu pseudo-peripheral: iterate "farthest min-degree" twice
+        size_t last_start = bfs(s, queue);
+        for (int rep = 0; rep < 2; ++rep) {
+            int64_t best = queue[last_start];
+            for (size_t t = last_start; t < queue.size(); ++t)
+                if (deg[(size_t)queue[t]] < deg[(size_t)best]) best = queue[t];
+            if (best == s) break;
+            s = best;
+            last_start = bfs(s, queue);
+        }
+        // Cuthill-McKee order = the BFS order (neighbors pre-sorted by degree)
+        for (const int64_t u : queue) {
+            visited[(size_t)u] = 1;
+            order.push_back(u);
+        }
+    }
+    // reverse
+    for (int64_t i = 0; i < m; ++i) perm[i] = order[(size_t)(m - 1 - i)];
+    // post-permutation half bandwidth
+    std::vector<int64_t> ip((size_t)m);
+    for (int64_t i = 0; i < m; ++i) ip[(size_t)perm[i]] = i;
+    int64_t bw = 0;
+    for (int64_t i = 0; i < m; ++i)
+        for (int64_t k = ptr[i]; k < ptr[i + 1]; ++k) {
+            if (ind[k] >= m) continue;
+            const int64_t d = ip[(size_t)i] - ip[(size_t)ind[k]];
+            const int64_t ad = d < 0 ? -d : d;
+            if (ad > bw) bw = ad;
+        }
+    (void)nnz;
+    return bw;
+}
+
 } // extern "C"

@@ -110,6 +110,48 @@ def _run_exec_form(form, x, kid):
             form.dia_n_pad,
             offs_static=form.dia_offs_static,
         )
+    if form.kind == "gen":
+        import os
+
+        mixed = (
+            os.environ.get("AOCLSPARSE_TPU_MIXED_PRECISION", "0") in ("1", "true")
+            and x.dtype == jnp.float32
+        )
+        wv = form.bwd_val
+        if mixed:
+            if getattr(form, "_bwd_val_bf16", None) is None:
+                form._bwd_val_bf16 = wv.astype(jnp.bfloat16)
+            wv = form._bwd_val_bf16
+        has_spill = form.sp_ind is not None and bool(form.sp_ind.shape[0])
+        has_hub = form.hub_cols is not None and bool(form.hub_cols.shape[0])
+        has_hubrow = form.hubr_rows is not None and bool(form.hubr_rows.shape[0])
+        zero_i = jnp.zeros((0,), jnp.int32)
+        zero_v = jnp.zeros((0,), x.dtype)
+        zero_m = jnp.zeros((0, 0), x.dtype)
+        return e.fn(
+            wv,
+            x,
+            form.gen_perm,
+            form.gen_out,
+            form.hub_slab if has_hub else zero_m,
+            form.hub_cols if has_hub else zero_i,
+            form.hubr_slab if has_hubrow else zero_m,
+            form.hubr_rows if has_hubrow else zero_i,
+            form.sp_val if has_spill else zero_v,
+            form.sp_ind if has_spill else zero_i,
+            form.sp_rows if has_spill else zero_i,
+            B=form.gen_B,
+            W=form.bwd_W,
+            base8=form.bwd_base8,
+            padL=form.bwd_padL,
+            n_pad=form.bwd_n_pad,
+            m=form.m,
+            m_pad=form.gen_m_pad,
+            mixed=mixed,
+            has_hub=has_hub,
+            has_hubrow=has_hubrow,
+            has_spill=has_spill,
+        )
     raise AoclSparseError(Status.internal_error, f"bad exec form {form.kind}")
 
 
@@ -142,7 +184,7 @@ def _spmv_core(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, x, kid=N
         # with invalid_kid when unsupported, cntx_dispatcher.hpp:272-364)
         for e in registry.table("mv"):
             if e.kid == kid:
-                if e.fmt not in ("segsum", "ell", "ellhyb", "bwd", "diag"):
+                if e.fmt not in ("segsum", "ell", "ellhyb", "bwd", "diag", "gen"):
                     raise AoclSparseError(
                         Status.invalid_kid, f"kid {kid} serves format '{e.fmt}', not CSR"
                     )

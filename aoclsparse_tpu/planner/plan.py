@@ -445,6 +445,20 @@ class ExecForm:
     dia_offs_static: Optional[Tuple] = None  # static copy for unrolled kernel
     dia_L: int = 0
     dia_n_pad: int = 0
+    # gen (RCM-permuted band + hub slab + spill; see kernels/xla/spmv.py
+    # spmv_gen): band/spill fields above are in PERMUTED coordinates
+    gen_perm: Optional[jax.Array] = None  # (nblk,) int32 block perm: xp blocks
+    gen_out: Optional[jax.Array] = None  # (nblk,) int32 inverse block perm
+    gen_B: int = 128  # permutation block granularity
+    gen_m_pad: int = 0  # permuted/padded dimension (nblk * B)
+    hub_cols: Optional[jax.Array] = None  # (k,) int32 ORIGINAL col ids
+    hub_slab: Optional[jax.Array] = None  # (m_pad, k) dense, permuted rows
+    hub_dest: Optional[np.ndarray] = None  # flat positions into hub_slab
+    hub_src: Optional[np.ndarray] = None  # positions into eff val
+    hubr_rows: Optional[jax.Array] = None  # (kr,) int32 PERMUTED row positions
+    hubr_slab: Optional[jax.Array] = None  # (kr, m_pad) dense, permuted cols
+    hubr_dest: Optional[np.ndarray] = None  # flat positions into hubr_slab
+    hubr_src: Optional[np.ndarray] = None  # positions into eff val
 
     def refresh(self, eff_val: jax.Array) -> None:
         self._bwd_val_bf16 = None  # derived bf16 operand (mixed-precision path)
@@ -456,17 +470,28 @@ class ExecForm:
             buf = np.zeros(ndiag * self.m, dtype=vh.dtype)
             buf[self.dia_dest] = vh
             self.dia_val = jnp.asarray(buf.reshape(ndiag, self.m))
-        elif self.kind in ("bwd", "bwdg"):
+        elif self.kind in ("bwd", "bwdg", "gen"):
             # host-side scatter + device_put: device gathers are the slow
             # path on TPU, and a dense int64 source map would cost 8x the
             # operand itself in host RAM
-            ngrp = -(-self.m // self.bwd_G)
+            rows_dim = self.gen_m_pad if self.kind == "gen" else self.m
+            ngrp = -(-rows_dim // self.bwd_G)
             vh = np.asarray(eff_val)
             buf = np.zeros(ngrp * self.bwd_G * self.bwd_W, dtype=vh.dtype)
             buf[self.bwd_dest] = vh if self.bwd_srcpos is None else vh[self.bwd_srcpos]
             self.bwd_val = jnp.asarray(buf.reshape(ngrp, self.bwd_G, self.bwd_W))
             if self.sp_src is not None and self.sp_src.size:
                 self.sp_val = jnp.asarray(vh[self.sp_src])
+            if self.kind == "gen" and self.hub_src is not None:
+                k = int(self.hub_cols.shape[0])
+                slab = np.zeros(self.gen_m_pad * k, dtype=vh.dtype)
+                slab[self.hub_dest] = vh[self.hub_src]
+                self.hub_slab = jnp.asarray(slab.reshape(self.gen_m_pad, k))
+            if self.kind == "gen" and self.hubr_src is not None:
+                kr = int(self.hubr_rows.shape[0])
+                slab = np.zeros(kr * self.gen_m_pad, dtype=vh.dtype)
+                slab[self.hubr_dest] = vh[self.hubr_src]
+                self.hubr_slab = jnp.asarray(slab.reshape(kr, self.gen_m_pad))
         else:
             src = jnp.asarray(self.ell_src)
             v = jnp.where(
@@ -532,6 +557,10 @@ def choose_mv_format(eff: EffectiveCSR, hint_nop: int = 1) -> str:
             return "diag"
         if bwd_ok:
             return "bwd"
+        if eff.shape[0] == eff.shape[1] and m >= 2 * GEN_B:
+            # general structure: try the hub+RCM+band composite; the builder
+            # verifies the blowup caps and falls back when they fail
+            return "gen"
     lens = np.diff(eff.ptr.astype(np.int64))
     w_max = int(lens.max())
     mean = float(lens.mean())
@@ -557,37 +586,52 @@ def _build_ell_map(eff: EffectiveCSR, width: int):
     return src, ind, valid
 
 
-def _build_bwd(eff: EffectiveCSR, G: int = 8, kind: str = "bwd") -> ExecForm:
-    """Materialize the G-row-group banded-window dense operand
-    (see kernels/xla/spmv.py spmv_bwd and spmm.py spmm_bwd).
+def _build_bwd_coo(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    src: Optional[np.ndarray],
+    m: int,
+    n: int,
+    G: int = 8,
+    kind: str = "bwd",
+    peel_pcts: Tuple[float, float] = (0.25, 99.75),
+    spill_budget_frac: float = 0.01,
+    max_w: Optional[int] = None,
+):
+    """Banded-window geometry from a (row, col)-sorted COO triple.
 
-    Edge peel (G=8 only): boundary rows inflate the global window (the bench
-    matrix's W goes 192 -> 248 from ~128 edge rows); entries outside the
-    0.25..99.75 percentile window spill to a tiny COO segment-sum instead of
-    paying dense width for everyone."""
-    m, n = eff.shape
+    `src` maps each entry to its position in the effective value vector
+    (None = identity). Returns the ExecForm WITHOUT values (caller must
+    .refresh(eff.val)), or None when max_w is given and even the peeled
+    window exceeds it.
+
+    Edge peel: entries outside the [peel_pcts] percentile window of the
+    group-relative column offsets spill to a COO segment-sum instead of
+    paying dense width for everyone (spill gathers cost ~7ns/elem on this
+    TPU, so the budget stays a small fraction of nnz)."""
     ngrp = -(-m // G)
-    win = _bwd_window(eff, G)
-    if win is None:
-        W, rel_lo = G, 0
-    else:
-        W, rel_lo = win
-    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(eff.ptr.astype(np.int64)))
-    cols = eff.ind.astype(np.int64)
     blk = rows // G
     rel = cols - G * blk
-    spill_mask = None
-    if kind == "bwd" and rel.size > 4096:
-        lo_c = (int(np.percentile(rel, 0.25)) // G) * G
-        hi_c = int(np.percentile(rel, 99.75))
-        W_core = -(-(hi_c - lo_c + 1) // 8) * 8
-        outside = (rel < lo_c) | (rel >= lo_c + W_core)
-        n_out = int(outside.sum())
-        if W_core <= W - 16 and n_out <= max(1024, rel.size // 100):
-            spill_mask = outside
-            W, rel_lo = W_core, lo_c
-    if spill_mask is None:
-        spill_mask = np.zeros(rel.size, dtype=bool)
+    if rel.size == 0:
+        W, rel_lo = G, 0
+        spill_mask = np.zeros(0, dtype=bool)
+    else:
+        rel_lo = (int(rel.min()) // G) * G
+        W = -(-(int(rel.max()) - rel_lo + 1) // 8) * 8
+        spill_mask = None
+        if kind in ("bwd", "gen") and rel.size > 4096:
+            lo_c = (int(np.percentile(rel, peel_pcts[0])) // G) * G
+            hi_c = int(np.percentile(rel, peel_pcts[1]))
+            W_core = -(-(hi_c - lo_c + 1) // 8) * 8
+            outside = (rel < lo_c) | (rel >= lo_c + W_core)
+            n_out = int(outside.sum())
+            if W_core <= W - 16 and n_out <= max(1024, int(rel.size * spill_budget_frac)):
+                spill_mask = outside
+                W, rel_lo = W_core, lo_c
+        if spill_mask is None:
+            spill_mask = np.zeros(rel.size, dtype=bool)
+    if max_w is not None and W > max_w:
+        return None
     keep = ~spill_mask
     t = (rel - rel_lo)[keep]  # position within the group's window
     dest = ((blk * G + rows % G)[keep]) * W + t  # flat scatter positions
@@ -599,23 +643,194 @@ def _build_bwd(eff: EffectiveCSR, G: int = 8, kind: str = "bwd") -> ExecForm:
     need = G * (base + nslice - 1 + ngrp)  # last slice end in padded coords
     n_pad = max(-(-(L + n) // G) * G, need)
     spilled = bool(spill_mask.any())
-    form = ExecForm(
+    identity_src = src is None
+    kept_src = None if (identity_src and not spilled) else (
+        np.nonzero(keep)[0] if identity_src else src[keep]
+    )
+    return ExecForm(
         kind=kind,
         m=m,
         n=n,
         bwd_dest=dest,
-        bwd_srcpos=np.nonzero(keep)[0] if spilled else None,
+        bwd_srcpos=kept_src,
         bwd_W=int(W),
         bwd_base8=int(base),
         bwd_padL=int(L),
         bwd_n_pad=int(n_pad),
         bwd_G=G,
-        sp_src=np.nonzero(spill_mask)[0] if spilled else None,
+        sp_src=(np.nonzero(spill_mask)[0] if identity_src else src[spill_mask])
+        if spilled
+        else None,
         sp_ind=jnp.asarray(cols[spill_mask].astype(np.int32)) if spilled else None,
         sp_rows=jnp.asarray(rows[spill_mask].astype(np.int32)) if spilled else None,
     )
+
+
+def _build_bwd(eff: EffectiveCSR, G: int = 8, kind: str = "bwd") -> ExecForm:
+    """Materialize the G-row-group banded-window dense operand
+    (see kernels/xla/spmv.py spmv_bwd and spmm.py spmm_bwd)."""
+    m, n = eff.shape
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(eff.ptr.astype(np.int64)))
+    cols = eff.ind.astype(np.int64)
+    form = _build_bwd_coo(rows, cols, None, m, n, G=G, kind=kind)
     form.refresh(eff.val)
     return form
+
+
+#: gen-form tuning (see benchmarks/PROBE_general.jsonl measurements)
+GEN_B = 128  # block-permutation granularity (panel-gather width)
+GEN_MAX_HUB = 512  # dense hub-slab width cap
+GEN_HUB_MIN = 32  # min entries for a column to be hub-eligible
+GEN_CAP = 48.0  # band blowup cap (dense streams beat gathers ~400x)
+GEN_MEM_CAP = 6e9  # band operand byte cap
+GEN_SPILL_FRAC = 0.12  # max fraction of nnz routed to the COO spill
+
+
+def _build_gen(eff: EffectiveCSR) -> Optional[ExecForm]:
+    """General-sparsity TPU execution form: hub-column extraction +
+    block-granular RCM + banded window + COO spill (see spmv_gen).
+
+    The reference's SpMV is fast on every structure because x86 gathers are
+    cheap (level2/aoclsparse_csrmv_kt.cpp:31-108); on this TPU irregular
+    gathers run ~400x below stream rate, so general structure is *made*
+    band-compressible instead: dense columns (power-law hubs) leave for a
+    dense MXU slab, the remainder is reordered by reverse Cuthill-McKee at
+    B=128 block granularity (runtime x/y permutes are then panel gathers at
+    ~3 G elem/s, not scalar gathers at ~0.08), and what still falls outside
+    the peeled window spills to a bounded segment-sum. Returns None when
+    the resulting band would still blow past the traffic caps (caller falls
+    back to the gather forms)."""
+    from .. import native
+
+    m, n = eff.shape
+    if m != n or eff.nnz == 0 or m < 2 * GEN_B:
+        return None
+    B = GEN_B
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(eff.ptr.astype(np.int64)))
+    cols = eff.ind.astype(np.int64)
+    idx = np.arange(cols.size, dtype=np.int64)
+    # --- hub columns: dense columns ruin any bandwidth ordering; peel them
+    # into a dense (m_pad, k) slab (blowup m/cnt each, capped by budget)
+    cnt = np.bincount(cols, minlength=n)
+    cand = np.nonzero(cnt >= max(GEN_HUB_MIN, m // 64))[0]
+    if cand.size:
+        cand = cand[np.argsort(cnt[cand])[::-1]]
+        budget = max(8.0 * eff.nnz, 4.0 * m)  # total slab entries
+        take = np.cumsum(np.full(cand.size, float(m))) <= budget
+        hub = np.sort(cand[take][:GEN_MAX_HUB])
+    else:
+        hub = cand
+    has_hub = hub.size > 0
+    if has_hub:
+        hub_mark = np.zeros(n, dtype=bool)
+        hub_mark[hub] = True
+        is_hub = hub_mark[cols]
+    else:
+        is_hub = np.zeros(cols.size, dtype=bool)
+    r2, c2, s2 = rows[~is_hub], cols[~is_hub], idx[~is_hub]
+    # --- hub ROWS: dense rows (hub columns of the transpose) equally ruin
+    # any bandwidth ordering; extract into a (kr, m_pad) slab against the
+    # permuted x, results scattered at kr positions of yp
+    rcnt = np.bincount(r2, minlength=m)
+    rcand = np.nonzero(rcnt >= max(GEN_HUB_MIN, m // 64))[0]
+    if rcand.size:
+        rcand = rcand[np.argsort(rcnt[rcand])[::-1]]
+        budget = max(8.0 * eff.nnz, 4.0 * m)
+        rtake = np.cumsum(np.full(rcand.size, float(m))) <= budget
+        hubr = np.sort(rcand[rtake][:GEN_MAX_HUB])
+    else:
+        hubr = rcand
+    has_hubr = hubr.size > 0
+    if has_hubr:
+        hubr_mark = np.zeros(m, dtype=bool)
+        hubr_mark[hubr] = True
+        is_hubr = hubr_mark[r2]
+        hr_r, hr_c, hr_s = r2[is_hubr], c2[is_hubr], s2[is_hubr]
+        r2, c2, s2 = r2[~is_hubr], c2[~is_hubr], s2[~is_hubr]
+    nnz_r = r2.size
+    itemsize = np.dtype(np.asarray(eff.val).dtype).itemsize if eff.val is not None else 4
+
+    def _try_granularity(B: int):
+        """RCM at block granularity B: the quotient graph over B-element
+        blocks is reordered, so runtime x/y permutes are width-B panel
+        gathers. B=1 is exact element RCM (slow scalar permutes at runtime
+        — only worth it when nnz >> m; the caller orders the ladder)."""
+        nblk = -(-m // B)
+        m_pad = nblk * B
+        if nnz_r:
+            qkey = (r2 // B) * nblk + (c2 // B)
+            qkey = np.unique(qkey)
+            q_r, q_c = qkey // nblk, qkey % nblk
+            qptr = np.zeros(nblk + 1, dtype=np.int64)
+            np.add.at(qptr, q_r + 1, 1)
+            qptr = np.cumsum(qptr)
+            bperm, _qbw = native.rcm_permutation(nblk, qptr, q_c)
+        else:
+            bperm = np.arange(nblk, dtype=np.int64)
+        bpos = np.empty(nblk, dtype=np.int64)
+        bpos[bperm] = np.arange(nblk)
+        prows = bpos[r2 // B] * B + r2 % B
+        pcols = bpos[c2 // B] * B + c2 % B
+        order = np.lexsort((pcols, prows))
+        # peel ladder: widen the spill budget until the dense band fits the
+        # traffic caps (spill gathers cost ~7ns/elem, so even ~10% of nnz
+        # in the segment-sum beats the all-gather fallback by 10x)
+        for pcts, frac in (
+            ((0.25, 99.75), 0.01),
+            ((1.0, 99.0), 0.03),
+            ((2.5, 97.5), 0.06),
+            ((5.0, 95.0), GEN_SPILL_FRAC),
+        ):
+            cand = _build_bwd_coo(
+                prows[order],
+                pcols[order],
+                s2[order],
+                m_pad,
+                m_pad,
+                G=8,
+                kind="gen",
+                peel_pcts=pcts,
+                spill_budget_frac=frac,
+                max_w=BWD_MAX_W,
+            )
+            if cand is None:
+                continue
+            W = cand.bwd_W
+            if m_pad * W <= GEN_CAP * max(nnz_r, 1) and m_pad * W * itemsize <= GEN_MEM_CAP:
+                return cand, bperm, bpos, m_pad
+        return None
+
+    got = _try_granularity(B)
+    if got is None and nnz_r >= 4 * m:
+        # block-level locality absent but the matrix is dense enough that
+        # two O(m) scalar permutes still beat O(nnz) gathers: element RCM
+        B = 1
+        got = _try_granularity(B)
+    if got is None:
+        return None
+    core, bperm, bpos, m_pad = got
+    core.m = m  # logical size; band geometry lives in m_pad space
+    core.n = n
+    core.gen_m_pad = m_pad
+    core.gen_B = B
+    core.gen_perm = jnp.asarray(bperm.astype(np.int32))
+    core.gen_out = jnp.asarray(bpos.astype(np.int32))
+    if has_hub:
+        hrows, hcols, hsrc = rows[is_hub], cols[is_hub], idx[is_hub]
+        k = hub.size
+        slot = np.searchsorted(hub, hcols)
+        core.hub_cols = jnp.asarray(hub.astype(np.int32))
+        core.hub_dest = (bpos[hrows // B] * B + hrows % B) * k + slot
+        core.hub_src = hsrc
+    if has_hubr:
+        rslot = np.searchsorted(hubr, hr_r)
+        core.hubr_rows = jnp.asarray(
+            (bpos[hubr // B] * B + hubr % B).astype(np.int32)
+        )
+        core.hubr_dest = rslot * m_pad + (bpos[hr_c // B] * B + hr_c % B)
+        core.hubr_src = hr_s
+    core.refresh(eff.val)
+    return core
 
 
 def _diag_stats(eff: EffectiveCSR):
@@ -660,6 +875,19 @@ def build_exec_form(eff: EffectiveCSR, kind: Optional[str] = None) -> ExecForm:
     if kind is None:
         kind = choose_mv_format(eff)
     m, n = eff.shape
+    if kind == "gen":
+        form = _build_gen(eff)
+        if form is not None:
+            return form
+        # composite rejected (band still too wide): gather-form fallback
+        lens0 = np.diff(eff.ptr.astype(np.int64))
+        w0 = int(lens0.max()) if lens0.size else 0
+        fill0 = eff.nnz / float(max(m, 1) * max(w0, 1))
+        kind = (
+            "segsum"
+            if w0 == 0
+            else ("ell" if fill0 >= 0.5 or w0 <= 2 * max(float(lens0.mean()), 1.0) else "ellhyb")
+        )
     if kind == "diag":
         return _build_diag(eff)
     if kind == "bwd":

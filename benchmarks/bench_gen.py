@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""General-sparsity SpMV benchmark on the real TPU (VERDICT round-1 item #1).
+
+Synthetic stand-ins for the reference matrixlist's non-banded classes
+(tests/benchmarks/matrices/matrixlist: scircuit, webbase-1M, rajat31...;
+the actual SuiteSparse files are not available offline):
+
+  circuit : local coupling (6/row, +-16) + 32 power-rail hub columns +
+            0.3% uniform scatter               (scircuit/rajat class)
+  web     : power-law hubs (zipf in-degree) + 85% block-local links +
+            5% uniform scatter                 (webbase/in-2004 class)
+  scramble: 64/row FEM band under a hidden element permutation
+            (worst case for block locality -> element-RCM mode)
+
+Each profile runs through the library's own dispatch (ast.mv) so the
+planner's auto format choice is part of what's measured. Prints one JSON
+line per profile; appends to benchmarks/BENCH_gen.jsonl.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_gen.jsonl")
+
+
+def emit(rec):
+    line = json.dumps(rec)
+    print(line, flush=True)
+    with open(OUT, "a") as f:
+        f.write(line + "\n")
+
+
+def circuit_profile(rng, m):
+    local = 6
+    half = 16
+    rows = np.repeat(np.arange(m, dtype=np.int64), local)
+    cols = rows + rng.integers(-half, half + 1, rows.size)
+    hubs = rng.choice(m, 32, replace=False)
+    hr = rng.integers(0, m, m // 8)
+    hc = hubs[rng.integers(0, hubs.size, hr.size)]
+    sr = rng.integers(0, m, int(0.003 * m * local))
+    sc = rng.integers(0, m, sr.size)
+    r = np.concatenate([rows, hr, sr])
+    c = np.clip(np.concatenate([cols, hc, sc]), 0, m - 1)
+    return r, c
+
+
+def web_profile(rng, m):
+    # zipf-ish hub in-degrees + block-local links + uniform tail
+    nnz_loc = 4 * m
+    rows_l = rng.integers(0, m, nnz_loc)
+    # local links stay inside a 4096-neighborhood (site locality)
+    cols_l = np.clip(rows_l + rng.integers(-2048, 2048, nnz_loc), 0, m - 1)
+    n_hub_entries = int(0.5 * m)
+    hub_ids = rng.zipf(1.6, n_hub_entries) % 2000  # top-2000 hub pages
+    hub_pages = rng.permutation(m)[:2000]
+    rows_h = rng.integers(0, m, n_hub_entries)
+    cols_h = hub_pages[hub_ids]
+    n_rand = int(0.25 * m)
+    rows_r = rng.integers(0, m, n_rand)
+    cols_r = rng.integers(0, m, n_rand)
+    r = np.concatenate([rows_l, rows_h, rows_r])
+    c = np.concatenate([cols_l, cols_h, cols_r])
+    return r, c
+
+
+def scramble_profile(rng, m):
+    row_nnz, half = 64, 64
+    p = rng.permutation(m)
+    rows = np.repeat(np.arange(m, dtype=np.int64), row_nnz)
+    cols = np.clip(rows + rng.integers(-half, half + 1, rows.size), 0, m - 1)
+    return p[rows], p[cols]
+
+
+def build_csr(r, c, m, dtype=np.float32, rng=None):
+    order = np.lexsort((c, r))
+    r, c = r[order], c[order]
+    uq = np.concatenate([[True], (r[1:] != r[:-1]) | (c[1:] != c[:-1])])
+    r, c = r[uq], c[uq]
+    ptr = np.zeros(m + 1, dtype=np.int64)
+    np.add.at(ptr, r + 1, 1)
+    ptr = np.cumsum(ptr)
+    val = rng.standard_normal(c.size).astype(dtype)
+    return ptr, c.astype(np.int32), val
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    import jax.numpy as jnp
+
+    import aoclsparse_tpu as ast
+    from aoclsparse_tpu import MatrixDescriptor, Operation
+    from aoclsparse_tpu.planner.plan import get_plan
+    from aoclsparse_tpu.ops.level2.mv import _run_exec_form
+
+    rng = np.random.default_rng(11)
+    m = 262144
+    descr = MatrixDescriptor()
+
+    for name, gen_fn in (
+        ("circuit", circuit_profile),
+        ("web", web_profile),
+        ("scramble", scramble_profile),
+    ):
+        r, c = gen_fn(rng, m)
+        ptr, ind, val = build_csr(r, c, m, rng=rng)
+        nnz = int(ind.size)
+        A = ast.create_csr(m, m, ptr, ind, val)
+        t0 = time.perf_counter()
+        plan = get_plan(A)
+        form = plan.exec_form_for(descr, Operation.none, dtype=A.dtype)
+        t_plan = time.perf_counter() - t0
+        x = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+
+        def run():
+            return _run_exec_form(form, x, None)
+
+        y = run()
+        np.asarray(y[:1])  # fetch-sync (block_until_ready is a tunnel no-op)
+        # verify once on-device result vs host oracle
+        yh = np.asarray(y)
+        dcheck = np.zeros(m, dtype=np.float64)
+        np.add.at(dcheck, np.repeat(np.arange(m), np.diff(ptr)), 0.0)
+        xs = np.asarray(x, dtype=np.float64)
+        rows_h = np.repeat(np.arange(m), np.diff(ptr))
+        ref = np.zeros(m)
+        np.add.at(ref, rows_h, val.astype(np.float64) * xs[ind])
+        err = np.max(np.abs(yh - ref)) / max(1.0, np.max(np.abs(ref)))
+        t = float("inf")
+        iters, chunks = 30, 8
+        for cix in range(chunks):
+            t1 = time.perf_counter()
+            for _ in range(iters):
+                y = run()
+            np.asarray(y[:1])
+            t = min(t, (time.perf_counter() - t1) / iters)
+            if cix % 3 == 2:
+                time.sleep(1.5)
+        emit(
+            {
+                "profile": name,
+                "form": form.kind,
+                "gen_B": getattr(form, "gen_B", None),
+                "W": getattr(form, "bwd_W", None),
+                "hub_k": None if form.hub_cols is None else int(form.hub_cols.shape[0]),
+                "hubr_k": None
+                if getattr(form, "hubr_rows", None) is None
+                else int(form.hubr_rows.shape[0]),
+                "spill": None if form.sp_ind is None else int(form.sp_ind.shape[0]),
+                "m": m,
+                "nnz": nnz,
+                "t_us": round(t * 1e6, 1),
+                "gnnz_s": round(nnz / t / 1e9, 3),
+                "plan_s": round(t_plan, 2),
+                "rel_err": float(err),
+            }
+        )
+
+
+if __name__ == "__main__":
+    main()
