@@ -35,6 +35,7 @@ from .core.matrix import (  # noqa: F401
     create_csr,
     create_dia,
     create_ell,
+    create_tcsr,
     destroy,
     export_coo,
     export_csc,

@@ -19,7 +19,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.formats import BSR, COO, CSC, CSR, DIA, ELL, SELL
+from ..core.formats import BSR, COO, CSC, CSR, DIA, ELL, SELL, TCSR
 from ..core.types import AoclSparseError, Operation, Status
 
 __all__ = [
@@ -109,9 +109,35 @@ def csr_apply_operation(A: CSR, op: Operation) -> CSR:
     return csr_transpose(A, conj=(op == Operation.conjugate_transpose))
 
 
+def tcsr_to_csr(data) -> CSR:
+    """Merge the two TCSR triangles into sorted CSR (diagonal taken from the
+    L copy; the create API guarantees both copies agree structurally)."""
+    m, n = data.shape
+    pL = _np(data.ptr_L).astype(np.int64)
+    pU = _np(data.ptr_U).astype(np.int64)
+    iL = _np(data.ind_L).astype(np.int64)
+    iU = _np(data.ind_U).astype(np.int64)
+    vL = _np(data.val_L)
+    vU = _np(data.val_U)
+    rows_L = np.repeat(np.arange(m, dtype=np.int64), np.diff(pL))
+    rows_U = np.repeat(np.arange(m, dtype=np.int64), np.diff(pU))
+    keep_U = iU != rows_U  # strictly-upper only (diag comes from L)
+    r = np.concatenate([rows_L, rows_U[keep_U]])
+    c = np.concatenate([iL, iU[keep_U]])
+    v = np.concatenate([vL, vU[keep_U]])
+    order = np.lexsort((c, r))
+    r, c, v = r[order], c[order], v[order]
+    ptr = np.zeros(m + 1, dtype=np.int64)
+    np.add.at(ptr, r + 1, 1)
+    ptr = np.cumsum(ptr)
+    return CSR(ptr.astype(np.int32), c.astype(np.int32), jnp.asarray(v), shape=(m, n))
+
+
 def to_csr(data) -> CSR:
     if isinstance(data, CSR):
         return data
+    if isinstance(data, TCSR):
+        return tcsr_to_csr(data)
     if isinstance(data, CSC):
         # CSC(m,n) arrays are CSR of the (n,m) transpose; transpose back
         as_csr_t = CSR(data.ptr, data.ind, data.val, shape=(data.n, data.m))

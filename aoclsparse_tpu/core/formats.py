@@ -28,7 +28,7 @@ import numpy as np
 
 from .types import AoclSparseError, Status, index_dtype
 
-__all__ = ["CSR", "CSC", "COO", "ELL", "DIA", "BSR", "SELL", "nnz_of"]
+__all__ = ["CSR", "CSC", "COO", "ELL", "DIA", "BSR", "SELL", "TCSR", "nnz_of"]
 
 
 def _static(**kw):
@@ -274,8 +274,46 @@ class SELL:
         return self.val.dtype
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TCSR:
+    """Triangular CSR: both triangles stored CSR-style with the diagonal
+    duplicated in each (reference tcsr class,
+    aoclsparse_mat_structures.hpp:434-456; public ingestion API
+    aoclsparse_create_?tcsr, include/aoclsparse_auxiliary.h:516-598).
+    Square, full non-zero diagonal required. L part = strictly-lower entries
+    then D per row; U part = D then strictly-upper entries per row."""
+
+    ptr_L: jax.Array  # (m+1,)
+    ind_L: jax.Array  # (nnz_lower + m,)
+    val_L: jax.Array
+    ptr_U: jax.Array  # (m+1,)
+    ind_U: jax.Array  # (nnz_upper + m,)
+    val_U: jax.Array
+    shape: Tuple[int, int] = _static(default=(0, 0))
+
+    @property
+    def m(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.shape[1]
+
+    @property
+    def nnz(self) -> int:
+        # diagonal stored in both triangles, counted once
+        return int(self.ind_L.shape[0]) + int(self.ind_U.shape[0]) - self.m
+
+    @property
+    def dtype(self):
+        return self.val_L.dtype
+
+
 def nnz_of(A) -> int:
     if isinstance(A, (CSR, CSC, COO)):
+        return A.nnz
+    if isinstance(A, TCSR):
         return A.nnz
     if isinstance(A, ELL):
         return int(np.sum(np.asarray(A.ind) >= 0))

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .descr import GENERAL, MatrixDescriptor
-from .formats import BSR, COO, CSC, CSR, DIA, ELL
+from .formats import BSR, COO, CSC, CSR, DIA, ELL, TCSR
 from .types import (
     FormatType,
     IndexBase,
@@ -41,6 +41,7 @@ __all__ = [
     "create_bsr",
     "create_ell",
     "create_dia",
+    "create_tcsr",
     "export_csr",
     "export_csc",
     "export_coo",
@@ -189,6 +190,96 @@ def create_bsr(
     return SparseMatrix(A, FormatType.bsr, base)
 
 
+def create_tcsr(
+    m, n, nnz, ptr_L, ptr_U, ind_L, ind_U, val_L, val_U, base: IndexBase = IndexBase.zero
+) -> SparseMatrix:
+    """Triangular-CSR ingestion (aoclsparse_create_?tcsr,
+    include/aoclsparse_auxiliary.h:516-598). Both triangles arrive CSR-like
+    with the diagonal stored in each: per row, L part = strictly-lower
+    entries (possibly unsorted among themselves) then the diagonal LAST;
+    U part = diagonal FIRST then strictly-upper entries. Square with a full
+    non-zero-structure diagonal required; violations of the part ordering
+    surface unsorted_input, misplaced entries invalid_value — matching the
+    reference's documented status table."""
+    for v in (ptr_L, ptr_U, ind_L, ind_U, val_L, val_U):
+        require(v is not None, Status.invalid_pointer, "null tcsr array")
+    check_value_dtype(np.asarray(val_L).dtype)
+    require(
+        np.asarray(val_L).dtype == np.asarray(val_U).dtype,
+        Status.wrong_type,
+        "val_L/val_U dtype mismatch",
+    )
+    m, n = int(m), int(n)
+    require(m == n, Status.invalid_size, "TCSR supports square matrices only")
+    check_sizes(m, n, int(nnz))
+    b = int(base)
+    pL = _rebase(ptr_L, base).astype(np.int64)
+    pU = _rebase(ptr_U, base).astype(np.int64)
+    iL = _rebase(ind_L, base).astype(np.int64)
+    iU = _rebase(ind_U, base).astype(np.int64)
+    vL = np.asarray(val_L)
+    vU = np.asarray(val_U)
+    for p, i, v, nm in ((pL, iL, vL, "L"), (pU, iU, vU, "U")):
+        require(p.shape == (m + 1,), Status.invalid_size, f"ptr_{nm} must be (m+1,)")
+        require(p[0] == 0, Status.invalid_value, f"ptr_{nm}[0] must equal base")
+        require(bool(np.all(np.diff(p) >= 0)), Status.invalid_value, f"ptr_{nm} non-decreasing")
+        require(int(p[-1]) == i.shape[0], Status.invalid_size, f"ptr_{nm}[-1] != len(ind_{nm})")
+        require(i.shape[0] == v.shape[0], Status.invalid_size, f"ind_{nm}/val_{nm} mismatch")
+        if i.size:
+            require(
+                bool(i.min() >= 0 and i.max() < n),
+                Status.invalid_index_value,
+                f"ind_{nm} out of range",
+            )
+    # total distinct nnz: diagonal counted once
+    require(
+        int(pL[-1]) + int(pU[-1]) - m == int(nnz),
+        Status.invalid_size,
+        "nnz != nnz(L+D) + nnz(D+U) - m",
+    )
+    rows_L = np.repeat(np.arange(m, dtype=np.int64), np.diff(pL))
+    rows_U = np.repeat(np.arange(m, dtype=np.int64), np.diff(pU))
+    # part membership: L array must hold only lower-or-diagonal entries, U only
+    # upper-or-diagonal (else the input is mis-partitioned -> unsorted_input)
+    require(bool(np.all(iL <= rows_L)), Status.unsorted_input, "U element in the L part")
+    require(bool(np.all(iU >= rows_U)), Status.unsorted_input, "L element in the U part")
+    # full diagonal, stored exactly once per part, in the fixed position:
+    # last of the row's L segment, first of the row's U segment
+    require(bool(np.all(np.diff(pL) >= 1)), Status.invalid_value, "missing diagonal in L")
+    require(bool(np.all(np.diff(pU) >= 1)), Status.invalid_value, "missing diagonal in U")
+    dposL = pL[1:] - 1
+    dposU = pU[:-1]
+    require(
+        bool(np.all(iL[dposL] == np.arange(m))),
+        Status.unsorted_input,
+        "diagonal must be the last entry of each L row segment",
+    )
+    require(
+        bool(np.all(iU[dposU] == np.arange(m))),
+        Status.unsorted_input,
+        "diagonal must be the first entry of each U row segment",
+    )
+    ndiag_L = np.bincount(rows_L[iL == rows_L], minlength=m)
+    ndiag_U = np.bincount(rows_U[iU == rows_U], minlength=m)
+    require(
+        bool(np.all(ndiag_L == 1) and np.all(ndiag_U == 1)),
+        Status.invalid_value,
+        "duplicate diagonal entries",
+    )
+    A = TCSR(
+        pL.astype(np.int32),
+        iL.astype(np.int32),
+        jnp.asarray(vL),
+        pU.astype(np.int32),
+        iU.astype(np.int32),
+        jnp.asarray(vU),
+        shape=(m, n),
+    )
+    h = SparseMatrix(A, FormatType.tcsr, base)
+    h.fulldiag = True
+    return h
+
+
 def create_ell(m, n, width, ind, val, base: IndexBase = IndexBase.zero) -> SparseMatrix:
     check_value_dtype(np.asarray(val).dtype)
     ind = np.asarray(ind).reshape(m, width)
@@ -289,6 +380,10 @@ def update_values(h: SparseMatrix, values) -> SparseMatrix:
     """Replace all values keeping the pattern (auxiliary.cpp:674-706)."""
     values = jnp.asarray(values)
     A = h.data
+    if isinstance(A, TCSR):
+        # parity: the reference's update_values handles csr/coo only
+        # (auxiliary.hpp:217-241, default -> not_implemented)
+        require(False, Status.not_implemented, "update_values on TCSR")
     require(
         values.shape[0] == (A.val.size if hasattr(A, "val") else 0),
         Status.invalid_size,

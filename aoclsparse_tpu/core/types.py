@@ -127,6 +127,7 @@ class FormatType(enum.IntEnum):
     bsr = 5
     ellhyb = 6  # hybrid ELL + CSR spill (internal, planner-chosen)
     sell = 7  # sliced-ELL row-block padded form (internal, planner-chosen)
+    tcsr = 8  # triangular CSR, both triangles + duplicated diagonal
 
 
 class Request(enum.IntEnum):

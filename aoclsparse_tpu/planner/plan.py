@@ -597,6 +597,7 @@ def _build_bwd_coo(
     peel_pcts: Tuple[float, float] = (0.25, 99.75),
     spill_budget_frac: float = 0.01,
     max_w: Optional[int] = None,
+    window: Optional[Tuple[int, int]] = None,
 ):
     """Banded-window geometry from a (row, col)-sorted COO triple.
 
@@ -615,6 +616,10 @@ def _build_bwd_coo(
     if rel.size == 0:
         W, rel_lo = G, 0
         spill_mask = np.zeros(0, dtype=bool)
+    elif window is not None:
+        # caller pre-selected the (rel_lo, W) window (cost-model ladder)
+        rel_lo, W = window
+        spill_mask = (rel < rel_lo) | (rel >= rel_lo + W)
     else:
         rel_lo = (int(rel.min()) // G) * G
         W = -(-(int(rel.max()) - rel_lo + 1) // 8) * 8
@@ -677,13 +682,25 @@ def _build_bwd(eff: EffectiveCSR, G: int = 8, kind: str = "bwd") -> ExecForm:
     return form
 
 
-#: gen-form tuning (see benchmarks/PROBE_general.jsonl measurements)
+#: gen-form tuning (rates measured in benchmarks/PROBE_general.jsonl /
+#: BENCH_gen.jsonl on the contended v5e pool — conservative side)
 GEN_B = 128  # block-permutation granularity (panel-gather width)
 GEN_MAX_HUB = 512  # dense hub-slab width cap
 GEN_HUB_MIN = 32  # min entries for a column to be hub-eligible
-GEN_CAP = 48.0  # band blowup cap (dense streams beat gathers ~400x)
 GEN_MEM_CAP = 6e9  # band operand byte cap
 GEN_SPILL_FRAC = 0.12  # max fraction of nnz routed to the COO spill
+GEN_STREAM_BPS = 250e9  # contended dense-stream rate (dense_slab probe)
+GEN_GATHER_NS = 13e-9  # per-element irregular gather cost (ell/segsum rate)
+GEN_PANEL_NS = 0.33e-9  # per-element 128-wide panel-gather cost
+GEN_MARGIN = 0.6  # accept gen only when est. time <= margin * fallback
+
+
+def _gen_cost_model(m_pad, W, B, k_hub, n_spill, itemsize):
+    """Estimated per-call time of the gen composite (seconds)."""
+    band = m_pad * W * itemsize / GEN_STREAM_BPS
+    hub = k_hub * m_pad * itemsize / GEN_STREAM_BPS
+    perm = 2 * m_pad * (GEN_PANEL_NS if B >= 8 else GEN_GATHER_NS)
+    return band + hub + perm + n_spill * GEN_GATHER_NS
 
 
 def _build_gen(eff: EffectiveCSR) -> Optional[ExecForm]:
@@ -712,7 +729,7 @@ def _build_gen(eff: EffectiveCSR) -> Optional[ExecForm]:
     # --- hub columns: dense columns ruin any bandwidth ordering; peel them
     # into a dense (m_pad, k) slab (blowup m/cnt each, capped by budget)
     cnt = np.bincount(cols, minlength=n)
-    cand = np.nonzero(cnt >= max(GEN_HUB_MIN, m // 64))[0]
+    cand = np.nonzero(cnt >= max(GEN_HUB_MIN, m // 1024))[0]
     if cand.size:
         cand = cand[np.argsort(cnt[cand])[::-1]]
         budget = max(8.0 * eff.nnz, 4.0 * m)  # total slab entries
@@ -732,7 +749,7 @@ def _build_gen(eff: EffectiveCSR) -> Optional[ExecForm]:
     # any bandwidth ordering; extract into a (kr, m_pad) slab against the
     # permuted x, results scattered at kr positions of yp
     rcnt = np.bincount(r2, minlength=m)
-    rcand = np.nonzero(rcnt >= max(GEN_HUB_MIN, m // 64))[0]
+    rcand = np.nonzero(rcnt >= max(GEN_HUB_MIN, m // 1024))[0]
     if rcand.size:
         rcand = rcand[np.argsort(rcnt[rcand])[::-1]]
         budget = max(8.0 * eff.nnz, 4.0 * m)
@@ -750,16 +767,29 @@ def _build_gen(eff: EffectiveCSR) -> Optional[ExecForm]:
     nnz_r = r2.size
     itemsize = np.dtype(np.asarray(eff.val).dtype).itemsize if eff.val is not None else 4
 
+    k_hub_total = hub.size + (hubr.size if has_hubr else 0)
+    fallback_t = eff.nnz * GEN_GATHER_NS  # gather-form estimate to beat
+
     def _try_granularity(B: int):
         """RCM at block granularity B: the quotient graph over B-element
         blocks is reordered, so runtime x/y permutes are width-B panel
         gathers. B=1 is exact element RCM (slow scalar permutes at runtime
-        — only worth it when nnz >> m; the caller orders the ladder)."""
+        — only worth it when nnz >> m). Window choice: evaluate the peel
+        ladder analytically on the rel-offset distribution (no rebuilds)
+        and keep the minimum-cost window under the measured-rate model."""
         nblk = -(-m // B)
         m_pad = nblk * B
         if nnz_r:
-            qkey = (r2 // B) * nblk + (c2 // B)
-            qkey = np.unique(qkey)
+            qkey_all = (r2 // B) * nblk + (c2 // B)
+            qkey, qcnt = np.unique(qkey_all, return_counts=True)
+            if B > 1:
+                # prune weak block couplings before RCM: a handful of
+                # uniform-random entries per block pair would otherwise turn
+                # the quotient graph into an expander and hide the real
+                # cluster structure; their entries end up in the spill
+                strong = qcnt >= 4
+                if strong.any():
+                    qkey = qkey[strong]
             q_r, q_c = qkey // nblk, qkey % nblk
             qptr = np.zeros(nblk + 1, dtype=np.int64)
             np.add.at(qptr, q_r + 1, 1)
@@ -771,39 +801,49 @@ def _build_gen(eff: EffectiveCSR) -> Optional[ExecForm]:
         bpos[bperm] = np.arange(nblk)
         prows = bpos[r2 // B] * B + r2 % B
         pcols = bpos[c2 // B] * B + c2 % B
-        order = np.lexsort((pcols, prows))
-        # peel ladder: widen the spill budget until the dense band fits the
-        # traffic caps (spill gathers cost ~7ns/elem, so even ~10% of nnz
-        # in the segment-sum beats the all-gather fallback by 10x)
-        for pcts, frac in (
-            ((0.25, 99.75), 0.01),
-            ((1.0, 99.0), 0.03),
-            ((2.5, 97.5), 0.06),
-            ((5.0, 95.0), GEN_SPILL_FRAC),
+        rel = pcols - 8 * (prows // 8)
+        if rel.size == 0:
+            return None
+        rel_s = np.sort(rel)
+        nmax = rel.size - 1
+        best = None  # (cost, rel_lo, W, n_out)
+        for plo, phi, frac in (
+            (0.0, 100.0, 0.0),
+            (0.25, 99.75, 0.01),
+            (1.0, 99.0, 0.03),
+            (2.5, 97.5, 0.06),
+            (5.0, 95.0, GEN_SPILL_FRAC),
         ):
-            cand = _build_bwd_coo(
-                prows[order],
-                pcols[order],
-                s2[order],
-                m_pad,
-                m_pad,
-                G=8,
-                kind="gen",
-                peel_pcts=pcts,
-                spill_budget_frac=frac,
-                max_w=BWD_MAX_W,
-            )
-            if cand is None:
+            lo_c = (int(rel_s[int(plo / 100 * nmax)]) // 8) * 8
+            hi_c = int(rel_s[int(phi / 100 * nmax)])
+            W = -(-(hi_c - lo_c + 1) // 8) * 8
+            if W > BWD_MAX_W or m_pad * W * itemsize > GEN_MEM_CAP:
                 continue
-            W = cand.bwd_W
-            if m_pad * W <= GEN_CAP * max(nnz_r, 1) and m_pad * W * itemsize <= GEN_MEM_CAP:
-                return cand, bperm, bpos, m_pad
-        return None
+            n_out = int(np.searchsorted(rel_s, lo_c)) + int(
+                rel.size - np.searchsorted(rel_s, lo_c + W)
+            )
+            if n_out > max(1024, int(rel.size * max(frac, GEN_SPILL_FRAC))):
+                continue
+            cost = _gen_cost_model(m_pad, W, B, k_hub_total, n_out, itemsize)
+            if best is None or cost < best[0]:
+                best = (cost, lo_c, W, n_out)
+        if best is None or best[0] > GEN_MARGIN * fallback_t:
+            return None
+        order = np.lexsort((pcols, prows))
+        cand = _build_bwd_coo(
+            prows[order],
+            pcols[order],
+            s2[order],
+            m_pad,
+            m_pad,
+            G=8,
+            kind="gen",
+            window=(best[1], best[2]),
+        )
+        return cand, bperm, bpos, m_pad
 
     got = _try_granularity(B)
-    if got is None and nnz_r >= 4 * m:
-        # block-level locality absent but the matrix is dense enough that
-        # two O(m) scalar permutes still beat O(nnz) gathers: element RCM
+    if got is None:
         B = 1
         got = _try_granularity(B)
     if got is None:

@@ -55,8 +55,9 @@ def web_profile(rng, m):
     # zipf-ish hub in-degrees + block-local links + uniform tail
     nnz_loc = 4 * m
     rows_l = rng.integers(0, m, nnz_loc)
-    # local links stay inside a 4096-neighborhood (site locality)
-    cols_l = np.clip(rows_l + rng.integers(-2048, 2048, nnz_loc), 0, m - 1)
+    # local links stay inside a site-block neighborhood (URL-ordered web
+    # graphs link densely within a site; webbase/in-2004 class)
+    cols_l = np.clip(rows_l + rng.integers(-256, 256, nnz_loc), 0, m - 1)
     n_hub_entries = int(0.5 * m)
     hub_ids = rng.zipf(1.6, n_hub_entries) % 2000  # top-2000 hub pages
     hub_pages = rng.permutation(m)[:2000]
