@@ -81,6 +81,8 @@ from .solvers import (  # noqa: F401
     itsol_rci_input,
     itsol_rci_solve,
     itsol_solve,
+    pcg_solve,
+    pgmres_solve,
     sorv,
     symgs,
     symgs_mv,

@@ -1,5 +1,6 @@
 """Preconditioners (ILU0, SymGS, SOR) and the CG/GMRES Krylov layer."""
 
+from .fused import pcg_solve, pgmres_solve  # noqa: F401
 from .ilu import IluState, ilu0_factorize, ilu_smoother  # noqa: F401
 from .itsol import (  # noqa: F401
     CgRci,

@@ -1,0 +1,109 @@
+"""Fused single-dispatch preconditioned solvers (solvers/fused.py) vs the
+host RCI path: solution parity and iteration-count agreement (the reference
+forward interface drives the same task machines, itsol_functions.hpp:1352,
+1493 — iteration counts must match the RCI stepper on the same problem)."""
+
+import numpy as np
+import pytest
+
+import aoclsparse_tpu as ast
+from aoclsparse_tpu import MatrixDescriptor, Operation, Status
+from aoclsparse_tpu.solvers import RINFO_ITER
+
+GEN = MatrixDescriptor()
+
+
+def _spd(rng, m, density=0.25):
+    B = rng.standard_normal((m, m))
+    B[np.abs(B) < 1.1] = 0
+    dense = B @ B.T + m * np.eye(m)
+    dense[np.abs(dense) < 1e-12] = 0
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int64)
+    ind = np.nonzero(dense)[1].astype(np.int32)
+    return ast.create_csr(m, m, ptr, ind, dense[dense != 0]), dense
+
+
+def _general(rng, m):
+    dense = rng.standard_normal((m, m))
+    dense[np.abs(dense) < 1.0] = 0
+    np.fill_diagonal(dense, m / 2.0)
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int64)
+    ind = np.nonzero(dense)[1].astype(np.int32)
+    return ast.create_csr(m, m, ptr, ind, dense[dense != 0]), dense
+
+
+def _rci_iters(A, b, method, precond_name, restart=20):
+    h = ast.itsol_init(np.float64)
+    ast.itsol_option_set(h, "iterative method", method)
+    if method == "CG":
+        ast.itsol_option_set(h, "cg preconditioner", precond_name)
+    else:
+        ast.itsol_option_set(h, "gmres preconditioner", precond_name)
+        ast.itsol_option_set(h, "gmres restart iterations", restart)
+    x, rinfo, st = ast.itsol_solve(h, A.shape[0], A, GEN, b)
+    assert st == Status.success
+    return np.asarray(x), int(rinfo[RINFO_ITER])
+
+
+@pytest.mark.parametrize("precond", [None, "sgs", "ilu0"])
+def test_pcg_matches_rci(rng, precond):
+    m = 48
+    A, dense = _spd(rng, m)
+    b = rng.standard_normal(m)
+    x, it, rnorm = ast.pcg_solve(A, b, rtol=1e-8, maxit=200, precond=precond)
+    np.testing.assert_allclose(dense @ np.asarray(x), b, atol=1e-5)
+    rci_name = {None: "None", "sgs": "SGS", "ilu0": "ILU0"}[precond]
+    if precond in (None, "sgs"):  # RCI CG supports None/User/SGS
+        _, it_rci = _rci_iters(A, b, "CG", rci_name)
+        assert abs(it - it_rci) <= 1
+    assert rnorm <= 1e-8 * np.linalg.norm(b) + 1e-12
+
+
+def test_pcg_ilu0_reduces_iterations(rng):
+    m = 64
+    A, dense = _spd(rng, m)
+    b = rng.standard_normal(m)
+    _, it_plain, _ = ast.pcg_solve(A, b, rtol=1e-8, maxit=300, precond=None)
+    _, it_ilu, _ = ast.pcg_solve(A, b, rtol=1e-8, maxit=300, precond="ilu0")
+    assert it_ilu <= it_plain
+
+
+@pytest.mark.parametrize("precond", [None, "ilu0"])
+def test_pgmres_matches_rci(rng, precond):
+    m = 40
+    A, dense = _general(rng, m)
+    b = rng.standard_normal(m)
+    x, it, rnorm = ast.pgmres_solve(A, b, rtol=1e-8, maxit=200, restart=12, precond=precond)
+    np.testing.assert_allclose(dense @ np.asarray(x), b, atol=1e-5)
+    rci_name = {None: "None", "ilu0": "ILU0"}[precond]
+    _, it_rci = _rci_iters(A, b, "GMRES", rci_name, restart=12)
+    # same engine, restart-cycle granularity may differ by one cycle
+    assert abs(it - it_rci) <= 12
+
+
+def test_pgmres_zero_rhs(rng):
+    m = 16
+    A, _ = _general(rng, m)
+    x, it, rnorm = ast.pgmres_solve(A, np.zeros(m), rtol=1e-8, maxit=50)
+    assert it == 0
+    np.testing.assert_allclose(np.asarray(x), 0.0)
+
+
+def test_pcg_exact_initial_guess(rng):
+    m = 24
+    A, dense = _spd(rng, m)
+    xstar = rng.standard_normal(m)
+    b = dense @ xstar
+    x, it, rnorm = ast.pcg_solve(A, b, x0=xstar.copy(), rtol=1e-10, maxit=50)
+    assert it == 0
+    np.testing.assert_allclose(np.asarray(x), xstar)
+
+
+def test_fused_complex_not_implemented(rng):
+    m = 8
+    dense = np.eye(m, dtype=np.complex128)
+    ptr = np.arange(m + 1, dtype=np.int64)
+    A = ast.create_csr(m, m, ptr, np.arange(m, dtype=np.int32), np.diag(dense))
+    with pytest.raises(ast.AoclSparseError) as e:
+        ast.pcg_solve(A, np.ones(m, dtype=np.complex128))
+    assert e.value.status == Status.not_implemented
