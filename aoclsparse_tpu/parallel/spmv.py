@@ -22,7 +22,14 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["make_mesh", "shard_ell", "dist_spmv_ell", "dist_spmv_ell_sharded_x"]
+__all__ = [
+    "make_mesh",
+    "shard_ell",
+    "dist_spmv_ell",
+    "dist_spmv_ell_sharded_x",
+    "dist_spmv_bwd_halo",
+    "dist_spmv_ell_balanced",
+]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
@@ -88,3 +95,96 @@ def dist_spmv_ell_sharded_x(mesh: Mesh, ell_ind, ell_val, x_sharded, axis: str =
         return jnp.sum(prods, axis=1)
 
     return _local(ell_ind, ell_val, x_sharded)
+
+
+def dist_spmv_bwd_halo(mesh: Mesh, form, x_sharded, axis: str = "x"):
+    """Banded-window SpMV with x SHARDED and only the band halos exchanged
+    via `ppermute` — the §5.8(i) halo-exchange schedule: instead of
+    all-gathering the whole x (O(n) bytes per device per call), each device
+    receives just the W-wide boundary windows from its ring neighbors
+    (O(W) bytes over ICI), which XLA can overlap with the local einsum.
+
+    Requires a square banded ExecForm without spill whose halo fits inside
+    one neighbor shard (the planner's band forms satisfy this for
+    n >> W * n_devices); callers fall back to the all-gather path
+    otherwise. x_sharded: (m_pad,) sharded over `axis`, m_pad a multiple
+    of 8*n_devices. Returns y with the same sharding."""
+    ndev = mesh.shape[axis]
+    if form.sp_ind is not None and int(form.sp_ind.shape[0]):
+        raise ValueError("halo path requires a spill-free band form")
+    W = form.bwd_W
+    rel_lo = 8 * form.bwd_base8 - form.bwd_padL
+    HL = max(0, -rel_lo)
+    HR = max(0, rel_lo + W - 8)
+    m_pad = int(x_sharded.shape[0])
+    mloc = m_pad // ndev
+    if HL > mloc or HR > mloc:
+        raise ValueError("halo wider than a shard: use the all-gather path")
+    nblk_pad = m_pad // 8
+    wv = form.bwd_val
+    if wv.shape[0] != nblk_pad:
+        wv = jnp.pad(wv, ((0, nblk_pad - wv.shape[0]), (0, 0), (0, 0)))
+    wv = jax.device_put(wv, NamedSharding(mesh, P(axis, None, None)))
+    fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
+    bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
+    base_loc = (rel_lo + HL) // 8  # window start inside the extended local x
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis)),
+        out_specs=P(axis),
+    )
+    def _local(wv_c, xloc):
+        me = jax.lax.axis_index(axis)
+        zero = jnp.zeros((), xloc.dtype)
+        if HL:
+            left = jax.lax.ppermute(xloc[-HL:], axis, fwd)
+            left = jnp.where(me == 0, zero, left)  # global left edge: padding
+        else:
+            left = jnp.zeros((0,), xloc.dtype)
+        if HR:
+            right = jax.lax.ppermute(xloc[:HR], axis, bwd)
+            right = jnp.where(me == ndev - 1, zero, right)
+        else:
+            right = jnp.zeros((0,), xloc.dtype)
+        xe = jnp.concatenate([left, xloc, right])
+        pad8 = (-xe.shape[0]) % 8
+        if pad8:
+            xe = jnp.pad(xe, (0, pad8))
+        xr = xe.reshape(-1, 8)
+        gloc = wv_c.shape[0]
+        pats = jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(xr, base_loc + j, gloc, 0) for j in range(W // 8)],
+            axis=1,
+        )
+        return jnp.einsum("brw,bw->br", wv_c, pats).reshape(-1)
+
+    return _local(wv, x_sharded)
+
+
+def dist_spmv_ell_balanced(mesh: Mesh, ell_ind_stack, x, bounds, val_stack, axis: str = "x"):
+    """Row-sharded SpMV over NNZ-BALANCED partitions (parallel/partition.py):
+    each device holds a (mloc, w) padded-ELL block covering rows
+    [bounds[d], bounds[d+1]) — unequal row counts, ~equal nnz, so skewed
+    matrices keep every device busy (the reference's static row split,
+    csr2m.cpp:89-101, stalls on skew). x replicated; returns the stacked
+    padded (n_parts, mloc) result + bounds for compaction."""
+    xr = jax.device_put(x, NamedSharding(mesh, P()))
+    ind_s = jax.device_put(ell_ind_stack, NamedSharding(mesh, P(axis, None, None)))
+    val_s = jax.device_put(val_stack, NamedSharding(mesh, P(axis, None, None)))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None, None), P()),
+        out_specs=P(axis, None),
+    )
+    def _local(ind, val, xloc):
+        ind2 = ind[0]
+        val2 = val[0]
+        g = jnp.take(xloc, jnp.maximum(ind2, 0), axis=0)
+        prods = jnp.where(ind2 >= 0, val2 * g, jnp.zeros((), dtype=val2.dtype))
+        return jnp.sum(prods, axis=1)[None]
+
+    return _local(ind_s, val_s, xr)

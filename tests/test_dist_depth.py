@@ -1,0 +1,159 @@
+"""Distributed-depth components (SURVEY.md §5.8, VERDICT round-1 #5) on the
+8-virtual-device CPU mesh: ppermute halo-exchange SpMV, nnz-balanced
+partitions on skewed matrices, and the block-row pipelined distributed
+TRSV/TRSM (operands sharded, rolling window handed over the ring)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import aoclsparse_tpu as ast
+from aoclsparse_tpu import MatrixDescriptor, Operation
+from aoclsparse_tpu.core.types import DiagType, FillMode, MatrixType
+from aoclsparse_tpu.parallel import (
+    dist_spmv_bwd_halo,
+    dist_spmv_ell_balanced,
+    dist_trsm_pipeline,
+    dist_trsv_pipeline,
+    make_mesh,
+    nnz_balanced_bounds,
+    pack_balanced_ell,
+)
+from aoclsparse_tpu.planner.plan import get_plan, _build_bwd
+from aoclsparse_tpu.planner.triangular import trsv_form_for
+
+
+def _band_csr(rng, m, half):
+    rows = np.repeat(np.arange(m), 2 * half + 1)
+    cols = rows + np.tile(np.arange(-half, half + 1), m)
+    ok = (cols >= 0) & (cols < m)
+    rows, cols = rows[ok], cols[ok]
+    val = rng.standard_normal(rows.size)
+    ptr = np.zeros(m + 1, np.int64)
+    np.add.at(ptr, rows + 1, 1)
+    ptr = np.cumsum(ptr)
+    dense = np.zeros((m, m))
+    dense[rows, cols] = val
+    return ptr, cols.astype(np.int32), val, dense
+
+
+def test_halo_spmv_matches_dense(rng):
+    m = 512
+    ptr, ind, val, dense = _band_csr(rng, m, 6)
+    A = ast.create_csr(m, m, ptr, ind, val)
+    plan = get_plan(A)
+    eff = plan.effective_for(MatrixDescriptor(), Operation.none, A.dtype)
+    form = _build_bwd(eff)  # spill-free band form
+    assert form.sp_ind is None or form.sp_ind.shape[0] == 0
+    mesh = make_mesh(8)
+    ndev = 8
+    m_pad = -(-m // (8 * ndev)) * 8 * ndev
+    x = rng.standard_normal(m)
+    xp = jnp.pad(jnp.asarray(x), (0, m_pad - m))
+    x_sh = jax.device_put(xp, NamedSharding(mesh, P("x")))
+    y = dist_spmv_bwd_halo(mesh, form, x_sh)
+    np.testing.assert_allclose(np.asarray(y)[:m], dense @ x, atol=1e-10)
+
+
+def test_halo_rejects_spilled_form(rng):
+    m = 256
+    ptr, ind, val, dense = _band_csr(rng, m, 3)
+    A = ast.create_csr(m, m, ptr, ind, val)
+    plan = get_plan(A)
+    eff = plan.effective_for(MatrixDescriptor(), Operation.none, A.dtype)
+    form = _build_bwd(eff)
+    form.sp_ind = jnp.zeros((3,), jnp.int32)  # simulate spill
+    mesh = make_mesh(8)
+    x_sh = jax.device_put(jnp.zeros((256,)), NamedSharding(mesh, P("x")))
+    with pytest.raises(ValueError):
+        dist_spmv_bwd_halo(mesh, form, x_sh)
+
+
+def _skewed_csr(rng, m):
+    """Power-law skew: first rows dense, tail nearly empty."""
+    lens = np.maximum(1, (m // (np.arange(m) + 1))).astype(np.int64)
+    lens = np.minimum(lens, m)
+    ptr = np.concatenate([[0], np.cumsum(lens)])
+    ind = np.concatenate([rng.choice(m, l, replace=False) for l in lens]).astype(np.int32)
+    order_fix = []
+    for i in range(m):
+        seg = np.sort(ind[ptr[i] : ptr[i + 1]])
+        order_fix.append(seg)
+    ind = np.concatenate(order_fix).astype(np.int32)
+    val = rng.standard_normal(ind.size)
+    dense = np.zeros((m, m))
+    dense[np.repeat(np.arange(m), lens), ind] = val
+    return ptr, ind, val, dense
+
+
+def test_nnz_balanced_bounds_skew(rng):
+    m = 256
+    ptr, ind, val, dense = _skewed_csr(rng, m)
+    bounds = nnz_balanced_bounds(ptr, 8)
+    assert bounds[0] == 0 and bounds[-1] == m
+    assert np.all(np.diff(bounds) >= 0)
+    part_nnz = np.diff(np.asarray(ptr)[bounds])
+    # perfect balance is impossible when a single 8-row-aligned group holds
+    # more than the mean (row 0 alone has m nnz here); the requirement is
+    # strictly better than the reference-style static row split
+    # (csr2m.cpp:89-101), whose first part takes ~half of all nnz
+    static_first = ptr[m // 8] - ptr[0]
+    assert part_nnz.max() < static_first
+    # and the max part is within the single-heaviest-aligned-group bound
+    grp = np.add.reduceat(np.diff(ptr), np.arange(0, m, 8))
+    assert part_nnz.max() <= grp.max() + part_nnz.mean()
+
+
+def test_balanced_dist_spmv_skew_parity(rng):
+    m = 256
+    ptr, ind, val, dense = _skewed_csr(rng, m)
+    src, ell_ind, mloc, bounds = pack_balanced_ell(ptr, ind, 8)
+    vals = np.where(src >= 0, np.asarray(val)[np.clip(src, 0, None)], 0.0)
+    mesh = make_mesh(8)
+    x = rng.standard_normal(m)
+    y_st = dist_spmv_ell_balanced(
+        mesh, jnp.asarray(ell_ind), jnp.asarray(x), bounds, jnp.asarray(vals)
+    )
+    y_st = np.asarray(y_st)
+    # compact: part p rows bounds[p]..bounds[p+1]
+    y = np.zeros(m)
+    for p in range(8):
+        lo, hi = bounds[p], bounds[p + 1]
+        y[lo:hi] = y_st[p, : hi - lo]
+    np.testing.assert_allclose(y, dense @ x, atol=1e-10)
+
+
+@pytest.mark.parametrize("fill", [FillMode.lower, FillMode.upper])
+def test_dist_trsv_pipeline_parity(rng, fill):
+    m = 256
+    dense = np.tril(rng.standard_normal((m, m))) * (np.abs(rng.standard_normal((m, m))) < 0.6)
+    np.fill_diagonal(dense, 4.0 + rng.random(m))
+    if fill == FillMode.upper:
+        dense = dense.T
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int64)
+    ind = np.nonzero(dense)[1].astype(np.int32)
+    A = ast.create_csr(m, m, ptr, ind, dense[dense != 0])
+    descr = MatrixDescriptor(type=MatrixType.triangular, fill_mode=fill)
+    plan = get_plan(A)
+    form = trsv_form_for(plan, descr, Operation.none, nb=16)
+    b = rng.standard_normal(m)
+    mesh = make_mesh(8)
+    x = np.asarray(dist_trsv_pipeline(mesh, form, b))
+    np.testing.assert_allclose(dense @ x, b, atol=1e-8)
+
+
+def test_dist_trsm_pipeline_parity(rng):
+    m, k = 128, 24
+    dense = np.tril(rng.standard_normal((m, m))) * (np.abs(rng.standard_normal((m, m))) < 0.5)
+    np.fill_diagonal(dense, 5.0)
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int64)
+    ind = np.nonzero(dense)[1].astype(np.int32)
+    A = ast.create_csr(m, m, ptr, ind, dense[dense != 0])
+    descr = MatrixDescriptor(type=MatrixType.triangular, fill_mode=FillMode.lower)
+    form = trsv_form_for(get_plan(A), descr, Operation.none, nb=16)
+    B = rng.standard_normal((m, k))
+    mesh = make_mesh(8)
+    X = np.asarray(dist_trsm_pipeline(mesh, form, B))
+    np.testing.assert_allclose(dense @ X, B, atol=1e-8)
