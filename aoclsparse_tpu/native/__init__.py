@@ -93,11 +93,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.rcm.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
         lib.spgemm_nnz.restype = ctypes.c_int64
         lib.spgemm_nnz.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p, i64p, i64p]
+        i32p = ctypes.POINTER(ctypes.c_int32)
         lib.spgemm_expand.restype = ctypes.c_int64
-        lib.spgemm_expand.argtypes = [ctypes.c_int64] + [i64p] * 9 + [
-            ctypes.c_uint8,
-            i64p,
-        ]
+        lib.spgemm_expand.argtypes = (
+            [ctypes.c_int64] + [i64p] * 4 + [i32p] * 3 + [i64p, i32p, ctypes.c_uint8, i64p]
+        )
         _lib = lib
         return _lib
 
@@ -297,24 +297,27 @@ def spgemm_expand(mA: int, Aptr, Aind, Bptr, Bind, upper_only: bool = False):
     Bptr64, Bind64 = _i64(Bptr), _i64(Bind)
     lensB = np.diff(Bptr64)
     P = int(lensB[Aind64].sum()) if Aind64.size else 0  # upper bound on products
-    pa = np.empty(P, dtype=np.int64)
-    pb = np.empty(P, dtype=np.int64)
-    pc = np.empty(P, dtype=np.int64)
+    if P >= np.iinfo(np.int32).max or Bind64.size >= np.iinfo(np.int32).max:
+        return None  # int32 product triples: absurd sizes take the numpy path
+    pa = np.empty(P, dtype=np.int32)
+    pb = np.empty(P, dtype=np.int32)
+    pc = np.empty(P, dtype=np.int32)
     Cptr = np.zeros(mA + 1, dtype=np.int64)
-    Cind = np.empty(max(P, 1), dtype=np.int64)
+    Cind = np.empty(max(P, 1), dtype=np.int32)
     kept = np.zeros(1, dtype=np.int64)
     i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
     nnzC = lib.spgemm_expand(
         ctypes.c_int64(mA),
         Aptr64.ctypes.data_as(i64p),
         Aind64.ctypes.data_as(i64p),
         Bptr64.ctypes.data_as(i64p),
         Bind64.ctypes.data_as(i64p),
-        pa.ctypes.data_as(i64p),
-        pb.ctypes.data_as(i64p),
-        pc.ctypes.data_as(i64p),
+        pa.ctypes.data_as(i32p),
+        pb.ctypes.data_as(i32p),
+        pc.ctypes.data_as(i32p),
         Cptr.ctypes.data_as(i64p),
-        Cind.ctypes.data_as(i64p),
+        Cind.ctypes.data_as(i32p),
         ctypes.c_uint8(1 if upper_only else 0),
         kept.ctypes.data_as(i64p),
     )

@@ -153,40 +153,89 @@ int64_t spgemm_expand(int64_t mA,
                                  const int64_t *Aind,
                                  const int64_t *Bptr,
                                  const int64_t *Bind,
-                                 int64_t *pa,
-                                 int64_t *pb,
-                                 int64_t *pc,
+                                 int32_t *pa,
+                                 int32_t *pb,
+                                 int32_t *pc,
                                  int64_t *Cptr,
-                                 int64_t *Cind,
+                                 int32_t *Cind,
                                  uint8_t upper_only,
                                  int64_t *p_count_out)
 {
-    struct Prod { int64_t col, a, b; };
-    std::vector<Prod> row_buf;
+    // Marker-based, no comparison sort over the P products (only the nnzC
+    // output columns sort per row; typically P >> nnzC):
+    //   pass 1: dense marker assigns each distinct column a slot in
+    //           first-seen order; products buffer into row scratch with
+    //           their local slot + per-slot counts accumulate,
+    //   pass 2: sort the row's (col, slot) pairs -> rank permutation,
+    //   pass 3: counting-sort placement writes the row's products at their
+    //           (row, col)-ordered final positions, so pc comes out
+    //           non-decreasing (the device numeric stage's sorted
+    //           segment-sum requires it).
+    // This is the Gustavson marker scan of the reference's symbolic stage
+    // (level3/aoclsparse_csr2m.cpp:89-200) extended to also emit the
+    // product triples the device numeric stage consumes.
+    std::vector<int64_t> marker;  // col -> absolute slot; grown on demand
+    marker.assign((size_t)1, -1);
+    std::vector<std::pair<int64_t, int64_t>> row_cols;  // (col, local slot)
+    std::vector<int64_t> rank;                           // local slot -> rank
+    std::vector<int64_t> cnt;                            // products per local slot
+    std::vector<int64_t> off;                            // write offset per local slot
+    struct Prod { int32_t a, b, slot; };
+    std::vector<Prod> scratch;                           // row's products
     int64_t p_out = 0, c_out = 0;
     Cptr[0] = 0;
     for (int64_t i = 0; i < mA; ++i) {
-        row_buf.clear();
+        const int64_t row_c0 = c_out;
+        const int64_t row_p0 = p_out;
+        row_cols.clear();
+        scratch.clear();
         for (int64_t k = Aptr[i]; k < Aptr[i + 1]; ++k) {
             const int64_t kk = Aind[k];
             for (int64_t t = Bptr[kk]; t < Bptr[kk + 1]; ++t) {
                 const int64_t j = Bind[t];
                 if (upper_only && j < i) continue;
-                row_buf.push_back({j, k, t});
+                if (j >= (int64_t)marker.size())
+                    marker.resize(std::max((size_t)j + 1, marker.size() * 2), -1);
+                int64_t slot = marker[(size_t)j];
+                if (slot < row_c0) {  // not seen this row
+                    slot = c_out++;
+                    marker[(size_t)j] = slot;
+                    row_cols.push_back({j, slot - row_c0});
+                    cnt.push_back(0);
+                }
+                const int64_t ls = slot - row_c0;
+                ++cnt[(size_t)ls];
+                scratch.push_back({(int32_t)k, (int32_t)t, (int32_t)ls});
+                ++p_out;
             }
         }
-        std::sort(row_buf.begin(), row_buf.end(),
-                  [](const Prod &x, const Prod &y) { return x.col < y.col; });
-        int64_t prev = -1;
-        for (const Prod &p : row_buf) {
-            if (p.col != prev) { Cind[c_out++] = p.col; prev = p.col; }
-            pa[p_out] = p.a;
-            pb[p_out] = p.b;
-            pc[p_out] = c_out - 1;
-            ++p_out;
+        // order the row's columns; local slot -> sorted rank
+        std::sort(row_cols.begin(), row_cols.end());
+        const int64_t ncols = c_out - row_c0;
+        rank.assign((size_t)ncols, 0);
+        for (int64_t r = 0; r < ncols; ++r) {
+            Cind[row_c0 + r] = (int32_t)row_cols[(size_t)r].first;
+            rank[(size_t)row_cols[(size_t)r].second] = r;
         }
+        // counting-sort placement: offsets in rank order
+        off.assign((size_t)ncols, 0);
+        int64_t acc = 0;
+        for (int64_t r = 0; r < ncols; ++r) {
+            const int64_t ls = row_cols[(size_t)r].second;
+            off[(size_t)ls] = acc;
+            acc += cnt[(size_t)ls];
+        }
+        for (const Prod &pr : scratch) {
+            const int64_t pos = row_p0 + off[(size_t)pr.slot]++;
+            pa[pos] = pr.a;
+            pb[pos] = pr.b;
+            pc[pos] = (int32_t)(row_c0 + rank[(size_t)pr.slot]);
+        }
+        cnt.clear();
         Cptr[i + 1] = c_out;
     }
+    // markers hold stale absolute slots between rows: correctness relies on
+    // the `slot < row_c0` freshness test, so no reset pass is needed
     *p_count_out = p_out;
     return c_out;
 }
