@@ -56,8 +56,18 @@ from .core.context import get_context  # noqa: F401
 from .kernels.registry import debug_dispatcher  # noqa: F401
 from .ops import (  # noqa: F401
     add,
+    axpyi,
     csr2m,
+    dotci,
+    doti,
     dotmv,
+    dotui,
+    gthr,
+    gthrs,
+    gthrz,
+    roti,
+    sctr,
+    sctrs,
     mm,
     mv,
     sp2m,

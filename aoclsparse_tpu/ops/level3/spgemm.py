@@ -81,6 +81,7 @@ class SpgemmPlan:
     nnz: int
     conj_a: bool = False
     conj_b: bool = False
+    band: object = None  # BandGemmPlan when both operands band-compress
 
 
 def _effective(h: SparseMatrix, descr: MatrixDescriptor, op: Operation):
@@ -175,6 +176,40 @@ def _numeric(Aval, Bval, pa, pb, pc, nnz: int, conj_a: bool, conj_b: bool):
     return jax.ops.segment_sum(a * b, pc, num_segments=nnz, indices_are_sorted=True)
 
 
+def _attach_band_plan(plan: "SpgemmPlan", effA, effB) -> None:
+    """Attach the band x band numeric plan when both operands compress
+    (TPU default; AOCLSPARSE_TPU_FORCE_BANDGEMM=1 forces it on CPU for
+    tests, AOCLSPARSE_TPU_NO_BANDGEMM=1 disables). Per-product indexing
+    costs ~13ns/elem on this TPU (PROBE_spgemm.jsonl), so the dense
+    MXU formulation wins whenever it applies."""
+    import os
+
+    from ...core.context import get_context
+
+    if os.environ.get("AOCLSPARSE_TPU_NO_BANDGEMM", "0") in ("1", "true"):
+        return
+    force = os.environ.get("AOCLSPARSE_TPU_FORCE_BANDGEMM", "0") in ("1", "true")
+    if not (get_context().is_tpu or force):
+        return
+    from ...kernels.xla.spgemm_band import build_band_gemm_plan
+
+    G = 512 if get_context().is_tpu else 32
+    band = build_band_gemm_plan(effA, effB, plan.ptr, plan.ind, G=G, force=force)
+    if band is not None:
+        plan.band = band
+
+
+def _numeric_auto(plan: "SpgemmPlan", effA, effB, conj_a: bool, conj_b: bool):
+    """Run the numeric stage through the band fast path when attached."""
+    if plan.band is not None:
+        from ...kernels.xla.spgemm_band import band_gemm_values
+
+        va = jnp.conj(effA.val) if conj_a and jnp.iscomplexobj(effA.val) else effA.val
+        vb = jnp.conj(effB.val) if conj_b and jnp.iscomplexobj(effB.val) else effB.val
+        return band_gemm_values(plan.band, va, vb)
+    return _numeric(effA.val, effB.val, plan.pa, plan.pb, plan.pc, plan.nnz, conj_a, conj_b)
+
+
 # ---------------------------------------------------------------------------
 # sp2m / csr2m / spmm (sparse out)
 # ---------------------------------------------------------------------------
@@ -214,19 +249,18 @@ def sp2m(
         plan: SpgemmPlan = C._spgemm_plan
         effA = _effective(A, descrA, opA)
         effB = _effective(B, descrB, opB)
-        val = _numeric(
-            effA.val, effB.val, plan.pa, plan.pb, plan.pc, plan.nnz, plan.conj_a, plan.conj_b
-        )
+        val = _numeric_auto(plan, effA, effB, plan.conj_a, plan.conj_b)
         C.data = CSR(plan.ptr, plan.ind, val, shape=plan.shape)
         return C
     effA = _effective(A, descrA, Operation(opA))
     effB = _effective(B, descrB, Operation(opB))
     plan = _symbolic(effA, effB)
+    _attach_band_plan(plan, effA, effB)
     dtype = jnp.result_type(A.dtype, B.dtype)
     if request == Request.nnz_count:
         val = jnp.zeros((plan.nnz,), dtype=dtype)
     else:
-        val = _numeric(effA.val, effB.val, plan.pa, plan.pb, plan.pc, plan.nnz, False, False)
+        val = _numeric_auto(plan, effA, effB, False, False)
     out = SparseMatrix(CSR(plan.ptr, plan.ind, val.astype(dtype), shape=plan.shape), FormatType.csr)
     out._spgemm_plan = plan
     return out
@@ -352,7 +386,8 @@ def syrk(opA: Operation, A: SparseMatrix) -> SparseMatrix:
     _check_handles(A)
     effL, effR, conj_a, conj_b = _syrk_plan(A, opA)
     plan = _symbolic(effL, effR, upper_only=True, conj_a=conj_a, conj_b=conj_b)
-    val = _numeric(effL.val, effR.val, plan.pa, plan.pb, plan.pc, plan.nnz, conj_a, conj_b)
+    _attach_band_plan(plan, effL, effR)
+    val = _numeric_auto(plan, effL, effR, conj_a, conj_b)
     out = SparseMatrix(CSR(plan.ptr, plan.ind, val, shape=plan.shape), FormatType.csr)
     out._spgemm_plan = plan
     return out
