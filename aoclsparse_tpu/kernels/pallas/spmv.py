@@ -22,7 +22,102 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_spmv_bwd"]
+__all__ = ["pallas_spmv_bwd", "pallas_spmv_band_t", "spmv_bandt"]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("W", "padL", "start", "TM", "interpret", "has_spill"),
+)
+def spmv_bandt(
+    vt,
+    x,
+    sp_val,
+    sp_ind,
+    sp_rows,
+    W: int,
+    padL: int,
+    start: int,
+    TM: int = 2048,
+    interpret: bool = False,
+    has_spill: bool = False,
+):
+    """Full bandt dispatch: pad x, run the Pallas transposed-band kernel,
+    add the planner's peel spill (sorted segment-sum) — one compiled
+    program around the pallas_call."""
+    m = vt.shape[1]
+    xe = jnp.pad(x, (padL, 0))
+    y = pallas_spmv_band_t(vt, xe, W, start, TM=TM, interpret=interpret)
+    if has_spill:
+        y = y + jax.ops.segment_sum(
+            sp_val * x[sp_ind], sp_rows, num_segments=m, indices_are_sorted=True
+        )
+    return y
+
+
+# ---------------------------------------------------------------------------
+# v2: transposed-band kernel — Mosaic-friendly layouts (the v1 kernel's
+# (..., 8)-lane reshapes and 17-piece unaligned concat crash the Mosaic
+# compiler on the real chip; all v2 shapes are (sublanes, 128k lanes))
+# ---------------------------------------------------------------------------
+
+
+def _kernel_t(vt_ref, x0_ref, x1_ref, out_ref, *, TM: int, W: int):
+    """y[i] = sum_j vt[j, i] * xwin[i + j] for a TM-row tile.
+
+    vt: (W, TM) transposed band slab; x chunks arrive as (8, TM/8) tiles
+    (legal Mosaic blocks) and are flattened to a (1, 2*TM) lane vector.
+    The j loop unrolls into W vector FMAs with static lane slices — pure
+    VPU work, band streamed from HBM exactly once."""
+    x0 = x0_ref[:].reshape(1, TM)
+    x1 = x1_ref[:].reshape(1, TM)
+    xwin = jnp.concatenate([x0, x1], axis=1)  # (1, 2*TM)
+    acc = jnp.zeros((1, TM), dtype=out_ref.dtype)
+    for j in range(W):
+        acc = acc + vt_ref[j : j + 1, :].astype(out_ref.dtype) * (
+            xwin[:, j : j + TM].astype(out_ref.dtype)
+        )
+    out_ref[:] = acc.reshape(8, TM // 8)
+
+
+@partial(jax.jit, static_argnames=("W", "start", "TM", "interpret"))
+def pallas_spmv_band_t(vt, xe, W: int, start: int, TM: int = 1024, interpret: bool = False):
+    """Row-aligned band SpMV: y[i] = sum_j vt[j, i] * xe[start + i + j].
+
+    vt: (W, m) TRANSPOSED row-aligned band (vt[j, i] = A[i, i + lo + j]);
+    xe: padded x with xe[start + i + lo + j] = x[i + lo + j] (caller embeds
+    lo into `start`). Requires W <= TM."""
+    Wm, m = vt.shape
+    assert Wm == W and W <= TM
+    ntile = -(-m // TM)
+    m_pad = ntile * TM
+    if m_pad != m:
+        vt = jnp.pad(vt, ((0, 0), (0, m_pad - m)))
+    coarse, rem = divmod(start, TM)
+    need = (ntile + coarse + 2) * TM + rem
+    if xe.shape[0] < need:
+        xe = jnp.pad(xe, (0, need - xe.shape[0]))
+    if rem:
+        xe = jnp.roll(xe, -rem)
+    nchunk = xe.shape[0] // TM
+    # chunks as (8, TM/8) tiles: legal (8, 128k) Mosaic blocks; chunk c is
+    # rows [8c, 8c+8) of the (nchunk*8, TM/8) layout
+    x2 = xe[: nchunk * TM].reshape(nchunk * 8, TM // 8)
+    odt = jnp.float32 if vt.dtype == jnp.bfloat16 else vt.dtype
+
+    out = pl.pallas_call(
+        partial(_kernel_t, TM=TM, W=W),
+        out_shape=jax.ShapeDtypeStruct((ntile * 8, TM // 8), odt),
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((W, TM), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TM // 8), lambda t: (t + coarse, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TM // 8), lambda t: (t + coarse + 1, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TM // 8), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(vt, x2, x2)
+    return out.reshape(-1)[:m]
 
 
 def _kernel(val_ref, x0_ref, x1_ref, out_ref, *, TM: int, W: int):

@@ -110,6 +110,25 @@ def _run_exec_form(form, x, kid):
             form.dia_n_pad,
             offs_static=form.dia_offs_static,
         )
+    if form.kind == "bandt":
+        from ...core.context import get_context
+
+        has_spill = form.sp_ind is not None and bool(form.sp_ind.shape[0])
+        zero_i = jnp.zeros((0,), jnp.int32)
+        zero_v = jnp.zeros((0,), x.dtype)
+        return e.fn(
+            form.bwd_val,
+            x,
+            form.sp_val if has_spill else zero_v,
+            form.sp_ind if has_spill else zero_i,
+            form.sp_rows if has_spill else zero_i,
+            W=form.bwd_W,
+            padL=form.bwd_padL,
+            start=form.bandt_start,
+            TM=2048 if get_context().is_tpu else max(128, -(-form.bwd_W // 8) * 8),
+            interpret=not get_context().is_tpu,
+            has_spill=has_spill,
+        )
     if form.kind == "gen":
         import os
 
@@ -184,7 +203,7 @@ def _spmv_core(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, x, kid=N
         # with invalid_kid when unsupported, cntx_dispatcher.hpp:272-364)
         for e in registry.table("mv"):
             if e.kid == kid:
-                if e.fmt not in ("segsum", "ell", "ellhyb", "bwd", "diag", "gen"):
+                if e.fmt not in ("segsum", "ell", "ellhyb", "bwd", "diag", "gen", "bandt"):
                     raise AoclSparseError(
                         Status.invalid_kid, f"kid {kid} serves format '{e.fmt}', not CSR"
                     )

@@ -451,6 +451,10 @@ class ExecForm:
     gen_out: Optional[jax.Array] = None  # (nblk,) int32 inverse block perm
     gen_B: int = 128  # permutation block granularity
     gen_m_pad: int = 0  # permuted/padded dimension (nblk * B)
+    # bandt (row-aligned transposed band for the Pallas kernel,
+    # kernels/pallas/spmv.py spmv_bandt): bwd_val holds the (W, m) slab,
+    # bwd_W the row window width, bwd_padL the left x padding (= max(0,-lo))
+    bandt_start: int = 0  # x window start offset (= max(lo, 0))
     hub_cols: Optional[jax.Array] = None  # (k,) int32 ORIGINAL col ids
     hub_slab: Optional[jax.Array] = None  # (m_pad, k) dense, permuted rows
     hub_dest: Optional[np.ndarray] = None  # flat positions into hub_slab
@@ -470,6 +474,13 @@ class ExecForm:
             buf = np.zeros(ndiag * self.m, dtype=vh.dtype)
             buf[self.dia_dest] = vh
             self.dia_val = jnp.asarray(buf.reshape(ndiag, self.m))
+        elif self.kind == "bandt":
+            vh = np.asarray(eff_val)
+            buf = np.zeros(self.bwd_W * self.m, dtype=vh.dtype)
+            buf[self.bwd_dest] = vh if self.bwd_srcpos is None else vh[self.bwd_srcpos]
+            self.bwd_val = jnp.asarray(buf.reshape(self.bwd_W, self.m))
+            if self.sp_src is not None and self.sp_src.size:
+                self.sp_val = jnp.asarray(vh[self.sp_src])
         elif self.kind in ("bwd", "bwdg", "gen"):
             # host-side scatter + device_put: device gathers are the slow
             # path on TPU, and a dense int64 source map would cost 8x the
@@ -556,6 +567,18 @@ def choose_mv_format(eff: EffectiveCSR, hint_nop: int = 1) -> str:
         if diag_ok and (not bwd_ok or 2 * ndiag < W):
             return "diag"
         if bwd_ok:
+            # prefer the Pallas transposed-band kernel when available: it
+            # streams the band from HBM exactly once (measured ~1.8x the
+            # fused-XLA bwd in the same window) and the row-aligned window
+            # is never wider than the group window
+            if get_context().pallas_ok:
+                rows_r = np.repeat(
+                    np.arange(m, dtype=np.int64), np.diff(eff.ptr.astype(np.int64))
+                )
+                rel_r = eff.ind.astype(np.int64) - rows_r
+                Wr = int(np.percentile(rel_r, 99.75)) - int(np.percentile(rel_r, 0.25)) + 17
+                if Wr <= BANDT_MAX_W:
+                    return "bandt"
             return "bwd"
         if eff.shape[0] == eff.shape[1] and m >= 2 * GEN_B:
             # general structure: try the hub+RCM+band composite; the builder
@@ -873,6 +896,57 @@ def _build_gen(eff: EffectiveCSR) -> Optional[ExecForm]:
     return core
 
 
+#: max row-aligned band width for the Pallas transposed-band kernel
+#: (vt block (W, TM=2048) f32 must fit VMEM alongside the x window)
+BANDT_MAX_W = 1024
+
+
+def _build_bandt(eff: EffectiveCSR) -> Optional[ExecForm]:
+    """Row-aligned transposed band for the Pallas kernel (spmv_bandt):
+    vt[j, i] = A[i, i + lo + j]. Tighter than the 8-row-group window (each
+    row gets its own window start) and streamed from HBM exactly once by
+    the kernel. Peel outliers spill to a segment-sum like bwd."""
+    m, n = eff.shape
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(eff.ptr.astype(np.int64)))
+    cols = eff.ind.astype(np.int64)
+    rel = cols - rows
+    if rel.size == 0:
+        return None
+    lo = int(rel.min())
+    W = int(rel.max()) - lo + 1
+    spill_mask = np.zeros(rel.size, dtype=bool)
+    if rel.size > 4096:
+        lo_c = int(np.percentile(rel, 0.25))
+        hi_c = int(np.percentile(rel, 99.75))
+        W_core = hi_c - lo_c + 1
+        outside = (rel < lo_c) | (rel > hi_c)
+        n_out = int(outside.sum())
+        if W_core <= W - 16 and n_out <= max(1024, rel.size // 100):
+            spill_mask = outside
+            lo, W = lo_c, W_core
+    W = -(-W // 8) * 8
+    if W > BANDT_MAX_W:
+        return None
+    keep = ~spill_mask
+    dest = (rel - lo)[keep] * m + rows[keep]
+    spilled = bool(spill_mask.any())
+    form = ExecForm(
+        kind="bandt",
+        m=m,
+        n=n,
+        bwd_dest=dest,
+        bwd_srcpos=np.nonzero(keep)[0] if spilled else None,
+        bwd_W=int(W),
+        bwd_padL=int(max(0, -lo)),
+        bandt_start=int(max(lo, 0)),
+        sp_src=np.nonzero(spill_mask)[0] if spilled else None,
+        sp_ind=jnp.asarray(cols[spill_mask].astype(np.int32)) if spilled else None,
+        sp_rows=jnp.asarray(rows[spill_mask].astype(np.int32)) if spilled else None,
+    )
+    form.refresh(eff.val)
+    return form
+
+
 def _diag_stats(eff: EffectiveCSR):
     """Distinct generalized diagonals (j - i) of the effective matrix."""
     if eff.nnz == 0:
@@ -930,6 +1004,11 @@ def build_exec_form(eff: EffectiveCSR, kind: Optional[str] = None) -> ExecForm:
         )
     if kind == "diag":
         return _build_diag(eff)
+    if kind == "bandt":
+        form = _build_bandt(eff)
+        if form is not None:
+            return form
+        kind = "bwd"  # row window too wide after all: group-window form
     if kind == "bwd":
         return _build_bwd(eff, G=8, kind="bwd")
     if kind == "bwdg":

@@ -1,0 +1,88 @@
+"""Pallas transposed-band SpMV form (bandt, kernels/pallas/spmv.py):
+interpret-mode parity on CPU vs the dense oracle — band, peel spill,
+transpose, descriptors, update_values refresh. On the real chip this form
+is the default for band-compressible structure (measured ~1.8x the fused
+XLA bwd path; see bench.py)."""
+
+import numpy as np
+import pytest
+
+import aoclsparse_tpu as ast
+from aoclsparse_tpu import MatrixDescriptor, Operation
+from aoclsparse_tpu.core.types import FillMode, MatrixType
+from aoclsparse_tpu.planner.plan import get_plan
+
+GEN = MatrixDescriptor()
+
+
+def _band(rng, m, half, per_row=5, outliers=0):
+    dense = np.zeros((m, m))
+    for i in range(m):
+        js = np.clip(i + rng.integers(-half, half + 1, per_row), 0, m - 1)
+        dense[i, js] = rng.standard_normal(js.size)
+    if outliers:
+        oi = rng.integers(0, m, outliers)
+        oj = rng.integers(0, m, outliers)
+        dense[oi, oj] = rng.standard_normal(outliers)
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int64)
+    ind = np.nonzero(dense)[1].astype(np.int32)
+    return ast.create_csr(m, m, ptr, ind, dense[dense != 0]), dense
+
+
+def test_bandt_parity(rng):
+    m = 600
+    A, dense = _band(rng, m, 7)
+    x = rng.standard_normal(m)
+    y = np.asarray(ast.mv(1.5, A, GEN, Operation.none, x, 0.0, kid=8))
+    np.testing.assert_allclose(y, 1.5 * dense @ x, atol=1e-10)
+    form = get_plan(A).exec_form_for(GEN, Operation.none, kind="bandt")
+    assert form.kind == "bandt" and form.bwd_W <= 16
+
+
+def test_bandt_transpose_and_beta(rng):
+    m = 300
+    A, dense = _band(rng, m, 5)
+    x = rng.standard_normal(m)
+    y0 = rng.standard_normal(m)
+    y = np.asarray(ast.mv(2.0, A, GEN, Operation.transpose, x, -1.0, y=y0.copy(), kid=8))
+    np.testing.assert_allclose(y, 2.0 * dense.T @ x - y0, atol=1e-10)
+
+
+def test_bandt_peel_spill(rng):
+    # >4096 nnz triggers the percentile peel; outliers go to the spill
+    m = 8192
+    A, dense = _band(rng, m, 5, per_row=3, outliers=40)
+    form = get_plan(A).exec_form_for(GEN, Operation.none, kind="bandt")
+    assert form.sp_ind is not None and int(form.sp_ind.shape[0]) >= 1
+    assert form.bwd_W <= 24
+    x = rng.standard_normal(m)
+    y = np.asarray(ast.mv(1.0, A, GEN, Operation.none, x, 0.0, kid=8))
+    np.testing.assert_allclose(y, dense @ x, atol=1e-10)
+
+
+def test_bandt_update_values(rng):
+    m = 400
+    A, dense = _band(rng, m, 6)
+    x = rng.standard_normal(m)
+    _ = ast.mv(1.0, A, GEN, Operation.none, x, 0.0, kid=8)
+    v2 = rng.standard_normal(A.nnz)
+    ast.update_values(A, v2)
+    d2 = np.zeros((m, m))
+    d2[
+        np.repeat(np.arange(m), np.diff(np.asarray(A.data.ptr))), np.asarray(A.data.ind)
+    ] = v2
+    y = np.asarray(ast.mv(1.0, A, GEN, Operation.none, x, 0.0, kid=8))
+    np.testing.assert_allclose(y, d2 @ x, atol=1e-10)
+
+
+def test_bandt_symmetric_descriptor(rng):
+    m = 256
+    A, dense = _band(rng, m, 4)
+    up = np.triu(dense)
+    ptr = np.concatenate([[0], np.cumsum((up != 0).sum(1))]).astype(np.int64)
+    Au = ast.create_csr(m, m, ptr, np.nonzero(up)[1].astype(np.int32), up[up != 0])
+    sym = MatrixDescriptor(type=MatrixType.symmetric, fill_mode=FillMode.upper)
+    x = rng.standard_normal(m)
+    y = np.asarray(ast.mv(1.0, Au, sym, Operation.none, x, 0.0, kid=8))
+    full = np.triu(up) + np.triu(up, 1).T
+    np.testing.assert_allclose(y, full @ x, atol=1e-10)
