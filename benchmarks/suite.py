@@ -95,6 +95,18 @@ def main():
     rng = np.random.default_rng(7)
     results = []
 
+    # same-window achievable-bandwidth calibration (see bench.py): a plain
+    # fused stream over 128 MB; rerun alongside every family
+    stream_buf = jnp.asarray(rng.standard_normal(32 * 1024 * 1024).astype(np.float32))
+
+    @jax.jit
+    def _stream(b):
+        return b * 2.0 + 1.0
+
+    def window_gbps():
+        t = chain_min(lambda: _stream(stream_buf), iters_per=6, chunks=2)
+        return round(2 * stream_buf.size * 4 / t / 1e9, 1)
+
     m = n = 262144
     row_nnz, half_bw = 64, 64
     ptr, ind, val = banded(rng, m, n, half_bw, row_nnz, diag_boost=float(row_nnz))
@@ -102,6 +114,61 @@ def main():
     A = ast.create_csr(m, n, ptr, ind, val)
     plan = get_plan(A)
     x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+    # ---- SpMV banded via the Pallas transposed-band form (TPU default) ----
+    from aoclsparse_tpu.ops.level2.mv import _run_exec_form
+
+    try:
+        formt = plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="bandt")
+        t = chain_min(lambda: _run_exec_form(formt, x, None))
+        gbytes = ((m + 1 + nnz) * 4 + (nnz + n + m) * 4) / 1e9
+        results.append(
+            {
+                "metric": "spmv_bandt_pallas_f32",
+                "value": round(gbytes / t, 2),
+                "unit": "GB/s(effective)",
+                "extra": {
+                    "gnnz_s": round(nnz / t / 1e9, 2),
+                    "t_us": round(t * 1e6, 1),
+                    "W": formt.bwd_W,
+                    "window_stream_gbps": window_gbps(),
+                },
+            }
+        )
+    except Exception as e:
+        results.append({"metric": "spmv_bandt_pallas_f32", "error": repr(e)[:200]})
+
+    # ---- SpMV f64 (emulated on TPU — reported honestly, csrmv.sh:88-92
+    # double-precision methodology counterpart) ----
+    try:
+        A64 = ast.create_csr(m, n, ptr, ind, val.astype(np.float64))
+        form64 = get_plan(A64).exec_form_for(
+            MatrixDescriptor(), Operation.none, kind="bwd", dtype=np.float64
+        )
+        x64 = jnp.asarray(np.asarray(x), dtype=jnp.float64)
+        xp64 = jnp.pad(x64, (form64.bwd_padL, form64.bwd_n_pad - form64.bwd_padL - n))
+        t = chain_min(
+            lambda: spmv_bwd(
+                form64.bwd_val, xp64, form64.bwd_W, form64.bwd_base8, form64.bwd_n_pad, False
+            ),
+            iters_per=10,
+            chunks=4,
+        )
+        gbytes64 = ((m + 1 + nnz) * 4 + (nnz + n + m) * 8) / 1e9
+        results.append(
+            {
+                "metric": "spmv_band_f64",
+                "value": round(gbytes64 / t, 2),
+                "unit": "GB/s(effective)",
+                "extra": {
+                    "gnnz_s": round(nnz / t / 1e9, 2),
+                    "t_us": round(t * 1e6, 1),
+                    "note": "f64 emulated on TPU v5e",
+                },
+            }
+        )
+    except Exception as e:
+        results.append({"metric": "spmv_band_f64", "error": repr(e)[:200]})
 
     # ---- SpMV banded (bwd) ----
     form = plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="bwd")
@@ -236,6 +303,63 @@ def main():
             },
         }
     )
+
+    # ---- SpGEMM band x band numeric (scan-of-matmuls engine) ----
+    try:
+        from aoclsparse_tpu.kernels.xla.spgemm_band import (
+            band_gemm_values,
+            build_band_gemm_plan,
+        )
+
+        band2 = build_band_gemm_plan(effA, effA, plan2.ptr, plan2.ind, G=512, force=True)
+        if band2 is not None:
+            t = chain_min(
+                lambda: band_gemm_values(band2, effA.val, effA.val), iters_per=5, chunks=4
+            )
+            results.append(
+                {
+                    "metric": "spgemm_numeric_band",
+                    "value": round(2 * P / t / 1e9, 2),
+                    "unit": "GFLOP/s",
+                    "extra": {
+                        "t_ms": round(t * 1e3, 3),
+                        "WA": band2.WA,
+                        "WC": band2.WC,
+                        "window_stream_gbps": window_gbps(),
+                    },
+                }
+            )
+    except Exception as e:
+        results.append({"metric": "spgemm_numeric_band", "error": repr(e)[:200]})
+
+    # ---- fused preconditioned CG (one dispatch per solve) ----
+    try:
+        mF = 65536
+        pF, iF, vF = banded(rng, mF, mF, 16, 9, diag_boost=64.0)
+        # symmetrize: A + A^T keeps the band, guarantees SPD with the boost
+        dF_upper = ast.create_csr(mF, mF, pF, iF, vF)
+        from aoclsparse_tpu.solvers.fused import pcg_solve
+
+        bF = rng.standard_normal(mF).astype(np.float32)
+        t0 = time.perf_counter()
+        xF, itF, rnF = pcg_solve(dF_upper, bF, rtol=1e-5, maxit=60, precond="ilu0")
+        t_first = time.perf_counter() - t0
+
+        def run_pcg():
+            xr, it, rn = pcg_solve(dF_upper, bF, rtol=1e-5, maxit=60, precond="ilu0")
+            return xr
+
+        t = chain_min(run_pcg, iters_per=1, chunks=3)
+        results.append(
+            {
+                "metric": "pcg_ilu0_solve",
+                "value": round(t * 1e3 / max(itF, 1), 3),
+                "unit": "ms/iter",
+                "extra": {"iters": itF, "t_solve_ms": round(t * 1e3, 1), "m": mF},
+            }
+        )
+    except Exception as e:
+        results.append({"metric": "pcg_ilu0_solve", "error": repr(e)[:200]})
 
     for r in results:
         r["device"] = ctx.device_kind
