@@ -431,7 +431,13 @@ class GmresRci:
                 if converged:
                     self.task = "stopped"
                     return RciJob.stopping_criterion, self.x
-                # restart
+                # restart: bounce stopping_criterion first so RCI drivers can
+                # monitor/interrupt at every cycle boundary (the reference's
+                # gmres RCI monitoring cadence, itsol_functions.hpp:893)
+                self.task = "restart_bounce"
+                return RciJob.stopping_criterion, self.x
+
+            if self.task == "restart_bounce":
                 self.task = "init_res"
                 return RciJob.mv, self.x
 

@@ -81,6 +81,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    # x64 so the f64 variant really runs emulated f64 (not silently f32)
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     import aoclsparse_tpu as ast
