@@ -89,7 +89,11 @@ def _detect() -> Context:
     pallas_ok = os.environ.get("AOCLSPARSE_TPU_DISABLE_PALLAS", "0") not in ("1", "true")
     # Pallas TPU kernels need a real TPU; CPU runs use interpret mode only in
     # tests, so default them off for performance paths.
-    if platform not in ("tpu", "axon"):
+    # AOCLSPARSE_TPU_FORCE_PALLAS=1 keeps them selectable on CPU (interpret
+    # mode) so the Pallas-routed planner paths are testable off-chip.
+    if platform not in ("tpu", "axon") and os.environ.get(
+        "AOCLSPARSE_TPU_FORCE_PALLAS", "0"
+    ) not in ("1", "true"):
         pallas_ok = False
     return Context(
         platform=platform,

@@ -238,6 +238,67 @@ def spmv_gen(
     return yp.reshape(nblk, B)[bout].reshape(-1)[:m]
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "B",
+        "W",
+        "padL",
+        "start",
+        "TM",
+        "m",
+        "m_pad",
+        "interpret",
+        "has_hub",
+        "has_hubrow",
+        "has_spill",
+    ),
+)
+def spmv_gen_bandt(
+    vt,
+    x,
+    bperm,
+    bout,
+    hub_slab,
+    hub_cols,
+    hubr_slab,
+    hubr_rows,
+    sp_val,
+    sp_ind,
+    sp_rows,
+    B: int,
+    W: int,
+    padL: int,
+    start: int,
+    TM: int,
+    m: int,
+    m_pad: int,
+    interpret: bool = False,
+    has_hub: bool = False,
+    has_hubrow: bool = False,
+    has_spill: bool = False,
+):
+    """spmv_gen with the band part on the Pallas transposed-band kernel
+    (vt is the (W, m_pad) slab in PERMUTED row space; everything else as
+    spmv_gen). One compiled program."""
+    from ..pallas.spmv import pallas_spmv_band_t
+
+    nblk = m_pad // B
+    xb = jnp.pad(x, (0, m_pad - x.shape[0])).reshape(nblk, B)
+    xp = xb[bperm].reshape(-1)  # (m_pad,) block-permuted x
+    xe = jnp.pad(xp, (padL, 0))
+    yp = pallas_spmv_band_t(vt, xe, W, start, TM=TM, interpret=interpret)
+    if has_spill:
+        yp = yp + jax.ops.segment_sum(
+            sp_val * xp[sp_ind], sp_rows, num_segments=m_pad, indices_are_sorted=True
+        )
+    if has_hub:
+        yp = yp + hub_slab @ x[hub_cols]
+    if has_hubrow:
+        yp = yp.at[hubr_rows].add(hubr_slab @ xp)
+    return yp.reshape(nblk, B)[bout].reshape(-1)[:m]
+
+
 #: unroll threshold: static slices fuse into one kernel (fast); beyond this,
 #: compile time would grow linearly so we fall back to the on-device scan
 DIA_UNROLL = 32

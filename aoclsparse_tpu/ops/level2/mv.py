@@ -147,6 +147,35 @@ def _run_exec_form(form, x, kid):
         zero_i = jnp.zeros((0,), jnp.int32)
         zero_v = jnp.zeros((0,), x.dtype)
         zero_m = jnp.zeros((0, 0), x.dtype)
+        if form.gen_bandt:
+            from ...core.context import get_context
+            from ...kernels.xla.spmv import spmv_gen_bandt
+
+            is_tpu = get_context().is_tpu
+            return spmv_gen_bandt(
+                form.bwd_val,
+                x,
+                form.gen_perm,
+                form.gen_out,
+                form.hub_slab if has_hub else zero_m,
+                form.hub_cols if has_hub else zero_i,
+                form.hubr_slab if has_hubrow else zero_m,
+                form.hubr_rows if has_hubrow else zero_i,
+                form.sp_val if has_spill else zero_v,
+                form.sp_ind if has_spill else zero_i,
+                form.sp_rows if has_spill else zero_i,
+                B=form.gen_B,
+                W=form.bwd_W,
+                padL=form.bwd_padL,
+                start=form.bandt_start,
+                TM=2048 if is_tpu else max(128, -(-form.bwd_W // 8) * 8),
+                m=form.m,
+                m_pad=form.gen_m_pad,
+                interpret=not is_tpu,
+                has_hub=has_hub,
+                has_hubrow=has_hubrow,
+                has_spill=has_spill,
+            )
         return e.fn(
             wv,
             x,

@@ -455,6 +455,7 @@ class ExecForm:
     # kernels/pallas/spmv.py spmv_bandt): bwd_val holds the (W, m) slab,
     # bwd_W the row window width, bwd_padL the left x padding (= max(0,-lo))
     bandt_start: int = 0  # x window start offset (= max(lo, 0))
+    gen_bandt: bool = False  # gen composite's band stored in bandt layout
     hub_cols: Optional[jax.Array] = None  # (k,) int32 ORIGINAL col ids
     hub_slab: Optional[jax.Array] = None  # (m_pad, k) dense, permuted rows
     hub_dest: Optional[np.ndarray] = None  # flat positions into hub_slab
@@ -481,6 +482,23 @@ class ExecForm:
             self.bwd_val = jnp.asarray(buf.reshape(self.bwd_W, self.m))
             if self.sp_src is not None and self.sp_src.size:
                 self.sp_val = jnp.asarray(vh[self.sp_src])
+        elif self.kind == "gen" and self.gen_bandt:
+            vh = np.asarray(eff_val)
+            buf = np.zeros(self.bwd_W * self.gen_m_pad, dtype=vh.dtype)
+            buf[self.bwd_dest] = vh if self.bwd_srcpos is None else vh[self.bwd_srcpos]
+            self.bwd_val = jnp.asarray(buf.reshape(self.bwd_W, self.gen_m_pad))
+            if self.sp_src is not None and self.sp_src.size:
+                self.sp_val = jnp.asarray(vh[self.sp_src])
+            if self.hub_src is not None:
+                k = int(self.hub_cols.shape[0])
+                slab = np.zeros(self.gen_m_pad * k, dtype=vh.dtype)
+                slab[self.hub_dest] = vh[self.hub_src]
+                self.hub_slab = jnp.asarray(slab.reshape(self.gen_m_pad, k))
+            if self.hubr_src is not None:
+                kr = int(self.hubr_rows.shape[0])
+                slab = np.zeros(kr * self.gen_m_pad, dtype=vh.dtype)
+                slab[self.hubr_dest] = vh[self.hubr_src]
+                self.hubr_slab = jnp.asarray(slab.reshape(kr, self.gen_m_pad))
         elif self.kind in ("bwd", "bwdg", "gen"):
             # host-side scatter + device_put: device gathers are the slow
             # path on TPU, and a dense int64 source map would cost 8x the
@@ -853,16 +871,47 @@ def _build_gen(eff: EffectiveCSR) -> Optional[ExecForm]:
         if best is None or best[0] > GEN_MARGIN * fallback_t:
             return None
         order = np.lexsort((pcols, prows))
-        cand = _build_bwd_coo(
-            prows[order],
-            pcols[order],
-            s2[order],
-            m_pad,
-            m_pad,
-            G=8,
-            kind="gen",
-            window=(best[1], best[2]),
+        pr_s, pc_s, src_s = prows[order], pcols[order], s2[order]
+        rel_lo8, W8 = best[1], best[2]
+        rel8 = pc_s - 8 * (pr_s // 8)
+        spill = (rel8 < rel_lo8) | (rel8 >= rel_lo8 + W8)
+        keep_m = ~spill
+        from ..core.context import get_context
+
+        row_rel = pc_s - pr_s
+        lo_r = int(row_rel[keep_m].min()) if keep_m.any() else 0
+        W_r = (
+            -(-(int(row_rel[keep_m].max()) - lo_r + 1) // 8) * 8 if keep_m.any() else 8
         )
+        if get_context().pallas_ok and W_r <= BANDT_MAX_W:
+            # Pallas transposed-band layout for the composite's band part
+            dest = (row_rel - lo_r)[keep_m] * m_pad + pr_s[keep_m]
+            spilled = bool(spill.any())
+            cand = ExecForm(
+                kind="gen",
+                m=m_pad,
+                n=m_pad,
+                bwd_dest=dest,
+                bwd_srcpos=src_s[keep_m],
+                bwd_W=int(W_r),
+                bwd_padL=int(max(0, -lo_r)),
+                bandt_start=int(max(lo_r, 0)),
+                gen_bandt=True,
+                sp_src=src_s[spill] if spilled else None,
+                sp_ind=jnp.asarray(pc_s[spill].astype(np.int32)) if spilled else None,
+                sp_rows=jnp.asarray(pr_s[spill].astype(np.int32)) if spilled else None,
+            )
+        else:
+            cand = _build_bwd_coo(
+                pr_s,
+                pc_s,
+                src_s,
+                m_pad,
+                m_pad,
+                G=8,
+                kind="gen",
+                window=(rel_lo8, W8),
+            )
         return cand, bperm, bpos, m_pad
 
     got = _try_granularity(B)

@@ -128,6 +128,37 @@ def test_gen_rejects_uniform_random_structure(rng):
     assert e.value.status == Status.invalid_kid
 
 
+def test_gen_bandt_core_parity(rng, monkeypatch):
+    # with Pallas available the gen composite stores its band part in the
+    # transposed bandt layout and routes through the Pallas kernel
+    # (interpret mode on CPU)
+    monkeypatch.setenv("AOCLSPARSE_TPU_FORCE_PALLAS", "1")
+    from aoclsparse_tpu.core.context import reset_context
+
+    reset_context()
+    try:
+        m = 1024
+        dense = _circuit_like(rng, m)
+        A = _mk(m, dense)
+        x = rng.standard_normal(m)
+        y = np.asarray(ast.mv(1.0, A, GEN, Operation.none, x, 0.0, kid=7))
+        form = get_plan(A).exec_form_for(GEN, Operation.none, kind="gen")
+        assert form.gen_bandt
+        np.testing.assert_allclose(y, dense @ x, atol=1e-10)
+        v2 = rng.standard_normal(A.nnz)
+        ast.update_values(A, v2)
+        ptr, ind = np.asarray(A.data.ptr), np.asarray(A.data.ind)
+        d2 = np.zeros((m, m))
+        d2[np.repeat(np.arange(m), np.diff(ptr)), ind] = v2
+        y2 = np.asarray(ast.mv(1.0, A, GEN, Operation.none, x, 0.0, kid=7))
+        np.testing.assert_allclose(y2, d2 @ x, atol=1e-10)
+    finally:
+        # drop the env BEFORE resetting so later tests re-detect a clean
+        # (pallas-off) CPU context
+        monkeypatch.delenv("AOCLSPARSE_TPU_FORCE_PALLAS", raising=False)
+        reset_context()
+
+
 def test_rcm_native_vs_numpy(rng):
     from aoclsparse_tpu import native
 
