@@ -2,7 +2,11 @@
 
 from .cg import cg_bwd_jit, cg_ell_jit, dist_cg, dist_cg_bwd, prepare_dist_ell  # noqa: F401
 from .gmres import dist_gmres_bwd, gmres_bwd_jit  # noqa: F401
-from .spgemm import dist_spgemm_numeric, partition_products  # noqa: F401
+from .spgemm import (  # noqa: F401
+    dist_spgemm_numeric,
+    dist_spgemm_rowpart,
+    partition_products,
+)
 from .partition import nnz_balanced_bounds, pack_balanced_ell  # noqa: F401
 from .spmv import (  # noqa: F401
     dist_spmv_bwd_halo,

