@@ -56,6 +56,64 @@ def spmv_bandt(
 
 
 # ---------------------------------------------------------------------------
+# band SpMM: same transposed-band layout, dense (n, k) RHS
+# ---------------------------------------------------------------------------
+
+
+def _kernel_mm_t(vt_ref, b0_ref, b1_ref, out_ref, *, TM: int, W: int, K: int):
+    """C[i, :] = sum_j vt[j, i] * Bwin[i + j, :] for a TM-row tile.
+
+    Bwin = two adjacent (TM, K) row chunks stitched along sublanes; the j
+    loop unrolls into W broadcast FMAs of (TM, 1) x (TM, K) with static
+    (possibly sublane-unaligned) row slices."""
+    bwin = jnp.concatenate([b0_ref[:], b1_ref[:]], axis=0)  # (2*TM, K)
+    acc = jnp.zeros((TM, K), dtype=out_ref.dtype)
+    for j in range(W):
+        vj = vt_ref[j : j + 1, :].astype(out_ref.dtype)  # (1, TM)
+        acc = acc + vj.reshape(TM, 1) * bwin[j : j + TM, :].astype(out_ref.dtype)
+    out_ref[:] = acc
+
+
+@partial(jax.jit, static_argnames=("W", "start", "TM", "interpret"))
+def pallas_spmm_band_t(vt, Be, W: int, start: int, TM: int = 512, interpret: bool = False):
+    """Row-aligned band SpMM: C[i, :] = sum_j vt[j, i] * Be[start + i + j, :].
+
+    vt: (W, m) transposed band; Be: padded (ne, K) dense RHS with
+    Be[start + i + lo + j] = B[i + lo + j] (caller embeds lo). K must be a
+    multiple of 128. Requires W <= TM."""
+    Wm, m = vt.shape
+    K = Be.shape[1]
+    assert Wm == W and W <= TM
+    ntile = -(-m // TM)
+    m_pad = ntile * TM
+    if m_pad != m:
+        vt = jnp.pad(vt, ((0, 0), (0, m_pad - m)))
+    coarse, rem = divmod(start, TM)
+    need = (ntile + coarse + 2) * TM + rem
+    if Be.shape[0] < need:
+        Be = jnp.pad(Be, ((0, need - Be.shape[0]), (0, 0)))
+    if rem:
+        Be = jnp.roll(Be, -rem, axis=0)
+    nchunk = Be.shape[0] // TM
+    B3 = Be[: nchunk * TM]
+    odt = jnp.float32 if vt.dtype == jnp.bfloat16 else vt.dtype
+
+    out = pl.pallas_call(
+        partial(_kernel_mm_t, TM=TM, W=W, K=K),
+        out_shape=jax.ShapeDtypeStruct((m_pad, K), odt),
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((W, TM), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, K), lambda t: (t + coarse, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, K), lambda t: (t + coarse + 1, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(vt, B3, B3)
+    return out[:m]
+
+
+# ---------------------------------------------------------------------------
 # v2: transposed-band kernel — Mosaic-friendly layouts (the v1 kernel's
 # (..., 8)-lane reshapes and 17-piece unaligned concat crash the Mosaic
 # compiler on the real chip; all v2 shapes are (sublanes, 128k lanes))
