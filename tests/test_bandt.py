@@ -75,6 +75,30 @@ def test_bandt_update_values(rng):
     np.testing.assert_allclose(y, d2 @ x, atol=1e-10)
 
 
+def test_pallas_spmm_band_interpret(rng):
+    from aoclsparse_tpu.kernels.pallas.spmv import pallas_spmm_band_t
+    import jax.numpy as jnp
+
+    m, W, lo, K = 300, 16, -8, 128
+    dense = np.zeros((m, m), np.float32)
+    vt = np.zeros((W, m), np.float32)
+    for i in range(m):
+        for j in range(W):
+            c = i + lo + j
+            if 0 <= c < m and rng.random() < 0.5:
+                v = rng.standard_normal()
+                dense[i, c] = v
+                vt[j, i] = v
+    B = rng.standard_normal((m, K)).astype(np.float32)
+    Be = np.concatenate(
+        [np.zeros((-lo, K), np.float32), B, np.zeros((W, K), np.float32)]
+    )
+    C = np.asarray(
+        pallas_spmm_band_t(jnp.asarray(vt), jnp.asarray(Be), W, 0, TM=64, interpret=True)
+    )
+    np.testing.assert_allclose(C, dense @ B, atol=1e-3)
+
+
 def test_bandt_symmetric_descriptor(rng):
     m = 256
     A, dense = _band(rng, m, 4)
