@@ -60,34 +60,45 @@ def spmv_bandt(
 # ---------------------------------------------------------------------------
 
 
-def _kernel_mm_t(vt_ref, b0_ref, b1_ref, out_ref, *, TM: int, W: int, K: int):
-    """C[i, :] = sum_j vt[j, i] * Bwin[i + j, :] for a TM-row tile.
+def _kernel_mm(v_ref, b0_ref, b1_ref, out_ref, *, TM: int, W: int, K: int):
+    """C[i, :] = sum_j v[i, j] * Bwin[i + j, :] for a TM-row tile.
 
-    Bwin = two adjacent (TM, K) row chunks stitched along sublanes; the j
-    loop unrolls into W broadcast FMAs of (TM, 1) x (TM, K) with static
-    (possibly sublane-unaligned) row slices."""
-    bwin = jnp.concatenate([b0_ref[:], b1_ref[:]], axis=0)  # (2*TM, K)
+    v: (TM, W) row-aligned band (NOT transposed — column j is an
+    unaligned LANE slice, which Mosaic supports; unaligned SUBLANE slices
+    of the B window crash the compiler, so the window advances by
+    pltpu.roll instead of slicing at offset j)."""
+    R0 = jnp.concatenate([b0_ref[:], b1_ref[:]], axis=0)  # (2*TM, K)
+    # 8 pre-rotated copies: window j = j0 + r reads rot[r][j0 : j0+TM] with
+    # j0 a multiple of 8 — all sublane slices 8-aligned (unaligned sublane
+    # slices crash Mosaic; lane slices may be unaligned)
+    rots = [R0] + [pltpu.roll(R0, 2 * TM - r, axis=0) for r in range(1, 8)]
     acc = jnp.zeros((TM, K), dtype=out_ref.dtype)
     for j in range(W):
-        vj = vt_ref[j : j + 1, :].astype(out_ref.dtype)  # (1, TM)
-        acc = acc + vj.reshape(TM, 1) * bwin[j : j + TM, :].astype(out_ref.dtype)
+        j0, r = (j // 8) * 8, j % 8
+        vj = v_ref[:, j : j + 1].astype(out_ref.dtype)  # (TM, 1)
+        acc = acc + vj * rots[r][j0 : j0 + TM, :].astype(out_ref.dtype)
     out_ref[:] = acc
 
 
 @partial(jax.jit, static_argnames=("W", "start", "TM", "interpret"))
-def pallas_spmm_band_t(vt, Be, W: int, start: int, TM: int = 512, interpret: bool = False):
-    """Row-aligned band SpMM: C[i, :] = sum_j vt[j, i] * Be[start + i + j, :].
+def pallas_spmm_band_t(v, Be, W: int, start: int, TM: int = 512, interpret: bool = False):
+    """Row-aligned band SpMM: C[i, :] = sum_j v[i, j] * Be[start + i + j, :].
 
-    vt: (W, m) transposed band; Be: padded (ne, K) dense RHS with
-    Be[start + i + lo + j] = B[i + lo + j] (caller embeds lo). K must be a
-    multiple of 128. Requires W <= TM."""
-    Wm, m = vt.shape
+    v: (m, W) row-aligned band (v[i, j] = A[i, i + lo + j]); Be: padded
+    (ne, K) dense RHS with Be[start + i + lo + j] = B[i + lo + j] (caller
+    embeds lo). K must be a multiple of 128. Requires W <= TM."""
+    m, Wm = v.shape
     K = Be.shape[1]
     assert Wm == W and W <= TM
     ntile = -(-m // TM)
     m_pad = ntile * TM
     if m_pad != m:
-        vt = jnp.pad(vt, ((0, 0), (0, m_pad - m)))
+        v = jnp.pad(v, ((0, m_pad - m), (0, 0)))
+    # pad the band's lane dim to a 128 multiple: lane slices beyond the
+    # first lane tile of a non-128-multiple block crash Mosaic
+    W_pad = -(-W // 128) * 128
+    if W_pad != W:
+        v = jnp.pad(v, ((0, 0), (0, W_pad - W)))
     coarse, rem = divmod(start, TM)
     need = (ntile + coarse + 2) * TM + rem
     if Be.shape[0] < need:
@@ -96,21 +107,51 @@ def pallas_spmm_band_t(vt, Be, W: int, start: int, TM: int = 512, interpret: boo
         Be = jnp.roll(Be, -rem, axis=0)
     nchunk = Be.shape[0] // TM
     B3 = Be[: nchunk * TM]
-    odt = jnp.float32 if vt.dtype == jnp.bfloat16 else vt.dtype
+    odt = jnp.float32 if v.dtype == jnp.bfloat16 else v.dtype
 
     out = pl.pallas_call(
-        partial(_kernel_mm_t, TM=TM, W=W, K=K),
+        partial(_kernel_mm, TM=TM, W=W, K=K),
         out_shape=jax.ShapeDtypeStruct((m_pad, K), odt),
         grid=(ntile,),
         in_specs=[
-            pl.BlockSpec((W, TM), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, W_pad), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TM, K), lambda t: (t + coarse, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TM, K), lambda t: (t + coarse + 1, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TM, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(vt, B3, B3)
+    )(v, B3, B3)
     return out[:m]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("W", "padL", "start", "TM", "interpret", "has_spill"),
+)
+def spmm_bandtm(
+    v,
+    B,
+    sp_val,
+    sp_ind,
+    sp_rows,
+    W: int,
+    padL: int,
+    start: int,
+    TM: int = 256,
+    interpret: bool = False,
+    has_spill: bool = False,
+):
+    """Full band-SpMM dispatch: pad B rows, run the Pallas kernel, add the
+    peel spill (row-gathered B rows, tiny) — one compiled program."""
+    m = v.shape[0]
+    Be = jnp.pad(B, ((padL, 0), (0, 0)))
+    C = pallas_spmm_band_t(v, Be, W, start, TM=TM, interpret=interpret)
+    if has_spill:
+        contrib = sp_val[:, None] * B[sp_ind]
+        C = C + jax.ops.segment_sum(
+            contrib, sp_rows, num_segments=m, indices_are_sorted=True
+        )
+    return C
 
 
 # ---------------------------------------------------------------------------

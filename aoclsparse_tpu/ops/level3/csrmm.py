@@ -40,6 +40,10 @@ registry.register("mm", KernelEntry(1, "xla_ell", K.spmm_ell, "ell", "any", 0))
 registry.register("mm", KernelEntry(2, "xla_ellhyb", K.spmm_ellhyb, "ellhyb", "any", 0))
 registry.register("mm", KernelEntry(3, "xla_bwdg", K.spmm_bwd, "bwdg", "any", 1))
 
+from ...kernels.pallas.spmv import spmm_bandtm as _spmm_bandtm  # noqa: E402
+
+registry.register("mm", KernelEntry(4, "pallas_bandtm", _spmm_bandtm, "bandtm", "any", 2))
+
 
 @jax.jit
 def _epilogue(c_new, alpha, beta, c_old):
@@ -111,17 +115,40 @@ def mm(
         from ...planner.plan import BWD_CAP, BWD_MAX_W, _bwd_window
 
         force_generic = os.environ.get("AOCLSPARSE_TPU_FORCE_GENERIC", "0") in ("1", "true")
-        if get_context().is_tpu and not force_generic:
+        ctx = get_context()
+        if (ctx.is_tpu or ctx.pallas_ok) and not force_generic:
             eff = plan.effective_for(descr, op, A.dtype)
             win = _bwd_window(eff, G=128)
             if win is not None:
                 W, _ = win
                 if W <= 2 * BWD_MAX_W and eff.m * W <= BWD_CAP * max(eff.nnz, 1):
-                    kind = "bwdg"
+                    # Pallas row-aligned band SpMM when the window fits its
+                    # VMEM budget (~3x less HBM traffic than the G=512
+                    # group form); falls through to bwdg otherwise
+                    kind = "bandtm" if ctx.pallas_ok and B.shape[1] % 128 == 0 else "bwdg"
     form = plan.exec_form_for(descr, op, kind=kind, dtype=A.dtype)
     e = registry.select("mm", fmt=form.kind, kid=kid)
     Bc = B.astype(A.dtype)
-    if form.kind == "segsum":
+    if form.kind == "bandtm":
+        from ...core.context import get_context
+
+        has_spill = form.sp_ind is not None and bool(form.sp_ind.shape[0])
+        zero_i = jnp.zeros((0,), jnp.int32)
+        zero_v = jnp.zeros((0,), Bc.dtype)
+        c_new = e.fn(
+            form.bwd_val,
+            Bc,
+            form.sp_val if has_spill else zero_v,
+            form.sp_ind if has_spill else zero_i,
+            form.sp_rows if has_spill else zero_i,
+            W=form.bwd_W,
+            padL=form.bwd_padL,
+            start=form.bandt_start,
+            TM=256 if get_context().is_tpu else max(64, -(-form.bwd_W // 8) * 8),
+            interpret=not get_context().is_tpu,
+            has_spill=has_spill,
+        )
+    elif form.kind == "segsum":
         c_new = e.fn(form.ind, form.val, form.row_ids, Bc, form.m)
     elif form.kind == "ell":
         c_new = e.fn(form.ell_ind, form.ell_val, Bc)

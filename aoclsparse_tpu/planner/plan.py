@@ -475,11 +475,14 @@ class ExecForm:
             buf = np.zeros(ndiag * self.m, dtype=vh.dtype)
             buf[self.dia_dest] = vh
             self.dia_val = jnp.asarray(buf.reshape(ndiag, self.m))
-        elif self.kind == "bandt":
+        elif self.kind in ("bandt", "bandtm"):
             vh = np.asarray(eff_val)
             buf = np.zeros(self.bwd_W * self.m, dtype=vh.dtype)
             buf[self.bwd_dest] = vh if self.bwd_srcpos is None else vh[self.bwd_srcpos]
-            self.bwd_val = jnp.asarray(buf.reshape(self.bwd_W, self.m))
+            shape = (
+                (self.bwd_W, self.m) if self.kind == "bandt" else (self.m, self.bwd_W)
+            )
+            self.bwd_val = jnp.asarray(buf.reshape(shape))
             if self.sp_src is not None and self.sp_src.size:
                 self.sp_val = jnp.asarray(vh[self.sp_src])
         elif self.kind == "gen" and self.gen_bandt:
@@ -996,6 +999,56 @@ def _build_bandt(eff: EffectiveCSR) -> Optional[ExecForm]:
     return form
 
 
+#: max row window for the Pallas band SpMM (TM=256 VMEM budget: the kernel
+#: holds 8 rotated (2*TM, K) copies; W > TM or much beyond ~192 lanes
+#: crashes/overflows the Mosaic compile at TM>=512)
+BANDTM_MAX_W = 192
+
+
+def _build_bandtm(eff: EffectiveCSR) -> Optional[ExecForm]:
+    """Row-aligned UNtransposed band (m, W) for the Pallas band SpMM
+    (kernels/pallas/spmv.py pallas_spmm_band_t): v[i, j] = A[i, i+lo+j]."""
+    m, n = eff.shape
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(eff.ptr.astype(np.int64)))
+    cols = eff.ind.astype(np.int64)
+    rel = cols - rows
+    if rel.size == 0:
+        return None
+    lo = int(rel.min())
+    W = int(rel.max()) - lo + 1
+    spill_mask = np.zeros(rel.size, dtype=bool)
+    if rel.size > 4096:
+        lo_c = int(np.percentile(rel, 0.25))
+        hi_c = int(np.percentile(rel, 99.75))
+        W_core = hi_c - lo_c + 1
+        outside = (rel < lo_c) | (rel > hi_c)
+        n_out = int(outside.sum())
+        if W_core <= W - 16 and n_out <= max(1024, rel.size // 100):
+            spill_mask = outside
+            lo, W = lo_c, W_core
+    W = -(-W // 8) * 8
+    if W > BANDTM_MAX_W:
+        return None
+    keep = ~spill_mask
+    dest = rows[keep] * W + (rel - lo)[keep]
+    spilled = bool(spill_mask.any())
+    form = ExecForm(
+        kind="bandtm",
+        m=m,
+        n=n,
+        bwd_dest=dest,
+        bwd_srcpos=np.nonzero(keep)[0] if spilled else None,
+        bwd_W=int(W),
+        bwd_padL=int(max(0, -lo)),
+        bandt_start=int(max(lo, 0)),
+        sp_src=np.nonzero(spill_mask)[0] if spilled else None,
+        sp_ind=jnp.asarray(cols[spill_mask].astype(np.int32)) if spilled else None,
+        sp_rows=jnp.asarray(rows[spill_mask].astype(np.int32)) if spilled else None,
+    )
+    form.refresh(eff.val)
+    return form
+
+
 def _diag_stats(eff: EffectiveCSR):
     """Distinct generalized diagonals (j - i) of the effective matrix."""
     if eff.nnz == 0:
@@ -1060,6 +1113,11 @@ def build_exec_form(eff: EffectiveCSR, kind: Optional[str] = None) -> ExecForm:
         kind = "bwd"  # row window too wide after all: group-window form
     if kind == "bwd":
         return _build_bwd(eff, G=8, kind="bwd")
+    if kind == "bandtm":
+        form = _build_bandtm(eff)
+        if form is not None:
+            return form
+        kind = "bwdg"  # row window too wide: fall back to the group form
     if kind == "bwdg":
         # G=512: scan-of-2D-matmul SpMM wants few, large groups (per-step
         # scan overhead ~8us on this stack; batched dot_general is avoided

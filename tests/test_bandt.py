@@ -81,20 +81,20 @@ def test_pallas_spmm_band_interpret(rng):
 
     m, W, lo, K = 300, 16, -8, 128
     dense = np.zeros((m, m), np.float32)
-    vt = np.zeros((W, m), np.float32)
+    v = np.zeros((m, W), np.float32)
     for i in range(m):
         for j in range(W):
             c = i + lo + j
             if 0 <= c < m and rng.random() < 0.5:
-                v = rng.standard_normal()
-                dense[i, c] = v
-                vt[j, i] = v
+                x = rng.standard_normal()
+                dense[i, c] = x
+                v[i, j] = x
     B = rng.standard_normal((m, K)).astype(np.float32)
     Be = np.concatenate(
         [np.zeros((-lo, K), np.float32), B, np.zeros((W, K), np.float32)]
     )
     C = np.asarray(
-        pallas_spmm_band_t(jnp.asarray(vt), jnp.asarray(Be), W, 0, TM=64, interpret=True)
+        pallas_spmm_band_t(jnp.asarray(v), jnp.asarray(Be), W, 0, TM=64, interpret=True)
     )
     np.testing.assert_allclose(C, dense @ B, atol=1e-3)
 
