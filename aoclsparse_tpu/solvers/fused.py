@@ -17,7 +17,6 @@ RCI path — pinned by tests/test_fused_solvers.py.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
