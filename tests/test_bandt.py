@@ -99,6 +99,27 @@ def test_pallas_spmm_band_interpret(rng):
     np.testing.assert_allclose(C, dense @ B, atol=1e-3)
 
 
+def test_bandtm_mm_dispatch(rng, monkeypatch):
+    # mm() routes band matrices through the Pallas bandtm form when Pallas
+    # is available (interpret on CPU), including the peel spill
+    monkeypatch.setenv("AOCLSPARSE_TPU_FORCE_PALLAS", "1")
+    from aoclsparse_tpu.core.context import reset_context
+
+    reset_context()
+    try:
+        m, K = 8192, 128
+        A, dense = _band(rng, m, 5, per_row=3, outliers=30)
+        B = rng.standard_normal((m, K))
+        C = np.asarray(ast.mm(2.0, A, GEN, Operation.none, B, 0.0))
+        form = get_plan(A).exec_form_for(GEN, Operation.none, kind="bandtm")
+        assert form.kind == "bandtm"
+        assert form.sp_ind is not None and int(form.sp_ind.shape[0]) >= 1
+        np.testing.assert_allclose(C, 2.0 * dense @ B, atol=1e-9)
+    finally:
+        monkeypatch.delenv("AOCLSPARSE_TPU_FORCE_PALLAS", raising=False)
+        reset_context()
+
+
 def test_bandt_symmetric_descriptor(rng):
     m = 256
     A, dense = _band(rng, m, 4)
