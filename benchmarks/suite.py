@@ -81,8 +81,6 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    # x64 so the f64 variant really runs emulated f64 (not silently f32)
-    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     import aoclsparse_tpu as ast
@@ -141,21 +139,26 @@ def main():
         results.append({"metric": "spmv_bandt_pallas_f32", "error": repr(e)[:200]})
 
     # ---- SpMV f64 (emulated on TPU — reported honestly, csrmv.sh:88-92
-    # double-precision methodology counterpart) ----
+    # double-precision methodology counterpart). x64 is scoped to this block:
+    # globally-enabled x64 leaks int64 into the Pallas/solver traces, which
+    # the Mosaic/TPU compile rejects ----
     try:
-        A64 = ast.create_csr(m, n, ptr, ind, val.astype(np.float64))
-        form64 = get_plan(A64).exec_form_for(
-            MatrixDescriptor(), Operation.none, kind="bwd", dtype=np.float64
-        )
-        x64 = jnp.asarray(np.asarray(x), dtype=jnp.float64)
-        xp64 = jnp.pad(x64, (form64.bwd_padL, form64.bwd_n_pad - form64.bwd_padL - n))
-        t = chain_min(
-            lambda: spmv_bwd(
-                form64.bwd_val, xp64, form64.bwd_W, form64.bwd_base8, form64.bwd_n_pad, False
-            ),
-            iters_per=10,
-            chunks=4,
-        )
+        from jax.experimental import enable_x64
+
+        with enable_x64():
+            A64 = ast.create_csr(m, n, ptr, ind, val.astype(np.float64))
+            form64 = get_plan(A64).exec_form_for(
+                MatrixDescriptor(), Operation.none, kind="bwd", dtype=np.float64
+            )
+            x64 = jnp.asarray(np.asarray(x), dtype=jnp.float64)
+            xp64 = jnp.pad(x64, (form64.bwd_padL, form64.bwd_n_pad - form64.bwd_padL - n))
+            t = chain_min(
+                lambda: spmv_bwd(
+                    form64.bwd_val, xp64, form64.bwd_W, form64.bwd_base8, form64.bwd_n_pad, False
+                ),
+                iters_per=10,
+                chunks=4,
+            )
         gbytes64 = ((m + 1 + nnz) * 4 + (nnz + n + m) * 8) / 1e9
         results.append(
             {
