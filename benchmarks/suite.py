@@ -143,9 +143,8 @@ def main():
     # globally-enabled x64 leaks int64 into the Pallas/solver traces, which
     # the Mosaic/TPU compile rejects ----
     try:
-        from jax.experimental import enable_x64
-
-        with enable_x64():
+        jax.config.update("jax_enable_x64", True)
+        try:
             A64 = ast.create_csr(m, n, ptr, ind, val.astype(np.float64))
             form64 = get_plan(A64).exec_form_for(
                 MatrixDescriptor(), Operation.none, kind="bwd", dtype=np.float64
@@ -159,6 +158,8 @@ def main():
                 iters_per=10,
                 chunks=4,
             )
+        finally:
+            jax.config.update("jax_enable_x64", False)
         gbytes64 = ((m + 1 + nnz) * 4 + (nnz + n + m) * 8) / 1e9
         results.append(
             {
