@@ -48,6 +48,15 @@ def _check_sparse_vec(x, indx, allow_empty=True):
     return x, indx
 
 
+def _check_bounds(indx, n: int):
+    """Index-range validation against the dense operand. The C reference
+    cannot know the dense array's extent (raw pointers); here the arrays
+    carry their length, so out-of-range indices surface
+    invalid_index_value instead of silently clipping in the XLA gather."""
+    if indx.shape[0] and (int(indx.min()) < 0 or int(indx.max()) >= n):
+        raise AoclSparseError(Status.invalid_index_value, "index out of range of dense operand")
+
+
 @jax.jit
 def _axpyi(a, x, indx, y):
     return y.at[indx].add(a * x)
@@ -59,6 +68,7 @@ def axpyi(a, x, indx, y):
     if y is None:
         raise AoclSparseError(Status.invalid_pointer, "null y")
     y = jnp.asarray(y)
+    _check_bounds(indx, y.shape[0])
     if x.shape[0] == 0:
         return y
     a = jnp.asarray(a, dtype=jnp.result_type(y.dtype, x.dtype))
@@ -75,6 +85,7 @@ def doti(x, indx, y):
     """Real dot: sum x[i] * y[indx[i]] (aoclsparse_?doti)."""
     x, indx = _check_sparse_vec(x, indx)
     y = jnp.asarray(y)
+    _check_bounds(indx, y.shape[0])
     if x.shape[0] == 0:
         return jnp.zeros((), dtype=jnp.result_type(x.dtype, y.dtype))
     return _dot(x, indx, y)
@@ -86,6 +97,7 @@ def dotci(x, indx, y):
     y = jnp.asarray(y)
     if not is_complex_dtype(x.dtype):
         raise AoclSparseError(Status.wrong_type, "dotci requires complex dtype")
+    _check_bounds(indx, y.shape[0])
     if x.shape[0] == 0:
         return jnp.zeros((), dtype=jnp.result_type(x.dtype, y.dtype))
     return _dot(jnp.conj(x), indx, y)
@@ -97,6 +109,7 @@ def dotui(x, indx, y):
     y = jnp.asarray(y)
     if not is_complex_dtype(x.dtype):
         raise AoclSparseError(Status.wrong_type, "dotui requires complex dtype")
+    _check_bounds(indx, y.shape[0])
     if x.shape[0] == 0:
         return jnp.zeros((), dtype=jnp.result_type(x.dtype, y.dtype))
     return _dot(x, indx, y)
@@ -111,7 +124,10 @@ def gthr(y, indx):
     """x[i] = y[indx[i]] (aoclsparse_?gthr)."""
     if y is None or indx is None:
         raise AoclSparseError(Status.invalid_pointer, "null argument")
-    return _gthr(jnp.asarray(y), jnp.asarray(indx))
+    y = jnp.asarray(y)
+    indx = jnp.asarray(indx)
+    _check_bounds(indx, y.shape[0])
+    return _gthr(y, indx)
 
 
 @jax.jit
@@ -123,7 +139,10 @@ def gthrz(y, indx) -> Tuple[jax.Array, jax.Array]:
     """Gather then zero the gathered entries; returns (x, y') (aoclsparse_?gthrz)."""
     if y is None or indx is None:
         raise AoclSparseError(Status.invalid_pointer, "null argument")
-    return _gthrz(jnp.asarray(y), jnp.asarray(indx))
+    y = jnp.asarray(y)
+    indx = jnp.asarray(indx)
+    _check_bounds(indx, y.shape[0])
+    return _gthrz(y, indx)
 
 
 def gthrs(y, stride: int, nnz: Optional[int] = None):
@@ -154,6 +173,7 @@ def roti(x, indx, y, c, s) -> Tuple[jax.Array, jax.Array]:
     y = jnp.asarray(y)
     if is_complex_dtype(x.dtype):
         raise AoclSparseError(Status.wrong_type, "roti is real-only (s/d) like the reference")
+    _check_bounds(indx, y.shape[0])
     if x.shape[0] == 0:
         return x, y
     dt = jnp.result_type(x.dtype, y.dtype)
@@ -171,6 +191,7 @@ def sctr(x, indx, y):
     if y is None:
         raise AoclSparseError(Status.invalid_pointer, "null y")
     y = jnp.asarray(y)
+    _check_bounds(indx, y.shape[0])
     if x.shape[0] == 0:
         return y
     return _sctr(x, indx, y)
