@@ -40,8 +40,16 @@ DEFAULT_BLOCK = 64
 
 def adaptive_nb(m: int) -> int:
     """Block size targeting ~512 scan steps (per-step scan overhead ~8us on
-    this stack; see trsv_form_for)."""
-    return int(min(512, max(DEFAULT_BLOCK, 1 << int(np.ceil(np.log2(max(m / 512, 1)))))))
+    this stack; see trsv_form_for). With the Pallas sequential-grid solve
+    available, smaller blocks win (its steps cost ~1us and the dense
+    diagonal-block traffic scales with nb) — but its 8-blocks-per-step
+    layout caps nb at 256 (VMEM)."""
+    from ..core.context import get_context
+
+    base = int(min(512, max(DEFAULT_BLOCK, 1 << int(np.ceil(np.log2(max(m / 512, 1)))))))
+    if get_context().pallas_ok and m >= 8 * 128:
+        return int(min(256, max(128, base)))
+    return base
 
 
 @dataclasses.dataclass
@@ -74,6 +82,7 @@ class TrsvForm:
 
     def refresh(self, eff_val: jax.Array) -> None:
         self._Dinv = None  # inverse blocks derive from D
+        self._pallas = None  # transposed Pallas operands derive from D/Lval
         vh = np.asarray(eff_val)
         D = np.zeros(self.nblk * self.nb * self.nb, dtype=vh.dtype)
         D[self._D_dest] = vh[self._D_srcpos]
@@ -100,9 +109,43 @@ class TrsvForm:
         m_pad = self.nblk * self.nb
         if self.kind == "win":
             exact = os.environ.get("AOCLSPARSE_TPU_TRSV_EXACT", "0") in ("1", "true")
-            if get_context().is_tpu and not exact:
+            ctx = get_context()
+            if (ctx.is_tpu or ctx.pallas_ok) and not exact:
                 if getattr(self, "_Dinv", None) is None:
                     self._Dinv = invert_diag_blocks(self.D)
+                # Pallas sequential-grid solve for single RHS: carries the
+                # window in VMEM scratch (~15% over the XLA scan and 4x less
+                # Dinv traffic at small nb; kernels/pallas/trsv.py)
+                if (
+                    ctx.pallas_ok
+                    and r2.shape[1] == 1
+                    and self.nb % 128 == 0
+                    and self.WL % 8 == 0
+                    and self.WL <= self.nb
+                    and not jnp.iscomplexobj(self.D)
+                ):
+                    from ..kernels.pallas.trsv import pallas_trsv_win_inv8
+
+                    if getattr(self, "_pallas", None) is None:
+                        nblk_pad = -(-self.nblk // 8) * 8
+                        dinvT = jnp.swapaxes(self._Dinv, 1, 2)
+                        lwT = jnp.swapaxes(self.Lval, 1, 2)
+                        if nblk_pad != self.nblk:
+                            eye = jnp.broadcast_to(
+                                jnp.eye(self.nb, dtype=dinvT.dtype),
+                                (nblk_pad - self.nblk, self.nb, self.nb),
+                            )
+                            dinvT = jnp.concatenate([dinvT, eye])
+                            lwT = jnp.concatenate(
+                                [lwT, jnp.zeros((nblk_pad - self.nblk, self.WL, self.nb), lwT.dtype)]
+                            )
+                        self._pallas = (dinvT, lwT, nblk_pad)
+                    dinvT, lwT, nblk_pad = self._pallas
+                    bflat = jnp.pad(r2[:, 0], (0, nblk_pad * self.nb - m_pad))
+                    x = pallas_trsv_win_inv8(
+                        dinvT, lwT, bflat, self.nb, self.WL, interpret=not ctx.is_tpu
+                    )
+                    return x[:m_pad][:, None]
                 return trsv_blocked_win_inv(self._Dinv, self.Lval, r2, self.nb, m_pad, self.WL)
             return trsv_blocked_win(self.D, self.Lval, r2, self.nb, m_pad, self.WL)
         return trsv_blocked(self.D, self.Lind, self.Lval, r2, self.nb, m_pad)

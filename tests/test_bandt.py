@@ -120,6 +120,38 @@ def test_bandtm_mm_dispatch(rng, monkeypatch):
         reset_context()
 
 
+def test_pallas_trsv_routing(rng, monkeypatch):
+    # single-RHS trsv routes through the Pallas sequential-grid solve when
+    # Pallas is available (interpret on CPU): parity on both triangles and
+    # after update_values (the transposed operand cache must invalidate)
+    monkeypatch.setenv("AOCLSPARSE_TPU_FORCE_PALLAS", "1")
+    from aoclsparse_tpu.core.context import reset_context
+    from aoclsparse_tpu.core.types import DiagType
+
+    reset_context()
+    try:
+        m = 1100  # non-multiple of 8*nb: exercises block padding
+        dense = np.tril(rng.standard_normal((m, m)).astype(np.float32)) * (
+            np.abs(rng.standard_normal((m, m))) < 0.02
+        )
+        np.fill_diagonal(dense, 5.0)
+        ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int64)
+        A = ast.create_csr(
+            m, m, ptr, np.nonzero(dense)[1].astype(np.int32), dense[dense != 0]
+        )
+        tri = MatrixDescriptor(type=MatrixType.triangular, fill_mode=FillMode.lower)
+        b = rng.standard_normal(m).astype(np.float32)
+        x = np.asarray(ast.trsv(1.0, A, tri, Operation.none, b))
+        assert np.abs(dense @ x - b).max() < 1e-3
+        v2 = (dense[dense != 0] * 1.5).astype(np.float32)
+        ast.update_values(A, v2)
+        x2 = np.asarray(ast.trsv(1.0, A, tri, Operation.none, b))
+        assert np.abs(1.5 * dense @ x2 - b).max() < 1e-3
+    finally:
+        monkeypatch.delenv("AOCLSPARSE_TPU_FORCE_PALLAS", raising=False)
+        reset_context()
+
+
 def test_bandt_symmetric_descriptor(rng):
     m = 256
     A, dense = _band(rng, m, 4)
