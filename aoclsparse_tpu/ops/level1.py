@@ -17,7 +17,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..core.types import AoclSparseError, Status, is_complex_dtype
 from ..kernels.registry import KernelEntry, registry

@@ -15,7 +15,6 @@ from __future__ import annotations
 from typing import Optional
 
 import jax.numpy as jnp
-import numpy as np
 
 from ...core.descr import MatrixDescriptor
 from ...core.matrix import SparseMatrix

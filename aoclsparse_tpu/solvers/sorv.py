@@ -16,7 +16,6 @@ omega — a jitted elementwise pass over the cached triangle values).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
