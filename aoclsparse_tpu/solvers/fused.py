@@ -119,10 +119,6 @@ def pcg_solve(
     against max(atol, rtol*||b||). Returns (x, iterations, final ||r||)."""
     if A.shape[0] != A.shape[1]:
         raise AoclSparseError(Status.invalid_size, "pcg requires square A")
-    if np.issubdtype(np.dtype(A.dtype), np.complexfloating):
-        raise AoclSparseError(
-            Status.not_implemented, "fused solvers are real-dtype (use the RCI path)"
-        )
     m = A.shape[0]
     b = jnp.asarray(b).astype(A.dtype)
     if b.shape != (m,):
@@ -141,10 +137,16 @@ def pcg_solve(
 
         @jax.jit
         def run(b, x0, rtol_c, atol_c):
-            bnorm = jnp.sqrt(jnp.sum(b * b))
+            # norms are real; dots stay UNCONJUGATED for complex dtypes
+            # (the reference CG's complex-symmetric semantics,
+            # itsol_functions.hpp:665-832 via cblas dotu)
+            def nrm(v):
+                return jnp.sqrt(jnp.sum(jnp.abs(v) ** 2).real)
+
+            bnorm = nrm(b)
             brtol = rtol_c * bnorm
             r0 = matvec(x0) - b
-            rn0 = jnp.sqrt(jnp.sum(r0 * r0))
+            rn0 = nrm(r0)
 
             def cond(state):
                 x, r, p, rz, k, rnorm = state
@@ -161,7 +163,7 @@ def pcg_solve(
                 alpha = rz_new / jnp.sum(p * q)
                 x = x + alpha * p
                 r = r + alpha * q
-                return (x, r, p, rz_new, k + 1, jnp.sqrt(jnp.sum(r * r)))
+                return (x, r, p, rz_new, k + 1, nrm(r))
 
             st = (x0, r0, jnp.zeros_like(x0), jnp.ones((), b.dtype), jnp.zeros((), jnp.int32), rn0)
             x, r, p, rz, k, rnorm = jax.lax.while_loop(cond, body, st)
@@ -169,7 +171,8 @@ def pcg_solve(
 
         fn = run
         cache[key] = fn
-    x, k, rnorm = fn(b, x0, jnp.asarray(rtol, b.dtype), jnp.asarray(atol, b.dtype))
+    rdt = jnp.zeros((), b.dtype).real.dtype  # tolerance dtype: real part
+    x, k, rnorm = fn(b, x0, jnp.asarray(rtol, rdt), jnp.asarray(atol, rdt))
     return x, int(k), float(rnorm)
 
 

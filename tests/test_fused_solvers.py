@@ -99,11 +99,33 @@ def test_pcg_exact_initial_guess(rng):
     np.testing.assert_allclose(np.asarray(x), xstar)
 
 
-def test_fused_complex_not_implemented(rng):
+def test_pcg_complex_symmetric_matches_rci(rng):
+    # complex-symmetric system: fused PCG uses the reference's UNCONJUGATED
+    # dots; iteration count must match the host RCI stepper at matched
+    # tolerances
+    m = 40
+    B = rng.standard_normal((m, m)) + 1j * rng.standard_normal((m, m))
+    dense = (B @ B.T + m * np.eye(m)).astype(np.complex128)
+    dense[np.abs(dense) < 1e-12] = 0
+    dense = (dense + dense.T) / 2
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int64)
+    A = ast.create_csr(m, m, ptr, np.nonzero(dense)[1].astype(np.int32), dense[dense != 0])
+    b = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    x, it, rn = ast.pcg_solve(A, b, rtol=1e-6, maxit=300)
+    np.testing.assert_allclose(dense @ np.asarray(x), b, atol=1e-4)
+    h = ast.itsol_init(np.complex128)
+    ast.itsol_option_set(h, "iterative method", "CG")
+    ast.itsol_option_set(h, "cg rel tolerance", 1e-6)
+    x2, ri, st = ast.itsol_solve(h, m, A, ast.MatrixDescriptor(), b)
+    assert st == Status.success
+    assert abs(it - int(ri[RINFO_ITER])) <= 1
+
+
+def test_pgmres_complex_not_implemented(rng):
     m = 8
     dense = np.eye(m, dtype=np.complex128)
     ptr = np.arange(m + 1, dtype=np.int64)
     A = ast.create_csr(m, m, ptr, np.arange(m, dtype=np.int32), np.diag(dense))
     with pytest.raises(ast.AoclSparseError) as e:
-        ast.pcg_solve(A, np.ones(m, dtype=np.complex128))
+        ast.pgmres_solve(A, np.ones(m, dtype=np.complex128))
     assert e.value.status == Status.not_implemented
