@@ -30,7 +30,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["BandGemmPlan", "build_band_gemm_plan", "band_gemm_values"]
+__all__ = [
+    "BandGemmPlan",
+    "build_band_gemm_plan",
+    "band_gemm_cband",
+    "band_gemm_values",
+    "cband_exec_form",
+]
 
 
 def _window8(eff, G):
@@ -192,9 +198,9 @@ def _ensure_streams(plan: BandGemmPlan):
     return plan._streams
 
 
-def band_gemm_values(plan: BandGemmPlan, valA_eff, valB_eff, mixed: bool = False):
-    """Run the numeric stage; returns CSR-ordered C values. The band
-    refresh (host scatter + upload) only re-runs when the value vector
+def band_gemm_cband(plan: BandGemmPlan, valA_eff, valB_eff, mixed: bool = False):
+    """Run the numeric stage; returns C as the raw (nblk, G, WC) band. The
+    band refresh (host scatter + upload) only re-runs when the value vector
     object changed — finalize on an unchanged plan reuses the bands."""
     if getattr(plan, "_valA_id", None) != id(valA_eff):
         plan.formA.refresh(valA_eff)
@@ -203,7 +209,7 @@ def band_gemm_values(plan: BandGemmPlan, valA_eff, valB_eff, mixed: bool = False
         plan.formB.refresh(valB_eff)
         plan._valB_id = id(valB_eff)
     streams = _ensure_streams(plan)
-    Cband = _band_gemm_scan(
+    return _band_gemm_scan(
         plan.formA.bwd_val,
         streams,
         G=plan.G,
@@ -212,4 +218,41 @@ def band_gemm_values(plan: BandGemmPlan, valA_eff, valB_eff, mixed: bool = False
         ranges=plan.stream_ranges,
         mixed=mixed,
     )
+
+
+def band_gemm_values(plan: BandGemmPlan, valA_eff, valB_eff, mixed: bool = False):
+    """Numeric stage returning CSR-ordered C values (one extraction gather
+    through the plan-time map). The raw band is cached on the plan so the
+    op layer can seed the result handle's mv path with it (cband_exec_form)
+    without recomputing."""
+    Cband = band_gemm_cband(plan, valA_eff, valB_eff, mixed=mixed)
+    plan._last_cband = Cband
     return Cband.reshape(-1)[jnp.asarray(plan.extract_idx)]
+
+
+def cband_exec_form(plan: BandGemmPlan, Cband, m: int, n: int, dtype=None):
+    """Wrap an already-computed C band as a ready ``bwdg`` SpMV exec form
+    (kernels/xla/spmv.py spmv_bwdg): band[g, r, c] = C[G*g + r, G*g + relC + c].
+
+    Seeded onto the product handle's plan (planner.Plan.seed_bwdg) so a
+    chained ``mv`` on the SpGEMM result runs directly on the device band —
+    no CSR extraction, no host relayout. ``bwd_dest`` is the extraction map
+    (CSR slot -> band slot), which doubles as the scatter list the normal
+    ``refresh``-after-update_values path needs (CLAUDE.md refreshability
+    rule). Reference role: consuming a product through the optimized-format
+    cache (level2/aoclsparse_mv.cpp:179 format switch)."""
+    from ...planner.plan import ExecForm
+
+    if dtype is not None and Cband.dtype != dtype:
+        Cband = Cband.astype(dtype)
+    return ExecForm(
+        kind="bwdg",
+        m=m,
+        n=n,
+        bwd_val=Cband,
+        bwd_dest=plan.extract_idx,
+        bwd_srcpos=None,
+        bwd_W=plan.WC,
+        bwd_G=plan.G,
+        bwd_rel=plan.relC,
+    )

@@ -35,6 +35,7 @@ __all__ = [
     "spmv_ellhyb",
     "spmv_bsr",
     "spmv_dia",
+    "spmv_bwdg",
     "spmv_csr_dense_ref",
 ]
 
@@ -297,6 +298,51 @@ def spmv_gen_bandt(
     if has_hubrow:
         yp = yp.at[hubr_rows].add(hubr_slab @ xp)
     return yp.reshape(nblk, B)[bout].reshape(-1)[:m]
+
+
+@partial(jax.jit, static_argnames=("G", "W", "rel", "m", "mixed"))
+def spmv_bwdg(band, x, G: int, W: int, rel: int, m: int, mixed: bool = False):
+    """SpMV over a G-row-group group-relative band: ``band`` is
+    (nblk, G, W) with band[g, r, c] = A[G*g + r, G*g + rel + c].
+
+    This is the storage layout the band x band SpGEMM numeric engine emits
+    for C (kernels/xla/spgemm_band.py), so a product result can be consumed
+    by SpMV directly — no CSR extraction gather (~13 ns/nnz on this TPU),
+    no relayout. Same static-slice x-window trick as :func:`spmv_bwd`, at
+    group granularity G: x is padded so every window start is G-aligned,
+    then each window is a concat of consecutive G-blocks. The einsum is a
+    batched matvec (VPU reduce — fine on this stack; only batched matMUL
+    is pathological). Reference role: csrmv over an optimized internal
+    format (level2/aoclsparse_mv.cpp:179 format switch).
+    """
+    nblk = band.shape[0]
+    # left-pad so window starts (G*g + rel) become G-aligned and non-negative
+    padL = (-rel) % G
+    while rel + padL < 0:
+        padL += G
+    d = (rel + padL) // G  # first window's start, in G-blocks of padded x
+    nsl = -(-W // G)  # G-blocks spanned by one (G-aligned) window
+    # padded blocks: cover every window AND all of x (x can extend past the
+    # last window when the band only touches a left portion of the columns)
+    nbx = max(d + nblk + nsl, -(-(padL + x.shape[0]) // G))
+    xp = jnp.pad(x, (padL, nbx * G - padL - x.shape[0]))
+    xg = xp.reshape(nbx, G)
+    win = jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(xg, d + j, nblk, 0) for j in range(nsl)],
+        axis=1,
+    )  # (nblk, nsl*G); row g = padded cols [G*(d+g), +nsl*G)
+    if nsl * G != W:
+        win = jax.lax.slice_in_dim(win, 0, W, axis=1)
+    if mixed:
+        out = jnp.einsum(
+            "grw,gw->gr",
+            band.astype(jnp.bfloat16),
+            win.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(band.dtype)
+    else:
+        out = jnp.einsum("grw,gw->gr", band, win)
+    return out.reshape(-1)[:m]
 
 
 #: unroll threshold: static slices fuse into one kernel (fast); beyond this,

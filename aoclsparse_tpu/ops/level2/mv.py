@@ -100,6 +100,16 @@ def _run_exec_form(form, x, kid):
                 indices_are_sorted=True,
             )
         return y
+    if form.kind == "bwdg":
+        import os
+
+        mixed = (
+            os.environ.get("AOCLSPARSE_TPU_MIXED_PRECISION", "0") in ("1", "true")
+            and x.dtype == jnp.float32
+        )
+        return e.fn(
+            form.bwd_val, x, form.bwd_G, form.bwd_W, form.bwd_rel, form.m, mixed
+        )
     if form.kind == "diag":
         return e.fn(
             form.dia_val,
@@ -232,7 +242,7 @@ def _spmv_core(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, x, kid=N
         # with invalid_kid when unsupported, cntx_dispatcher.hpp:272-364)
         for e in registry.table("mv"):
             if e.kid == kid:
-                if e.fmt not in ("segsum", "ell", "ellhyb", "bwd", "diag", "gen", "bandt"):
+                if e.fmt not in ("segsum", "ell", "ellhyb", "bwd", "diag", "gen", "bandt", "bwdg"):
                     raise AoclSparseError(
                         Status.invalid_kid, f"kid {kid} serves format '{e.fmt}', not CSR"
                     )

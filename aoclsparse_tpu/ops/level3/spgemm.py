@@ -199,6 +199,24 @@ def _attach_band_plan(plan: "SpgemmPlan", effA, effB) -> None:
         plan.band = band
 
 
+def _seed_cband(out: SparseMatrix, plan: "SpgemmPlan", dtype) -> None:
+    """Band-form C output: when the numeric stage ran on the band engine,
+    hand its device-resident (nblk, G, WC) C band to the result handle as a
+    pre-seeded ``bwdg`` exec form — a chained mv on the product then runs
+    straight on the band (no CSR extraction gather, no host relayout).
+    Applied lazily at the handle's first get_plan."""
+    band = plan.band
+    cb = getattr(band, "_last_cband", None) if band is not None else None
+    if cb is None:
+        return
+    from ...kernels.xla.spgemm_band import cband_exec_form
+
+    out._seed_bwdg = cband_exec_form(band, cb, plan.shape[0], plan.shape[1], dtype)
+    # tie the seed to the value array it extracts to: set_value/update_values
+    # swap data.val, making a pending (not yet planted) band stale
+    out._seed_bwdg_val = out.data.val
+
+
 def _numeric_auto(plan: "SpgemmPlan", effA, effB, conj_a: bool, conj_b: bool):
     """Run the numeric stage through the band fast path when attached."""
     if plan.band is not None:
@@ -251,6 +269,9 @@ def sp2m(
         effB = _effective(B, descrB, opB)
         val = _numeric_auto(plan, effA, effB, plan.conj_a, plan.conj_b)
         C.data = CSR(plan.ptr, plan.ind, val, shape=plan.shape)
+        # the handle's cached plan (if any) holds pre-finalize values
+        C.invalidate()
+        _seed_cband(C, plan, val.dtype)
         return C
     effA = _effective(A, descrA, Operation(opA))
     effB = _effective(B, descrB, Operation(opB))
@@ -263,6 +284,8 @@ def sp2m(
         val = _numeric_auto(plan, effA, effB, False, False)
     out = SparseMatrix(CSR(plan.ptr, plan.ind, val.astype(dtype), shape=plan.shape), FormatType.csr)
     out._spgemm_plan = plan
+    if request == Request.full_computation:
+        _seed_cband(out, plan, dtype)
     return out
 
 
@@ -390,6 +413,8 @@ def syrk(opA: Operation, A: SparseMatrix) -> SparseMatrix:
     val = _numeric_auto(plan, effL, effR, conj_a, conj_b)
     out = SparseMatrix(CSR(plan.ptr, plan.ind, val, shape=plan.shape), FormatType.csr)
     out._spgemm_plan = plan
+    # no band seeding here: the band holds the FULL product while the stored
+    # pattern is upper-only, so an mv over the band would add the lower triangle
     return out
 
 

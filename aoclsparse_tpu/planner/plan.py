@@ -438,6 +438,7 @@ class ExecForm:
     bwd_padL: int = 0
     bwd_n_pad: int = 0
     bwd_G: int = 8
+    bwd_rel: int = 0  # bwdg: group-relative window start (spmv_bwdg)
     # diag (scan-over-diagonals; see kernels/xla/spmv.py spmv_diag_scan)
     dia_val: Optional[jax.Array] = None  # (ndiag, m)
     dia_offs: Optional[jax.Array] = None  # (ndiag,) int32
@@ -707,6 +708,7 @@ def _build_bwd_coo(
         bwd_padL=int(L),
         bwd_n_pad=int(n_pad),
         bwd_G=G,
+        bwd_rel=int(rel_lo),
         sp_src=(np.nonzero(spill_mask)[0] if identity_src else src[spill_mask])
         if spilled
         else None,
@@ -1202,6 +1204,26 @@ class Plan:
             self.exec_forms[key] = form
         return form
 
+    def seed_bwdg(self, form: ExecForm) -> None:
+        """Pre-seat a ready band-group exec form for (general, none) — the
+        SpGEMM band engine's C output (kernels/xla/spgemm_band.py): chained
+        mv on a product result reuses the band the numeric stage already
+        computed on-device, skipping the host relayout AND the CSR
+        extraction gather (~13 ns/nnz on this TPU). The form carries the
+        extraction map as its scatter list, so refresh-after-update_values
+        follows the normal path."""
+        from ..core.descr import GENERAL
+
+        self.effective_for(GENERAL, Operation.none)
+        key = (
+            GENERAL.type,
+            GENERAL.fill_mode,
+            GENERAL.diag_type,
+            Operation.none,
+            None,
+        )
+        self.exec_forms[key] = form
+
     def refresh_values(self, data) -> None:
         """After update_values: re-run every value gather (structure reused)."""
         new_val = data.val if hasattr(data, "val") else jnp.asarray(data)
@@ -1242,4 +1264,7 @@ def get_plan(A: SparseMatrix) -> Plan:
         from ..convert import conversions as cv
 
         A.plan = Plan(build_clean_csr(cv.to_csr(A.data)))
+        seed = getattr(A, "_seed_bwdg", None)
+        if seed is not None and getattr(A, "_seed_bwdg_val", None) is A.data.val:
+            A.plan.seed_bwdg(seed)
     return A.plan

@@ -197,10 +197,6 @@ def pgmres_solve(
     Returns (x, inner iterations, final residual norm)."""
     if A.shape[0] != A.shape[1]:
         raise AoclSparseError(Status.invalid_size, "pgmres requires square A")
-    if np.issubdtype(np.dtype(A.dtype), np.complexfloating):
-        raise AoclSparseError(
-            Status.not_implemented, "fused solvers are real-dtype (use the RCI path)"
-        )
     m = A.shape[0]
     b = jnp.asarray(b).astype(A.dtype)
     if b.shape != (m,):
@@ -223,41 +219,52 @@ def pgmres_solve(
 
         @jax.jit
         def run(b, x0, rtol_c, atol_c):
+            # complex-generic: norms are real, CGS dots are CONJUGATED
+            # (<v_i, w> = v_i^H w), and the Givens rotations use the complex
+            # form [c, s; -conj(s), c] with real c (LAPACK ?lartg semantics,
+            # the reference's rotation source, itsol_functions.hpp:1133-1152).
+            # For real dtypes every conj is a no-op and c/s reduce to the
+            # reference's sign convention (r = sign(f)*d).
             dt = b.dtype
-            bnorm = jnp.sqrt(jnp.sum(b * b))
+            rdt = jnp.zeros((), dt).real.dtype
+
+            def nrm(v):
+                return jnp.sqrt(jnp.sum(jnp.abs(v) ** 2).real).astype(rdt)
+
+            bnorm = nrm(b)
             brtol = rtol_c * bnorm
             tol = jnp.maximum(atol_c, brtol)
 
             def cycle(x):
                 """One restart cycle; returns (x_new, beta_end, n_inner)."""
                 r0 = b - matvec(x)
-                beta = jnp.sqrt(jnp.sum(r0 * r0))
-                safe_beta = jnp.where(beta > 0, beta, jnp.ones((), dt))
+                beta = nrm(r0)
+                safe_beta = jnp.where(beta > 0, beta, jnp.ones((), rdt))
                 V0 = jnp.zeros((mr + 1, m), dt).at[0].set(r0 / safe_beta)
-                g0 = jnp.zeros((mr + 1,), dt).at[0].set(beta)
+                g0 = jnp.zeros((mr + 1,), dt).at[0].set(beta.astype(dt))
                 H0 = jnp.zeros((mr + 1, mr), dt)
-                c0 = jnp.zeros((mr,), dt)
+                c0 = jnp.zeros((mr,), rdt)
                 s0 = jnp.zeros((mr,), dt)
 
                 def arnoldi(carry, j):
                     V, H, g, c, s, res, active = carry
                     w = op(V[j])
                     # CGS against all basis vectors, masked to i <= j
-                    hc = V @ w  # (mr+1,)
+                    hc = jnp.conj(V) @ w  # (mr+1,)
                     mask = jnp.arange(mr + 1) <= j
-                    hc = jnp.where(mask, hc, 0.0)
+                    hc = jnp.where(mask, hc, jnp.zeros((), dt))
                     w = w - hc @ V
-                    hh = jnp.sqrt(jnp.sum(w * w))
-                    safe_hh = jnp.where(hh > 0, hh, jnp.ones((), dt))
+                    hh = nrm(w)
+                    safe_hh = jnp.where(hh > 0, hh, jnp.ones((), rdt))
                     V = V.at[j + 1].set(jnp.where(active, w / safe_hh, V[j + 1]))
-                    hcol = hc.at[j + 1].set(hh)
+                    hcol = hc.at[j + 1].set(hh.astype(dt))
 
                     # previous Givens rotations, masked scan over i < j
                     def rot(hcol, i):
                         r1 = hcol[i]
                         r2 = hcol[i + 1]
                         nr1 = c[i] * r1 + s[i] * r2
-                        nr2 = -s[i] * r1 + c[i] * r2
+                        nr2 = -jnp.conj(s[i]) * r1 + c[i] * r2
                         apply_i = i < j
                         hcol = hcol.at[i].set(jnp.where(apply_i, nr1, r1))
                         hcol = hcol.at[i + 1].set(jnp.where(apply_i, nr2, r2))
@@ -265,20 +272,27 @@ def pgmres_solve(
 
                     hcol, _ = jax.lax.scan(rot, hcol, jnp.arange(mr))
                     f, gg = hcol[j], hcol[j + 1]
-                    d = jnp.sqrt(f * f + gg * gg)
-                    safe_d = jnp.where(d > 0, d, jnp.ones((), dt))
-                    cj = jnp.where(d > 0, jnp.abs(f) / safe_d, jnp.ones((), dt))
-                    sgn = jnp.where(f >= 0, jnp.ones((), dt), -jnp.ones((), dt))
-                    sj = jnp.where(d > 0, sgn * gg / safe_d, jnp.zeros((), dt))
-                    rj = jnp.where(d > 0, sgn * d, f)
-                    hcol = hcol.at[j].set(rj).at[j + 1].set(0.0)
+                    af = jnp.abs(f).real.astype(rdt)
+                    d = jnp.sqrt(af * af + (jnp.abs(gg) ** 2).real).astype(rdt)
+                    safe_d = jnp.where(d > 0, d, jnp.ones((), rdt))
+                    safe_af = jnp.where(af > 0, af, jnp.ones((), rdt))
+                    # phase = f/|f| (1 when f = 0); real dtype: sign(f)
+                    phase = jnp.where(af > 0, f / safe_af.astype(dt), jnp.ones((), dt))
+                    cj = jnp.where(d > 0, af / safe_d, jnp.ones((), rdt))
+                    sj = jnp.where(
+                        d > 0,
+                        phase * jnp.conj(gg) / safe_d.astype(dt),
+                        jnp.zeros((), dt),
+                    )
+                    rj = jnp.where(d > 0, phase * d.astype(dt), f)
+                    hcol = hcol.at[j].set(rj).at[j + 1].set(jnp.zeros((), dt))
                     H = H.at[:, j].set(jnp.where(active, hcol, H[:, j]))
                     c = c.at[j].set(jnp.where(active, cj, c[j]))
                     s = s.at[j].set(jnp.where(active, sj, s[j]))
                     gj = g[j]
                     g = g.at[j].set(jnp.where(active, cj * gj, g[j]))
-                    g = g.at[j + 1].set(jnp.where(active, -sj * gj, g[j + 1]))
-                    res_new = jnp.where(active, jnp.abs(g[j + 1]), res)
+                    g = g.at[j + 1].set(jnp.where(active, -jnp.conj(sj) * gj, g[j + 1]))
+                    res_new = jnp.where(active, jnp.abs(g[j + 1]).real.astype(rdt), res)
                     took = active
                     active = jnp.logical_and(active, res_new > tol)
                     return (V, H, g, c, s, res_new, active), took
@@ -313,7 +327,7 @@ def pgmres_solve(
                 return (x, res, (it + n_inner).astype(jnp.int32), cyc + 1)
 
             r_init = b - matvec(x0)
-            res0 = jnp.sqrt(jnp.sum(r_init * r_init))
+            res0 = nrm(r_init)
             x, res, it, cyc = jax.lax.while_loop(
                 cond, body, (x0, res0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
             )
@@ -321,5 +335,6 @@ def pgmres_solve(
 
         fn = run
         cache[key] = fn
-    x, k, rnorm = fn(b, x0, jnp.asarray(rtol, b.dtype), jnp.asarray(atol, b.dtype))
+    rdt = jnp.zeros((), b.dtype).real.dtype  # tolerance dtype: real part
+    x, k, rnorm = fn(b, x0, jnp.asarray(rtol, rdt), jnp.asarray(atol, rdt))
     return x, int(k), float(rnorm)

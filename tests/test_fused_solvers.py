@@ -121,11 +121,37 @@ def test_pcg_complex_symmetric_matches_rci(rng):
     assert abs(it - int(ri[RINFO_ITER])) <= 1
 
 
-def test_pgmres_complex_not_implemented(rng):
-    m = 8
-    dense = np.eye(m, dtype=np.complex128)
-    ptr = np.arange(m + 1, dtype=np.int64)
-    A = ast.create_csr(m, m, ptr, np.arange(m, dtype=np.int32), np.diag(dense))
-    with pytest.raises(ast.AoclSparseError) as e:
-        ast.pgmres_solve(A, np.ones(m, dtype=np.complex128))
-    assert e.value.status == Status.not_implemented
+def test_pgmres_complex_solves(rng):
+    # complex Givens (real c, complex s, conjugated CGS dots): the fused
+    # solve must reach the same tolerance as the host RCI engine
+    m = 40
+    dense = rng.standard_normal((m, m)) + 1j * rng.standard_normal((m, m))
+    dense[np.abs(dense) < 1.4] = 0
+    np.fill_diagonal(dense, m / 2.0 + 1j)
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int64)
+    A = ast.create_csr(m, m, ptr, np.nonzero(dense)[1].astype(np.int32), dense[dense != 0])
+    b = (rng.standard_normal(m) + 1j * rng.standard_normal(m)).astype(np.complex128)
+    x, it, rnorm = ast.pgmres_solve(A, b, rtol=1e-8, maxit=200, restart=12)
+    np.testing.assert_allclose(dense @ np.asarray(x), b, atol=1e-5)
+    assert rnorm <= 1e-8 * np.linalg.norm(b) + 1e-12
+    h = ast.itsol_init(np.complex128)
+    ast.itsol_option_set(h, "iterative method", "GMRES")
+    ast.itsol_option_set(h, "gmres restart iterations", 12)
+    x2, ri, st = ast.itsol_solve(h, m, A, GEN, b)
+    assert st == Status.success
+    # same engine, restart-cycle granularity may differ by one cycle
+    assert abs(it - int(ri[RINFO_ITER])) <= 12
+
+
+def test_pgmres_complex_ilu0(rng):
+    m = 48
+    dense = rng.standard_normal((m, m)) + 1j * rng.standard_normal((m, m))
+    dense[np.abs(dense) < 1.5] = 0
+    np.fill_diagonal(dense, m + 0.5j)
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int64)
+    A = ast.create_csr(m, m, ptr, np.nonzero(dense)[1].astype(np.int32), dense[dense != 0])
+    b = (rng.standard_normal(m) + 1j * rng.standard_normal(m)).astype(np.complex128)
+    x_p, it_p, _ = ast.pgmres_solve(A, b, rtol=1e-8, maxit=200, restart=15, precond="ilu0")
+    x_n, it_n, _ = ast.pgmres_solve(A, b, rtol=1e-8, maxit=200, restart=15)
+    np.testing.assert_allclose(dense @ np.asarray(x_p), b, atol=1e-5)
+    assert it_p <= it_n
