@@ -165,6 +165,7 @@ def spmv_bwd(win_val, x, W: int, base8: int, n_pad: int, mixed: bool = False):
         "has_hub",
         "has_hubrow",
         "has_spill",
+        "has_flip",
     ),
 )
 def spmv_gen(
@@ -172,6 +173,7 @@ def spmv_gen(
     x,
     bperm,
     bout,
+    flip,
     hub_slab,
     hub_cols,
     hubr_slab,
@@ -190,6 +192,7 @@ def spmv_gen(
     has_hub: bool = False,
     has_hubrow: bool = False,
     has_spill: bool = False,
+    has_flip: bool = False,
 ):
     """General-sparsity SpMV: block-RCM-permuted band window + dense
     hub-column slab + COO spill, fused into ONE compiled program
@@ -212,7 +215,12 @@ def spmv_gen(
     """
     nblk = m_pad // B
     xb = jnp.pad(x, (0, m_pad - x.shape[0])).reshape(nblk, B)
-    xp = xb[bperm].reshape(-1)  # (m_pad,) block-permuted x
+    xpb = xb[bperm]  # (nblk, B) block-permuted x
+    if has_flip:
+        # per-block orientation (planner _block_flips): dense where-reverse,
+        # negligible next to the band stream
+        xpb = jnp.where(flip[:, None], xpb[:, ::-1], xpb)
+    xp = xpb.reshape(-1)  # (m_pad,)
     xpad = jnp.pad(xp, (padL, n_pad - padL - m_pad))
     yp = spmv_bwd(win_val, xpad, W, base8, n_pad, mixed)[:m_pad]
     if has_spill:
@@ -236,7 +244,10 @@ def spmv_gen(
         else:
             contrib = hubr_slab @ xp
         yp = yp.at[hubr_rows].add(contrib)
-    return yp.reshape(nblk, B)[bout].reshape(-1)[:m]
+    ypb = yp.reshape(nblk, B)
+    if has_flip:
+        ypb = jnp.where(flip[:, None], ypb[:, ::-1], ypb)
+    return ypb[bout].reshape(-1)[:m]
 
 
 @partial(
@@ -253,6 +264,7 @@ def spmv_gen(
         "has_hub",
         "has_hubrow",
         "has_spill",
+        "has_flip",
     ),
 )
 def spmv_gen_bandt(
@@ -260,6 +272,7 @@ def spmv_gen_bandt(
     x,
     bperm,
     bout,
+    flip,
     hub_slab,
     hub_cols,
     hubr_slab,
@@ -278,6 +291,7 @@ def spmv_gen_bandt(
     has_hub: bool = False,
     has_hubrow: bool = False,
     has_spill: bool = False,
+    has_flip: bool = False,
 ):
     """spmv_gen with the band part on the Pallas transposed-band kernel
     (vt is the (W, m_pad) slab in PERMUTED row space; everything else as
@@ -286,7 +300,10 @@ def spmv_gen_bandt(
 
     nblk = m_pad // B
     xb = jnp.pad(x, (0, m_pad - x.shape[0])).reshape(nblk, B)
-    xp = xb[bperm].reshape(-1)  # (m_pad,) block-permuted x
+    xpb = xb[bperm]  # (nblk, B) block-permuted x
+    if has_flip:
+        xpb = jnp.where(flip[:, None], xpb[:, ::-1], xpb)
+    xp = xpb.reshape(-1)  # (m_pad,)
     xe = jnp.pad(xp, (padL, 0))
     yp = pallas_spmv_band_t(vt, xe, W, start, TM=TM, interpret=interpret)
     if has_spill:
@@ -297,7 +314,10 @@ def spmv_gen_bandt(
         yp = yp + hub_slab @ x[hub_cols]
     if has_hubrow:
         yp = yp.at[hubr_rows].add(hubr_slab @ xp)
-    return yp.reshape(nblk, B)[bout].reshape(-1)[:m]
+    ypb = yp.reshape(nblk, B)
+    if has_flip:
+        ypb = jnp.where(flip[:, None], ypb[:, ::-1], ypb)
+    return ypb[bout].reshape(-1)[:m]
 
 
 @partial(jax.jit, static_argnames=("G", "W", "rel", "m", "mixed"))

@@ -157,6 +157,9 @@ def _run_exec_form(form, x, kid):
         zero_i = jnp.zeros((0,), jnp.int32)
         zero_v = jnp.zeros((0,), x.dtype)
         zero_m = jnp.zeros((0, 0), x.dtype)
+        has_flip = form.gen_flip is not None
+        zero_b = jnp.zeros((0,), jnp.bool_)
+        flip = form.gen_flip if has_flip else zero_b
         if form.gen_bandt:
             from ...core.context import get_context
             from ...kernels.xla.spmv import spmv_gen_bandt
@@ -167,6 +170,7 @@ def _run_exec_form(form, x, kid):
                 x,
                 form.gen_perm,
                 form.gen_out,
+                flip,
                 form.hub_slab if has_hub else zero_m,
                 form.hub_cols if has_hub else zero_i,
                 form.hubr_slab if has_hubrow else zero_m,
@@ -185,12 +189,14 @@ def _run_exec_form(form, x, kid):
                 has_hub=has_hub,
                 has_hubrow=has_hubrow,
                 has_spill=has_spill,
+                has_flip=has_flip,
             )
         return e.fn(
             wv,
             x,
             form.gen_perm,
             form.gen_out,
+            flip,
             form.hub_slab if has_hub else zero_m,
             form.hub_cols if has_hub else zero_i,
             form.hubr_slab if has_hubrow else zero_m,
@@ -209,6 +215,7 @@ def _run_exec_form(form, x, kid):
             has_hub=has_hub,
             has_hubrow=has_hubrow,
             has_spill=has_spill,
+            has_flip=has_flip,
         )
     raise AoclSparseError(Status.internal_error, f"bad exec form {form.kind}")
 

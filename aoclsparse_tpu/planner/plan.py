@@ -450,6 +450,7 @@ class ExecForm:
     # spmv_gen): band/spill fields above are in PERMUTED coordinates
     gen_perm: Optional[jax.Array] = None  # (nblk,) int32 block perm: xp blocks
     gen_out: Optional[jax.Array] = None  # (nblk,) int32 inverse block perm
+    gen_flip: Optional[jax.Array] = None  # (nblk,) bool: reverse block's elements
     gen_B: int = 128  # permutation block granularity
     gen_m_pad: int = 0  # permuted/padded dimension (nblk * B)
     # bandt (row-aligned transposed band for the Pallas kernel,
@@ -734,7 +735,10 @@ GEN_B = 128  # block-permutation granularity (panel-gather width)
 GEN_MAX_HUB = 512  # dense hub-slab width cap
 GEN_HUB_MIN = 32  # min entries for a column to be hub-eligible
 GEN_MEM_CAP = 6e9  # band operand byte cap
-GEN_SPILL_FRAC = 0.12  # max fraction of nnz routed to the COO spill
+GEN_SPILL_FRAC = 0.30  # max fraction of nnz routed to the COO spill; the
+# cost model (n_spill * GEN_GATHER_NS vs GEN_MARGIN * fallback) is the real
+# gate — this cap only keeps the ladder from degenerate all-spill windows,
+# and the post-pass promotes heavy spill rows/cols into dense slabs anyway
 GEN_STREAM_BPS = 250e9  # contended dense-stream rate (dense_slab probe)
 GEN_GATHER_NS = 13e-9  # per-element irregular gather cost (ell/segsum rate)
 GEN_PANEL_NS = 0.33e-9  # per-element 128-wide panel-gather cost
@@ -747,6 +751,62 @@ def _gen_cost_model(m_pad, W, B, k_hub, n_spill, itemsize):
     hub = k_hub * m_pad * itemsize / GEN_STREAM_BPS
     perm = 2 * m_pad * (GEN_PANEL_NS if B >= 8 else GEN_GATHER_NS)
     return band + hub + perm + n_spill * GEN_GATHER_NS
+
+
+def _block_flips(pb_r, pb_c, pos_r, pos_c, nblk: int, B: int):
+    """Per-block orientation (reverse the B elements of a block, or not)
+    minimizing the |rel| mass of entries that cross CONSECUTIVE permuted
+    blocks. Returns a (nblk,) bool array by permuted position, or None.
+
+    Why: block-granular RCM orders coupled blocks adjacently, but keeps
+    each block's internal element order. When the chain runs opposite to
+    the original index direction (Cuthill-McKee's final Reverse does
+    exactly this), an entry coupling the END of one original block to the
+    START of the next lands at permuted offset ~±2B instead of ~±1 — on a
+    circuit/FEM-class matrix that is nearly ALL of the window spill
+    (measured ~6% of nnz at B=128). Choosing a per-block reversal turns
+    those crossings back into near-diagonal entries at zero traffic cost
+    (the runtime flip is a dense where-reverse on the already-permuted x).
+    Exact for chain-structured quotient graphs (the common case after
+    RCM); a no-worse heuristic otherwise. Solved by an O(nblk) two-state
+    chain DP over boundary crossing costs."""
+    d = pb_c - pb_r
+    fwd = d == 1  # row in block p, col in block p+1 (boundary p)
+    bwd = d == -1  # col in block p, row in block p+1 (boundary p)
+    if not (fwd.any() or bwd.any()) or nblk < 2:
+        return None
+    # cost[p, fp, fq]: |rel| mass crossing boundary p under orientations
+    # (fp, fq) of permuted blocks (p, p+1); |rel| saturates at 4B (beyond
+    # the window either way)
+    cost = np.zeros((nblk - 1, 2, 2), dtype=np.float64)
+    cap = 4.0 * B
+    for fp in (0, 1):
+        for fq in (0, 1):
+            if fwd.any():
+                pr = (B - 1 - pos_r[fwd]) if fp else pos_r[fwd]
+                pc = (B - 1 - pos_c[fwd]) if fq else pos_c[fwd]
+                np.add.at(
+                    cost[:, fp, fq], pb_r[fwd], np.minimum(np.abs(B + pc - pr), cap)
+                )
+            if bwd.any():
+                pc2 = (B - 1 - pos_c[bwd]) if fp else pos_c[bwd]
+                pr2 = (B - 1 - pos_r[bwd]) if fq else pos_r[bwd]
+                np.add.at(
+                    cost[:, fp, fq], pb_c[bwd], np.minimum(np.abs(pc2 - pr2 - B), cap)
+                )
+    back = np.zeros((nblk, 2), dtype=np.int8)
+    prev = np.zeros(2)
+    for p in range(nblk - 1):
+        cand = prev[:, None] + cost[p]  # (fp, fq)
+        back[p + 1] = np.argmin(cand, axis=0)  # ties -> 0 (prefer no flip)
+        prev = cand.min(axis=0)
+    fP = np.zeros(nblk, dtype=bool)
+    f = int(np.argmin(prev))
+    for p in range(nblk - 1, 0, -1):
+        fP[p] = bool(f)
+        f = int(back[p][f])
+    fP[0] = bool(f)
+    return fP if fP.any() else None
 
 
 def _build_gen(eff: EffectiveCSR) -> Optional[ExecForm]:
@@ -845,8 +905,19 @@ def _build_gen(eff: EffectiveCSR) -> Optional[ExecForm]:
             bperm = np.arange(nblk, dtype=np.int64)
         bpos = np.empty(nblk, dtype=np.int64)
         bpos[bperm] = np.arange(nblk)
-        prows = bpos[r2 // B] * B + r2 % B
-        pcols = bpos[c2 // B] * B + c2 % B
+        fP = None
+        if B > 1 and nnz_r:
+            fP = _block_flips(bpos[r2 // B], bpos[c2 // B], r2 % B, c2 % B, nblk, B)
+
+        def ppos(i):
+            """Original index -> permuted position (flip-aware)."""
+            pb, off = bpos[i // B], i % B
+            if fP is None:
+                return pb * B + off
+            return pb * B + np.where(fP[pb], B - 1 - off, off)
+
+        prows = ppos(r2)
+        pcols = ppos(c2)
         rel = pcols - 8 * (prows // 8)
         if rel.size == 0:
             return None
@@ -858,7 +929,9 @@ def _build_gen(eff: EffectiveCSR) -> Optional[ExecForm]:
             (0.25, 99.75, 0.01),
             (1.0, 99.0, 0.03),
             (2.5, 97.5, 0.06),
-            (5.0, 95.0, GEN_SPILL_FRAC),
+            (5.0, 95.0, 0.12),
+            (7.5, 92.5, 0.18),
+            (12.5, 87.5, GEN_SPILL_FRAC),
         ):
             lo_c = (int(rel_s[int(plo / 100 * nmax)]) // 8) * 8
             hi_c = int(rel_s[int(phi / 100 * nmax)])
@@ -868,7 +941,7 @@ def _build_gen(eff: EffectiveCSR) -> Optional[ExecForm]:
             n_out = int(np.searchsorted(rel_s, lo_c)) + int(
                 rel.size - np.searchsorted(rel_s, lo_c + W)
             )
-            if n_out > max(1024, int(rel.size * max(frac, GEN_SPILL_FRAC))):
+            if n_out > max(4096, int(rel.size * max(frac, GEN_SPILL_FRAC))):
                 continue
             cost = _gen_cost_model(m_pad, W, B, k_hub_total, n_out, itemsize)
             if best is None or cost < best[0]:
@@ -917,7 +990,7 @@ def _build_gen(eff: EffectiveCSR) -> Optional[ExecForm]:
                 kind="gen",
                 window=(rel_lo8, W8),
             )
-        return cand, bperm, bpos, m_pad
+        return cand, bperm, bpos, m_pad, fP, ppos
 
     got = _try_granularity(B)
     if got is None:
@@ -925,27 +998,90 @@ def _build_gen(eff: EffectiveCSR) -> Optional[ExecForm]:
         got = _try_granularity(B)
     if got is None:
         return None
-    core, bperm, bpos, m_pad = got
+    core, bperm, bpos, m_pad, fP, ppos = got
     core.m = m  # logical size; band geometry lives in m_pad space
     core.n = n
     core.gen_m_pad = m_pad
     core.gen_B = B
     core.gen_perm = jnp.asarray(bperm.astype(np.int32))
     core.gen_out = jnp.asarray(bpos.astype(np.int32))
+    core.gen_flip = jnp.asarray(fP) if fP is not None else None
+    # hub entries as (permuted row, ORIGINAL col, src) triples; hubr entries
+    # as (permuted row, permuted col, src)
+    ei = np.zeros(0, dtype=np.int64)
     if has_hub:
         hrows, hcols, hsrc = rows[is_hub], cols[is_hub], idx[is_hub]
-        k = hub.size
-        slot = np.searchsorted(hub, hcols)
-        core.hub_cols = jnp.asarray(hub.astype(np.int32))
-        core.hub_dest = (bpos[hrows // B] * B + hrows % B) * k + slot
-        core.hub_src = hsrc
+        h_pr, h_oc, h_src = ppos(hrows), hcols, hsrc
+    else:
+        h_pr, h_oc, h_src = ei, ei, ei
     if has_hubr:
-        rslot = np.searchsorted(hubr, hr_r)
-        core.hubr_rows = jnp.asarray(
-            (bpos[hubr // B] * B + hubr % B).astype(np.int32)
-        )
-        core.hubr_dest = rslot * m_pad + (bpos[hr_c // B] * B + hr_c % B)
-        core.hubr_src = hr_s
+        r_pr, r_pc, r_src = ppos(hr_r), ppos(hr_c), hr_s
+    else:
+        r_pr, r_pc, r_src = ei, ei, ei
+    # --- spill -> slab promotion: a spill column (or row) with cnt entries
+    # costs cnt * GEN_GATHER_NS as scalar gathers but only one dense slab
+    # lane (m_pad * itemsize / stream) as a hub — promote past breakeven.
+    # Catches structure below the first-pass hub threshold (mid-degree
+    # power-law columns) and anything the window happened to orphan.
+    thresh = max(
+        GEN_HUB_MIN, int((m_pad * itemsize / GEN_STREAM_BPS) / GEN_GATHER_NS) + 1
+    )
+    if core.sp_src is not None and core.sp_src.size:
+        sp_src = core.sp_src
+        sp_pr = np.asarray(core.sp_rows).astype(np.int64)
+        sp_pc = np.asarray(core.sp_ind).astype(np.int64)
+        sp_oc = cols[sp_src]  # original column of each spill entry
+        hist = np.bincount(sp_oc, minlength=n)
+        room = max(0, GEN_MAX_HUB - hub.size)
+        cand_p = np.nonzero(hist >= thresh)[0]
+        if cand_p.size > room:
+            cand_p = cand_p[np.argsort(hist[cand_p])[::-1][:room]]
+        if cand_p.size:
+            pmark = np.zeros(n, dtype=bool)
+            pmark[cand_p] = True
+            mvq = pmark[sp_oc]
+            h_pr = np.concatenate([h_pr, sp_pr[mvq]])
+            h_oc = np.concatenate([h_oc, sp_oc[mvq]])
+            h_src = np.concatenate([h_src, sp_src[mvq]])
+            hub = np.union1d(hub, cand_p)
+            has_hub = True
+            keepq = ~mvq
+            sp_src, sp_pr, sp_pc = sp_src[keepq], sp_pr[keepq], sp_pc[keepq]
+        if sp_src.size:
+            rhist = np.bincount(sp_pr, minlength=m_pad)
+            roomr = max(0, GEN_MAX_HUB - (np.unique(r_pr).size if r_pr.size else 0))
+            cand_r = np.nonzero(rhist >= thresh)[0]
+            if cand_r.size > roomr:
+                cand_r = cand_r[np.argsort(rhist[cand_r])[::-1][:roomr]]
+            if cand_r.size:
+                rmark = np.zeros(m_pad, dtype=bool)
+                rmark[cand_r] = True
+                mvr = rmark[sp_pr]
+                r_pr = np.concatenate([r_pr, sp_pr[mvr]])
+                r_pc = np.concatenate([r_pc, sp_pc[mvr]])
+                r_src = np.concatenate([r_src, sp_src[mvr]])
+                has_hubr = True
+                keepr = ~mvr
+                sp_src, sp_pr, sp_pc = sp_src[keepr], sp_pr[keepr], sp_pc[keepr]
+        if sp_src.size:
+            order_sp = np.argsort(sp_pr, kind="stable")
+            core.sp_src = sp_src[order_sp]
+            core.sp_ind = jnp.asarray(sp_pc[order_sp].astype(np.int32))
+            core.sp_rows = jnp.asarray(sp_pr[order_sp].astype(np.int32))
+        else:
+            core.sp_src = core.sp_ind = core.sp_rows = None
+    if has_hub:
+        k = hub.size
+        slot = np.searchsorted(hub, h_oc)
+        core.hub_cols = jnp.asarray(hub.astype(np.int32))
+        core.hub_dest = h_pr * k + slot
+        core.hub_src = h_src
+    if has_hubr:
+        slabrows = np.unique(r_pr)
+        rslot = np.searchsorted(slabrows, r_pr)
+        core.hubr_rows = jnp.asarray(slabrows.astype(np.int32))
+        core.hubr_dest = rslot * m_pad + r_pc
+        core.hubr_src = r_src
     core.refresh(eff.val)
     return core
 

@@ -159,6 +159,129 @@ def test_gen_bandt_core_parity(rng, monkeypatch):
         reset_context()
 
 
+def test_gen_block_orientation_flips(rng):
+    # alternating-orientation chain: every odd 128-block's element order is
+    # reversed. Block-granular RCM recovers the chain but cannot fix the
+    # orientations, so without the per-block flip DP (_block_flips) the
+    # boundary crossings land at ~±2B and spill/widen the window; with it
+    # they return to the diagonal at zero traffic cost.
+    B = 128
+    m = 16 * B
+    base = np.zeros((m, m))
+    for i in range(m):
+        js = np.unique(np.clip(i + rng.integers(-10, 11, 6), 0, m - 1))
+        base[i, js] = rng.standard_normal(js.size)
+    q = np.arange(m).reshape(-1, B)
+    q[1::2] = q[1::2, ::-1]
+    q = q.reshape(-1)
+    dense = base[np.ix_(q, q)]
+    A = _mk(m, dense)
+    x = rng.standard_normal(m)
+    y = np.asarray(ast.mv(1.0, A, GEN, Operation.none, x, 0.0, kid=7))
+    np.testing.assert_allclose(y, dense @ x, atol=1e-10)
+    form = get_plan(A).exec_form_for(GEN, Operation.none, kind="gen")
+    assert form.gen_B == B
+    assert form.gen_flip is not None and bool(np.asarray(form.gen_flip).any())
+    n_spill = 0 if form.sp_ind is None else int(form.sp_ind.shape[0])
+    assert n_spill <= 0.01 * A.nnz  # crossings rejoined the band
+    assert form.bwd_W <= 64  # window stayed chain-narrow (no ±2B widening)
+    # value refresh must rescatter through the flip-aware maps
+    v2 = rng.standard_normal(A.nnz)
+    ast.update_values(A, v2)
+    ptr, ind = np.asarray(A.data.ptr), np.asarray(A.data.ind)
+    d2 = np.zeros((m, m))
+    d2[np.repeat(np.arange(m), np.diff(ptr)), ind] = v2
+    y2 = np.asarray(ast.mv(1.0, A, GEN, Operation.none, x, 0.0, kid=7))
+    np.testing.assert_allclose(y2, d2 @ x, atol=1e-10)
+
+
+def test_gen_flips_with_hubs_and_transpose(rng):
+    # flips + hub columns + hub rows + spill together, plus the transpose
+    # op (separate effective copy): every dest map must be flip-aware
+    B = 128
+    m = 8 * B
+    base = np.zeros((m, m))
+    for i in range(m):
+        js = np.unique(np.clip(i + rng.integers(-8, 9, 5), 0, m - 1))
+        base[i, js] = rng.standard_normal(js.size)
+    q = np.arange(m).reshape(-1, B)
+    q[1::2] = q[1::2, ::-1]
+    q = q.reshape(-1)
+    dense = base[np.ix_(q, q)]
+    for h in rng.choice(m, 3, replace=False):
+        rs = rng.choice(m, m // 2, replace=False)
+        dense[rs, h] = rng.standard_normal(rs.size)
+    rr = rng.choice(m, 2, replace=False)
+    dense[rr] = rng.standard_normal((2, m)) * (rng.random((2, m)) < 0.5)
+    sc_i, sc_j = rng.integers(0, m, 40), rng.integers(0, m, 40)
+    dense[sc_i, sc_j] = rng.standard_normal(40)
+    A = _mk(m, dense)
+    x = rng.standard_normal(m)
+    y = np.asarray(ast.mv(1.0, A, GEN, Operation.none, x, 0.0, kid=7))
+    np.testing.assert_allclose(y, dense @ x, atol=1e-10)
+    yt = np.asarray(ast.mv(1.0, A, GEN, Operation.transpose, x, 0.0, kid=7))
+    np.testing.assert_allclose(yt, dense.T @ x, atol=1e-10)
+
+
+def test_gen_spill_promotion_to_hub_slabs(rng):
+    # 40 mid-degree scattered columns, but the first-pass hub budget
+    # (8*nnz slab entries) only admits ~24: the leftovers land in the
+    # window spill with >= thresh entries each and must be PROMOTED into
+    # the hub slab (second pass), leaving only the uniform dust as spill
+    m = 2048
+    dense = np.zeros((m, m))
+    for i in range(m):
+        js = np.unique(np.clip(i + rng.integers(-6, 7, 3), 0, m - 1))
+        dense[i, js] = rng.standard_normal(js.size)
+    mid_cols = rng.choice(m, 40, replace=False)
+    for h in mid_cols:
+        rs = rng.choice(m, 100, replace=False)
+        dense[rs, h] = rng.standard_normal(rs.size)
+    A = _mk(m, dense)
+    x = rng.standard_normal(m)
+    y = np.asarray(ast.mv(1.0, A, GEN, Operation.none, x, 0.0, kid=7))
+    np.testing.assert_allclose(y, dense @ x, atol=1e-10)
+    form = get_plan(A).exec_form_for(GEN, Operation.none, kind="gen")
+    assert form.hub_cols is not None
+    k = int(form.hub_cols.shape[0])
+    assert k >= 38  # nearly all scattered columns ended up as slab lanes
+    n_spill = 0 if form.sp_ind is None else int(form.sp_ind.shape[0])
+    assert n_spill <= 0.02 * A.nnz
+    # refresh through the promoted maps
+    v2 = rng.standard_normal(A.nnz)
+    ast.update_values(A, v2)
+    ptr, ind = np.asarray(A.data.ptr), np.asarray(A.data.ind)
+    d2 = np.zeros((m, m))
+    d2[np.repeat(np.arange(m), np.diff(ptr)), ind] = v2
+    y2 = np.asarray(ast.mv(1.0, A, GEN, Operation.none, x, 0.0, kid=7))
+    np.testing.assert_allclose(y2, d2 @ x, atol=1e-10)
+
+
+def test_gen_spill_row_promotion(rng):
+    # dense-ish scattered ROWS beyond the first-pass hubr budget must be
+    # promoted into the hub-row slab from the spill
+    m = 2048
+    dense = np.zeros((m, m))
+    for i in range(m):
+        js = np.unique(np.clip(i + rng.integers(-6, 7, 3), 0, m - 1))
+        dense[i, js] = rng.standard_normal(js.size)
+    wide_rows = rng.choice(m, 60, replace=False)
+    for r in wide_rows:
+        cs = rng.choice(m, 50, replace=False)
+        dense[r, cs] = rng.standard_normal(cs.size)
+    A = _mk(m, dense)
+    x = rng.standard_normal(m)
+    y = np.asarray(ast.mv(1.0, A, GEN, Operation.none, x, 0.0, kid=7))
+    np.testing.assert_allclose(y, dense @ x, atol=1e-10)
+    form = get_plan(A).exec_form_for(GEN, Operation.none, kind="gen")
+    n_spill = 0 if form.sp_ind is None else int(form.sp_ind.shape[0])
+    assert n_spill <= 0.02 * A.nnz
+    y2 = np.asarray(
+        ast.mv(1.5, A, GEN, Operation.transpose, x, 0.0, kid=7)
+    )
+    np.testing.assert_allclose(y2, 1.5 * dense.T @ x, atol=1e-10)
+
+
 def test_rcm_native_vs_numpy(rng):
     from aoclsparse_tpu import native
 
