@@ -73,29 +73,48 @@ class BandGemmPlan:
 
 
 def build_band_gemm_plan(
-    effA, effB, Cptr, Cind, G: int = 512, force: bool = False
+    effA, effB, Cptr, Cind, G: int = 512, force: bool = False,
+    formA_pre=None, formB_pre=None,
 ) -> Optional[BandGemmPlan]:
     """Set up the band path for C = effA @ effB given C's pattern from the
     symbolic stage; None when the operands don't band-compress or the
-    measured-rate cost model prefers product expansion."""
+    measured-rate cost model prefers product expansion.
+
+    formA_pre/formB_pre: an operand that is itself a band-engine product
+    carries a seeded ``bwdg`` form (cband_exec_form) whose device band IS
+    the operand — chained products reuse it directly, skipping the host
+    relayout and the first refresh (its window may be wider than the tight
+    one; the cost model prices that width honestly)."""
     from ...planner.plan import BWD_MAX_W, _build_bwd_coo
 
     mA, nA = effA.shape
     mB, nB = effB.shape
     if mA == 0 or effA.nnz == 0 or effB.nnz == 0:
         return None
-    wA = _window8(effA, G)
-    wB = _window8(effB, G)
-    if wA is None or wB is None:
-        return None
-    WA, relA, rowsA, relsA = wA
-    WB, relB, rowsB, relsB = wB
+    if formA_pre is not None and formA_pre.bwd_G != G:
+        formA_pre = None
+    if formB_pre is not None and formB_pre.bwd_G != G:
+        formB_pre = None
+    if formA_pre is not None:
+        WA, relA, rowsA, relsA = formA_pre.bwd_W, formA_pre.bwd_rel, None, None
+    else:
+        wA = _window8(effA, G)
+        if wA is None:
+            return None
+        WA, relA, rowsA, relsA = wA
+    if formB_pre is not None:
+        WB, relB, rowsB, relsB = formB_pre.bwd_W, formB_pre.bwd_rel, None, None
+    else:
+        wB = _window8(effB, G)
+        if wB is None:
+            return None
+        WB, relB, rowsB, relsB = wB
     if WA > 2 * BWD_MAX_W or WB > 2 * BWD_MAX_W:
         return None
     d0 = relA // G
     sl0 = relA - G * d0  # in [0, G)
     nstream = -(-(sl0 + WA) // G)
-    if nstream > 4:
+    if nstream > 6:
         return None
     relC = relB + G * d0
     WC = G * (nstream - 1) + WB
@@ -110,7 +129,7 @@ def build_band_gemm_plan(
     nnzC = float(Cind.shape[0])
     est_exp = 3.0 * P * 13e-9
     est_band = (
-        (mA * WA + 3.0 * mB * WB + 2.0 * nblk * G * WC) * 4 / 250e9
+        (mA * WA + (1.0 + nstream) * mB * WB + 2.0 * nblk * G * WC) * 4 / 250e9
         + (nblk * G * WA * WB * 2.0) / 20e12
         + nnzC * 13e-9  # extraction gather
     )
@@ -132,10 +151,16 @@ def build_band_gemm_plan(
         return None  # coverage violated (safety)
     extract = (g * G + rowsC % G) * WC + c
     # band operands with the 8-aligned windows (srcpos=None: identity map)
-    colsA = effA.ind.astype(np.int64)
-    formA = _build_bwd_coo(rowsA, colsA, None, mA, nA, G=G, kind="bwdg", window=(relA, WA))
-    colsB = effB.ind.astype(np.int64)
-    formB = _build_bwd_coo(rowsB, colsB, None, mB, nB, G=G, kind="bwdg", window=(relB, WB))
+    if formA_pre is not None:
+        formA = formA_pre
+    else:
+        colsA = effA.ind.astype(np.int64)
+        formA = _build_bwd_coo(rowsA, colsA, None, mA, nA, G=G, kind="bwdg", window=(relA, WA))
+    if formB_pre is not None:
+        formB = formB_pre
+    else:
+        colsB = effB.ind.astype(np.int64)
+        formB = _build_bwd_coo(rowsB, colsB, None, mB, nB, G=G, kind="bwdg", window=(relB, WB))
     if formA is None or formB is None:
         return None
     return BandGemmPlan(

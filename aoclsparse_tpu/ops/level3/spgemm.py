@@ -176,12 +176,29 @@ def _numeric(Aval, Bval, pa, pb, pc, nnz: int, conj_a: bool, conj_b: bool):
     return jax.ops.segment_sum(a * b, pc, num_segments=nnz, indices_are_sorted=True)
 
 
-def _attach_band_plan(plan: "SpgemmPlan", effA, effB) -> None:
+def _operand_seed(H: SparseMatrix, descr: MatrixDescriptor, op) -> Optional[object]:
+    """A band-engine product handle's seeded bwdg form, reusable as a
+    chained-GEMM operand band iff the operand is consumed untransformed
+    (general descriptor, op none — the band holds plain unconjugated
+    values) and the handle's values haven't been swapped since seeding."""
+    seed = getattr(H, "_seed_bwdg", None)
+    if seed is None or getattr(H, "_seed_bwdg_val", None) is not H.data.val:
+        return None
+    if Operation(op) != Operation.none:
+        return None
+    if MatrixType(descr.type) != MatrixType.general:
+        return None
+    return seed
+
+
+def _attach_band_plan(plan: "SpgemmPlan", effA, effB, seedA=None, seedB=None) -> None:
     """Attach the band x band numeric plan when both operands compress
     (TPU default; AOCLSPARSE_TPU_FORCE_BANDGEMM=1 forces it on CPU for
     tests, AOCLSPARSE_TPU_NO_BANDGEMM=1 disables). Per-product indexing
     costs ~13ns/elem on this TPU (PROBE_spgemm.jsonl), so the dense
-    MXU formulation wins whenever it applies."""
+    MXU formulation wins whenever it applies. seedA/seedB: ready device
+    bands of operands that are themselves band-engine products (chained
+    GEMM — no host relayout, no first refresh)."""
     import os
 
     from ...core.context import get_context
@@ -193,9 +210,25 @@ def _attach_band_plan(plan: "SpgemmPlan", effA, effB) -> None:
         return
     from ...kernels.xla.spgemm_band import build_band_gemm_plan
 
+    if plan.conj_a:
+        seedA = None  # band holds unconjugated values
+    if plan.conj_b:
+        seedB = None
     G = 512 if get_context().is_tpu else 32
-    band = build_band_gemm_plan(effA, effB, plan.ptr, plan.ind, G=G, force=force)
+    band = build_band_gemm_plan(
+        effA, effB, plan.ptr, plan.ind, G=G, force=force,
+        formA_pre=seedA, formB_pre=seedB,
+    )
+    if band is None and (seedA is not None or seedB is not None):
+        # seeded windows can be wider than tight ones and overflow the
+        # stream/cost limits — retry with host-built tight operands
+        seedA = seedB = None
+        band = build_band_gemm_plan(effA, effB, plan.ptr, plan.ind, G=G, force=force)
     if band is not None:
+        if band.formA is seedA:
+            band._valA_id = id(effA.val)  # band already holds these values
+        if band.formB is seedB:
+            band._valB_id = id(effB.val)
         plan.band = band
 
 
@@ -276,7 +309,13 @@ def sp2m(
     effA = _effective(A, descrA, Operation(opA))
     effB = _effective(B, descrB, Operation(opB))
     plan = _symbolic(effA, effB)
-    _attach_band_plan(plan, effA, effB)
+    _attach_band_plan(
+        plan,
+        effA,
+        effB,
+        seedA=_operand_seed(A, descrA, opA),
+        seedB=_operand_seed(B, descrB, opB),
+    )
     dtype = jnp.result_type(A.dtype, B.dtype)
     if request == Request.nnz_count:
         val = jnp.zeros((plan.nnz,), dtype=dtype)

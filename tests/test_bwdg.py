@@ -183,6 +183,40 @@ def test_finalize_reseeds_band(rng, _force_band):
     assert getattr(C, "_seed_bwdg", None) is not None
 
 
+def test_chained_band_gemm_reuses_seed(rng, _force_band):
+    # D = (A @ B) @ Bc: the second product must reuse the first product's
+    # seeded device band as its A operand (no host relayout) and still
+    # match the dense oracle; refresh path re-validated via finalize
+    m = 192
+    A, da = _band_mat(rng, m, 4)
+    B, db = _band_mat(rng, m, 5)
+    C = ast.sp2m(Operation.none, GEN, A, Operation.none, GEN, B, Request.full_computation)
+    assert getattr(C, "_seed_bwdg", None) is not None
+    Bc, dbc = _band_mat(rng, m, 3)
+    D = ast.sp2m(Operation.none, GEN, C, Operation.none, GEN, Bc, Request.full_computation)
+    band2 = D._spgemm_plan.band
+    assert band2 is not None
+    assert band2.formA is C._seed_bwdg  # chained: the seed IS the operand band
+    _, _, _, dp, di, dv = ast.export_csr(D)
+    dd = np.zeros((m, m))
+    dd[np.repeat(np.arange(m), np.diff(dp)), di] = dv
+    want = (da @ db) @ dbc
+    assert_allclose_spec(dd, want, dtype=np.float64, scale=1000)
+    # and D itself is seeded for chained mv
+    x = rng.standard_normal(m)
+    y = np.asarray(ast.mv(1.0, D, GEN, Operation.none, x, 0.0))
+    assert_allclose_spec(y, want @ x, dtype=np.float64, scale=1000)
+    # finalize with updated A values flows through the chained plan
+    newa = 2.0 * np.asarray(A.data.val)
+    ast.update_values(A, newa)
+    C2 = ast.sp2m(Operation.none, GEN, A, Operation.none, GEN, B, Request.finalize, C)
+    D2 = ast.sp2m(Operation.none, GEN, C2, Operation.none, GEN, Bc, Request.finalize, D)
+    _, _, _, dp2, di2, dv2 = ast.export_csr(D2)
+    dd2 = np.zeros((m, m))
+    dd2[np.repeat(np.arange(m), np.diff(dp2)), di2] = dv2
+    assert_allclose_spec(dd2, 2.0 * want, dtype=np.float64, scale=1000)
+
+
 def test_syrk_does_not_seed_band(rng, _force_band):
     # syrk's stored pattern is upper-only while the gemm band holds the FULL
     # product: seeding would make mv add the lower triangle, so it must not
