@@ -373,6 +373,11 @@ def set_value(h: SparseMatrix, row: int, col: int, value) -> SparseMatrix:
     h.data = dataclasses.replace(A, val=val)
     h.input_format = FormatType.csr
     h.ilu_state = None
+    # pattern unchanged: keep the plan but re-run value gathers (same
+    # contract as update_values — a cached exec form would otherwise keep
+    # serving the old value)
+    if h.plan is not None:
+        h.plan.refresh_values(h.data)
     return h
 
 

@@ -1371,6 +1371,11 @@ class Plan:
             ekey = key[:4]
             form.refresh(self.effective[ekey].val)
         self.levels = None
+        # jitted fused-solver closures (solvers/fused.py) trace the exec/trsv
+        # form arrays as baked constants — a refreshed form does NOT flow into
+        # an already-traced program, so the cache must drop with the values
+        if hasattr(self, "_fused_cache"):
+            self._fused_cache = {}
 
 
 # ---------------------------------------------------------------------------

@@ -109,6 +109,23 @@ class TestAux:
         with pytest.raises(asp.AoclSparseError):
             asp.set_value(A, 0, 1, 5.0)  # not in pattern
 
+    def test_set_value_refreshes_cached_plan(self):
+        # regression: a plan built BEFORE set_value kept serving the old
+        # value through its cached exec form
+        from aoclsparse_tpu import MatrixDescriptor, Operation
+
+        m = 16
+        ptr = np.arange(m + 1, dtype=np.int64)
+        A = asp.create_csr(
+            m, m, ptr, np.arange(m, dtype=np.int32), np.arange(1.0, m + 1)
+        )
+        x = np.ones(m)
+        y1 = np.asarray(asp.mv(1.0, A, MatrixDescriptor(), Operation.none, x, 0.0))
+        assert y1[0] == 1.0
+        asp.set_value(A, 0, 0, 100.0)
+        y2 = np.asarray(asp.mv(1.0, A, MatrixDescriptor(), Operation.none, x, 0.0))
+        assert y2[0] == 100.0
+
     def test_update_values(self):
         ptr, ind, val = small_csr()
         A = asp.create_csr(4, 4, ptr, ind, val)

@@ -121,6 +121,26 @@ def test_pcg_complex_symmetric_matches_rci(rng):
     assert abs(it - int(ri[RINFO_ITER])) <= 1
 
 
+def test_fused_cache_invalidated_by_update_values(rng):
+    # regression: the jitted solver closure bakes the exec-form arrays as
+    # constants; update_values must drop the fused cache or the solve runs
+    # on stale values
+    m = 64
+    dense = np.zeros((m, m))
+    for i in range(m):
+        js = np.clip(i + rng.integers(-3, 4, 3), 0, m - 1)
+        dense[i, js] = rng.standard_normal(js.size)
+    dense = dense @ dense.T + m * np.eye(m)
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int64)
+    A = ast.create_csr(m, m, ptr, np.nonzero(dense)[1].astype(np.int32), dense[dense != 0])
+    b = rng.standard_normal(m)
+    x1, _, _ = ast.pcg_solve(A, b, rtol=1e-10)
+    np.testing.assert_allclose(dense @ np.asarray(x1), b, atol=1e-7)
+    ast.update_values(A, 2.0 * np.asarray(A.data.val))
+    x2, _, _ = ast.pcg_solve(A, b, rtol=1e-10)
+    np.testing.assert_allclose(2.0 * dense @ np.asarray(x2), b, atol=1e-7)
+
+
 def test_pgmres_complex_solves(rng):
     # complex Givens (real c, complex s, conjugated CGS dots): the fused
     # solve must reach the same tolerance as the host RCI engine
