@@ -124,6 +124,15 @@ def _symgs_core(trans, A, descr, alpha, b, x0, fuse_mv, kid):
     tri_us = _tri(u_fm, DiagType.zero)  # strict U
 
     x0 = jnp.zeros((m,), A.dtype) if x0 is None else jnp.asarray(x0).astype(A.dtype)
+    if kid is None:
+        # fused path: the whole sweep (2 SpMV + 2 TRSV [+ final SpMV]) is
+        # ONE compiled program — dispatch latency through the remote tunnel
+        # is ~ms, so the composed form pays 4-5x the useful time otherwise.
+        # The per-step unfused path stays reachable via an explicit kid.
+        return _symgs_fused(
+            A, descr, trans, tri_l, tri_ls, tri_u, tri_us, l_op, u_op,
+            fuse_mv, alpha, b, x0,
+        )
     # step 1: q = alpha*U_s*x0 ; r = b - q ; (L+D) x1 = r
     q = mv(alpha, A, tri_us, u_op, x0, 0.0)
     x1 = trsv(1.0, A, tri_l, l_op, b - q, kid=kid)
@@ -134,3 +143,47 @@ def _symgs_core(trans, A, descr, alpha, b, x0, fuse_mv, kid):
     if fuse_mv:
         y = mv(1.0, A, descr, trans, x, 0.0)
     return x, y
+
+
+def _symgs_fused(
+    A, descr, trans, tri_l, tri_ls, tri_u, tri_us, l_op, u_op, fuse_mv, alpha, b, x0
+):
+    """One-dispatch sweep over the planner's cached forms. The jitted
+    closure bakes the form arrays as constants, so it lives in
+    plan._fused_cache (dropped by refresh_values on update_values)."""
+    import jax
+
+    from ..ops.level2.mv import _run_exec_form
+    from ..planner.plan import get_plan
+    from ..planner.triangular import trsv_form_for
+
+    plan = get_plan(A)
+    if not hasattr(plan, "_fused_cache"):
+        plan._fused_cache = {}
+    key = ("symgs", descr.type, descr.fill_mode, Operation(trans), bool(fuse_mv))
+    fn = plan._fused_cache.get(key)
+    if fn is None:
+        lf = trsv_form_for(plan, tri_l, l_op)
+        uf = trsv_form_for(plan, tri_u, u_op)
+        us_form = plan.exec_form_for(tri_us, u_op, dtype=A.dtype)
+        ls_form = plan.exec_form_for(tri_ls, l_op, dtype=A.dtype)
+        a_form = plan.exec_form_for(descr, Operation(trans), dtype=A.dtype) if fuse_mv else None
+
+        def _solve(form, r):
+            from .fused import _pad_solve
+
+            return _pad_solve(form, r)
+
+        @jax.jit
+        def run(alpha, b, x0):
+            q = alpha * _run_exec_form(us_form, x0, None)
+            x1 = _solve(lf, b - q)
+            r = _run_exec_form(ls_form, x1, None)
+            x = _solve(uf, b - r)
+            y = _run_exec_form(a_form, x, None) if fuse_mv else x
+            return x, y
+
+        fn = run
+        plan._fused_cache[key] = fn
+    x, y = fn(alpha, b, x0)
+    return x, (y if fuse_mv else None)

@@ -110,6 +110,22 @@ def test_symgs_general_x0(rng):
     assert_allclose_spec(x, want, dtype=np.float64, scale=100)
 
 
+def test_symgs_fused_refreshes_after_update_values(rng):
+    # the fused one-dispatch sweep caches a jitted closure on the plan; a
+    # value swap must re-trace it (same contract as the fused solvers)
+    m = 16
+    A, (ptr, ind, val, dense) = _mk(rng, m)
+    b = rng.standard_normal(m)
+    x1 = ast.symgs(Operation.none, A, GEN, 1.0, b)
+    v2 = rng.standard_normal(len(val)) + 3.0
+    ast.update_values(A, v2)
+    d2 = np.zeros((m, m))
+    d2[np.repeat(np.arange(m), np.diff(ptr)), ind] = v2
+    x2 = ast.symgs(Operation.none, A, GEN, 1.0, b)
+    want = _symgs_dense_formula(d2, 1.0, b, np.zeros(m))
+    assert_allclose_spec(x2, want, dtype=np.float64, scale=100)
+
+
 @pytest.mark.parametrize("fill", [FillMode.lower, FillMode.upper])
 def test_symgs_symmetric(rng, fill, make_csr):
     m = 12
