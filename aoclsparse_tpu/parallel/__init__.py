@@ -10,6 +10,7 @@ from .spgemm import (  # noqa: F401
 from .partition import nnz_balanced_bounds, pack_balanced_ell  # noqa: F401
 from .spmv import (  # noqa: F401
     dist_spmv_bwd_halo,
+    dist_spmv_bwd_halo_overlap,
     dist_spmv_ell,
     dist_spmv_ell_balanced,
     dist_spmv_ell_sharded_x,

@@ -28,6 +28,7 @@ __all__ = [
     "dist_spmv_ell",
     "dist_spmv_ell_sharded_x",
     "dist_spmv_bwd_halo",
+    "dist_spmv_bwd_halo_overlap",
     "dist_spmv_ell_balanced",
 ]
 
@@ -159,6 +160,103 @@ def dist_spmv_bwd_halo(mesh: Mesh, form, x_sharded, axis: str = "x"):
             axis=1,
         )
         return jnp.einsum("brw,bw->br", wv_c, pats).reshape(-1)
+
+    return _local(wv, x_sharded)
+
+
+def dist_spmv_bwd_halo_overlap(mesh: Mesh, form, x_sharded, axis: str = "x"):
+    """Halo-exchange band SpMV with COMPUTE/COLLECTIVE OVERLAP (SURVEY.md
+    §5.8(i) "overlap with local compute"; the double-buffered refinement of
+    dist_spmv_bwd_halo): the local row groups are split into INTERIOR groups
+    whose x-windows lie entirely inside the local shard and EDGE groups that
+    touch a halo. The interior einsum depends only on the local x shard, so
+    the XLA scheduler is free to run it while the two `ppermute`s are still
+    on the wire; only the small edge einsums wait for the halos. Same
+    contract as dist_spmv_bwd_halo (spill-free band form, halo narrower than
+    a shard); falls back to the unsplit path when shards are too small to
+    have an interior."""
+    ndev = mesh.shape[axis]
+    if form.sp_ind is not None and int(form.sp_ind.shape[0]):
+        raise ValueError("halo path requires a spill-free band form")
+    W = form.bwd_W
+    rel_lo = 8 * form.bwd_base8 - form.bwd_padL
+    HL = max(0, -rel_lo)
+    HR = max(0, rel_lo + W - 8)
+    m_pad = int(x_sharded.shape[0])
+    mloc = m_pad // ndev
+    if HL > mloc or HR > mloc:
+        raise ValueError("halo wider than a shard: use the all-gather path")
+    nblk_pad = m_pad // 8
+    gloc = nblk_pad // ndev
+    # interior groups [g0, g1): local window [8b+rel_lo, 8b+rel_lo+W) in-shard
+    g0 = max(0, -(-HL // 8))
+    g1 = min(gloc, (mloc - rel_lo - W) // 8 + 1)
+    if g1 <= g0:  # shard too small for an interior — nothing to overlap
+        return dist_spmv_bwd_halo(mesh, form, x_sharded, axis=axis)
+    wv = form.bwd_val
+    if wv.shape[0] != nblk_pad:
+        wv = jnp.pad(wv, ((0, nblk_pad - wv.shape[0]), (0, 0), (0, 0)))
+    wv = jax.device_put(wv, NamedSharding(mesh, P(axis, None, None)))
+    fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
+    bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
+    base = rel_lo + HL  # xe index of local x position 0's window origin
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis)),
+        out_specs=P(axis),
+    )
+    def _local(wv_c, xloc):
+        me = jax.lax.axis_index(axis)
+        zero = jnp.zeros((), xloc.dtype)
+        # issue the halo transfers first …
+        if HL:
+            left = jax.lax.ppermute(xloc[-HL:], axis, fwd)
+            left = jnp.where(me == 0, zero, left)
+        else:
+            left = jnp.zeros((0,), xloc.dtype)
+        if HR:
+            right = jax.lax.ppermute(xloc[:HR], axis, bwd)
+            right = jnp.where(me == ndev - 1, zero, right)
+        else:
+            right = jnp.zeros((0,), xloc.dtype)
+        # … then the interior einsum, which depends ONLY on xloc: the
+        # scheduler can run it concurrently with the ppermutes above
+        nint = g1 - g0
+        pats_int = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(
+                    xloc, 8 * g0 + rel_lo + 8 * j, 8 * g0 + rel_lo + 8 * j + 8 * nint
+                ).reshape(nint, 8)
+                for j in range(W // 8)
+            ],
+            axis=1,
+        )
+        y_int = jnp.einsum("brw,bw->br", wv_c[g0:g1], pats_int)
+        # edge groups read the stitched halo window
+        xe = jnp.concatenate([left, xloc, right])
+
+        def _edge(b_lo, b_hi):
+            nb = b_hi - b_lo
+            pats = jnp.concatenate(
+                [
+                    jax.lax.slice_in_dim(
+                        xe, base + 8 * b_lo + 8 * j, base + 8 * b_lo + 8 * j + 8 * nb
+                    ).reshape(nb, 8)
+                    for j in range(W // 8)
+                ],
+                axis=1,
+            )
+            return jnp.einsum("brw,bw->br", wv_c[b_lo:b_hi], pats)
+
+        parts = []
+        if g0:
+            parts.append(_edge(0, g0))
+        parts.append(y_int)
+        if g1 < gloc:
+            parts.append(_edge(g1, gloc))
+        return jnp.concatenate(parts, axis=0).reshape(-1)
 
     return _local(wv, x_sharded)
 

@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Window hunter: the shared TPU pool throttles 2-100x between time windows,
+so discriminating kernel A/Bs (bandt v1 f32 vs sublane-8 accumulator vs bf16
+band) and headline numbers are only meaningful when the window's own
+dense-stream rate is high. This loops for hours, samples the stream rate
+each round, and only runs the full measurement set in good windows
+(stream >= HUNT_GOOD_GBPS, default 120). Appends to benchmarks/HUNT.jsonl.
+
+Run as the ONLY TPU process. Exits after HUNT_GOOD_ROUNDS good rounds
+(default 4) or HUNT_HOURS (default 5) hours.
+"""
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "HUNT.jsonl")
+
+
+def emit(rec):
+    line = json.dumps(rec)
+    print(line, flush=True)
+    with open(OUT, "a") as f:
+        f.write(line + "\n")
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import aoclsparse_tpu as ast
+    from aoclsparse_tpu import MatrixDescriptor, Operation
+    from aoclsparse_tpu.kernels.pallas.spmv import pallas_spmv_band_t
+    from aoclsparse_tpu.ops.level2.mv import _run_exec_form
+    from aoclsparse_tpu.planner.plan import get_plan
+
+    # --- sublane-8 accumulator kernel (probe_bandt8d), f32 + bf16 operand ---
+    def _kernel_t8(vt_ref, x0_ref, x1_ref, out_ref, *, TM: int, W: int, VS: int):
+        x0 = x0_ref[:].reshape(1, TM)
+        x1 = x1_ref[:].reshape(1, TM)
+        xwin = jnp.concatenate([x0, x1], axis=1)
+        xb = jnp.broadcast_to(xwin, (8, 2 * TM))
+        rows = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * TM), 0)
+        XS = jnp.zeros((8, 2 * TM), xwin.dtype)
+        for r in range(8):
+            rolled = pltpu.roll(xb, 2 * TM - r, axis=1) if r else xb
+            XS = jnp.where(rows == r, rolled, XS)
+        acc8 = jnp.zeros((8, TM), dtype=out_ref.dtype)
+        for j0 in range(0, W, VS):
+            v = vt_ref[j0 : j0 + VS, :].astype(out_ref.dtype)
+            for s in range(0, VS, 8):
+                acc8 = acc8 + v[s : s + 8, :] * XS[:, j0 + s : j0 + s + TM]
+        for k in (4, 2, 1):
+            acc8 = acc8 + pltpu.roll(acc8, k, axis=0)
+        out_ref[:] = acc8[0:1, :].reshape(8, TM // 8)
+
+    @partial(jax.jit, static_argnames=("W", "start", "TMk"))
+    def band_t8(vt, xe, W: int, start: int, TMk: int = 1024):
+        Wm, m = vt.shape
+        VS = 16 if vt.dtype == jnp.bfloat16 else 8
+        ntile = -(-m // TMk)
+        m_pad = ntile * TMk
+        if m_pad != m:
+            vt = jnp.pad(vt, ((0, 0), (0, m_pad - m)))
+        coarse, rem = divmod(start, TMk)
+        need = (ntile + coarse + 2) * TMk + rem
+        if xe.shape[0] < need:
+            xe = jnp.pad(xe, (0, need - xe.shape[0]))
+        if rem:
+            xe = jnp.roll(xe, -rem)
+        nchunk = xe.shape[0] // TMk
+        x2 = xe[: nchunk * TMk].reshape(nchunk * 8, TMk // 8)
+        out = pl.pallas_call(
+            partial(_kernel_t8, TM=TMk, W=W, VS=VS),
+            out_shape=jax.ShapeDtypeStruct((ntile * 8, TMk // 8), jnp.float32),
+            grid=(ntile,),
+            in_specs=[
+                pl.BlockSpec((W, TMk), lambda t: (0, t), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, TMk // 8), lambda t: (t + coarse, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, TMk // 8), lambda t: (t + coarse + 1, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, TMk // 8), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        )(vt, x2, x2)
+        return out.reshape(-1)[:m]
+
+    # --- operands: cant-class band (the bench.py headline operand) ---
+    rng = np.random.default_rng(7)
+    m = n = 262144
+    row_nnz, half_bw = 64, 64
+    win = 2 * half_bw
+    base = np.clip(np.arange(m) - half_bw, 0, n - win)
+    pick = np.argsort(rng.random((m, win)), axis=1)[:, :row_nnz]
+    cols = np.sort(base[:, None] + pick, axis=1)
+    ptr = np.arange(m + 1, dtype=np.int64) * row_nnz
+    val = rng.standard_normal(m * row_nnz).astype(np.float32)
+    nnz = m * row_nnz
+    x = rng.standard_normal(n).astype(np.float32)
+
+    A = ast.create_csr(m, n, ptr, cols.reshape(-1).astype(np.int32), val)
+    ast.set_mv_hint(A, Operation.none, MatrixDescriptor(), nop=1000)
+    plan = get_plan(A)
+    form = plan.exec_form_for(MatrixDescriptor(), Operation.none, dtype=A.dtype)
+    x_d = jnp.asarray(x)
+
+    # raw-kernel operands (probe_bandt8d shapes)
+    W = 136
+    W16 = -(-W // 16) * 16
+    vt = rng.standard_normal((W16, m)).astype(np.float32)
+    vt[W:] = 0.0
+    xe = np.pad(x, (W16, 0))
+    start = 8
+    vt_j = jnp.asarray(vt)
+    vt_b = jnp.asarray(vt.astype(jnp.bfloat16))
+    xe_j = jnp.asarray(xe)
+    big = jnp.asarray(rng.standard_normal(32 * 1024 * 1024).astype(np.float32))
+
+    @jax.jit
+    def stream(b):
+        return b * 2.0 + 1.0
+
+    def timeit(fn, iters=25, chunks=3):
+        y = fn()
+        np.asarray(np.ravel(np.asarray(y))[:1])
+        best = float("inf")
+        for _ in range(chunks):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                y = fn()
+            np.asarray(np.ravel(np.asarray(y))[:1])
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    variants = (
+        ("v1_2048", lambda: pallas_spmv_band_t(vt_j, xe_j, W16, start, TM=2048)),
+        ("v1_1024", lambda: pallas_spmv_band_t(vt_j, xe_j, W16, start, TM=1024)),
+        ("t8_f32", lambda: band_t8(vt_j, xe_j, W16, start, TMk=1024)),
+        ("t8_bf16", lambda: band_t8(vt_b, xe_j, W16, start, TMk=1024)),
+        ("headline", lambda: _run_exec_form(form, x_d, None)),
+    )
+    # warm compile everything once (cached across sessions via /tmp/jax_cache)
+    for name, fn in variants:
+        try:
+            y = fn()
+            np.asarray(np.ravel(np.asarray(y))[:1])
+        except Exception as e:  # pragma: no cover
+            emit({"probe": "hunt_compile_error", "variant": name, "error": str(e)[:500]})
+
+    isize, vsize = 4, 4
+    gbytes_eff = ((m + 1 + nnz) * isize + (nnz + n + m) * vsize) / 1e9
+
+    good_target = float(os.environ.get("HUNT_GOOD_GBPS", "120"))
+    good_rounds_max = int(os.environ.get("HUNT_GOOD_ROUNDS", "4"))
+    hours = float(os.environ.get("HUNT_HOURS", "5"))
+    deadline = time.time() + hours * 3600
+    rnd, good = 0, 0
+    while time.time() < deadline and good < good_rounds_max:
+        rnd += 1
+        ts = timeit(lambda: stream(big), iters=4, chunks=2)
+        s_gbps = 2 * big.size * 4 / ts / 1e9
+        rec = {"probe": "hunt", "round": rnd, "stream_gbps": round(s_gbps, 1)}
+        if s_gbps >= good_target:
+            good += 1
+            for name, fn in variants:
+                t = timeit(fn)
+                rec[name + "_us"] = round(t * 1e6, 1)
+                if name == "headline":
+                    rec["headline_gbs_eff"] = round(gbytes_eff / t, 1)
+                    rec["headline_gnnz"] = round(nnz / t / 1e9, 2)
+            # re-sample the stream inside the window for pairing
+            ts2 = timeit(lambda: stream(big), iters=4, chunks=2)
+            rec["stream_gbps_post"] = round(2 * big.size * 4 / ts2 / 1e9, 1)
+            emit(rec)
+        else:
+            emit(rec)
+            time.sleep(75)
+    emit({"probe": "hunt_done", "rounds": rnd, "good": good})
+
+
+if __name__ == "__main__":
+    main()
