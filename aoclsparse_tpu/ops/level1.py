@@ -56,13 +56,26 @@ def _check_bounds(indx, n: int):
         raise AoclSparseError(Status.invalid_index_value, "index out of range of dense operand")
 
 
+def _check_kid(op: str, kid: Optional[int]):
+    """`_kid`-variant parity (aoclsparse_?axpyi_kid etc.): an explicit kernel
+    id must name a registered row for the op, else invalid_kid — the
+    reference validates against the KAT and returns invalid_kid
+    (cntx_dispatcher.hpp:272-364). With one XLA row per level-1 op the
+    override is a no-op when valid."""
+    if kid is None:
+        return
+    if not any(e.kid == kid for e in registry.table(op)):
+        raise AoclSparseError(Status.invalid_kid, f"kid {kid} not in table for '{op}'")
+
+
 @jax.jit
 def _axpyi(a, x, indx, y):
     return y.at[indx].add(a * x)
 
 
-def axpyi(a, x, indx, y):
-    """y[indx[i]] += a * x[i] (aoclsparse_?axpyi)."""
+def axpyi(a, x, indx, y, kid: Optional[int] = None):
+    """y[indx[i]] += a * x[i] (aoclsparse_?axpyi/_kid)."""
+    _check_kid("axpyi", kid)
     x, indx = _check_sparse_vec(x, indx)
     if y is None:
         raise AoclSparseError(Status.invalid_pointer, "null y")
@@ -80,8 +93,9 @@ def _dot(x, indx, y, conj_x: bool = False):
     return jnp.sum(xs * y[indx])
 
 
-def doti(x, indx, y):
-    """Real dot: sum x[i] * y[indx[i]] (aoclsparse_?doti)."""
+def doti(x, indx, y, kid: Optional[int] = None):
+    """Real dot: sum x[i] * y[indx[i]] (aoclsparse_?doti/_kid)."""
+    _check_kid("doti", kid)
     x, indx = _check_sparse_vec(x, indx)
     y = jnp.asarray(y)
     _check_bounds(indx, y.shape[0])
@@ -90,8 +104,9 @@ def doti(x, indx, y):
     return _dot(x, indx, y)
 
 
-def dotci(x, indx, y):
-    """Conjugated complex dot: sum conj(x[i]) * y[indx[i]] (aoclsparse_?dotci)."""
+def dotci(x, indx, y, kid: Optional[int] = None):
+    """Conjugated complex dot: sum conj(x[i]) * y[indx[i]] (aoclsparse_?dotci/_kid)."""
+    _check_kid("dotci", kid)
     x, indx = _check_sparse_vec(x, indx)
     y = jnp.asarray(y)
     if not is_complex_dtype(x.dtype):
@@ -102,8 +117,9 @@ def dotci(x, indx, y):
     return _dot(jnp.conj(x), indx, y)
 
 
-def dotui(x, indx, y):
-    """Unconjugated complex dot (aoclsparse_?dotui)."""
+def dotui(x, indx, y, kid: Optional[int] = None):
+    """Unconjugated complex dot (aoclsparse_?dotui/_kid)."""
+    _check_kid("dotui", kid)
     x, indx = _check_sparse_vec(x, indx)
     y = jnp.asarray(y)
     if not is_complex_dtype(x.dtype):
@@ -119,8 +135,9 @@ def _gthr(y, indx):
     return y[indx]
 
 
-def gthr(y, indx):
-    """x[i] = y[indx[i]] (aoclsparse_?gthr)."""
+def gthr(y, indx, kid: Optional[int] = None):
+    """x[i] = y[indx[i]] (aoclsparse_?gthr/_kid)."""
+    _check_kid("gthr", kid)
     if y is None or indx is None:
         raise AoclSparseError(Status.invalid_pointer, "null argument")
     y = jnp.asarray(y)
@@ -134,8 +151,9 @@ def _gthrz(y, indx):
     return y[indx], y.at[indx].set(0)
 
 
-def gthrz(y, indx) -> Tuple[jax.Array, jax.Array]:
-    """Gather then zero the gathered entries; returns (x, y') (aoclsparse_?gthrz)."""
+def gthrz(y, indx, kid: Optional[int] = None) -> Tuple[jax.Array, jax.Array]:
+    """Gather then zero the gathered entries; returns (x, y') (aoclsparse_?gthrz/_kid)."""
+    _check_kid("gthrz", kid)
     if y is None or indx is None:
         raise AoclSparseError(Status.invalid_pointer, "null argument")
     y = jnp.asarray(y)
@@ -144,8 +162,9 @@ def gthrz(y, indx) -> Tuple[jax.Array, jax.Array]:
     return _gthrz(y, indx)
 
 
-def gthrs(y, stride: int, nnz: Optional[int] = None):
-    """Strided gather x[i] = y[i*stride] (aoclsparse_?gthrs)."""
+def gthrs(y, stride: int, nnz: Optional[int] = None, kid: Optional[int] = None):
+    """Strided gather x[i] = y[i*stride] (aoclsparse_?gthrs/_kid)."""
+    _check_kid("gthrs", kid)
     if y is None:
         raise AoclSparseError(Status.invalid_pointer, "null y")
     y = jnp.asarray(y)
@@ -165,9 +184,10 @@ def _roti(x, indx, y, c, s):
     return x_new, y_new
 
 
-def roti(x, indx, y, c, s) -> Tuple[jax.Array, jax.Array]:
+def roti(x, indx, y, c, s, kid: Optional[int] = None) -> Tuple[jax.Array, jax.Array]:
     """Givens rotation of sparse x against dense y (aoclsparse_?roti):
     x[i] <- c*x[i] + s*y[indx[i]];  y[indx[i]] <- c*y[indx[i]] - s*x[i]."""
+    _check_kid("roti", kid)
     x, indx = _check_sparse_vec(x, indx)
     y = jnp.asarray(y)
     if is_complex_dtype(x.dtype):
@@ -184,8 +204,9 @@ def _sctr(x, indx, y):
     return y.at[indx].set(x)
 
 
-def sctr(x, indx, y):
-    """y[indx[i]] = x[i] (aoclsparse_?sctr)."""
+def sctr(x, indx, y, kid: Optional[int] = None):
+    """y[indx[i]] = x[i] (aoclsparse_?sctr/_kid)."""
+    _check_kid("sctr", kid)
     x, indx = _check_sparse_vec(x, indx)
     if y is None:
         raise AoclSparseError(Status.invalid_pointer, "null y")
@@ -196,8 +217,9 @@ def sctr(x, indx, y):
     return _sctr(x, indx, y)
 
 
-def sctrs(x, stride: int, y):
-    """Strided scatter y[i*stride] = x[i] (aoclsparse_?sctrs)."""
+def sctrs(x, stride: int, y, kid: Optional[int] = None):
+    """Strided scatter y[i*stride] = x[i] (aoclsparse_?sctrs/_kid)."""
+    _check_kid("sctrs", kid)
     if x is None or y is None:
         raise AoclSparseError(Status.invalid_pointer, "null argument")
     x = jnp.asarray(x)
@@ -214,8 +236,13 @@ def sctrs(x, stride: int, y):
 for _op, _fn in [
     ("axpyi", _axpyi),
     ("doti", _dot),
+    ("dotci", _dot),
+    ("dotui", _dot),
     ("gthr", _gthr),
+    ("gthrz", _gthrz),
+    ("gthrs", _gthr),
     ("roti", _roti),
     ("sctr", _sctr),
+    ("sctrs", _sctr),
 ]:
     registry.register(_op, KernelEntry(0, f"xla_{_op}", _fn, "dense", "any", 0))

@@ -139,3 +139,45 @@ def test_null_and_mismatch():
     with pytest.raises(AoclSparseError) as e:
         sctr(np.ones(3), np.zeros(3, np.int32), None)
     assert e.value.status == Status.invalid_pointer
+
+
+def test_level1_kid_override_and_invalid(rng):
+    """_kid-variant parity (aoclsparse_?axpyi_kid, ?doti_kid, ?gthr_kid,
+    ?roti_kid, ?sctr_kid, …): kid=0 names each op's registered row and must
+    produce the same result as the auto path; an unknown kid raises
+    invalid_kid like the reference KAT validation."""
+    import aoclsparse_tpu as ast
+
+    x, indx, y = _sparse_vec(rng, 5, 16, np.float64)
+    np.testing.assert_allclose(ast.axpyi(2.0, x, indx, y, kid=0), ast.axpyi(2.0, x, indx, y))
+    np.testing.assert_allclose(ast.doti(x, indx, y, kid=0), ast.doti(x, indx, y))
+    np.testing.assert_allclose(ast.gthr(y, indx, kid=0), ast.gthr(y, indx))
+    g0, z0 = ast.gthrz(y, indx, kid=0)
+    g1, z1 = ast.gthrz(y, indx)
+    np.testing.assert_allclose(g0, g1)
+    np.testing.assert_allclose(z0, z1)
+    np.testing.assert_allclose(ast.gthrs(y, 2, kid=0), ast.gthrs(y, 2))
+    xr, yr = ast.roti(x, indx, y, 0.8, 0.6, kid=0)
+    xw, yw = ast.roti(x, indx, y, 0.8, 0.6)
+    np.testing.assert_allclose(xr, xw)
+    np.testing.assert_allclose(yr, yw)
+    np.testing.assert_allclose(ast.sctr(x, indx, y, kid=0), ast.sctr(x, indx, y))
+    np.testing.assert_allclose(ast.sctrs(x, 3, np.zeros(32), kid=0), ast.sctrs(x, 3, np.zeros(32)))
+    xc = x.astype(np.complex128) + 1j
+    np.testing.assert_allclose(ast.dotci(xc, indx, y.astype(np.complex128), kid=0),
+                               ast.dotci(xc, indx, y.astype(np.complex128)))
+    np.testing.assert_allclose(ast.dotui(xc, indx, y.astype(np.complex128), kid=0),
+                               ast.dotui(xc, indx, y.astype(np.complex128)))
+    for fn, args in [
+        (ast.axpyi, (2.0, x, indx, y)),
+        (ast.doti, (x, indx, y)),
+        (ast.gthr, (y, indx)),
+        (ast.gthrz, (y, indx)),
+        (ast.gthrs, (y, 2)),
+        (ast.roti, (x, indx, y, 0.8, 0.6)),
+        (ast.sctr, (x, indx, y)),
+        (ast.sctrs, (x, 3, np.zeros(32))),
+    ]:
+        with pytest.raises(AoclSparseError) as e:
+            fn(*args, kid=99)
+        assert e.value.status == Status.invalid_kid
