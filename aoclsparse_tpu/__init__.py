@@ -57,11 +57,19 @@ from .kernels.registry import debug_dispatcher  # noqa: F401
 from .ops import (  # noqa: F401
     add,
     axpyi,
+    blkcsrmv,
+    bsrmv,
     csr2m,
+    csrmv,
+    csrsv,
+    diamv,
     dotci,
     doti,
     dotmv,
     dotui,
+    ellmv,
+    ellthybmv,
+    elltmv,
     gthr,
     gthrs,
     gthrz,
@@ -82,10 +90,19 @@ from .ops import (  # noqa: F401
     trsv,
     trsv_strided,
 )
+from .convert.conversions import (  # noqa: F401
+    csr2blkcsr,
+    csr2bsr_nnz,
+    csr2dia_ndiag,
+    csr2ell_width,
+    csr2ellthyb_width,
+    opt_blksize,
+)
 from .solvers import (  # noqa: F401
     RciJob,
     ilu0_factorize,
     ilu_smoother,
+    itsol_handle_prn_options,
     itsol_init,
     itsol_option_set,
     itsol_rci_input,
@@ -105,6 +122,7 @@ from .planner import (  # noqa: F401
     set_memory_hint,
     set_mm_hint,
     set_mv_hint,
+    set_mv_hint_kid,
     set_sm_hint,
     set_sorv_hint,
     set_sv_hint,

@@ -38,6 +38,12 @@ __all__ = [
     "csr_to_dense",
     "dense_to_csr",
     "coo_to_csr",
+    "csr2ell_width",
+    "csr2ellthyb_width",
+    "csr2dia_ndiag",
+    "csr2bsr_nnz",
+    "opt_blksize",
+    "csr2blkcsr",
 ]
 
 
@@ -240,11 +246,9 @@ def csr_to_dia(A: CSR, max_diags: Optional[int] = None) -> DIA:
     dist = np.unique(diags)
     if max_diags is not None and dist.size > max_diags:
         raise AoclSparseError(Status.invalid_size, f"{dist.size} diagonals > cap {max_diags}")
-    dmap = {int(d): i for i, d in enumerate(dist)}
     val = np.zeros((dist.size, m), dtype=np.asarray(A.val).dtype)
-    vnp = _np(A.val)
-    for k in range(ind.size):
-        val[dmap[int(diags[k])], rows[k]] = vnp[k]
+    slot = np.searchsorted(dist, diags)
+    val[slot, rows] = _np(A.val)
     return DIA(dist.astype(np.int32), jnp.asarray(val), shape=A.shape)
 
 
@@ -395,3 +399,136 @@ def dense_to_csr(dense, tol: float = 0.0) -> CSR:
     cols = np.nonzero(mask)[1].astype(np.int32)
     vals = d[mask]
     return CSR(ptr, cols, jnp.asarray(vals), shape=(m, n))
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity query helpers: the reference's two-phase conversion API
+# sizes output buffers with a query call before the conversion proper
+# (aoclsparse_csr2ell_width, csr2ellthyb_width, csr2dia_ndiag, csr2bsr_nnz,
+# opt_blksize — include/aoclsparse_convert.h:39-634). Our converters return
+# ready objects, so these helpers exist for API parity and for callers that
+# want the planning numbers without materializing the target format.
+# ---------------------------------------------------------------------------
+
+
+def csr2ell_width(m: int, nnz: int, csr_row_ptr) -> int:
+    """Max per-row nnz = the ELL width (aoclsparse_csr2ell_width,
+    convert.h:60, convert.cpp:300-335)."""
+    if m < 0 or nnz < 0:
+        raise AoclSparseError(Status.invalid_size, "negative size")
+    if m == 0:
+        return 0
+    if csr_row_ptr is None:
+        raise AoclSparseError(Status.invalid_pointer, "null row_ptr")
+    lens = np.diff(np.asarray(csr_row_ptr))
+    return int(lens.max()) if lens.size else 0
+
+
+def csr2ellthyb_width(m: int, nnz: int, csr_row_ptr) -> Tuple[int, int]:
+    """Hybrid split sizing: returns (ell_m, ell_width)
+    (aoclsparse_csr2ellthyb_width, convert.cpp:340-404). The width is the
+    reference's majority-side pivot around the mean row length; ell_m counts
+    rows that fit."""
+    if m < 0 or nnz < 0:
+        raise AoclSparseError(Status.invalid_size, "negative size")
+    if m == 0:
+        return 0, 0
+    if csr_row_ptr is None:
+        raise AoclSparseError(Status.invalid_pointer, "null row_ptr")
+    lens = np.diff(np.asarray(csr_row_ptr)).astype(np.int64)
+    nnza = nnz // m
+    le = lens[lens <= nnza]
+    gt = lens[lens > nnza]
+    mx_le = int(le.max()) if le.size else 0
+    mn_gt = int(gt.min()) if gt.size else nnz
+    width = mx_le if le.size >= gt.size else mn_gt
+    ell_m = int((lens <= width).sum())
+    return ell_m, width
+
+
+def csr2dia_ndiag(m: int, n: int, nnz: int, csr_row_ptr, csr_col_ind) -> int:
+    """Number of distinct non-empty diagonals (aoclsparse_csr2dia_ndiag,
+    convert.h:215, convert.cpp)."""
+    if m < 0 or n < 0 or nnz < 0:
+        raise AoclSparseError(Status.invalid_size, "negative size")
+    if csr_row_ptr is None or csr_col_ind is None:
+        raise AoclSparseError(Status.invalid_pointer, "null CSR array")
+    ptr = np.asarray(csr_row_ptr)
+    ind = np.asarray(csr_col_ind).astype(np.int64)
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(ptr))
+    return int(np.unique(ind - rows).size)
+
+
+def csr2bsr_nnz(m: int, n: int, csr_row_ptr, csr_col_ind, block_dim: int) -> Tuple[np.ndarray, int]:
+    """BSR sizing: returns (bsr_row_ptr, bsr_nnz) — the number of nonzero
+    (block_dim x block_dim) blocks per block row and in total
+    (aoclsparse_csr2bsr_nnz, convert.h:324)."""
+    if m < 0 or n < 0 or block_dim <= 0:
+        raise AoclSparseError(Status.invalid_size, "bad dimension/block_dim")
+    if csr_row_ptr is None or csr_col_ind is None:
+        raise AoclSparseError(Status.invalid_pointer, "null CSR array")
+    bs = int(block_dim)
+    mb, nb = -(-m // bs), -(-n // bs)
+    ptr = np.asarray(csr_row_ptr)
+    ind = np.asarray(csr_col_ind).astype(np.int64)
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(ptr))
+    keys = np.unique((rows // bs) * nb + (ind // bs))
+    counts = np.bincount((keys // nb).astype(np.int64), minlength=mb)
+    bptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return bptr, int(keys.size)
+
+
+def opt_blksize(m: int, nnz: int, csr_row_ptr, csr_col_ind) -> Tuple[int, int]:
+    """Pick the blkcsr row-group size (aoclsparse_opt_blksize,
+    conversion/aoclsparse_convert.cpp:36-143). Returns (nRowsblk, total_blks)
+    with nRowsblk == 0 when block compression isn't worthwhile (the
+    reference's empirically tuned utilization cutoffs, reproduced exactly)."""
+    if m <= 0 or nnz <= 0 or csr_row_ptr is None or csr_col_ind is None:
+        return 0, 0
+    from .. import native
+
+    ptr = np.asarray(csr_row_ptr).astype(np.int64)
+    ind = np.asarray(csr_col_ind).astype(np.int64)
+    n_cols = int(ind.max()) + 1 if ind.size else 0
+    factors = (1, 2, 4)
+    total = [native.blkcsr_count(m, n_cols, ptr, ind, f) for f in factors]
+    per_blk = [nnz / t if t else 0.0 for t in total]
+    blk_util = [per_blk[i] / (factors[i] * 8) * 100 for i in range(3)]
+    nnzpr = nnz / m
+    if (nnzpr < 30 and blk_util[0] < 40) or (nnzpr > 30 and blk_util[0] < 50):
+        return 0, 0
+    inc1 = (per_blk[1] - per_blk[0]) / per_blk[0] * 100 if per_blk[0] else 0.0
+    inc2 = (per_blk[2] - per_blk[1]) / per_blk[1] * 100 if per_blk[1] else 0.0
+    if (
+        blk_util[2] > 24
+        and (abs(inc1 - inc2) < 12.5 or abs(blk_util[1] - blk_util[2]) < 12.5)
+        and inc2 > 51
+    ):
+        return 4, total[2]
+    if blk_util[1] > 28:
+        return 2, total[1]
+    return 0, 0
+
+
+def csr2blkcsr(m: int, n: int, nnz: int, csr_row_ptr, csr_col_ind, csr_val, nRowsblk: int):
+    """Greedy masked-block compression (aoclsparse_csr2blkcsr,
+    conversion/aoclsparse_convert.cpp:145-290). Returns
+    (blk_row_ptr, blk_col_ind, blk_csr_val, masks): blocks of nRowsblk x 8
+    columns starting at the first unconsumed column of the row group (clamped
+    to n-8 at the right edge), per-subrow uint8 column masks, values reordered
+    subrow-sequential in mask-bit order. Requires sorted, duplicate-free CSR.
+    The scan runs in native C++ (host_kernels.cpp blkcsr_build); feeds
+    ops.blkcsrmv."""
+    if m < 0 or n < 8 or nnz < 0:
+        raise AoclSparseError(Status.invalid_size, "need m >= 0, n >= 8")
+    if nRowsblk not in (1, 2, 4):
+        raise AoclSparseError(Status.invalid_size, "nRowsblk must be 1, 2 or 4")
+    if csr_row_ptr is None or csr_col_ind is None or csr_val is None:
+        raise AoclSparseError(Status.invalid_pointer, "null CSR array")
+    from .. import native
+
+    ptr = np.asarray(csr_row_ptr).astype(np.int64)
+    ind = np.asarray(csr_col_ind).astype(np.int64)
+    brow_ptr, bcol, masks, perm = native.blkcsr_build(m, n, ptr, ind, int(nRowsblk))
+    val = jnp.asarray(csr_val)[jnp.asarray(perm)] if perm.size else jnp.asarray(csr_val)[:0]
+    return brow_ptr, bcol, val, masks

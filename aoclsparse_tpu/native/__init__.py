@@ -21,6 +21,8 @@ import numpy as np
 
 __all__ = [
     "available",
+    "blkcsr_build",
+    "blkcsr_count",
     "ilu0_factor",
     "level_schedule",
     "rcm_permutation",
@@ -97,6 +99,13 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.spgemm_expand.restype = ctypes.c_int64
         lib.spgemm_expand.argtypes = (
             [ctypes.c_int64] + [i64p] * 4 + [i32p] * 3 + [i64p, i32p, ctypes.c_uint8, i64p]
+        )
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.blkcsr_count.restype = ctypes.c_int64
+        lib.blkcsr_count.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p, i64p, ctypes.c_int64]
+        lib.blkcsr_build.restype = ctypes.c_int64
+        lib.blkcsr_build.argtypes = (
+            [ctypes.c_int64, ctypes.c_int64, i64p, i64p, ctypes.c_int64, i64p, i64p, u8p, i64p]
         )
         _lib = lib
         return _lib
@@ -355,3 +364,100 @@ def spgemm_nnz(mA: int, nB: int, Aptr, Aind, Bptr, Bind) -> Tuple[np.ndarray, in
         total += cnt
         Cptr[i + 1] = total
     return Cptr, total
+
+
+def _blkcsr_numpy(m, n, ptr, ind, nrowsblk, build):
+    """Fallback greedy block scan. Python loops over row *groups* only; the
+    inner consume step is a searchsorted per subrow (columns are sorted)."""
+    W = 8
+    total = 0
+    brow_ptr = np.zeros(m + 1, dtype=np.int64) if build else None
+    bcols, masks, perm = [], [], []
+    for r0 in range(0, m, nrowsblk):
+        nr = min(nrowsblk, m - r0)
+        cur = ptr[r0 : r0 + nr].astype(np.int64).copy()
+        end = ptr[r0 + 1 : r0 + nr + 1].astype(np.int64)
+        blk0 = total
+        while True:
+            heads = [ind[cur[s]] if cur[s] < end[s] else None for s in range(nr)]
+            live = [h for h in heads if h is not None]
+            if not live:
+                break
+            c0 = int(min(live))
+            edge = c0 + W > n
+            cstart = n - W if edge else c0
+            if build:
+                bcols.append(cstart)
+                for s in range(nr):
+                    stop = cur[s] + np.searchsorted(ind[cur[s] : end[s]], c0 + W)
+                    cols = ind[cur[s] : stop]
+                    masks.append(np.bitwise_or.reduce(
+                        (1 << (cols - cstart)).astype(np.uint8), initial=np.uint8(0)
+                    ))
+                    perm.append(np.arange(cur[s], stop, dtype=np.int64))
+                    cur[s] = stop
+                masks.extend([np.uint8(0)] * (nrowsblk - nr))
+            else:
+                for s in range(nr):
+                    cur[s] += np.searchsorted(ind[cur[s] : end[s]], c0 + W)
+            total += 1
+        if build:
+            brow_ptr[r0] = blk0
+            brow_ptr[r0 + 1 : r0 + nr + 1] = total
+    if not build:
+        return total
+    bcol = np.asarray(bcols, dtype=np.int64)
+    msk = np.asarray(masks, dtype=np.uint8)
+    prm = np.concatenate(perm) if perm else np.zeros(0, np.int64)
+    return brow_ptr, bcol, msk, prm
+
+
+def blkcsr_count(m: int, n: int, ptr, ind, nrowsblk: int) -> int:
+    """Number of nrowsblk x 8 blocks the greedy scan produces
+    (reference opt_blksize counting pass, conversion/aoclsparse_convert.cpp:69-110)."""
+    lib = _load()
+    ptr64, ind64 = _i64(ptr), _i64(ind)
+    if lib is not None:
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        return int(
+            lib.blkcsr_count(
+                ctypes.c_int64(m),
+                ctypes.c_int64(n),
+                ptr64.ctypes.data_as(i64p),
+                ind64.ctypes.data_as(i64p),
+                ctypes.c_int64(nrowsblk),
+            )
+        )
+    return _blkcsr_numpy(m, n, ptr64, ind64, nrowsblk, build=False)
+
+
+def blkcsr_build(m: int, n: int, ptr, ind, nrowsblk: int):
+    """Full blkcsr structure (reference csr2blkcsr,
+    conversion/aoclsparse_convert.cpp:145-290). Returns
+    (blk_row_ptr, blk_col_ind, masks, perm) with perm mapping each output
+    value slot to its CSR source index (values placed dtype-generic by the
+    caller)."""
+    lib = _load()
+    ptr64, ind64 = _i64(ptr), _i64(ind)
+    if lib is None:
+        return _blkcsr_numpy(m, n, ptr64, ind64, nrowsblk, build=True)
+    nblk = blkcsr_count(m, n, ptr64, ind64, nrowsblk)
+    nnz = int(ind64.shape[0])
+    brow_ptr = np.zeros(m + 1, dtype=np.int64)
+    bcol = np.empty(max(nblk, 1), dtype=np.int64)
+    masks = np.zeros(max(nblk * nrowsblk, 1), dtype=np.uint8)
+    perm = np.empty(max(nnz, 1), dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    nval = lib.blkcsr_build(
+        ctypes.c_int64(m),
+        ctypes.c_int64(n),
+        ptr64.ctypes.data_as(i64p),
+        ind64.ctypes.data_as(i64p),
+        ctypes.c_int64(nrowsblk),
+        brow_ptr.ctypes.data_as(i64p),
+        bcol.ctypes.data_as(i64p),
+        masks.ctypes.data_as(u8p),
+        perm.ctypes.data_as(i64p),
+    )
+    return brow_ptr, bcol[:nblk], masks[: nblk * nrowsblk], perm[: int(nval)]

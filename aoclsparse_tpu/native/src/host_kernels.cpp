@@ -367,4 +367,87 @@ int64_t rcm(int64_t m,
     return bw;
 }
 
+// ---------------------------------------------------------------------------
+// BLKCSR greedy block scan (reference conversion/aoclsparse_convert.cpp:36-290):
+// rows are grouped nrowsblk at a time; each block covers 8 columns starting at
+// the minimum unconsumed column across the group's subrows; at the right edge
+// the block start clamps to n-8 (masks shift accordingly). blkcsr_count is the
+// counting pass opt_blksize runs per candidate size; blkcsr_build additionally
+// emits blk_row_ptr / blk_col_ind / per-subrow masks and a value permutation
+// (output slot -> CSR source index) so Python can place values of any dtype.
+// ---------------------------------------------------------------------------
+
+int64_t blkcsr_count(int64_t m, int64_t n,
+                     const int64_t *ptr, const int64_t *ind,
+                     int64_t nrowsblk)
+{
+    const int64_t W = 8;
+    int64_t total = 0;
+    std::vector<int64_t> cur((size_t)nrowsblk, 0);
+    for (int64_t r0 = 0; r0 < m; r0 += nrowsblk) {
+        const int64_t nr = std::min(nrowsblk, m - r0);
+        for (int64_t s = 0; s < nr; ++s) cur[(size_t)s] = ptr[r0 + s];
+        while (true) {
+            int64_t c0 = INT64_MAX;
+            for (int64_t s = 0; s < nr; ++s)
+                if (cur[(size_t)s] < ptr[r0 + s + 1])
+                    c0 = std::min(c0, ind[cur[(size_t)s]]);
+            if (c0 == INT64_MAX) break;
+            for (int64_t s = 0; s < nr; ++s)
+                while (cur[(size_t)s] < ptr[r0 + s + 1] &&
+                       ind[cur[(size_t)s]] < c0 + W)
+                    ++cur[(size_t)s];
+            ++total;
+        }
+    }
+    return total;
+}
+
+int64_t blkcsr_build(int64_t m, int64_t n,
+                     const int64_t *ptr, const int64_t *ind,
+                     int64_t nrowsblk,
+                     int64_t *brow_ptr /* m+1 */,
+                     int64_t *bcol /* nblks */,
+                     uint8_t *masks /* nblks*nrowsblk */,
+                     int64_t *perm /* nnz */)
+{
+    const int64_t W = 8;
+    int64_t nblk = 0, nval = 0;
+    std::vector<int64_t> cur((size_t)nrowsblk, 0);
+    for (int64_t r0 = 0; r0 < m; r0 += nrowsblk) {
+        const int64_t nr = std::min(nrowsblk, m - r0);
+        const int64_t blk0 = nblk;
+        for (int64_t s = 0; s < nr; ++s) cur[(size_t)s] = ptr[r0 + s];
+        while (true) {
+            int64_t c0 = INT64_MAX;
+            for (int64_t s = 0; s < nr; ++s)
+                if (cur[(size_t)s] < ptr[r0 + s + 1])
+                    c0 = std::min(c0, ind[cur[(size_t)s]]);
+            if (c0 == INT64_MAX) break;
+            const bool edge = (c0 + W > n);
+            const int64_t cstart = edge ? n - W : c0;
+            bcol[nblk] = cstart;
+            for (int64_t s = 0; s < nrowsblk; ++s) {
+                uint8_t msk = 0;
+                if (s < nr) {
+                    while (cur[(size_t)s] < ptr[r0 + s + 1] &&
+                           ind[cur[(size_t)s]] < c0 + W) {
+                        msk |= (uint8_t)(1u << (ind[cur[(size_t)s]] - cstart));
+                        perm[nval++] = cur[(size_t)s];
+                        ++cur[(size_t)s];
+                    }
+                }
+                masks[nblk * nrowsblk + s] = msk;
+            }
+            ++nblk;
+        }
+        // reference row-pointer layout: first subrow of the group stores the
+        // group's start offset, the remaining subrows store the end
+        brow_ptr[r0] = blk0;
+        for (int64_t s = 1; s < nr; ++s) brow_ptr[r0 + s] = nblk;
+    }
+    brow_ptr[m] = nblk;
+    return nval;
+}
+
 } // extern "C"

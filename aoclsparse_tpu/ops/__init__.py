@@ -13,8 +13,18 @@ from .level1 import (  # noqa: F401
     sctr,
     sctrs,
 )
-from .level2 import dotmv, mv  # noqa: F401
-from .level2.trsv import trsv, trsv_strided  # noqa: F401
+from .level2 import (  # noqa: F401
+    blkcsrmv,
+    bsrmv,
+    csrmv,
+    diamv,
+    dotmv,
+    ellmv,
+    ellthybmv,
+    elltmv,
+    mv,
+)
+from .level2.trsv import csrsv, trsv, trsv_strided  # noqa: F401
 from .level3 import (  # noqa: F401
     add,
     csr2m,

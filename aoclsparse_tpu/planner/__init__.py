@@ -7,6 +7,7 @@ from .hints import (  # noqa: F401
     set_memory_hint,
     set_mm_hint,
     set_mv_hint,
+    set_mv_hint_kid,
     set_sm_hint,
     set_sorv_hint,
     set_sv_hint,

@@ -50,6 +50,12 @@ def set_mv_hint(A, trans, descr, nop: int = 1, kid: Optional[int] = None) -> Non
     _set_hint(A, "mv", trans, descr, kid, nop)
 
 
+def set_mv_hint_kid(A, trans, descr, nop: int, kid: int) -> None:
+    """aoclsparse_set_mv_hint_kid (analysis.h): the kid-mandatory variant of
+    set_mv_hint — same registration, kid required."""
+    _set_hint(A, "mv", trans, descr, kid, nop)
+
+
 def set_sv_hint(A, trans, descr, nop: int = 1, kid: Optional[int] = None) -> None:
     _set_hint(A, "sv", trans, descr, kid, nop)
 

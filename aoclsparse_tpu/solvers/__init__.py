@@ -10,6 +10,7 @@ from .itsol import (  # noqa: F401
     RINFO_ITER,
     RINFO_RES_NORM,
     RINFO_RHS_NORM,
+    itsol_handle_prn_options,
     itsol_init,
     itsol_option_set,
     itsol_rci_input,

@@ -99,6 +99,16 @@ def itsol_option_set(handle: ItsolHandle, name: str, value) -> None:
     handle.options.set(name, value)
 
 
+def itsol_handle_prn_options(handle: ItsolHandle, file=None) -> str:
+    """aoclsparse_itsol_handle_prn_options (solvers.h:147): print the
+    handle's option table (name, value, default, set/locked state). Returns
+    the formatted table; writes it to `file` (default stdout) like the
+    reference prints to stdout."""
+    text = handle.options.print_options()
+    print(text, file=file)
+    return text
+
+
 def itsol_rci_input(handle: ItsolHandle, n: int, b) -> None:
     """aoclsparse_itsol_?_rci_input: register problem size + rhs."""
     b = jnp.asarray(b)
