@@ -141,13 +141,79 @@ def main():
             best = min(best, (time.perf_counter() - t0) / iters)
         return best
 
-    variants = (
+    # band bwd with bf16 multiplies (the precision-policy headline variant)
+    from aoclsparse_tpu.kernels.xla.spmv import spmv_bwd
+
+    form_bwd = plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="bwd")
+    xp_b = jnp.pad(
+        x_d, (form_bwd.bwd_padL, form_bwd.bwd_n_pad - form_bwd.bwd_padL - n)
+    )
+
+    # gen-form profiles (VERDICT r1 #1 done-criterion: circuit/web-class
+    # on-chip rates) — operands + plans built once, library dispatch path
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import bench_gen
+
+    gen_runs = []
+    grng = np.random.default_rng(11)
+    for gname, gfn in (("circuit", bench_gen.circuit_profile), ("web", bench_gen.web_profile)):
+        r, c = gfn(grng, m)
+        gptr, gind, gval = bench_gen.build_csr(r, c, m, rng=grng)
+        Ag = ast.create_csr(m, m, gptr, gind, gval)
+        gform = get_plan(Ag).exec_form_for(MatrixDescriptor(), Operation.none, dtype=Ag.dtype)
+        xg = jnp.asarray(grng.standard_normal(m).astype(np.float32))
+        gen_runs.append((gname, int(gind.size), gform, xg))
+
+    # SpGEMM band numeric (VERDICT r1 #4 done-criterion: 16.7M products)
+    spg = None
+    try:
+        from aoclsparse_tpu.kernels.xla.spgemm_band import band_gemm_values
+        from aoclsparse_tpu.ops.level3.spgemm import _attach_band_plan, _effective, _symbolic
+
+        # bench_spgemm's r1 reference case: 8 distinct cols/row in a +-8 band
+        srng = np.random.default_rng(1)
+        ms, shalf, srow = 262144, 8, 8
+        sbase = np.clip(np.arange(ms) - shalf, 0, ms - 2 * shalf)
+        spick = np.argsort(srng.random((ms, 2 * shalf)), axis=1)[:, :srow]
+        scols = np.sort(sbase[:, None] + spick, axis=1)
+        sptr = np.arange(ms + 1, dtype=np.int64) * srow
+        sval = srng.standard_normal(ms * srow).astype(np.float32)
+        Asp = ast.create_csr(ms, ms, sptr, scols.reshape(-1).astype(np.int32), sval)
+        eff = _effective(Asp, MatrixDescriptor(), Operation.none)
+        sym = _symbolic(eff, eff)
+        _attach_band_plan(sym, eff, eff)
+        if sym.band is not None:
+            spg = (sym.band, eff.val, int(sym.pa.shape[0]))
+        emit(
+            {
+                "probe": "hunt_spgemm_setup",
+                "band_ok": sym.band is not None,
+                "P": int(sym.pa.shape[0]),
+            }
+        )
+    except Exception as e:  # pragma: no cover
+        emit({"probe": "hunt_spgemm_setup_error", "error": str(e)[:300]})
+
+    variants = [
         ("v1_2048", lambda: pallas_spmv_band_t(vt_j, xe_j, W16, start, TM=2048)),
         ("v1_1024", lambda: pallas_spmv_band_t(vt_j, xe_j, W16, start, TM=1024)),
         ("t8_f32", lambda: band_t8(vt_j, xe_j, W16, start, TMk=1024)),
         ("t8_bf16", lambda: band_t8(vt_b, xe_j, W16, start, TMk=1024)),
         ("headline", lambda: _run_exec_form(form, x_d, None)),
-    )
+        (
+            "bwd_bf16mul",
+            lambda: spmv_bwd(
+                form_bwd.bwd_val, xp_b, form_bwd.bwd_W, form_bwd.bwd_base8, form_bwd.bwd_n_pad, True
+            ),
+        ),
+    ]
+    for gname, gnnz, gform, xg in gen_runs:
+        variants.append(
+            (f"gen_{gname}", (lambda gf, xv: lambda: _run_exec_form(gf, xv, None))(gform, xg))
+        )
+    if spg is not None:
+        variants.append(("spgemm_band", lambda: band_gemm_values(spg[0], spg[1], spg[1])))
+    variants = tuple(variants)
     # warm compile everything once (cached across sessions via /tmp/jax_cache)
     for name, fn in variants:
         try:
