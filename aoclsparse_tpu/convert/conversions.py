@@ -413,11 +413,11 @@ def dense_to_csr(dense, tol: float = 0.0) -> CSR:
 
 def csr2ell_width(m: int, nnz: int, csr_row_ptr) -> int:
     """Max per-row nnz = the ELL width (aoclsparse_csr2ell_width,
-    convert.h:60, convert.cpp:300-335)."""
+    convert.h:60, convert.cpp:300-335). The null check precedes any m==0
+    quick exit — the reference has no m==0 early-out here (unlike
+    csr2ellthyb_width, which does)."""
     if m < 0 or nnz < 0:
         raise AoclSparseError(Status.invalid_size, "negative size")
-    if m == 0:
-        return 0
     if csr_row_ptr is None:
         raise AoclSparseError(Status.invalid_pointer, "null row_ptr")
     lens = np.diff(np.asarray(csr_row_ptr))
@@ -491,12 +491,17 @@ def opt_blksize(m: int, nnz: int, csr_row_ptr, csr_col_ind) -> Tuple[int, int]:
     ind = np.asarray(csr_col_ind).astype(np.int64)
     n_cols = int(ind.max()) + 1 if ind.size else 0
     factors = (1, 2, 4)
-    total = [native.blkcsr_count(m, n_cols, ptr, ind, f) for f in factors]
+    # first counting pass gates the rest (the reference early-returns inside
+    # the i==0 iteration, skipping the factor-2/4 scans); nnzpr is integer
+    # division there (aoclsparse_int nnz/m assigned to double)
+    t1 = native.blkcsr_count(m, n_cols, ptr, ind, 1)
+    util1 = (nnz / t1 if t1 else 0.0) / 8 * 100
+    nnzpr = nnz // m
+    if (nnzpr < 30 and util1 < 40) or (nnzpr > 30 and util1 < 50):
+        return 0, 0
+    total = [t1] + [native.blkcsr_count(m, n_cols, ptr, ind, f) for f in factors[1:]]
     per_blk = [nnz / t if t else 0.0 for t in total]
     blk_util = [per_blk[i] / (factors[i] * 8) * 100 for i in range(3)]
-    nnzpr = nnz / m
-    if (nnzpr < 30 and blk_util[0] < 40) or (nnzpr > 30 and blk_util[0] < 50):
-        return 0, 0
     inc1 = (per_blk[1] - per_blk[0]) / per_blk[0] * 100 if per_blk[0] else 0.0
     inc2 = (per_blk[2] - per_blk[1]) / per_blk[1] * 100 if per_blk[1] else 0.0
     if (

@@ -83,8 +83,20 @@ def _common_checks(descr, op, m, n, x, y_needed_len, x_arr, general_only: bool):
     return op, mt
 
 
+def _check_vec(name: str, v, want: int):
+    """Unlike the reference's raw-pointer C API, the array shims can (and
+    must) validate operand lengths — JAX clamps out-of-range gathers, so an
+    undersized x would silently compute garbage instead of faulting."""
+    if np.asarray(v).shape[0] < want:
+        raise AoclSparseError(Status.invalid_size, f"{name} needs {want} entries")
+
+
 def _epilogue(ax, alpha, beta, y, ny, dtype):
-    y0 = jnp.zeros((ny,), dtype=dtype) if y is None else jnp.asarray(y).astype(dtype)
+    if y is not None:
+        _check_vec("y", y, ny)
+        y0 = jnp.asarray(y)[:ny].astype(dtype)
+    else:
+        y0 = jnp.zeros((ny,), dtype=dtype)
     return jnp.asarray(alpha, dtype) * ax.astype(dtype) + jnp.asarray(beta, dtype) * y0
 
 
@@ -117,6 +129,7 @@ def csrmv(op, alpha, m, n, nnz, csr_val, csr_col_ind, csr_row_ptr, descr, x, bet
     ind = _zero_base(csr_col_ind, descr.base)
     val = jnp.asarray(csr_val)
     xs = jnp.asarray(x)
+    _check_vec("x", xs, n if op == Operation.none or mt == MatrixType.symmetric else m)
     dtype = jnp.result_type(val.dtype, xs.dtype)
     row_ids = np.repeat(np.arange(m, dtype=np.int32), np.diff(ptr))
     if ind.shape[0] and (ind.min() < 0 or ind.max() >= n):
@@ -174,6 +187,7 @@ def ellmv(op, alpha, m, n, nnz, ell_val, ell_col_ind, ell_width, descr, x, beta,
     ind = np.where(ind < 0, -1, ind)
     val = jnp.asarray(ell_val).reshape(m, ell_width)
     xs = jnp.asarray(x)
+    _check_vec("x", xs, n)
     dtype = jnp.result_type(val.dtype, xs.dtype)
     ax = spmv_ell(jnp.asarray(ind), val, xs)
     return _epilogue(ax, alpha, beta, y, m, dtype)
@@ -191,6 +205,7 @@ def elltmv(op, alpha, m, n, nnz, ell_val, ell_col_ind, ell_width, descr, x, beta
     ind = np.where(ind < 0, 0, ind)  # sentinel-padded inputs: val is 0 there
     val = jnp.asarray(ell_val).reshape(ell_width, m)
     xs = jnp.asarray(x)
+    _check_vec("x", xs, n)
     dtype = jnp.result_type(val.dtype, xs.dtype)
     ax = spmv_ell(jnp.asarray(ind.T), val.T, xs)
     return _epilogue(ax, alpha, beta, y, m, dtype)
@@ -228,6 +243,7 @@ def ellthybmv(
     if csr_val is None or csr_row_ind is None or csr_col_ind is None or csr_row_idx_map is None:
         raise AoclSparseError(Status.invalid_pointer, "null hybrid CSR array")
     xs = jnp.asarray(x)
+    _check_vec("x", xs, n)
     vall = jnp.asarray(ell_val)
     dtype = jnp.result_type(vall.dtype, xs.dtype)
     ax = elltmv(op, 1.0, m, n, nnz, ell_val, ell_col_ind, ell_width, descr, x, 0.0)
@@ -238,9 +254,12 @@ def ellthybmv(
     cind = _zero_base(csr_col_ind, descr.base)
     cval = jnp.asarray(csr_val)
     starts, ends = ptr[heavy] - one, ptr[heavy + 1] - one
-    counts = ends - starts
-    take = np.concatenate([np.arange(s, e) for s, e in zip(starts, ends)]) if len(heavy) else np.zeros(0, np.int64)
+    counts = (ends - starts).astype(np.int64)
+    # vectorized range-concatenation (no per-row Python loop; repo rule:
+    # host-side structure work must be vectorized numpy)
+    total = int(counts.sum())
     seg = np.repeat(np.arange(len(heavy), dtype=np.int32), counts)
+    take = np.repeat(starts, counts) + (np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(counts[:-1])]), counts))
     hvals = jax.ops.segment_sum(
         cval[np.asarray(take)] * xs[np.asarray(cind[take])], jnp.asarray(seg), num_segments=len(heavy)
     )
@@ -260,6 +279,7 @@ def diamv(op, alpha, m, n, nnz, dia_val, dia_offset, dia_num_diag, descr, x, bet
         raise AoclSparseError(Status.invalid_size, "dia_offset length != dia_num_diag")
     val = jnp.asarray(dia_val).reshape(dia_num_diag, m)
     xs = jnp.asarray(x)
+    _check_vec("x", xs, n)
     dtype = jnp.result_type(val.dtype, xs.dtype)
     ax = spmv_dia(tuple(int(d) for d in offs), val, xs, m, n)
     return _epilogue(ax, alpha, beta, y, m, dtype)
@@ -279,6 +299,12 @@ def bsrmv(op, alpha, mb, nb, bsr_dim, bsr_val, bsr_col_ind, bsr_row_ptr, descr, 
     ind = _zero_base(bsr_col_ind, descr.base)
     val = jnp.asarray(bsr_val).reshape(-1, bsr_dim, bsr_dim)
     xs = jnp.asarray(x)
+    if xs.shape[0] < nb * bsr_dim:
+        # pad the tail block's x (callers pass an n-length x when n is not a
+        # block multiple); shorter than n is an error
+        if xs.shape[0] < nb * bsr_dim - (bsr_dim - 1):
+            raise AoclSparseError(Status.invalid_size, f"x needs at least {nb * bsr_dim - (bsr_dim - 1)} entries")
+        xs = jnp.pad(xs, (0, nb * bsr_dim - xs.shape[0]))
     dtype = jnp.result_type(val.dtype, xs.dtype)
     brow = np.repeat(np.arange(mb, dtype=np.int32), np.diff(ptr))
     ax = spmv_bsr(jnp.asarray(brow), jnp.asarray(ind), val, xs, mb, bsr_dim)
@@ -340,6 +366,7 @@ def blkcsrmv(
     cols = bcol[blk_of] + coloff
     order = np.argsort(rows, kind="stable")
     xs = jnp.asarray(x)
+    _check_vec("x", xs, n)
     dtype = jnp.result_type(val.dtype, xs.dtype)
     ax = spmv_segsum(
         jnp.asarray(cols[order]),

@@ -17,6 +17,7 @@ from ..core.types import AoclSparseError, MemoryPolicy, Operation, Status
 
 __all__ = [
     "set_mv_hint",
+    "set_mv_hint_kid",
     "set_sv_hint",
     "set_mm_hint",
     "set_2m_hint",

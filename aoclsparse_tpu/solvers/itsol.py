@@ -47,6 +47,7 @@ __all__ = [
     "RINFO_RHS_NORM",
     "RINFO_ITER",
     "ItsolHandle",
+    "itsol_handle_prn_options",
     "itsol_init",
     "itsol_option_set",
     "itsol_rci_input",

@@ -14,6 +14,8 @@ import aoclsparse_tpu as ast
 from aoclsparse_tpu import AoclSparseError, MatrixDescriptor, Operation, Status
 from aoclsparse_tpu.convert.conversions import csr_to_bsr, csr_to_dia, csr_to_ell
 from aoclsparse_tpu.core.formats import CSR
+from aoclsparse_tpu.utils.reference import ref_mv
+from aoclsparse_tpu.utils.tolerances import assert_allclose_spec
 
 
 def _random_csr(rng, m, n, rmax, dtype=np.float64):
@@ -44,9 +46,11 @@ def test_csrmv_general_all_ops(rng):
     x, xm = rng.standard_normal(n), rng.standard_normal(m)
     y0 = rng.standard_normal(m)
     y = ast.csrmv(Operation.none, 1.5, m, n, len(val), val, cols, ptr, d, x, 2.0, y0)
-    np.testing.assert_allclose(y, 1.5 * A @ x + 2.0 * y0, rtol=1e-12)
+    assert_allclose_spec(y, ref_mv(1.5, m, n, ptr, cols, val, d, Operation.none, x, 2.0, y0),
+                         dtype=np.float64, scale=10)
     yt = ast.csrmv(Operation.transpose, 1.0, m, n, len(val), val, cols, ptr, d, xm, 0.0)
-    np.testing.assert_allclose(yt, A.T @ xm, rtol=1e-12)
+    assert_allclose_spec(yt, ref_mv(1.0, m, n, ptr, cols, val, d, Operation.transpose, xm, 0.0, np.zeros(n)),
+                         dtype=np.float64, scale=10)
 
 
 def test_csrmv_complex_conj_transpose(rng):
@@ -57,7 +61,11 @@ def test_csrmv_complex_conj_transpose(rng):
     yh = ast.csrmv(
         Operation.conjugate_transpose, 1.0, m, n, len(val), val, cols, ptr, d, xm, 0.0
     )
-    np.testing.assert_allclose(yh, A.conj().T @ xm, rtol=1e-12)
+    assert_allclose_spec(
+        yh,
+        ref_mv(1.0, m, n, ptr, cols, val, d, Operation.conjugate_transpose, xm, 0.0, np.zeros(n, np.complex128)),
+        dtype=np.complex128, scale=10,
+    )
 
 
 def test_csrmv_symmetric_lower_upper(rng):
@@ -74,11 +82,13 @@ def test_csrmv_symmetric_lower_upper(rng):
     S = np.tril(L) + np.tril(L, -1).T
     x = rng.standard_normal(m)
     ds = MatrixDescriptor().with_(type=1)  # symmetric, lower
+    want = ref_mv(1.0, m, m, pl, cl, vl, ds, Operation.none, x, 0.0, np.zeros(m))
     y = ast.csrmv(Operation.none, 1.0, m, m, len(vl), vl, cl, pl, ds, x, 0.0)
-    np.testing.assert_allclose(y, S @ x, rtol=1e-12)
+    assert_allclose_spec(y, want, dtype=np.float64, scale=10)
+    np.testing.assert_allclose(want, S @ x, rtol=1e-12)  # oracle sanity
     # symmetric mv is symmetric: transpose matches
     yt = ast.csrmv(Operation.transpose, 1.0, m, m, len(vl), vl, cl, pl, ds, x, 0.0)
-    np.testing.assert_allclose(yt, S @ x, rtol=1e-12)
+    assert_allclose_spec(yt, want, dtype=np.float64, scale=10)
 
 
 def test_csrmv_rejects(rng):
@@ -106,7 +116,7 @@ def test_ellmv_and_elltmv(rng):
     y = ast.ellmv(
         Operation.none, 2.0, m, n, len(val), np.asarray(E.val), np.asarray(E.ind), E.width, d, x, 0.0
     )
-    np.testing.assert_allclose(y, 2.0 * A @ x, rtol=1e-12)
+    assert_allclose_spec(y, 2.0 * A @ x, dtype=np.float64, scale=10)
     # slot-major twin
     yt = ast.elltmv(
         Operation.none,
@@ -121,7 +131,7 @@ def test_ellmv_and_elltmv(rng):
         x,
         0.0,
     )
-    np.testing.assert_allclose(yt, A @ x, rtol=1e-12)
+    assert_allclose_spec(yt, A @ x, dtype=np.float64, scale=10)
     # legacy paths are general/none only (ellmv_t:237-247)
     with pytest.raises(AoclSparseError) as e:
         ast.ellmv(
@@ -150,7 +160,7 @@ def test_ellthybmv(rng):
         Operation.none, 1.0, m, n, len(val), wv.reshape(-1), wi.reshape(-1), ew,
         em, val, ptr, cols, None, heavy, d, x, 3.0, y0,
     )
-    np.testing.assert_allclose(y, A @ x + 3.0 * y0, rtol=1e-11)
+    assert_allclose_spec(y, A @ x + 3.0 * y0, dtype=np.float64, scale=10)
 
 
 def test_diamv_bsrmv(rng):
@@ -162,19 +172,24 @@ def test_diamv_bsrmv(rng):
     y = ast.diamv(
         Operation.none, 1.0, m, n, len(val), np.asarray(D.val), np.asarray(D.dist), D.ndiag, d, x, 0.0
     )
-    np.testing.assert_allclose(y, A @ x, rtol=1e-12)
+    assert_allclose_spec(y, A @ x, dtype=np.float64, scale=10)
     B = csr_to_bsr(CSR(ptr, cols, val, shape=(m, n)), 4)
     y2 = ast.bsrmv(
         Operation.none, 1.0, B.mb, -(-n // 4), 4, np.asarray(B.val), np.asarray(B.ind), np.asarray(B.ptr), d, x, 0.0
     )
-    np.testing.assert_allclose(y2[:m], A @ x, rtol=1e-12)
+    assert_allclose_spec(y2[:m], A @ x, dtype=np.float64, scale=10)
 
 
 def test_query_helpers(rng):
     m, n = 30, 26
     ptr, cols, val, _ = _random_csr(rng, m, n, 5)
     assert ast.csr2ell_width(m, len(val), ptr) == int(np.diff(ptr).max())
-    assert ast.csr2ell_width(0, 0, None) == 0
+    # null row_ptr -> invalid_pointer even at m == 0 (reference has no m==0
+    # early-out in csr2ell_width; csr2ellthyb_width does)
+    with pytest.raises(AoclSparseError) as e0:
+        ast.csr2ell_width(0, 0, None)
+    assert e0.value.status == Status.invalid_pointer
+    assert ast.csr2ellthyb_width(0, 0, None) == (0, 0)
     em, ew = ast.csr2ellthyb_width(m, len(val), ptr)
     assert em == int((np.diff(ptr) <= ew).sum())
     rows = np.repeat(np.arange(m), np.diff(ptr))
@@ -212,13 +227,13 @@ def test_csr2blkcsr_roundtrip_and_mv(rng, nrb):
     ptr, cols, val, A = _random_csr(rng, m, n, 6)
     bptr, bcol, bval, masks = ast.csr2blkcsr(m, n, len(val), ptr, cols, val, nrb)
     Adec = _blk_decode_dense(m, n, bptr, bcol, np.asarray(bval), masks, nrb)
-    np.testing.assert_allclose(Adec, A, rtol=1e-12)
+    np.testing.assert_array_equal(Adec, A)  # pure permutation: exact
     d = MatrixDescriptor()
     x = rng.standard_normal(n)
     y = ast.blkcsrmv(
         Operation.none, 1.0, m, n, len(val), masks, np.asarray(bval), bcol, bptr, d, x, 0.0, nRowsblk=nrb
     )
-    np.testing.assert_allclose(y, A @ x, rtol=1e-11)
+    assert_allclose_spec(y, A @ x, dtype=np.float64, scale=10)
 
 
 def test_csr2blkcsr_rejects():
@@ -271,3 +286,37 @@ def test_prn_options_and_mv_hint_kid(rng):
     ast.optimize(A)
     y = ast.mv(1.0, A, MatrixDescriptor(), Operation.none, np.ones(16), 0.0)
     assert y.shape == (16,)
+
+
+def test_undersized_operands_rejected(rng):
+    """JAX clamps out-of-range gathers, so the shims must catch short x/y
+    explicitly (silent garbage otherwise)."""
+    m, n = 12, 15
+    ptr, cols, val, _ = _random_csr(rng, m, n, 4)
+    d = MatrixDescriptor()
+    with pytest.raises(AoclSparseError) as e:
+        ast.csrmv(Operation.none, 1.0, m, n, len(val), val, cols, ptr, d, np.ones(n - 1), 0.0)
+    assert e.value.status == Status.invalid_size
+    with pytest.raises(AoclSparseError) as e:
+        ast.csrmv(Operation.none, 1.0, m, n, len(val), val, cols, ptr, d, np.ones(n), 1.0, np.ones(m - 2))
+    assert e.value.status == Status.invalid_size
+    E = csr_to_ell(CSR(ptr, cols, val, shape=(m, n)))
+    with pytest.raises(AoclSparseError) as e:
+        ast.ellmv(Operation.none, 1.0, m, n, len(val), np.asarray(E.val), np.asarray(E.ind), E.width, d, np.ones(3), 0.0)
+    assert e.value.status == Status.invalid_size
+
+
+def test_opt_blksize_integer_nnzpr():
+    """The reference computes nnzpr with integer division (nnz/m on ints):
+    a mean row length in (30, 31) must not trip the nnzpr>30 cutoff."""
+    from aoclsparse_tpu.convert.conversions import opt_blksize
+
+    # m=8 rows of 30 nnz + 4 extra in the last row: nnz=244, nnz//m = 30
+    m = 8
+    lens = np.full(m, 30)
+    lens[-1] += 4
+    ptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    cols = np.concatenate([np.arange(k) for k in lens]).astype(np.int64)
+    # contiguous columns -> high block utilization, passes the util cutoff
+    nrb, total = opt_blksize(m, int(lens.sum()), ptr, cols)
+    assert isinstance(nrb, int)  # must not early-return via the float-division branch
