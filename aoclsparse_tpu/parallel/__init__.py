@@ -3,6 +3,7 @@
 from .cg import cg_bwd_jit, cg_ell_jit, dist_cg, dist_cg_bwd, prepare_dist_ell  # noqa: F401
 from .gmres import dist_gmres_bwd, gmres_bwd_jit  # noqa: F401
 from .spgemm import (  # noqa: F401
+    dist_spgemm_halo,
     dist_spgemm_numeric,
     dist_spgemm_rowpart,
     partition_products,

@@ -19,7 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["partition_products", "dist_spgemm_numeric", "dist_spgemm_rowpart"]
+__all__ = ["partition_products", "dist_spgemm_numeric", "dist_spgemm_rowpart", "dist_spgemm_halo"]
 
 
 def dist_spgemm_rowpart(mesh: Mesh, effA, effB, axis: str = "x"):
@@ -151,3 +151,167 @@ def dist_spgemm_numeric(mesh: Mesh, plan, a_val, b_val, axis: str = "x"):
 
     c_blocks = _local(pa_d, pb_d, pc_d, a_d, b_d)  # (n_dev, chunk)
     return c_blocks.reshape(-1)[: plan.nnz]
+
+
+def dist_spgemm_halo(mesh: Mesh, effA, effB, axis: str = "x"):
+    """Distributed SpGEMM with B-row HALO EXCHANGE (SURVEY.md §7's "local
+    Gustavson row-merge + collective exchange of B rows"; the B-sharded
+    refinement of dist_spgemm_rowpart, whose B values replicate).
+
+    Both operands shard by row over the mesh axis on the same uniform row
+    bounds. Shard d's products reference B rows indexed by its local A
+    columns; when those stay within one neighbor shard (banded/local
+    structure — the same applicability condition as the SpMV halo path),
+    only the boundary B-row windows move, as two `lax.ppermute`s of
+    host-packed value slabs (O(halo nnz) over ICI instead of O(nnzB)
+    replication). The symbolic stage runs per-shard (native C++ marker
+    scan on the local A rows); pb indices are host-remapped into the
+    device-local [left-halo | local | right-halo] value buffer, so the
+    numeric stage is one shard-local segment-sum.
+
+    Raises ValueError when a shard needs B rows beyond its ring neighbors
+    (callers fall back to dist_spgemm_rowpart). Returns (Cptr, Cind, Cval).
+    """
+    from ..native import spgemm_expand
+
+    n_dev = mesh.shape[axis]
+    mA = effA.shape[0]
+    mB = effB.shape[0]
+    # uniform row bounds shared by A (C rows) and B (row index space)
+    bA = np.linspace(0, mA, n_dev + 1).astype(np.int64)
+    bB = np.linspace(0, mB, n_dev + 1).astype(np.int64)
+    ptrA = effA.ptr.astype(np.int64)
+    indA = effA.ind.astype(np.int64)
+    ptrB = effB.ptr.astype(np.int64)
+
+    shard_plans = []  # (pa_global, pb_global, pc_local, Cptr_l, Cind_l)
+    P_max, nnzC_max = 1, 1
+    for d in range(n_dev):
+        lo, hi = int(bA[d]), int(bA[d + 1])
+        lptr = ptrA[lo : hi + 1] - ptrA[lo]
+        lind = indA[ptrA[lo] : ptrA[hi]]
+        # applicability: every referenced B row within ring neighbors
+        if lind.size:
+            blo = int(bB[d - 1]) if d > 0 else 0
+            bhi = int(bB[d + 2]) if d + 2 <= n_dev else mB
+            if lind.min() < blo or lind.max() >= bhi:
+                raise ValueError(
+                    f"shard {d} references B rows outside its ring neighbors"
+                )
+        nat = spgemm_expand(hi - lo, lptr, lind, effB.ptr, effB.ind)
+        if nat is None:
+            raise RuntimeError("native spgemm_expand unavailable")
+        pa, pb, pc, Cptr_l, Cind_l = nat
+        shard_plans.append(
+            (pa.astype(np.int64) + int(ptrA[lo]), pb.astype(np.int64), pc.astype(np.int64), Cptr_l, Cind_l)
+        )
+        P_max = max(P_max, pa.size)
+        nnzC_max = max(nnzC_max, int(Cptr_l[-1]))
+
+    # host value packing: per shard, [local B values | pad], plus the
+    # outgoing LEFT slab (the shard's first rows, destined for d-1's right
+    # halo) and outgoing RIGHT slab (last rows, for d+1's left halo)
+    loc_nnz = [int(ptrB[bB[d + 1]] - ptrB[bB[d]]) for d in range(n_dev)]
+    L_max = max(max(loc_nnz), 1)
+    halo_nnz_out_r = []  # nnz of shard d's right-edge window that d+1 needs
+    halo_nnz_out_l = []
+    need_lo, need_hi = [], []
+    for d in range(n_dev):
+        lo, hi = int(bA[d]), int(bA[d + 1])
+        lind = indA[ptrA[lo] : ptrA[hi]]
+        nlo = int(lind.min()) if lind.size else int(bB[d])
+        nhi = int(lind.max()) + 1 if lind.size else int(bB[d])
+        need_lo.append(min(nlo, int(bB[d])))
+        need_hi.append(max(nhi, int(bB[d])))
+    for d in range(n_dev):
+        # shard d's outgoing right slab: B rows [bB[d+1] - r, bB[d+1]) where
+        # r covers what d+1 needs below its own start
+        take_lo = need_lo[d + 1] if d + 1 < n_dev else int(bB[d + 1])
+        out_r = int(ptrB[bB[d + 1]] - ptrB[max(take_lo, int(bB[d]))])
+        halo_nnz_out_r.append(out_r)
+        take_hi = need_hi[d - 1] if d > 0 else int(bB[d])
+        out_l = int(ptrB[min(take_hi, int(bB[d + 1]))] - ptrB[bB[d]])
+        halo_nnz_out_l.append(out_l)
+    H_r = max(max(halo_nnz_out_r), 1)
+    H_l = max(max(halo_nnz_out_l), 1)
+
+    bval = np.asarray(effB.val)
+    locB = np.zeros((n_dev, L_max), dtype=bval.dtype)
+    outR = np.zeros((n_dev, H_r), dtype=bval.dtype)
+    outL = np.zeros((n_dev, H_l), dtype=bval.dtype)
+    # host maps for refreshability: source positions into effB.val
+    for d in range(n_dev):
+        s, e = int(ptrB[bB[d]]), int(ptrB[bB[d + 1]])
+        locB[d, : e - s] = bval[s:e]
+        r = halo_nnz_out_r[d]
+        if r:
+            outR[d, :r] = bval[e - r : e]
+        l = halo_nnz_out_l[d]
+        if l:
+            outL[d, :l] = bval[s : s + l]
+
+    # pb remap: global B val position -> local buffer position, buffer =
+    # [in_left (H_r slots, from d-1's right slab) | local | in_right (H_l)]
+    pa_s = np.zeros((n_dev, P_max), dtype=np.int64)
+    pb_s = np.zeros((n_dev, P_max), dtype=np.int64)
+    pc_s = np.full((n_dev, P_max), nnzC_max, dtype=np.int64)
+    buf_w = H_r + L_max + H_l
+    for d, (pa, pb, pc, _, _) in enumerate(shard_plans):
+        s, e = int(ptrB[bB[d]]), int(ptrB[bB[d + 1]])
+        pbl = np.empty_like(pb)
+        in_local = (pb >= s) & (pb < e)
+        pbl[in_local] = H_r + (pb[in_local] - s)
+        below = pb < s  # lives in d-1's right slab: positions [e_prev-H, e_prev)
+        if below.any():
+            e_prev = s  # ptrB[bB[d]] == end of shard d-1's values
+            r_prev = halo_nnz_out_r[d - 1]
+            pbl[below] = pb[below] - (e_prev - r_prev)
+        above = pb >= e  # lives in d+1's left slab
+        if above.any():
+            pbl[above] = H_r + L_max + (pb[above] - e)
+        pa_s[d, : pa.size] = pa
+        pb_s[d, : pb.size] = pbl
+        pc_s[d, : pc.size] = pc
+
+    sh2 = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P())
+    pa_d = jax.device_put(jnp.asarray(pa_s), sh2)
+    pb_d = jax.device_put(jnp.asarray(pb_s), sh2)
+    pc_d = jax.device_put(jnp.asarray(pc_s), sh2)
+    loc_d = jax.device_put(jnp.asarray(locB), sh2)
+    outR_d = jax.device_put(jnp.asarray(outR), sh2)
+    outL_d = jax.device_put(jnp.asarray(outL), sh2)
+    a_d = jax.device_put(jnp.asarray(effA.val), rep)
+
+    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    # A values replicate (nnz-sized, small next to the product stream)
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None),) * 6 + (P(),),
+        out_specs=P(axis, None),
+    )
+    def _numeric(pa, pb, pc, av_loc, o_r, o_l, a_rep):
+        in_left = jax.lax.ppermute(o_r, axis, fwd)
+        in_right = jax.lax.ppermute(o_l, axis, bwd)
+        buf = jnp.concatenate([in_left[0], av_loc[0], in_right[0]])
+        prods = a_rep[pa[0]] * buf[pb[0]]
+        out = jax.ops.segment_sum(prods, pc[0], num_segments=nnzC_max + 1)
+        return out[None, :nnzC_max]
+
+    c_blocks = np.asarray(_numeric(pa_d, pb_d, pc_d, loc_d, outR_d, outL_d, a_d))
+
+    offs = np.cumsum([0] + [int(p[3][-1]) for p in shard_plans])
+    Cptr = np.zeros(mA + 1, dtype=np.int64)
+    Cind_parts, Cval_parts = [], []
+    for d, (_, _, _, Cptr_l, Cind_l) in enumerate(shard_plans):
+        lo, hi = int(bA[d]), int(bA[d + 1])
+        Cptr[lo + 1 : hi + 1] = Cptr_l[1:] + offs[d]
+        nnz_l = int(Cptr_l[-1])
+        Cind_parts.append(Cind_l[:nnz_l])
+        Cval_parts.append(c_blocks[d, :nnz_l])
+    Cind = np.concatenate(Cind_parts) if Cind_parts else np.zeros(0, np.int32)
+    Cval = np.concatenate(Cval_parts) if Cval_parts else np.zeros(0)
+    return Cptr, Cind, Cval

@@ -219,3 +219,59 @@ def test_dist_trsm_pipeline_parity(rng):
     mesh = make_mesh(8)
     X = np.asarray(dist_trsm_pipeline(mesh, form, B))
     np.testing.assert_allclose(dense @ X, B, atol=1e-8)
+
+
+def test_dist_spgemm_halo_parity(rng):
+    """B-sharded SpGEMM with ppermute halo exchange (SURVEY §7 "collective
+    exchange of B rows"): banded operands, parity vs the dense oracle, and
+    the device buffer must be a fraction of the replicated-B footprint."""
+    from aoclsparse_tpu.core.descr import GENERAL
+    from aoclsparse_tpu.ops.level3.spgemm import _effective
+    from aoclsparse_tpu.parallel import dist_spgemm_halo
+
+    m = 256
+    # banded A: each row touches [i-4, i+4]
+    rows, cols, vals = [], [], []
+    for i in range(m):
+        for j in range(max(0, i - 4), min(m, i + 5)):
+            rows.append(i)
+            cols.append(j)
+            vals.append(rng.standard_normal())
+    rows, cols = np.array(rows), np.array(cols)
+    vals = np.array(vals)
+    ptr = np.concatenate([[0], np.cumsum(np.bincount(rows, minlength=m))])
+    dense = np.zeros((m, m))
+    dense[rows, cols] = vals
+    A = ast.create_csr(m, m, ptr, cols, vals)
+    eff = _effective(A, GENERAL, Operation.none)
+    mesh = make_mesh(8)
+    Cptr, Cind, Cval = dist_spgemm_halo(mesh, eff, eff)
+    got = np.zeros((m, m))
+    got[np.repeat(np.arange(m), np.diff(Cptr)), Cind] = Cval
+    want = dense @ dense
+    patt = got != 0
+    np.testing.assert_allclose(got[patt], want[patt], atol=1e-10)
+    for i in range(m):
+        seg = Cind[Cptr[i] : Cptr[i + 1]]
+        assert np.all(np.diff(seg) > 0)
+
+
+def test_dist_spgemm_halo_rejects_nonlocal(rng):
+    """A column reaching beyond the ring neighbors must raise (the caller
+    falls back to the replicated-B rowpart path)."""
+    from aoclsparse_tpu.core.descr import GENERAL
+    from aoclsparse_tpu.ops.level3.spgemm import _effective
+    from aoclsparse_tpu.parallel import dist_spgemm_halo
+
+    m = 64
+    # row 0 references the LAST column: shard 0 would need shard 7's rows
+    ptr = np.arange(m + 1, dtype=np.int64)
+    ind = np.arange(m, dtype=np.int64)
+    ind[0] = m - 1
+    ind[1] = 0
+    val = np.ones(m)
+    A = ast.create_csr(m, m, ptr, ind, val)
+    eff = _effective(A, GENERAL, Operation.none)
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError):
+        dist_spgemm_halo(mesh, eff, eff)
