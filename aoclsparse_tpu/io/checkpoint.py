@@ -99,6 +99,6 @@ def _attach_solve_forms(st, lu_clean) -> None:
     )
     eff_l = build_effective_csr(lu_clean, l_descr, Operation.none)
     eff_u = build_effective_csr(lu_clean, u_descr, Operation.none)
-    nb = adaptive_nb(lu_clean.m)
+    nb = adaptive_nb(lu_clean.m, dtype=np.asarray(lu_clean.val).dtype)
     st.l_form = build_trsv_form(lu_clean, l_descr, Operation.none, ("ilu", "l"), eff_l, nb)
     st.u_form = build_trsv_form(lu_clean, u_descr, Operation.none, ("ilu", "u"), eff_u, nb)

@@ -211,15 +211,17 @@ def _band_gemm_scan(Aband, streams, G: int, WB: int, WC: int, ranges, mixed: boo
 
 
 def _ensure_streams(plan: BandGemmPlan):
-    """Rolled B-block streams, rebuilt only when B's band was refreshed."""
-    bid = id(plan.formB.bwd_val)
-    if getattr(plan, "_streams_id", None) != bid:
-        B = plan.formB.bwd_val
+    """Rolled B-block streams, rebuilt only when B's band was refreshed.
+    Staleness is tracked by holding a REFERENCE to the band array (an `is`
+    check), never by bare id(): a freed array's address can be recycled, so
+    an id match on a dead object would silently serve stale streams."""
+    B = plan.formB.bwd_val
+    if getattr(plan, "_streams_src", None) is not B:
         plan._streams = tuple(
             jnp.roll(B, -(plan.d0 + s), axis=0) if (plan.d0 + s) != 0 else B
             for s in range(plan.nstream)
         )
-        plan._streams_id = bid
+        plan._streams_src = B
     return plan._streams
 
 
@@ -227,12 +229,14 @@ def band_gemm_cband(plan: BandGemmPlan, valA_eff, valB_eff, mixed: bool = False)
     """Run the numeric stage; returns C as the raw (nblk, G, WC) band. The
     band refresh (host scatter + upload) only re-runs when the value vector
     object changed — finalize on an unchanged plan reuses the bands."""
-    if getattr(plan, "_valA_id", None) != id(valA_eff):
+    # hold references for the staleness check (`is`, not id(): a recycled
+    # address of a freed array must not skip the refresh)
+    if getattr(plan, "_valA_src", None) is not valA_eff:
         plan.formA.refresh(valA_eff)
-        plan._valA_id = id(valA_eff)
-    if getattr(plan, "_valB_id", None) != id(valB_eff):
+        plan._valA_src = valA_eff
+    if getattr(plan, "_valB_src", None) is not valB_eff:
         plan.formB.refresh(valB_eff)
-        plan._valB_id = id(valB_eff)
+        plan._valB_src = valB_eff
     streams = _ensure_streams(plan)
     return _band_gemm_scan(
         plan.formA.bwd_val,

@@ -306,7 +306,12 @@ def spgemm_expand(mA: int, Aptr, Aind, Bptr, Bind, upper_only: bool = False):
     Bptr64, Bind64 = _i64(Bptr), _i64(Bind)
     lensB = np.diff(Bptr64)
     P = int(lensB[Aind64].sum()) if Aind64.size else 0  # upper bound on products
-    if P >= np.iinfo(np.int32).max or Bind64.size >= np.iinfo(np.int32).max:
+    if (
+        P >= np.iinfo(np.int32).max
+        or Aind64.size >= np.iinfo(np.int32).max  # pa stores A positions
+        or Bind64.size >= np.iinfo(np.int32).max  # pb stores B positions
+        or (Bind64.size and int(Bind64.max()) >= np.iinfo(np.int32).max)  # Cind cols
+    ):
         return None  # int32 product triples: absurd sizes take the numpy path
     pa = np.empty(P, dtype=np.int32)
     pb = np.empty(P, dtype=np.int32)

@@ -112,7 +112,7 @@ def mm(
         import os
 
         from ...core.context import get_context
-        from ...planner.plan import BWD_CAP, BWD_MAX_W, _bwd_window
+        from ...planner.plan import BANDTM_MAX_K, BWD_CAP, BWD_MAX_W, _bwd_window
 
         force_generic = os.environ.get("AOCLSPARSE_TPU_FORCE_GENERIC", "0") in ("1", "true")
         ctx = get_context()
@@ -125,7 +125,22 @@ def mm(
                     # Pallas row-aligned band SpMM when the window fits its
                     # VMEM budget (~3x less HBM traffic than the G=512
                     # group form); falls through to bwdg otherwise
-                    kind = "bandtm" if ctx.pallas_ok and B.shape[1] % 128 == 0 else "bwdg"
+                    # K cap: the kernel holds 9 (2*TM, K) window copies in
+                    # VMEM (~18 KB/f32 column at TM=256) — wide RHS takes the
+                    # bwdg scan instead of failing the Mosaic compile; Mosaic
+                    # also rejects complex/64-bit traces (dtype gate)
+                    pallas_dtype = jnp.dtype(A.dtype) in (
+                        jnp.dtype(jnp.float32),
+                        jnp.dtype(jnp.bfloat16),
+                    )
+                    kind = (
+                        "bandtm"
+                        if ctx.pallas_ok
+                        and pallas_dtype
+                        and B.shape[1] % 128 == 0
+                        and B.shape[1] <= BANDTM_MAX_K
+                        else "bwdg"
+                    )
     form = plan.exec_form_for(descr, op, kind=kind, dtype=A.dtype)
     e = registry.select("mm", fmt=form.kind, kid=kid)
     Bc = B.astype(A.dtype)

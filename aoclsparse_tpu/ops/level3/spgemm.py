@@ -226,9 +226,9 @@ def _attach_band_plan(plan: "SpgemmPlan", effA, effB, seedA=None, seedB=None) ->
         band = build_band_gemm_plan(effA, effB, plan.ptr, plan.ind, G=G, force=force)
     if band is not None:
         if band.formA is seedA:
-            band._valA_id = id(effA.val)  # band already holds these values
+            band._valA_src = effA.val  # band already holds these values
         if band.formB is seedB:
-            band._valB_id = id(effB.val)
+            band._valB_src = effB.val
         plan.band = band
 
 
@@ -255,8 +255,20 @@ def _numeric_auto(plan: "SpgemmPlan", effA, effB, conj_a: bool, conj_b: bool):
     if plan.band is not None:
         from ...kernels.xla.spgemm_band import band_gemm_values
 
-        va = jnp.conj(effA.val) if conj_a and jnp.iscomplexobj(effA.val) else effA.val
-        vb = jnp.conj(effB.val) if conj_b and jnp.iscomplexobj(effB.val) else effB.val
+        # cache the conjugated value arrays on the plan keyed by the source
+        # array reference: a fresh jnp.conj per call would defeat the band
+        # cache's is-identity staleness check (full refresh every finalize)
+        def _conj_cached(tag, v, want_conj):
+            if not (want_conj and jnp.iscomplexobj(v)):
+                return v
+            src_key, out_key = f"_conj_src_{tag}", f"_conj_out_{tag}"
+            if getattr(plan, src_key, None) is not v:
+                setattr(plan, out_key, jnp.conj(v))
+                setattr(plan, src_key, v)
+            return getattr(plan, out_key)
+
+        va = _conj_cached("a", effA.val, conj_a)
+        vb = _conj_cached("b", effB.val, conj_b)
         return band_gemm_values(plan.band, va, vb)
     return _numeric(effA.val, effB.val, plan.pa, plan.pb, plan.pc, plan.nnz, conj_a, conj_b)
 

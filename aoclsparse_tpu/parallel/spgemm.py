@@ -50,7 +50,13 @@ def dist_spgemm_rowpart(mesh: Mesh, effA, effB, axis: str = "x"):
         lind = indA[ptrA[lo] : ptrA[hi]]
         nat = spgemm_expand(hi - lo, lptr, lind, effB.ptr, effB.ind)
         if nat is None:
-            raise RuntimeError("native spgemm_expand unavailable")
+            from ..native import available
+
+            raise RuntimeError(
+                "shard product list exceeds int32 triple capacity"
+                if available()
+                else "native spgemm_expand unavailable"
+            )
         pa, pb, pc, Cptr_l, Cind_l = nat
         pa = pa.astype(np.int64) + int(ptrA[lo])  # back to global A positions
         shard_plans.append((pa, pb.astype(np.int64), pc.astype(np.int64), Cptr_l, Cind_l))
@@ -200,7 +206,13 @@ def dist_spgemm_halo(mesh: Mesh, effA, effB, axis: str = "x"):
                 )
         nat = spgemm_expand(hi - lo, lptr, lind, effB.ptr, effB.ind)
         if nat is None:
-            raise RuntimeError("native spgemm_expand unavailable")
+            from ..native import available
+
+            raise RuntimeError(
+                "shard product list exceeds int32 triple capacity"
+                if available()
+                else "native spgemm_expand unavailable"
+            )
         pa, pb, pc, Cptr_l, Cind_l = nat
         shard_plans.append(
             (pa.astype(np.int64) + int(ptrA[lo]), pb.astype(np.int64), pc.astype(np.int64), Cptr_l, Cind_l)

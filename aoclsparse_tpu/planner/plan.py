@@ -18,6 +18,7 @@ reference's value-only recompute, functions.h:2184-2201).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -594,7 +595,7 @@ def choose_mv_format(eff: EffectiveCSR, hint_nop: int = 1) -> str:
             # streams the band from HBM exactly once (measured ~1.8x the
             # fused-XLA bwd in the same window) and the row-aligned window
             # is never wider than the group window
-            if get_context().pallas_ok:
+            if get_context().pallas_ok and _pallas_dtype_ok(eff):
                 rows_r = np.repeat(
                     np.arange(m, dtype=np.int64), np.diff(eff.ptr.astype(np.int64))
                 )
@@ -924,14 +925,17 @@ def _build_gen(eff: EffectiveCSR) -> Optional[ExecForm]:
         rel_s = np.sort(rel)
         nmax = rel.size - 1
         best = None  # (cost, rel_lo, W, n_out)
-        for plo, phi, frac in (
-            (0.0, 100.0, 0.0),
-            (0.25, 99.75, 0.01),
-            (1.0, 99.0, 0.03),
-            (2.5, 97.5, 0.06),
-            (5.0, 95.0, 0.12),
-            (7.5, 92.5, 0.18),
-            (12.5, 87.5, GEN_SPILL_FRAC),
+        # every rung is capped at the global GEN_SPILL_FRAC; the cost model
+        # (spill enters _gen_cost_model via n_out) arbitrates between rungs,
+        # so no per-rung tightening is applied
+        for plo, phi in (
+            (0.0, 100.0),
+            (0.25, 99.75),
+            (1.0, 99.0),
+            (2.5, 97.5),
+            (5.0, 95.0),
+            (7.5, 92.5),
+            (12.5, 87.5),
         ):
             lo_c = (int(rel_s[int(plo / 100 * nmax)]) // 8) * 8
             hi_c = int(rel_s[int(phi / 100 * nmax)])
@@ -941,7 +945,7 @@ def _build_gen(eff: EffectiveCSR) -> Optional[ExecForm]:
             n_out = int(np.searchsorted(rel_s, lo_c)) + int(
                 rel.size - np.searchsorted(rel_s, lo_c + W)
             )
-            if n_out > max(4096, int(rel.size * max(frac, GEN_SPILL_FRAC))):
+            if n_out > max(4096, int(rel.size * GEN_SPILL_FRAC)):
                 continue
             cost = _gen_cost_model(m_pad, W, B, k_hub_total, n_out, itemsize)
             if best is None or cost < best[0]:
@@ -961,7 +965,7 @@ def _build_gen(eff: EffectiveCSR) -> Optional[ExecForm]:
         W_r = (
             -(-(int(row_rel[keep_m].max()) - lo_r + 1) // 8) * 8 if keep_m.any() else 8
         )
-        if get_context().pallas_ok and W_r <= BANDT_MAX_W:
+        if get_context().pallas_ok and _pallas_dtype_ok(eff) and W_r <= BANDT_MAX_W:
             # Pallas transposed-band layout for the composite's band part
             dest = (row_rel - lo_r)[keep_m] * m_pad + pr_s[keep_m]
             spilled = bool(spill.any())
@@ -1091,6 +1095,17 @@ def _build_gen(eff: EffectiveCSR) -> Optional[ExecForm]:
 BANDT_MAX_W = 1024
 
 
+def _pallas_dtype_ok(eff) -> bool:
+    """Mosaic compiles only f32/bf16 kernels on this stack: complex and
+    64-bit traces are rejected by the TPU compile (the TRSV route guards the
+    same way, triangular.py solve). Gate every Pallas-routed form on the
+    operand dtype so complex/f64 matrices keep the XLA bwd/bwdg forms."""
+    v = getattr(eff, "val", None)
+    if v is None:
+        return True
+    return v.dtype in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+
+
 def _build_bandt(eff: EffectiveCSR) -> Optional[ExecForm]:
     """Row-aligned transposed band for the Pallas kernel (spmv_bandt):
     vt[j, i] = A[i, i + lo + j]. Tighter than the 8-row-group window (each
@@ -1141,6 +1156,10 @@ def _build_bandt(eff: EffectiveCSR) -> Optional[ExecForm]:
 #: holds 8 rotated (2*TM, K) copies; W > TM or much beyond ~192 lanes
 #: crashes/overflows the Mosaic compile at TM>=512)
 BANDTM_MAX_W = 192
+# RHS-width cap for the Pallas band SpMM: the kernel keeps 9 (2*TM, K)
+# window copies live in VMEM (~18 KB per f32 column at TM=256); beyond this
+# the Mosaic compile would blow the VMEM budget, so mm() routes to bwdg
+BANDTM_MAX_K = int(os.environ.get("AOCLSPARSE_TPU_BANDTM_MAX_K", "384"))
 
 
 def _build_bandtm(eff: EffectiveCSR) -> Optional[ExecForm]:

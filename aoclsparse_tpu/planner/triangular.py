@@ -38,16 +38,21 @@ __all__ = ["TrsvForm", "build_trsv_form", "trsv_form_for"]
 DEFAULT_BLOCK = 64
 
 
-def adaptive_nb(m: int) -> int:
+def adaptive_nb(m: int, dtype=None) -> int:
     """Block size targeting ~512 scan steps (per-step scan overhead ~8us on
     this stack; see trsv_form_for). With the Pallas sequential-grid solve
     available, smaller blocks win (its steps cost ~1us and the dense
     diagonal-block traffic scales with nb) — but its 8-blocks-per-step
-    layout caps nb at 256 (VMEM)."""
+    layout caps nb at 256 (VMEM).
+
+    The smaller-nb branch only applies when the Pallas solve can actually
+    take the solve: complex dtypes run the XLA scan (TrsvForm.solve guards
+    on iscomplexobj), where halving nb just doubles the ~8us scan steps."""
     from ..core.context import get_context
 
     base = int(min(512, max(DEFAULT_BLOCK, 1 << int(np.ceil(np.log2(max(m / 512, 1)))))))
-    if get_context().pallas_ok and m >= 8 * 128:
+    pallas_eligible = dtype is None or not np.issubdtype(np.dtype(dtype), np.complexfloating)
+    if get_context().pallas_ok and m >= 8 * 128 and pallas_eligible:
         return int(min(256, max(128, base)))
     return base
 
@@ -301,7 +306,7 @@ def trsv_form_for(
     step costs ~8us of scan overhead on this stack, so fewer/larger blocks
     win until the dense diagonal blocks dominate memory)."""
     if nb is None:
-        nb = adaptive_nb(plan.clean.m)
+        nb = adaptive_nb(plan.clean.m, dtype=np.asarray(plan.clean.val).dtype)
     tri_descr = MatrixDescriptor(
         type=MatrixType.triangular,
         fill_mode=descr.fill_mode,

@@ -97,7 +97,7 @@ def ilu0_factorize(A: SparseMatrix) -> IluState:
     )
     eff_l = build_effective_csr(lu_clean, l_descr, Operation.none)
     eff_u = build_effective_csr(lu_clean, u_descr, Operation.none)
-    nb = adaptive_nb(lu_clean.m)
+    nb = adaptive_nb(lu_clean.m, dtype=np.asarray(lu_clean.val).dtype)
     st.l_form = build_trsv_form(lu_clean, l_descr, Operation.none, ("ilu", "l"), eff_l, nb)
     st.u_form = build_trsv_form(lu_clean, u_descr, Operation.none, ("ilu", "u"), eff_u, nb)
     A.ilu_state = st

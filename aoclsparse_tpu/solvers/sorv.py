@@ -87,7 +87,7 @@ def sorv(
             jnp.asarray(is_diag), eff.val, jnp.asarray(omega, dtype) * eff.val
         )
         form = build_trsv_form(
-            plan.clean, tri_l, Operation.none, ("sorv", omega), eff, adaptive_nb(m)
+            plan.clean, tri_l, Operation.none, ("sorv", omega), eff, adaptive_nb(m, dtype=dtype)
         )
         plan.levels[key] = form
 

@@ -163,3 +163,63 @@ def test_bandt_symmetric_descriptor(rng):
     y = np.asarray(ast.mv(1.0, Au, sym, Operation.none, x, 0.0, kid=8))
     full = np.triu(up) + np.triu(up, 1).T
     np.testing.assert_allclose(y, full @ x, atol=1e-10)
+
+
+def test_pallas_routes_reject_complex_dtype(rng, monkeypatch):
+    """Mosaic compiles only f32/bf16 on this stack: on a (simulated) TPU
+    context with Pallas on, a complex banded matrix must keep the XLA
+    bwd form (a bandt selection would fail the TPU compile at dispatch)."""
+    import dataclasses
+
+    import aoclsparse_tpu.core.context as ctx_mod
+    from aoclsparse_tpu.core.context import reset_context
+    from aoclsparse_tpu.planner.plan import choose_mv_format
+
+    reset_context()
+    ctx_mod._ctx = dataclasses.replace(
+        ctx_mod.get_context(), platform="tpu", pallas_ok=True
+    )
+    try:
+        m = 8192
+        # wide scattered band: many distinct diagonals, so diag loses and
+        # the band-window forms win the cost model
+        A, dense = _band(rng, m, 64, per_row=48, outliers=0)
+        _, _, _, ptr, ind, fval = ast.export_csr(A)
+        zval = np.asarray(fval).astype(np.complex64) * (1 + 1j)
+        Az = ast.create_csr(m, m, ptr, ind, zval)
+        eff = get_plan(Az).effective_for(GEN, Operation.none, Az.dtype)
+        kind_z = choose_mv_format(eff, hint_nop=1000)
+        # the same matrix in f32 takes bandt on the simulated TPU context
+        Af = ast.create_csr(m, m, ptr, ind, np.asarray(zval.real, np.float32))
+        eff_f = get_plan(Af).effective_for(GEN, Operation.none, Af.dtype)
+        assert choose_mv_format(eff_f, hint_nop=1000) == "bandt"
+        assert kind_z != "bandt", "complex operand must not take the Pallas route"
+    finally:
+        reset_context()
+
+
+def test_bandtm_wide_rhs_falls_back_to_bwdg(rng, monkeypatch):
+    """RHS wider than BANDTM_MAX_K must take the bwdg scan (the bandtm
+    kernel's 9 VMEM window copies would blow the budget at large K)."""
+    monkeypatch.setenv("AOCLSPARSE_TPU_FORCE_PALLAS", "1")
+    from aoclsparse_tpu.core.context import reset_context
+
+    reset_context()
+    try:
+        m = 8192
+        A, dense = _band(rng, m, 5, per_row=3, outliers=0)
+        K = 512  # > BANDTM_MAX_K=384, still a 128 multiple
+        B = rng.standard_normal((m, K)).astype(np.float32)
+        C = np.asarray(ast.mm(1.0, A, GEN, Operation.none, B, 0.0))
+        np.testing.assert_allclose(C, dense @ B, rtol=2e-3, atol=2e-3)
+        plan = get_plan(A)
+        # the narrow-K case still routes bandtm; wide K must not have
+        # created a bandtm form implicitly
+        assert not any(
+            f.kind == "bandtm" and getattr(f, "_last_K", None) == K
+            for f in getattr(plan, "exec_forms", {}).values()
+            if hasattr(f, "kind")
+        )
+    finally:
+        monkeypatch.delenv("AOCLSPARSE_TPU_FORCE_PALLAS", raising=False)
+        reset_context()
