@@ -275,3 +275,50 @@ def test_dist_spgemm_halo_rejects_nonlocal(rng):
     mesh = make_mesh(8)
     with pytest.raises(ValueError):
         dist_spgemm_halo(mesh, eff, eff)
+
+
+def _spd_csr(rng, m, density=0.15):
+    D = np.tril(rng.standard_normal((m, m)) * (rng.random((m, m)) < density), -1)
+    S = D + D.T + np.diag(6 + rng.random(m))
+    mask = S != 0
+    ptr = np.concatenate([[0], np.cumsum(mask.sum(1))])
+    return ptr, np.nonzero(mask)[1], S[mask], S
+
+
+def test_dist_symgs_matches_local(rng):
+    """SURVEY §5.8(iii): the distributed SymGS sweep (row-sharded strict-tri
+    SpMVs + pipelined solves) must match the single-device sweep exactly on
+    both general and symmetric-stored descriptors."""
+    from aoclsparse_tpu.parallel import dist_symgs
+
+    m = 160
+    ptr, ind, val, S = _spd_csr(rng, m)
+    A = ast.create_csr(m, m, ptr, ind, val)
+    mesh = make_mesh(8)
+    b = rng.standard_normal(m)
+    gen = MatrixDescriptor()
+    x_d = np.asarray(dist_symgs(mesh, A, gen, 1.3, b))
+    x_l = np.asarray(ast.symgs(Operation.none, A, gen, 1.3, b))
+    np.testing.assert_allclose(x_d, x_l, atol=1e-10)
+    # symmetric descriptor over the stored lower triangle
+    keep = ind <= np.repeat(np.arange(m), np.diff(ptr))
+    rows_t = np.repeat(np.arange(m), np.diff(ptr))[keep]
+    pl = np.concatenate([[0], np.cumsum(np.bincount(rows_t, minlength=m))])
+    At = ast.create_csr(m, m, pl, ind[keep], val[keep])
+    sym = MatrixDescriptor().with_(type=1)
+    x_ds = np.asarray(dist_symgs(mesh, At, sym, 1.0, b))
+    x_ls = np.asarray(ast.symgs(Operation.none, At, sym, 1.0, b))
+    np.testing.assert_allclose(x_ds, x_ls, atol=1e-10)
+
+
+def test_dist_ilu_apply_matches_local(rng):
+    from aoclsparse_tpu.parallel import dist_ilu_apply
+
+    m = 160
+    ptr, ind, val, S = _spd_csr(rng, m)
+    A = ast.create_csr(m, m, ptr, ind, val)
+    mesh = make_mesh(8)
+    b = rng.standard_normal(m)
+    x_d = np.asarray(dist_ilu_apply(mesh, A, b))
+    x_l = np.asarray(ast.ilu_smoother(A, MatrixDescriptor(), b))
+    np.testing.assert_allclose(x_d, x_l, atol=1e-8)
