@@ -46,7 +46,9 @@ def main():
     from aoclsparse_tpu.planner.plan import get_plan
 
     # --- sublane-8 accumulator kernel (probe_bandt8d), f32 + bf16 operand ---
-    def _kernel_t8(vt_ref, x0_ref, x1_ref, out_ref, *, TM: int, W: int, VS: int):
+    def _kernel_t8(
+        vt_ref, x0_ref, x1_ref, out_ref, *, TM: int, W: int, VS: int, blockcast: bool = False
+    ):
         x0 = x0_ref[:].reshape(1, TM)
         x1 = x1_ref[:].reshape(1, TM)
         xwin = jnp.concatenate([x0, x1], axis=1)
@@ -56,17 +58,25 @@ def main():
         for r in range(8):
             rolled = pltpu.roll(xb, 2 * TM - r, axis=1) if r else xb
             XS = jnp.where(rows == r, rolled, XS)
+        # blockcast: convert the whole (W, TM) bf16 band to f32 ONCE at
+        # kernel entry (one relayout) instead of per-VS-slice — A/Bs the
+        # relayout-cost hypothesis for why per-slice bf16 was slower
+        vt_all = vt_ref[:].astype(out_ref.dtype) if blockcast else None
         acc8 = jnp.zeros((8, TM), dtype=out_ref.dtype)
         for j0 in range(0, W, VS):
-            v = vt_ref[j0 : j0 + VS, :].astype(out_ref.dtype)
+            v = (
+                vt_all[j0 : j0 + VS, :]
+                if blockcast
+                else vt_ref[j0 : j0 + VS, :].astype(out_ref.dtype)
+            )
             for s in range(0, VS, 8):
                 acc8 = acc8 + v[s : s + 8, :] * XS[:, j0 + s : j0 + s + TM]
         for k in (4, 2, 1):
             acc8 = acc8 + pltpu.roll(acc8, k, axis=0)
         out_ref[:] = acc8[0:1, :].reshape(8, TM // 8)
 
-    @partial(jax.jit, static_argnames=("W", "start", "TMk"))
-    def band_t8(vt, xe, W: int, start: int, TMk: int = 1024):
+    @partial(jax.jit, static_argnames=("W", "start", "TMk", "blockcast"))
+    def band_t8(vt, xe, W: int, start: int, TMk: int = 1024, blockcast: bool = False):
         Wm, m = vt.shape
         VS = 16 if vt.dtype == jnp.bfloat16 else 8
         ntile = -(-m // TMk)
@@ -82,7 +92,7 @@ def main():
         nchunk = xe.shape[0] // TMk
         x2 = xe[: nchunk * TMk].reshape(nchunk * 8, TMk // 8)
         out = pl.pallas_call(
-            partial(_kernel_t8, TM=TMk, W=W, VS=VS),
+            partial(_kernel_t8, TM=TMk, W=W, VS=VS, blockcast=blockcast),
             out_shape=jax.ShapeDtypeStruct((ntile * 8, TMk // 8), jnp.float32),
             grid=(ntile,),
             in_specs=[
@@ -203,6 +213,7 @@ def main():
         ("v1_1024", lambda: pallas_spmv_band_t(vt_j, xe_j, W16, start, TM=1024)),
         ("t8_f32", lambda: band_t8(vt_j, xe_j, W16, start, TMk=1024)),
         ("t8_bf16", lambda: band_t8(vt_b, xe_j, W16, start, TMk=1024)),
+        ("t8_bf16_blockcast", lambda: band_t8(vt_b, xe_j, W16, start, TMk=1024, blockcast=True)),
         ("headline", lambda: _run_exec_form(form, x_d, None)),
         (
             "bwd_bf16mul",
