@@ -1,0 +1,106 @@
+"""Empirical kernel auto-tuning: the measured version of the Oracle.
+
+The reference's KAT/Oracle picks a kernel by static scoring (ISA flags +
+size heuristics, cntx_dispatcher.hpp:272-364); our registry mirrors that
+with a TPU cost model (planner/plan.py choose_mv_format). This module adds
+what SURVEY.md §7 calls "autotuned defaults": time every buildable
+execution form for a concrete matrix through the live dispatch path and
+pin the measured winner as the plan's auto-selected form — exactly the
+decision the cost model approximates, made empirical. One tuning run costs
+a few hundred dispatches; the winner persists on the plan (and stays
+value-refreshable — every form keeps its host scatter maps, so
+update_values flows through unchanged).
+
+On the shared-pool TPU the caller should tune inside one time window
+(contention swings 2-100x between windows; benchmarks/RESULTS_r2.md).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.descr import MatrixDescriptor
+from ..core.types import AoclSparseError, Operation, Status
+
+__all__ = ["autotune_mv"]
+
+_MV_KINDS = ("bandt", "bwd", "diag", "gen", "ell", "ellhyb", "segsum")
+
+
+def _time_form(form, x, iters: int, chunks: int) -> float:
+    """Chained dispatch + one fetch per chunk, best-of-chunks (the tunnel
+    sync protocol — block_until_ready is a no-op through it)."""
+    from ..ops.level2.mv import _run_exec_form
+
+    y = _run_exec_form(form, x, None)
+    np.asarray(jnp.ravel(y)[:1])  # compile + sync
+    best = float("inf")
+    for _ in range(chunks):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = _run_exec_form(form, x, None)
+        np.asarray(jnp.ravel(y)[:1])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def autotune_mv(
+    A,
+    descr: Optional[MatrixDescriptor] = None,
+    op: Operation = Operation.none,
+    iters: int = 20,
+    chunks: int = 3,
+    kinds: Optional[Tuple[str, ...]] = None,
+    x=None,
+) -> Dict[str, float]:
+    """Measure every buildable SpMV execution form for `A` and pin the
+    winner as the plan's auto form for (descr, op).
+
+    Returns {form_kind: best_seconds_per_mv}. The winner is planted under
+    the plan's kind=None cache slot (the same mechanism seed_bwdg uses), so
+    subsequent ``mv`` calls dispatch it; an explicit ``kid=`` still
+    overrides per call, and ``update_values`` refreshes the planted form
+    through its scatter maps like any other."""
+    from ..planner.plan import build_exec_form, get_plan
+
+    if A is None:
+        raise AoclSparseError(Status.invalid_pointer, "null matrix handle")
+    descr = MatrixDescriptor() if descr is None else descr
+    op = Operation(op)
+    plan = get_plan(A)
+    eff = plan.effective_for(descr, op, A.dtype)
+    n_in = eff.shape[1] if op == Operation.none else eff.shape[0]
+    if x is None:
+        # deterministic, scale-1 probe vector
+        x = jnp.asarray(np.linspace(-1.0, 1.0, n_in), dtype=A.dtype)
+    else:
+        x = jnp.asarray(x).astype(A.dtype)
+
+    results: Dict[str, float] = {}
+    forms = {}
+    for kind in kinds or _MV_KINDS:
+        try:
+            form = build_exec_form(eff, kind)
+        except Exception:
+            continue
+        if form is None or form.kind in results:
+            # builders fall back (bandt -> bwd when the row window is too
+            # wide); time each realized kind once
+            continue
+        try:
+            t = _time_form(form, x, iters, chunks)
+        except Exception:
+            continue
+        results[form.kind] = t
+        forms[form.kind] = form
+
+    if not results:
+        raise AoclSparseError(Status.internal_error, "no execution form could be timed")
+    winner = min(results, key=results.get)
+    key = (descr.type, descr.fill_mode, descr.diag_type, op, None)
+    plan.exec_forms[key] = forms[winner]
+    return results

@@ -1,0 +1,60 @@
+"""Empirical kernel auto-tuning (kernels/autotune.py): the measured Oracle
+(SURVEY.md §7 "autotuned defaults"; static scoring analog:
+cntx_dispatcher.hpp:272-364)."""
+
+import numpy as np
+import pytest
+
+import aoclsparse_tpu as ast
+from aoclsparse_tpu import AoclSparseError, MatrixDescriptor, Operation, Status
+from aoclsparse_tpu.planner.plan import get_plan
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _band(rng, m, half=8, per=5):
+    base = np.clip(np.arange(m) - half, 0, m - 2 * half)
+    pick = np.argsort(rng.random((m, 2 * half)), axis=1)[:, :per]
+    cols = np.sort(base[:, None] + pick, axis=1)
+    ptr = np.arange(m + 1) * per
+    val = rng.standard_normal(m * per)
+    dense = np.zeros((m, m))
+    dense[np.repeat(np.arange(m), per), cols.reshape(-1)] = val
+    return ast.create_csr(m, m, ptr, cols.reshape(-1), val), dense
+
+
+def test_autotune_times_pins_and_refreshes(rng):
+    A, dense = _band(rng, 2048)
+    t = ast.autotune_mv(A, iters=2, chunks=2)
+    assert len(t) >= 3 and all(v > 0 for v in t.values())
+    winner = min(t, key=t.get)
+    form = get_plan(A).exec_form_for(MatrixDescriptor(), Operation.none)
+    assert form.kind == winner
+    x = rng.standard_normal(2048)
+    y = ast.mv(1.0, A, MatrixDescriptor(), Operation.none, x, 0.0)
+    np.testing.assert_allclose(np.asarray(y), dense @ x, atol=1e-8)
+    # the tuned form must stay value-refreshable
+    _, _, _, ptr, ind, val = ast.export_csr(A)
+    ast.update_values(A, np.asarray(val) * 3)
+    y3 = ast.mv(1.0, A, MatrixDescriptor(), Operation.none, x, 0.0)
+    np.testing.assert_allclose(np.asarray(y3), 3 * dense @ x, atol=1e-8)
+
+
+def test_autotune_kind_subset_and_transpose(rng):
+    A, dense = _band(rng, 1024)
+    t = ast.autotune_mv(A, iters=2, chunks=1, kinds=("ell", "segsum"))
+    assert set(t) <= {"ell", "segsum"}
+    # transpose tuning pins the transpose slot, not the none slot
+    t2 = ast.autotune_mv(A, op=Operation.transpose, iters=2, chunks=1, kinds=("ell", "segsum"))
+    x = rng.standard_normal(1024)
+    yt = ast.mv(1.0, A, MatrixDescriptor(), Operation.transpose, x, 0.0)
+    np.testing.assert_allclose(np.asarray(yt), dense.T @ x, atol=1e-8)
+
+
+def test_autotune_null_handle():
+    with pytest.raises(AoclSparseError) as e:
+        ast.autotune_mv(None)
+    assert e.value.status == Status.invalid_pointer
