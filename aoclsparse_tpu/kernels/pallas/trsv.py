@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_trsv_win_inv", "pallas_trsv_win_inv8"]
+__all__ = ["pallas_trsv_win_inv", "pallas_trsv_win_inv8", "pallas_trsm_win_inv"]
 
 
 def _kernel8(dinvT_ref, lwT_ref, b_ref, out_ref, w_scr, *, nb: int, WL: int):
@@ -116,3 +116,48 @@ def pallas_trsv_win_inv(dinvT, lwT, b, nb: int, WL: int, interpret: bool = False
         interpret=interpret,
     )(dinvT, lwT, b3)
     return out.reshape(nblk * nb)
+
+
+def _kernel_mrhs(dinvT_ref, lwT_ref, b_ref, out_ref, w_scr, *, nb: int, WL: int, K: int):
+    """Multi-RHS generalization of _kernel: the K transposed RHS columns
+    ride as (K, nb) lane rows, the rolling window as (K, WL) scratch —
+    identical row-vector algebra, K rows at a time (TRSM analog of the
+    sequential-grid TRSV; XLA twin pays ~8us scan overhead per step for
+    every RHS batch, this pays it once per block in grid time)."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        w_scr[:] = jnp.zeros((K, WL), w_scr.dtype)
+
+    w = w_scr[:]  # (K, WL): x rows [blk0-WL, blk0) for every RHS column
+    s = jnp.dot(w, lwT_ref[0], preferred_element_type=w.dtype)  # (K, nb)
+    xk = jnp.dot(b_ref[0] - s, dinvT_ref[0], preferred_element_type=w.dtype)
+    out_ref[0] = xk
+    w_scr[:] = jnp.concatenate([w, xk], axis=1)[:, -WL:]
+
+
+@partial(jax.jit, static_argnames=("nb", "WL", "interpret"))
+def pallas_trsm_win_inv(dinvT, lwT, Bt, nb: int, WL: int, interpret: bool = False):
+    """Multi-RHS sequential-grid solve with pre-inverted diagonal blocks.
+
+    dinvT: (nblk, nb, nb) = Dinv_k^T; lwT: (nblk, WL, nb) = Lwin_k^T;
+    Bt: (nblk, K, nb) — RHS blocks TRANSPOSED so columns ride lanes
+    (caller does Bt = B.reshape(nblk, nb, K).swapaxes(1, 2)). K must be a
+    multiple of 8, nb a multiple of 128, WL a multiple of 8, WL <= nb.
+    Returns Xt with Bt's layout."""
+    nblk, K, _ = Bt.shape
+    assert K % 8 == 0 and nb % 128 == 0 and WL % 8 == 0 and WL <= nb
+    out = pl.pallas_call(
+        partial(_kernel_mrhs, nb=nb, WL=WL, K=K),
+        out_shape=jax.ShapeDtypeStruct((nblk, K, nb), dinvT.dtype),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((1, nb, nb), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WL, nb), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, nb), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, K, nb), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((K, WL), dinvT.dtype)],
+        interpret=interpret,
+    )(dinvT, lwT, Bt)
+    return out

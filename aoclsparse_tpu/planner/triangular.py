@@ -36,6 +36,9 @@ from .plan import CleanCSR, EffectiveCSR, Plan, build_effective_csr
 __all__ = ["TrsvForm", "build_trsv_form", "trsv_form_for"]
 
 DEFAULT_BLOCK = 64
+# multi-RHS Pallas solve: per-step VMEM holds (K, nb) RHS/out blocks plus
+# the (nb, nb) inverted diagonal; K beyond this takes the XLA scan
+TRSM_PALLAS_MAX_K = 256
 
 
 def adaptive_nb(m: int, dtype=None) -> int:
@@ -88,6 +91,7 @@ class TrsvForm:
     def refresh(self, eff_val: jax.Array) -> None:
         self._Dinv = None  # inverse blocks derive from D
         self._pallas = None  # transposed Pallas operands derive from D/Lval
+        self._pallas_m = None  # multi-RHS twin of the same operands
         vh = np.asarray(eff_val)
         D = np.zeros(self.nblk * self.nb * self.nb, dtype=vh.dtype)
         D[self._D_dest] = vh[self._D_srcpos]
@@ -151,6 +155,32 @@ class TrsvForm:
                         dinvT, lwT, bflat, self.nb, self.WL, interpret=not ctx.is_tpu
                     )
                     return x[:m_pad][:, None]
+                # multi-RHS sequential-grid solve (TRSM): same kernel algebra
+                # with the K transposed RHS columns riding lanes; the XLA
+                # scan twin pays its ~8us/step overhead regardless of K
+                if (
+                    ctx.pallas_ok
+                    and 1 < r2.shape[1] <= TRSM_PALLAS_MAX_K
+                    and self.nb % 128 == 0
+                    and self.WL % 8 == 0
+                    and self.WL <= self.nb
+                    and not jnp.iscomplexobj(self.D)
+                ):
+                    from ..kernels.pallas.trsv import pallas_trsm_win_inv
+
+                    if getattr(self, "_pallas_m", None) is None:
+                        dinvT = jnp.swapaxes(self._Dinv, 1, 2)
+                        lwT = jnp.swapaxes(self.Lval, 1, 2)
+                        self._pallas_m = (dinvT, lwT)
+                    dinvT, lwT = self._pallas_m
+                    k = r2.shape[1]
+                    k_pad = -(-k // 8) * 8
+                    rp = jnp.pad(r2, ((0, 0), (0, k_pad - k))) if k_pad != k else r2
+                    Bt = rp.reshape(self.nblk, self.nb, k_pad).swapaxes(1, 2)
+                    Xt = pallas_trsm_win_inv(
+                        dinvT, lwT, Bt, self.nb, self.WL, interpret=not ctx.is_tpu
+                    )
+                    return Xt.swapaxes(1, 2).reshape(m_pad, k_pad)[:, :k]
                 return trsv_blocked_win_inv(self._Dinv, self.Lval, r2, self.nb, m_pad, self.WL)
             return trsv_blocked_win(self.D, self.Lval, r2, self.nb, m_pad, self.WL)
         return trsv_blocked(self.D, self.Lind, self.Lval, r2, self.nb, m_pad)

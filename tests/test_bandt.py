@@ -223,3 +223,41 @@ def test_bandtm_wide_rhs_falls_back_to_bwdg(rng, monkeypatch):
     finally:
         monkeypatch.delenv("AOCLSPARSE_TPU_FORCE_PALLAS", raising=False)
         reset_context()
+
+
+def test_pallas_trsm_multi_rhs(rng, monkeypatch):
+    """Multi-RHS sequential-grid solve (pallas_trsm_win_inv): trsm routes
+    through it under Pallas, matches the solve oracle, keeps values
+    refreshable, and odd K (lane padding) works."""
+    monkeypatch.setenv("AOCLSPARSE_TPU_FORCE_PALLAS", "1")
+    from aoclsparse_tpu.core.context import reset_context
+    from aoclsparse_tpu.core.types import MatrixType
+
+    reset_context()
+    try:
+        m = 2048
+        dense = np.tril(
+            rng.standard_normal((m, m)) * (rng.random((m, m)) < 0.01), -1
+        ) + np.diag(4 + rng.random(m))
+        mask = dense != 0
+        ptr = np.concatenate([[0], np.cumsum(mask.sum(1))])
+        ind = np.nonzero(mask)[1]
+        val = dense[mask].astype(np.float32)
+        A = ast.create_csr(m, m, ptr, ind, val)
+        low = MatrixDescriptor().with_(type=MatrixType.triangular)
+        for k in (3, 8, 17):
+            B = rng.standard_normal((m, k)).astype(np.float32)
+            X = np.asarray(ast.trsm(2.0, A, low, Operation.none, B))
+            np.testing.assert_allclose(
+                X, np.linalg.solve(dense, 2.0 * B), rtol=5e-4, atol=5e-4
+            )
+        # refresh: scaled values must flow into the cached Pallas operands
+        ast.update_values(A, val * 2)
+        B = rng.standard_normal((m, 5)).astype(np.float32)
+        X2 = np.asarray(ast.trsm(1.0, A, low, Operation.none, B))
+        np.testing.assert_allclose(
+            X2, np.linalg.solve(2 * dense, B), rtol=5e-4, atol=5e-4
+        )
+    finally:
+        monkeypatch.delenv("AOCLSPARSE_TPU_FORCE_PALLAS", raising=False)
+        reset_context()
