@@ -258,6 +258,25 @@ def main():
         }
     )
 
+    # ---- TRSM multi-RHS (Pallas sequential-grid when available) ----
+    try:
+        K = 64
+        Bk = jnp.pad(
+            jnp.asarray(rng.standard_normal((m, K)).astype(np.float32)),
+            ((0, m_pad - m), (0, 0)),
+        )
+        t = chain_min(lambda: tform.solve(Bk), iters_per=3, chunks=4)
+        results.append(
+            {
+                "metric": "trsm_f32_k64",
+                "value": round(K * (2 * tri_nnz - m) / t / 1e9, 2),
+                "unit": "GFLOP/s",
+                "extra": {"t_ms": round(t * 1e3, 3), "K": K, "nb": tform.nb},
+            }
+        )
+    except Exception as e:
+        results.append({"metric": "trsm_f32_k64", "error": repr(e)[:200]})
+
     # ---- CG on band form: time per iteration ----
     from aoclsparse_tpu.parallel.cg import cg_bwd_jit
 
