@@ -26,7 +26,7 @@ import numpy as np
 from ..core.descr import MatrixDescriptor
 from ..core.types import AoclSparseError, Operation, Status
 
-__all__ = ["autotune_mv"]
+__all__ = ["autotune_mv", "autotune_trsv"]
 
 _MV_KINDS = ("bandt", "bwd", "diag", "gen", "ell", "ellhyb", "segsum")
 
@@ -103,4 +103,63 @@ def autotune_mv(
     winner = min(results, key=results.get)
     key = (descr.type, descr.fill_mode, descr.diag_type, op, None)
     plan.exec_forms[key] = forms[winner]
+    return results
+
+
+def autotune_trsv(
+    A,
+    descr: Optional[MatrixDescriptor] = None,
+    op: Operation = Operation.none,
+    nb_candidates: Tuple[int, ...] = (128, 256, 512),
+    k: int = 1,
+    iters: int = 10,
+    chunks: int = 3,
+) -> Dict[int, float]:
+    """Measure the blocked triangular solve at several block sizes and pin
+    the winner for this plan's (fill, diag, op) — the empirical version of
+    adaptive_nb's ~512-step heuristic (planner/triangular.py). `k` sizes
+    the probe RHS (k > 1 tunes the TRSM path). Returns {nb: seconds}."""
+    from ..core.types import MatrixType
+    from ..planner.plan import get_plan
+    from ..planner.triangular import trsv_form_for
+
+    if A is None:
+        raise AoclSparseError(Status.invalid_pointer, "null matrix handle")
+    descr = (
+        MatrixDescriptor(type=MatrixType.triangular) if descr is None else descr
+    )
+    op = Operation(op)
+    plan = get_plan(A)
+    m = plan.clean.m
+    results: Dict[int, float] = {}
+    for nb in nb_candidates:
+        if nb > m:
+            continue
+        try:
+            form = trsv_form_for(plan, descr, op, nb=nb)
+        except Exception:
+            continue
+        m_pad = form.nblk * form.nb
+        r2 = jnp.asarray(
+            np.tile(np.linspace(1.0, 2.0, m_pad, dtype=np.float64)[:, None], (1, k))
+        ).astype(A.dtype)
+        try:
+            form.solve(r2)  # compile
+            np.asarray(jnp.ravel(form.solve(r2))[:1])
+            best = float("inf")
+            for _ in range(chunks):
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    x = form.solve(r2)
+                np.asarray(jnp.ravel(x)[:1])
+                best = min(best, (time.perf_counter() - t0) / iters)
+        except Exception:
+            continue
+        results[nb] = best
+    if not results:
+        raise AoclSparseError(Status.internal_error, "no block size could be timed")
+    winner = min(results, key=results.get)
+    if getattr(plan, "_trsv_tuned", None) is None:
+        plan._trsv_tuned = {}
+    plan._trsv_tuned[(descr.fill_mode, descr.diag_type, op)] = winner
     return results

@@ -334,7 +334,12 @@ def trsv_form_for(
 
     nb=None picks an adaptive block size targeting ~512 scan steps (each
     step costs ~8us of scan overhead on this stack, so fewer/larger blocks
-    win until the dense diagonal blocks dominate memory)."""
+    win until the dense diagonal blocks dominate memory), unless
+    autotune_trsv measured and pinned one for this (fill, diag, op)."""
+    if nb is None:
+        tuned = getattr(plan, "_trsv_tuned", None)
+        if tuned is not None:
+            nb = tuned.get((descr.fill_mode, descr.diag_type, Operation(op)))
     if nb is None:
         nb = adaptive_nb(plan.clean.m, dtype=np.asarray(plan.clean.val).dtype)
     tri_descr = MatrixDescriptor(

@@ -58,3 +58,29 @@ def test_autotune_null_handle():
     with pytest.raises(AoclSparseError) as e:
         ast.autotune_mv(None)
     assert e.value.status == Status.invalid_pointer
+
+
+def test_autotune_trsv_pins_block_size(rng):
+    from aoclsparse_tpu.core.types import MatrixType
+    from aoclsparse_tpu.planner.triangular import trsv_form_for
+
+    m = 1536
+    dense = np.tril(
+        rng.standard_normal((m, m)) * (rng.random((m, m)) < 0.01), -1
+    ) + np.diag(4 + rng.random(m))
+    mask = dense != 0
+    ptr = np.concatenate([[0], np.cumsum(mask.sum(1))])
+    A = ast.create_csr(m, m, ptr, np.nonzero(mask)[1], dense[mask])
+    low = MatrixDescriptor().with_(type=MatrixType.triangular)
+    t = ast.autotune_trsv(A, low, nb_candidates=(128, 256), iters=2, chunks=1)
+    assert set(t) <= {128, 256} and t
+    winner = min(t, key=t.get)
+    form = trsv_form_for(get_plan(A), low, Operation.none)
+    assert form.nb == winner
+    # solve still correct with the pinned size
+    b = rng.standard_normal(m)
+    x = ast.trsv(1.0, A, low, Operation.none, b)
+    np.testing.assert_allclose(dense @ np.asarray(x), b, atol=1e-8)
+    # an explicit nb still overrides the pin
+    f512 = trsv_form_for(get_plan(A), low, Operation.none, nb=512)
+    assert f512.nb == 512
