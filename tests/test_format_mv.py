@@ -28,7 +28,7 @@ def _random_csr(rng, m, n, rmax, dtype=np.float64):
     ).astype(np.int64)
     val = rng.standard_normal(int(lens.sum())).astype(dtype)
     if np.issubdtype(dtype, np.complexfloating):
-        val = val + 1j * rng.standard_normal(int(lens.sum()))
+        val = (val + 1j * rng.standard_normal(int(lens.sum()))).astype(dtype)
     dense = np.zeros((m, n), dtype)
     dense[np.repeat(np.arange(m), lens), cols] = val
     return ptr, cols, val, dense
@@ -320,3 +320,55 @@ def test_opt_blksize_integer_nnzpr():
     # contiguous columns -> high block utilization, passes the util cutoff
     nrb, total = opt_blksize(m, int(lens.sum()), ptr, cols)
     assert isinstance(nrb, int)  # must not early-return via the float-division branch
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64, np.complex64, np.complex128])
+def test_csrmv_dtypes(rng, dtype):
+    """s/d/c/z instantiations of the direct CSR kernel (the reference
+    templates every format kernel over the four dtypes)."""
+    m, n = 19, 23
+    ptr, cols, val, A = _random_csr(rng, m, n, 4, dtype)
+    d = MatrixDescriptor()
+    x = rng.standard_normal(n).astype(dtype)
+    y = ast.csrmv(Operation.none, 1.0, m, n, len(val), val, cols, ptr, d, x, 0.0)
+    assert np.asarray(y).dtype == np.dtype(dtype)
+    assert_allclose_spec(y, A @ x, dtype=dtype, scale=10)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64, np.complex64, np.complex128])
+def test_ellmv_diamv_bsrmv_dtypes(rng, dtype):
+    m = n = 20
+    ptr, cols, val, A = _random_csr(rng, m, n, 4, dtype)
+    d = MatrixDescriptor()
+    x = rng.standard_normal(n).astype(dtype)
+    E = csr_to_ell(CSR(ptr, cols, val, shape=(m, n)))
+    y = ast.ellmv(Operation.none, 1.0, m, n, len(val), np.asarray(E.val), np.asarray(E.ind), E.width, d, x, 0.0)
+    assert_allclose_spec(y, A @ x, dtype=dtype, scale=10)
+    D = csr_to_dia(CSR(ptr, cols, val, shape=(m, n)))
+    y2 = ast.diamv(Operation.none, 1.0, m, n, len(val), np.asarray(D.val), np.asarray(D.dist), D.ndiag, d, x, 0.0)
+    assert_allclose_spec(y2, A @ x, dtype=dtype, scale=10)
+    B = csr_to_bsr(CSR(ptr, cols, val, shape=(m, n)), 4)
+    y3 = ast.bsrmv(Operation.none, 1.0, B.mb, -(-n // 4), 4, np.asarray(B.val), np.asarray(B.ind), np.asarray(B.ptr), d, x, 0.0)
+    assert_allclose_spec(y3[:m], A @ x, dtype=dtype, scale=10)
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.complex128])
+def test_blkcsrmv_dtypes(rng, dtype):
+    m, n = 16, 24
+    ptr, cols, val, A = _random_csr(rng, m, n, 5, dtype)
+    bptr, bcol, bval, masks = ast.csr2blkcsr(m, n, len(val), ptr, cols, val, 2)
+    d = MatrixDescriptor()
+    x = rng.standard_normal(n).astype(dtype)
+    y = ast.blkcsrmv(Operation.none, 1.0, m, n, len(val), masks, np.asarray(bval), bcol, bptr, d, x, 0.0, nRowsblk=2)
+    assert_allclose_spec(y, A @ x, dtype=dtype, scale=10)
+
+
+@pytest.mark.parametrize("base", [0, 1])
+def test_csrmv_index_base(rng, base):
+    """zero- and one-based column indices through the descriptor base."""
+    m, n = 14, 17
+    ptr, cols, val, A = _random_csr(rng, m, n, 4)
+    d = MatrixDescriptor().with_(base=base)
+    x = rng.standard_normal(n)
+    y = ast.csrmv(Operation.none, 1.0, m, n, len(val), val, cols + base, ptr, d, x, 0.0)
+    assert_allclose_spec(y, A @ x, dtype=np.float64, scale=10)
