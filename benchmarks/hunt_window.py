@@ -244,8 +244,12 @@ def main():
     good_rounds_max = int(os.environ.get("HUNT_GOOD_ROUNDS", "4"))
     hours = float(os.environ.get("HUNT_HOURS", "5"))
     deadline = time.time() + hours * 3600
+    stop_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "HUNT_STOP")
     rnd, good = 0, 0
     while time.time() < deadline and good < good_rounds_max:
+        if os.path.exists(stop_file):
+            emit({"probe": "hunt_stopped", "reason": "stop file"})
+            break
         rnd += 1
         ts = timeit(lambda: stream(big), iters=4, chunks=2)
         s_gbps = 2 * big.size * 4 / ts / 1e9
