@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.descr import MatrixDescriptor
 from ..core.types import AoclSparseError, Operation, Status
 
 __all__ = ["save_plan", "load_plan"]
@@ -99,6 +100,8 @@ def save_plan(A, path: str) -> None:
 
     if A is None:
         raise AoclSparseError(Status.invalid_pointer, "null matrix handle")
+    if not str(path).endswith(".npz"):
+        path = str(path) + ".npz"  # np.savez appends it; keep load symmetric
     plan = get_plan(A)
     arrays: Dict[str, np.ndarray] = {}
     manifest = {
@@ -128,6 +131,8 @@ def load_plan(A, path: str) -> int:
 
     if A is None:
         raise AoclSparseError(Status.invalid_pointer, "null matrix handle")
+    if not str(path).endswith(".npz"):
+        path = str(path) + ".npz"
     npz = np.load(path, allow_pickle=False)
     manifest = json.loads(bytes(npz["__manifest__"]).decode())
     if manifest.get("version") != _FORMAT_VERSION:
@@ -143,7 +148,9 @@ def load_plan(A, path: str) -> int:
         key_t = (key[0], key[1], key[2], Operation(key[3]), key[4])
         form = _unpack_dataclass(ExecForm, f"ef{i}", npz, entry)
         # values come from the LIVE handle, not the snapshot
-        descr_like = _DescrView(*key[:3])
+        descr_like = MatrixDescriptor(
+            type=key[0], fill_mode=key[1], diag_type=key[2]
+        )
         eff = plan.effective_for(descr_like, Operation(key[3]), A.dtype)
         form.refresh(eff.val)
         plan.exec_forms[key_t] = form
@@ -155,15 +162,3 @@ def load_plan(A, path: str) -> int:
         plan._trsv_tuned = tuned
     return n_restored
 
-
-class _DescrView:
-    """Minimal descriptor stand-in for effective_for (type/fill/diag only)."""
-
-    def __init__(self, type_, fill_mode, diag_type):
-        self.type = type_
-        self.fill_mode = fill_mode
-        self.diag_type = diag_type
-        self.base = 0
-
-    def validate(self):  # pragma: no cover - parity shim
-        return None

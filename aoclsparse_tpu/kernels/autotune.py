@@ -73,7 +73,9 @@ def autotune_mv(
     op = Operation(op)
     plan = get_plan(A)
     eff = plan.effective_for(descr, op, A.dtype)
-    n_in = eff.shape[1] if op == Operation.none else eff.shape[0]
+    # effective_for folds the op into the structure, so the input dimension
+    # is ALWAYS the effective column count
+    n_in = eff.shape[1]
     if x is None:
         # deterministic, scale-1 probe vector
         x = jnp.asarray(np.linspace(-1.0, 1.0, n_in), dtype=A.dtype)
@@ -132,13 +134,15 @@ def autotune_trsv(
     plan = get_plan(A)
     m = plan.clean.m
     results: Dict[int, float] = {}
+    seen_nb = set()
     for nb in nb_candidates:
-        if nb > m:
-            continue
         try:
-            form = trsv_form_for(plan, descr, op, nb=nb)
+            form = trsv_form_for(plan, descr, op, nb=min(nb, max(8, m)))
         except Exception:
             continue
+        if form.nb in seen_nb:
+            continue  # clamped candidates can collapse to the same block size
+        seen_nb.add(form.nb)
         m_pad = form.nblk * form.nb
         r2 = jnp.asarray(
             np.tile(np.linspace(1.0, 2.0, m_pad, dtype=np.float64)[:, None], (1, k))
@@ -155,7 +159,7 @@ def autotune_trsv(
                 best = min(best, (time.perf_counter() - t0) / iters)
         except Exception:
             continue
-        results[nb] = best
+        results[form.nb] = best
     if not results:
         raise AoclSparseError(Status.internal_error, "no block size could be timed")
     winner = min(results, key=results.get)

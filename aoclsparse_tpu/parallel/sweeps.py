@@ -23,7 +23,6 @@ from ..core.descr import MatrixDescriptor
 from ..core.types import (
     AoclSparseError,
     DiagType,
-    FillMode,
     MatrixType,
     Operation,
     Status,
@@ -40,8 +39,9 @@ def _tri(fill, diag):
 
 def _pipeline_solve(mesh, form, rhs, axis):
     """dist_trsv_pipeline with the same reversal/padding contract as the
-    local _apply_form (solvers/ilu.py)."""
-    x = dist_trsv_pipeline(mesh, form, np.asarray(rhs), axis=axis)
+    local _apply_form (solvers/ilu.py). The rhs stays a device array — a
+    host round-trip here would sync the tunnel per sweep step."""
+    x = dist_trsv_pipeline(mesh, form, rhs, axis=axis)
     return jnp.asarray(x)
 
 
@@ -89,37 +89,44 @@ def dist_symgs(
     if jnp.iscomplexobj(jnp.zeros((), A.dtype)):
         raise AoclSparseError(Status.not_implemented, "dist_symgs: real dtypes")
 
-    lower, upper = FillMode.lower, FillMode.upper
-    if mtype == MatrixType.general:
-        l_fm, l_op = lower, Operation.none
-        u_fm, u_op = upper, Operation.none
-    else:  # symmetric: both views from the stored triangle
-        if FillMode(descr.fill_mode) == FillMode.lower:
-            l_fm, l_op = lower, Operation.none
-            u_fm, u_op = lower, Operation.transpose
-        else:
-            l_fm, l_op = upper, Operation.transpose
-            u_fm, u_op = upper, Operation.none
+    from ..solvers.symgs import lu_view_selection
+
+    l_fm, l_op, u_fm, u_op = lu_view_selection(mtype, descr, Operation.none)
 
     plan = get_plan(A)
-    tri_l = _tri(l_fm, DiagType.non_unit)
-    tri_u = _tri(u_fm, DiagType.non_unit)
-    tri_ls = _tri(l_fm, DiagType.zero)
-    tri_us = _tri(u_fm, DiagType.zero)
+    # cache the sharded operands + solve forms on the plan: re-uploading the
+    # full ELL arrays through the contended tunnel per sweep would dominate
+    # an outer iteration (the single-device sweep caches its whole fused
+    # program for the same reason, solvers/symgs.py _symgs_fused)
+    ckey = ("dist_symgs", mtype, descr.fill_mode, axis, mesh.shape[axis])
+    cache = getattr(plan, "_dist_sweep_cache", None)
+    if cache is None:
+        cache = plan._dist_sweep_cache = {}
+    ops = cache.get(ckey)
+    if ops is None:
+        tri_l = _tri(l_fm, DiagType.non_unit)
+        tri_u = _tri(u_fm, DiagType.non_unit)
+        tri_ls = _tri(l_fm, DiagType.zero)
+        tri_us = _tri(u_fm, DiagType.zero)
 
-    # strict-triangle SpMV operands, row-sharded padded-ELL
-    def _sharded_mv(descr_s, op_s):
-        form = plan.exec_form_for(descr_s, op_s, kind="ell", dtype=A.dtype)
-        ind_s, val_s, m_pad = shard_ell(mesh, form.ell_ind, form.ell_val)
-        def run(x):
-            xp = jnp.pad(jnp.asarray(x), (0, max(0, m_pad - np.shape(x)[0])))
-            return dist_spmv_ell(mesh, ind_s, val_s, xp)[:m]
-        return run
+        def _sharded_mv(descr_s, op_s):
+            form = plan.exec_form_for(descr_s, op_s, kind="ell", dtype=A.dtype)
+            ind_s, val_s, m_pad = shard_ell(mesh, form.ell_ind, form.ell_val)
 
-    mv_us = _sharded_mv(tri_us, u_op)
-    mv_ls = _sharded_mv(tri_ls, l_op)
-    form_l = trsv_form_for(plan, tri_l, l_op)
-    form_u = trsv_form_for(plan, tri_u, u_op)
+            def run(x):
+                xp = jnp.pad(jnp.asarray(x), (0, max(0, m_pad - np.shape(x)[0])))
+                return dist_spmv_ell(mesh, ind_s, val_s, xp)[:m]
+
+            return run
+
+        ops = (
+            _sharded_mv(tri_us, u_op),
+            _sharded_mv(tri_ls, l_op),
+            trsv_form_for(plan, tri_l, l_op),
+            trsv_form_for(plan, tri_u, u_op),
+        )
+        cache[ckey] = ops
+    mv_us, mv_ls, form_l, form_u = ops
 
     b = jnp.asarray(b).astype(A.dtype)
     x0 = jnp.zeros((m,), A.dtype) if x0 is None else jnp.asarray(x0).astype(A.dtype)

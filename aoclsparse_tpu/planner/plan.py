@@ -1395,6 +1395,10 @@ class Plan:
         # an already-traced program, so the cache must drop with the values
         if hasattr(self, "_fused_cache"):
             self._fused_cache = {}
+        # distributed sweep operands (parallel/sweeps.py) hold device-put
+        # sharded COPIES of the ELL/solve arrays — same staleness, same drop
+        if hasattr(self, "_dist_sweep_cache"):
+            self._dist_sweep_cache = {}
 
 
 # ---------------------------------------------------------------------------

@@ -41,6 +41,14 @@ DEFAULT_BLOCK = 64
 TRSM_PALLAS_MAX_K = 256
 
 
+def _pallas_solve_dtype_ok(x) -> bool:
+    """Mosaic compiles only f32/bf16 (complex AND 64-bit traces are
+    rejected); both Pallas solve routes and the small-nb heuristic gate on
+    the operand dtype."""
+    dt = jnp.dtype(getattr(x, "dtype", x))
+    return dt in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+
+
 def adaptive_nb(m: int, dtype=None) -> int:
     """Block size targeting ~512 scan steps (per-step scan overhead ~8us on
     this stack; see trsv_form_for). With the Pallas sequential-grid solve
@@ -49,12 +57,12 @@ def adaptive_nb(m: int, dtype=None) -> int:
     layout caps nb at 256 (VMEM).
 
     The smaller-nb branch only applies when the Pallas solve can actually
-    take the solve: complex dtypes run the XLA scan (TrsvForm.solve guards
-    on iscomplexobj), where halving nb just doubles the ~8us scan steps."""
+    take the solve (f32/bf16 — TrsvForm.solve gates the same way); complex
+    and f64 run the XLA scan, where halving nb just doubles the ~8us steps."""
     from ..core.context import get_context
 
     base = int(min(512, max(DEFAULT_BLOCK, 1 << int(np.ceil(np.log2(max(m / 512, 1)))))))
-    pallas_eligible = dtype is None or not np.issubdtype(np.dtype(dtype), np.complexfloating)
+    pallas_eligible = dtype is None or _pallas_solve_dtype_ok(np.dtype(dtype))
     if get_context().pallas_ok and m >= 8 * 128 and pallas_eligible:
         return int(min(256, max(128, base)))
     return base
@@ -131,7 +139,7 @@ class TrsvForm:
                     and self.nb % 128 == 0
                     and self.WL % 8 == 0
                     and self.WL <= self.nb
-                    and not jnp.iscomplexobj(self.D)
+                    and _pallas_solve_dtype_ok(self.D)
                 ):
                     from ..kernels.pallas.trsv import pallas_trsv_win_inv8
 
@@ -164,7 +172,7 @@ class TrsvForm:
                     and self.nb % 128 == 0
                     and self.WL % 8 == 0
                     and self.WL <= self.nb
-                    and not jnp.iscomplexobj(self.D)
+                    and _pallas_solve_dtype_ok(self.D)
                 ):
                     from ..kernels.pallas.trsv import pallas_trsm_win_inv
 

@@ -39,6 +39,25 @@ def _tri(fill, diag):
     return MatrixDescriptor(type=MatrixType.triangular, fill_mode=fill, diag_type=diag)
 
 
+def lu_view_selection(mtype: MatrixType, descr: MatrixDescriptor, trans: Operation):
+    """Which stored triangle feeds the L and U views of the GS splitting,
+    and with which op (symgs.hpp:150-190). Shared by the single-device and
+    distributed sweeps so the two can never diverge."""
+    lower, upper = FillMode.lower, FillMode.upper
+    if mtype == MatrixType.general:
+        if trans == Operation.none:
+            return lower, Operation.none, upper, Operation.none
+        return upper, Operation.transpose, lower, Operation.transpose
+    if mtype == MatrixType.symmetric:
+        if FillMode(descr.fill_mode) == FillMode.lower:
+            return lower, Operation.none, lower, Operation.transpose
+        return upper, Operation.transpose, upper, Operation.none
+    # hermitian
+    if FillMode(descr.fill_mode) == FillMode.lower:
+        return lower, Operation.none, lower, Operation.conjugate_transpose
+    return upper, Operation.conjugate_transpose, upper, Operation.none
+
+
 def symgs(
     trans: Operation,
     A: SparseMatrix,
@@ -95,28 +114,7 @@ def _symgs_core(trans, A, descr, alpha, b, x0, fuse_mv, kid):
         )
 
     # pick which stored triangle feeds L and U views (symgs.hpp:150-190)
-    lower, upper = FillMode.lower, FillMode.upper
-    if mtype == MatrixType.general:
-        if trans == Operation.none:
-            l_fm, l_op = lower, Operation.none
-            u_fm, u_op = upper, Operation.none
-        else:  # transpose: swap triangles via op
-            l_fm, l_op = upper, Operation.transpose
-            u_fm, u_op = lower, Operation.transpose
-    elif mtype == MatrixType.symmetric:
-        if descr.fill_mode == FillMode.lower:
-            l_fm, l_op = lower, Operation.none
-            u_fm, u_op = lower, Operation.transpose
-        else:
-            l_fm, l_op = upper, Operation.transpose
-            u_fm, u_op = upper, Operation.none
-    else:  # hermitian
-        if descr.fill_mode == FillMode.lower:
-            l_fm, l_op = lower, Operation.none
-            u_fm, u_op = lower, Operation.conjugate_transpose
-        else:
-            l_fm, l_op = upper, Operation.conjugate_transpose
-            u_fm, u_op = upper, Operation.none
+    l_fm, l_op, u_fm, u_op = lu_view_selection(mtype, descr, trans)
 
     tri_l = _tri(l_fm, DiagType.non_unit)  # L + D view
     tri_ls = _tri(l_fm, DiagType.zero)  # strict L

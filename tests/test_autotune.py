@@ -84,3 +84,38 @@ def test_autotune_trsv_pins_block_size(rng):
     # an explicit nb still overrides the pin
     f512 = trsv_form_for(get_plan(A), low, Operation.none, nb=512)
     assert f512.nb == 512
+
+
+def test_autotune_trsv_small_matrix(rng):
+    """m below every candidate: nb clamps to m instead of internal_error."""
+    from aoclsparse_tpu.core.types import MatrixType
+
+    m = 100
+    dense = np.tril(rng.standard_normal((m, m)), -1) * 0.1 + np.diag(3 + rng.random(m))
+    mask = dense != 0
+    ptr = np.concatenate([[0], np.cumsum(mask.sum(1))])
+    A = ast.create_csr(m, m, ptr, np.nonzero(mask)[1], dense[mask])
+    low = MatrixDescriptor().with_(type=MatrixType.triangular)
+    t = ast.autotune_trsv(A, low, iters=1, chunks=1)
+    assert t  # at least one clamped candidate timed
+    b = rng.standard_normal(m)
+    x = ast.trsv(1.0, A, low, Operation.none, b)
+    np.testing.assert_allclose(dense @ np.asarray(x), b, atol=1e-8)
+
+
+def test_autotune_mv_transpose_probe_length(rng):
+    """op=transpose on a rectangular matrix: the probe vector length is the
+    effective column count (op folded into the structure), not eff rows."""
+    m, n = 96, 40
+    lens = np.full(m, 3)
+    ptr = np.concatenate([[0], np.cumsum(lens)])
+    cols = np.concatenate([np.sort(rng.choice(n, 3, replace=False)) for _ in range(m)])
+    val = rng.standard_normal(3 * m)
+    A = ast.create_csr(m, n, ptr, cols, val)
+    t = ast.autotune_mv(A, op=Operation.transpose, iters=1, chunks=1, kinds=("segsum", "ell"))
+    assert t  # a mis-sized probe would clamp silently; here it must just run
+    dense = np.zeros((m, n))
+    dense[np.repeat(np.arange(m), 3), cols] = val
+    x = rng.standard_normal(m)
+    yt = ast.mv(1.0, A, MatrixDescriptor(), Operation.transpose, x, 0.0)
+    np.testing.assert_allclose(np.asarray(yt), dense.T @ x, atol=1e-8)

@@ -322,3 +322,22 @@ def test_dist_ilu_apply_matches_local(rng):
     x_d = np.asarray(dist_ilu_apply(mesh, A, b))
     x_l = np.asarray(ast.ilu_smoother(A, MatrixDescriptor(), b))
     np.testing.assert_allclose(x_d, x_l, atol=1e-8)
+
+
+def test_dist_symgs_cache_refreshes_on_update(rng):
+    """The plan-cached sharded sweep operands hold device COPIES; they must
+    drop on update_values or the sweep serves stale values."""
+    from aoclsparse_tpu.parallel import dist_symgs
+
+    m = 96
+    ptr, ind, val, S = _spd_csr(rng, m)
+    A = ast.create_csr(m, m, ptr, ind, val)
+    mesh = make_mesh(8)
+    b = rng.standard_normal(m)
+    gen = MatrixDescriptor()
+    x1 = np.asarray(dist_symgs(mesh, A, gen, 1.0, b))  # builds + caches
+    ast.update_values(A, val * 2)
+    x2 = np.asarray(dist_symgs(mesh, A, gen, 1.0, b))
+    x2_ref = np.asarray(ast.symgs(Operation.none, A, gen, 1.0, b))
+    np.testing.assert_allclose(x2, x2_ref, atol=1e-10)
+    assert not np.allclose(x1, x2)  # values actually changed the sweep

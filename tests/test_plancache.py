@@ -140,3 +140,17 @@ def test_gen_form_snapshot_roundtrip(rng, monkeypatch):
             )
     finally:
         reset_context()
+
+
+def test_save_load_bare_path(rng):
+    """A path without .npz works for both save and load (np.savez appends
+    the extension; load must stay symmetric)."""
+    m = 128
+    ptr, c, val, dense = _circuitish(rng, m)
+    A = ast.create_csr(m, m, ptr, c, val)
+    get_plan(A).exec_form_for(GEN, Operation.none, dtype=A.dtype)
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "plan")  # no extension
+        save_plan(A, p)
+        B = ast.create_csr(m, m, ptr, c, val)
+        assert load_plan(B, p) >= 1
