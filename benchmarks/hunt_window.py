@@ -246,6 +246,12 @@ def main():
     deadline = time.time() + hours * 3600
     stop_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "HUNT_STOP")
     rnd, good = 0, 0
+    # opportunistic tier: when the pool never clears good_target (whole days
+    # have measured 0.1-0.4 GB/s), still record the A/B set in the best
+    # window seen so far — within one window relative comparisons hold
+    opp_floor = float(os.environ.get("HUNT_OPP_GBPS", "3"))
+    best_recorded = 0.0
+    last_opp_round = -999
     while time.time() < deadline and good < good_rounds_max:
         if os.path.exists(stop_file):
             emit({"probe": "hunt_stopped", "reason": "stop file"})
@@ -254,8 +260,18 @@ def main():
         ts = timeit(lambda: stream(big), iters=4, chunks=2)
         s_gbps = 2 * big.size * 4 / ts / 1e9
         rec = {"probe": "hunt", "round": rnd, "stream_gbps": round(s_gbps, 1)}
-        if s_gbps >= good_target:
-            good += 1
+        opportunistic = (
+            s_gbps < good_target
+            and s_gbps >= max(opp_floor, 1.5 * best_recorded)
+            and rnd - last_opp_round >= 8
+        )
+        if s_gbps >= good_target or opportunistic:
+            if s_gbps >= good_target:
+                good += 1
+            else:
+                rec["tier"] = "opportunistic"
+                last_opp_round = rnd
+            best_recorded = max(best_recorded, s_gbps)
             for name, fn in variants:
                 t = timeit(fn)
                 rec[name + "_us"] = round(t * 1e6, 1)
