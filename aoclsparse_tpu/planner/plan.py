@@ -1407,13 +1407,32 @@ class Plan:
 
 
 def optimize(A: SparseMatrix) -> Plan:
-    """Walk the hint list and prebuild what the hints ask for."""
+    """Walk the hint list and prebuild what the hints ask for.
+
+    With AOCLSPARSE_TPU_AUTOTUNE=1, heavily-hinted mv operations
+    (nop >= AOCLSPARSE_TPU_AUTOTUNE_NOP, default 1000) are additionally
+    measured empirically: every buildable execution form is timed through
+    the live dispatch and the winner pinned (kernels/autotune.py) — the
+    measurement amortizes over the hinted call count, exactly the trade
+    the reference's nop hint expresses."""
+    import os
+
     plan = get_plan(A)
+    tune = os.environ.get("AOCLSPARSE_TPU_AUTOTUNE", "0") in ("1", "true")
+    tune_nop = int(os.environ.get("AOCLSPARSE_TPU_AUTOTUNE_NOP", "1000"))
     for h in A.hints:
         if h.done:
             continue
         if h.action in ("mv", "dotmv", "mm"):
-            plan.exec_form_for(h.descr, h.trans)
+            if tune and h.action == "mv" and h.nop >= tune_nop:
+                from ..kernels.autotune import autotune_mv
+
+                try:
+                    autotune_mv(A, h.descr, h.trans)
+                except Exception:
+                    plan.exec_form_for(h.descr, h.trans)  # fall back to the cost model
+            else:
+                plan.exec_form_for(h.descr, h.trans)
         elif h.action in ("sv", "sm", "symgs", "sorv", "lu_smoother", "2m"):
             # solvers build their level schedules lazily; ensure clean csr + copies
             plan.effective_for(h.descr, h.trans)

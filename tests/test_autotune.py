@@ -119,3 +119,24 @@ def test_autotune_mv_transpose_probe_length(rng):
     x = rng.standard_normal(m)
     yt = ast.mv(1.0, A, MatrixDescriptor(), Operation.transpose, x, 0.0)
     np.testing.assert_allclose(np.asarray(yt), dense.T @ x, atol=1e-8)
+
+
+def test_optimize_autotune_env(rng, monkeypatch):
+    """AOCLSPARSE_TPU_AUTOTUNE=1: optimize() measures heavily-hinted mv ops
+    and pins the winner; below the nop threshold the cost model is used."""
+    monkeypatch.setenv("AOCLSPARSE_TPU_AUTOTUNE", "1")
+    monkeypatch.setenv("AOCLSPARSE_TPU_AUTOTUNE_NOP", "100")
+    A, dense = _band(rng, 1024)
+    ast.set_mv_hint(A, Operation.none, MatrixDescriptor(), nop=500)
+    ast.optimize(A)
+    form = get_plan(A).exec_form_for(MatrixDescriptor(), Operation.none)
+    assert form is not None  # a winner was pinned (measured, any kind)
+    x = rng.standard_normal(1024)
+    y = ast.mv(1.0, A, MatrixDescriptor(), Operation.none, x, 0.0)
+    np.testing.assert_allclose(np.asarray(y), dense @ x, atol=1e-8)
+    # below threshold: no measurement, plain cost-model prebuild
+    B, dense_b = _band(rng, 512)
+    ast.set_mv_hint(B, Operation.none, MatrixDescriptor(), nop=10)
+    ast.optimize(B)
+    yb = ast.mv(1.0, B, MatrixDescriptor(), Operation.none, np.ones(512), 0.0)
+    np.testing.assert_allclose(np.asarray(yb), dense_b @ np.ones(512), atol=1e-8)
