@@ -59,3 +59,14 @@ check("dist_cg", np.asarray(sol)[:m], np.linalg.solve(dense, b), tol=1e-5)
 xf, it_f, r_f = asp.pcg_solve(A, b, precond="ilu0", rtol=1e-10)
 print(f"pcg_solve(ilu0): {it_f} iterations, residual {r_f:.2e}")
 check("pcg fused", np.asarray(xf), np.linalg.solve(dense, b), tol=1e-5)
+
+# distributed preconditioner sweeps (§5.8(iii)): SymGS + ILU0 apply composed
+# from the row-sharded SpMVs and the pipelined solves
+from aoclsparse_tpu.parallel import dist_ilu_apply, dist_symgs
+
+x_gs = dist_symgs(mesh, A, MatrixDescriptor(), 1.0, b)
+check("dist_symgs vs local sweep", x_gs,
+      asp.symgs(Operation.none, A, MatrixDescriptor(), 1.0, b), tol=1e-9)
+x_ilu = dist_ilu_apply(mesh, A, b)
+check("dist_ilu_apply vs local smoother", x_ilu,
+      asp.ilu_smoother(A, MatrixDescriptor(), b), tol=1e-8)
