@@ -64,6 +64,30 @@ def _epilogue(ax, alpha, beta, y):
     return alpha * ax + beta * y
 
 
+_ZERO_CACHE = {}
+
+
+def _zero_operands(dtype):
+    key = jnp.dtype(dtype)
+    z = _ZERO_CACHE.get(key)
+    if z is None:
+        z = (jnp.zeros((0,), jnp.int32), jnp.zeros((0,), key))
+        _ZERO_CACHE[key] = z
+    return z
+
+
+_ZERO_AUX_CACHE = {}
+
+
+def _zero_aux(dtype):
+    key = jnp.dtype(dtype)
+    z = _ZERO_AUX_CACHE.get(key)
+    if z is None:
+        z = (jnp.zeros((0, 0), key), jnp.zeros((0,), jnp.bool_))
+        _ZERO_AUX_CACHE[key] = z
+    return z
+
+
 def _run_exec_form(form, x, kid):
     e = registry.select("mv", fmt=form.kind, kid=kid)
     if form.kind == "segsum":
@@ -124,8 +148,10 @@ def _run_exec_form(form, x, kid):
         from ...core.context import get_context
 
         has_spill = form.sp_ind is not None and bool(form.sp_ind.shape[0])
-        zero_i = jnp.zeros((0,), jnp.int32)
-        zero_v = jnp.zeros((0,), x.dtype)
+        # cached empty placeholders: creating device arrays per call costs a
+        # tunnel dispatch each (~1-3 ms) — measured as a ~950us/call gap
+        # between the raw kernel and this dispatch path (HUNT.jsonl)
+        zero_i, zero_v = _zero_operands(x.dtype)
         return e.fn(
             form.bwd_val,
             x,
@@ -154,11 +180,9 @@ def _run_exec_form(form, x, kid):
         has_spill = form.sp_ind is not None and bool(form.sp_ind.shape[0])
         has_hub = form.hub_cols is not None and bool(form.hub_cols.shape[0])
         has_hubrow = form.hubr_rows is not None and bool(form.hubr_rows.shape[0])
-        zero_i = jnp.zeros((0,), jnp.int32)
-        zero_v = jnp.zeros((0,), x.dtype)
-        zero_m = jnp.zeros((0, 0), x.dtype)
+        zero_i, zero_v = _zero_operands(x.dtype)
+        zero_m, zero_b = _zero_aux(x.dtype)
         has_flip = form.gen_flip is not None
-        zero_b = jnp.zeros((0,), jnp.bool_)
         flip = form.gen_flip if has_flip else zero_b
         if form.gen_bandt:
             from ...core.context import get_context

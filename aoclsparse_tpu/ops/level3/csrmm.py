@@ -148,8 +148,9 @@ def mm(
         from ...core.context import get_context
 
         has_spill = form.sp_ind is not None and bool(form.sp_ind.shape[0])
-        zero_i = jnp.zeros((0,), jnp.int32)
-        zero_v = jnp.zeros((0,), Bc.dtype)
+        from ..level2.mv import _zero_operands
+
+        zero_i, zero_v = _zero_operands(Bc.dtype)
         c_new = e.fn(
             form.bwd_val,
             Bc,
