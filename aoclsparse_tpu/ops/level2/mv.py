@@ -64,6 +64,11 @@ def _epilogue(ax, alpha, beta, y):
     return alpha * ax + beta * y
 
 
+@jax.jit
+def _scale(ax, alpha):
+    return alpha * ax
+
+
 _ZERO_CACHE = {}
 
 
@@ -301,14 +306,22 @@ def mv(
 
     check_dtype_compat(A.dtype, x.dtype, "x")
     dtype = jnp.result_type(A.dtype, x.dtype)
-    alpha_c = jnp.asarray(alpha, dtype=dtype)
-    beta_c = jnp.asarray(beta, dtype=dtype)
-    y0 = jnp.zeros((ny,), dtype=dtype) if y is None else y.astype(dtype)
     # quick exits (mv.cpp:118-123)
     if A.nnz == 0 or (np.isscalar(alpha) and alpha == 0):
+        alpha_c = jnp.asarray(alpha, dtype=dtype)
+        beta_c = jnp.asarray(beta, dtype=dtype)
+        y0 = jnp.zeros((ny,), dtype=dtype) if y is None else y.astype(dtype)
         return _epilogue(jnp.zeros((ny,), dtype=dtype), alpha_c * 0, beta_c, y0)
     ax = _spmv_core(A, descr, op, x.astype(A.dtype), kid)
-    return _epilogue(ax.astype(dtype), alpha_c, beta_c, y0)
+    if y is None:
+        # no accumulate target: result is alpha*ax, so skip the zeros
+        # allocation and the beta transfer (each costs a tunnel dispatch)
+        if np.isscalar(alpha) and alpha == 1.0:
+            return ax.astype(dtype)
+        return _scale(ax.astype(dtype), jnp.asarray(alpha, dtype=dtype))
+    alpha_c = jnp.asarray(alpha, dtype=dtype)
+    beta_c = jnp.asarray(beta, dtype=dtype)
+    return _epilogue(ax.astype(dtype), alpha_c, beta_c, y.astype(dtype))
 
 
 @jax.jit
