@@ -126,6 +126,33 @@ def main():
             time.sleep(8.0 if now > base_deadline else 2.0)
 
     t, window_gbps = best
+
+    # secondary: the bf16-multiply band path under the precision policy
+    # (docs/precision.md) — pre-cast operand, f32 accumulate; reported in
+    # extra so the headline stays the full-precision default
+    t_bf16 = None
+    try:
+        from aoclsparse_tpu.kernels.xla.spmv import spmv_bwd
+
+        form_b = plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="bwd")
+        xp_b = jnp.pad(x_d, (form_b.bwd_padL, form_b.bwd_n_pad - form_b.bwd_padL - n))
+        wv16 = jnp.asarray(form_b.bwd_val, dtype=jnp.bfloat16)
+
+        def run16():
+            return spmv_bwd(wv16, xp_b, form_b.bwd_W, form_b.bwd_base8, form_b.bwd_n_pad, True)
+
+        y = run16()
+        np.asarray(y[:1])
+        t_bf16 = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            for _ in range(iters_per):
+                y = run16()
+            np.asarray(y[:1])
+            t_bf16 = min(t_bf16, (time.perf_counter() - t0) / iters_per)
+    except Exception:
+        pass
+
     isize = 4
     vsize = np.dtype(dtype).itemsize
     gbytes = ((m + 1 + nnz) * isize + (nnz + n + m) * vsize) / 1e9
@@ -146,6 +173,8 @@ def main():
                     "window_stream_gbps": round(window_gbps, 1),
                     "vs_achievable": round(gbs / max(window_gbps, 1e-9), 4),
                     "exec_form": form.kind,
+                    "bf16mul_gbs_eff": None if t_bf16 is None else round(gbytes / t_bf16, 1),
+                    "bf16mul_t_us": None if t_bf16 is None else round(t_bf16 * 1e6, 1),
                     "W": getattr(form, "bwd_W", None),
                     "m": m,
                     "nnz": nnz,
