@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 from ...core.descr import MatrixDescriptor
 from ...core.matrix import SparseMatrix
@@ -74,9 +75,13 @@ def trsv(
 
     check_dtype_compat(A.dtype, b.dtype, "b")
     dtype = jnp.result_type(A.dtype, b.dtype)
-    return _solve(A, descr, op, (jnp.asarray(alpha, dtype) * b).astype(A.dtype), kid).astype(
-        dtype
-    )
+    # alpha == 1 is the overwhelming case (every solver inner loop): skip
+    # the scalar transfer + elementwise scale (two tunnel dispatches)
+    if np.isscalar(alpha) and alpha == 1.0:
+        rhs = b.astype(A.dtype)
+    else:
+        rhs = (jnp.asarray(alpha, dtype) * b).astype(A.dtype)
+    return _solve(A, descr, op, rhs, kid).astype(dtype)
 
 
 def csrsv(alpha, A, descr, op, b, kid=None):

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 from ...core.descr import MatrixDescriptor
 from ...core.matrix import SparseMatrix
@@ -43,5 +44,9 @@ def trsm(
 
     check_dtype_compat(A.dtype, B.dtype, "B")
     dtype = jnp.result_type(A.dtype, B.dtype)
-    X = _solve(A, descr, op, (jnp.asarray(alpha, dtype) * B).astype(A.dtype), kid).astype(dtype)
+    if np.isscalar(alpha) and alpha == 1.0:
+        rhs = B.astype(A.dtype)  # skip the scalar transfer + scale dispatch
+    else:
+        rhs = (jnp.asarray(alpha, dtype) * B).astype(A.dtype)
+    X = _solve(A, descr, op, rhs, kid).astype(dtype)
     return X.T if order == Order.column else X
