@@ -313,15 +313,18 @@ def mv(
         y0 = jnp.zeros((ny,), dtype=dtype) if y is None else y.astype(dtype)
         return _epilogue(jnp.zeros((ny,), dtype=dtype), alpha_c * 0, beta_c, y0)
     ax = _spmv_core(A, descr, op, x.astype(A.dtype), kid)
-    if y is None:
-        # no accumulate target: result is alpha*ax, so skip the zeros
-        # allocation and the beta transfer (each costs a tunnel dispatch)
+    if y is None and np.isscalar(beta) and beta == 0:
+        # no accumulate target and a finite zero beta (nan/inf compare
+        # unequal to 0, so IEEE beta*0 = NaN propagation keeps the full
+        # epilogue): result is alpha*ax — skip the zeros allocation and
+        # the scalar transfers (each costs a tunnel dispatch)
         if np.isscalar(alpha) and alpha == 1.0:
             return ax.astype(dtype)
         return _scale(ax.astype(dtype), jnp.asarray(alpha, dtype=dtype))
     alpha_c = jnp.asarray(alpha, dtype=dtype)
     beta_c = jnp.asarray(beta, dtype=dtype)
-    return _epilogue(ax.astype(dtype), alpha_c, beta_c, y.astype(dtype))
+    y0 = jnp.zeros((ny,), dtype=dtype) if y is None else y.astype(dtype)
+    return _epilogue(ax.astype(dtype), alpha_c, beta_c, y0)
 
 
 @jax.jit

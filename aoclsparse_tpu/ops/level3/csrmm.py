@@ -50,9 +50,7 @@ def _epilogue(c_new, alpha, beta, c_old):
     return alpha * c_new + beta * c_old
 
 
-@jax.jit
-def _scale_mm(c_new, alpha):
-    return alpha * c_new
+
 
 
 def mm(
@@ -97,8 +95,9 @@ def mm(
     dtype = jnp.result_type(A.dtype, B.dtype)
     if A.nnz == 0 or (np.isscalar(alpha) and alpha == 0):
         c_old = jnp.zeros((ma, k), dtype=dtype) if C is None else C.astype(dtype)
+        alpha_c = jnp.asarray(alpha, dtype=dtype)
         beta_c = jnp.asarray(beta, dtype=dtype)
-        out = _epilogue(jnp.zeros((ma, k), dtype=dtype), beta_c * 0, beta_c, c_old)
+        out = _epilogue(jnp.zeros((ma, k), dtype=dtype), alpha_c * 0, beta_c, c_old)
         return out.T if order == Order.column else out
 
     plan = get_plan(A)
@@ -194,18 +193,21 @@ def mm(
         c_new = e.fn(
             form.ell_ind, form.ell_val, form.sp_ind, form.sp_val, form.sp_rows, Bc, form.m
         )
-    # no accumulate target: alpha*C_new directly — skip the zeros panel
-    # allocation + beta transfer (each a tunnel dispatch, cf. mv)
-    if C is None:
+    # no accumulate target and finite zero beta (nan/inf != 0, so IEEE
+    # beta*0 = NaN propagation keeps the full epilogue): alpha*C_new
+    # directly — skip the zeros panel + scalar transfers (cf. mv)
+    if C is None and np.isscalar(beta) and beta == 0:
+        from ..level2.mv import _scale
+
         if np.isscalar(alpha) and alpha == 1.0:
             out = c_new.astype(dtype)
         else:
-            out = _scale_mm(c_new.astype(dtype), jnp.asarray(alpha, dtype=dtype))
+            out = _scale(c_new.astype(dtype), jnp.asarray(alpha, dtype=dtype))
         return out.T if order == Order.column else out
     out = _epilogue(
         c_new.astype(dtype),
         jnp.asarray(alpha, dtype=dtype),
         jnp.asarray(beta, dtype=dtype),
-        C.astype(dtype),
+        jnp.zeros((ma, k), dtype=dtype) if C is None else C.astype(dtype),
     )
     return out.T if order == Order.column else out

@@ -1419,7 +1419,11 @@ def optimize(A: SparseMatrix) -> Plan:
 
     plan = get_plan(A)
     tune = os.environ.get("AOCLSPARSE_TPU_AUTOTUNE", "0") in ("1", "true")
-    tune_nop = int(os.environ.get("AOCLSPARSE_TPU_AUTOTUNE_NOP", "1000"))
+    if tune:
+        try:
+            tune_nop = int(os.environ.get("AOCLSPARSE_TPU_AUTOTUNE_NOP", "1000"))
+        except ValueError:
+            tune_nop = 1000
     for h in A.hints:
         if h.done:
             continue
@@ -1429,8 +1433,15 @@ def optimize(A: SparseMatrix) -> Plan:
 
                 try:
                     autotune_mv(A, h.descr, h.trans)
-                except Exception:
-                    plan.exec_form_for(h.descr, h.trans)  # fall back to the cost model
+                except Exception as e:
+                    import warnings
+
+                    warnings.warn(
+                        f"AOCLSPARSE_TPU_AUTOTUNE requested but measurement failed "
+                        f"({type(e).__name__}: {e}); using the cost model",
+                        RuntimeWarning,
+                    )
+                    plan.exec_form_for(h.descr, h.trans)
             else:
                 plan.exec_form_for(h.descr, h.trans)
         elif h.action in ("sv", "sm", "symgs", "sorv", "lu_smoother", "2m"):

@@ -78,6 +78,24 @@ def main():
     def stream(b):
         return b * 2.0 + 1.0
 
+    # secondary variant: the bf16-multiply band path under the precision
+    # policy (docs/precision.md) — pre-cast operand, f32 accumulate. Timed
+    # inside the SAME adaptive windows as the headline (best-of-chunks; a
+    # single-window sample would be meaningless under pool contention).
+    run16 = None
+    try:
+        from aoclsparse_tpu.kernels.xla.spmv import spmv_bwd
+
+        form_b = plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="bwd")
+        xp_b = jnp.pad(x_d, (form_b.bwd_padL, form_b.bwd_n_pad - form_b.bwd_padL - n))
+        wv16 = jnp.asarray(form_b.bwd_val, dtype=jnp.bfloat16)
+
+        def run16():
+            return spmv_bwd(wv16, xp_b, form_b.bwd_W, form_b.bwd_base8, form_b.bwd_n_pad, True)
+
+    except Exception:
+        run16 = None
+
     # warmup / compile — if the Pallas path fails to compile (the remote
     # Mosaic service has been flaky), fall back to the XLA band form so the
     # bench always reports a number
@@ -88,6 +106,12 @@ def main():
         form = plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="bwd")
         y = run()
         np.asarray(y[:1])
+    if run16 is not None:
+        try:
+            y = run16()
+            np.asarray(y[:1])
+        except Exception:
+            run16 = None
     z = stream(stream_buf)
     np.asarray(z[:1])
 
@@ -103,6 +127,7 @@ def main():
     iters_per = 40
     stream_iters = 6
     best = None  # (t_kernel, stream_gbps_same_window)
+    t_bf16 = None
     c = 0
     while True:
         c += 1
@@ -111,6 +136,13 @@ def main():
             y = run()
         np.asarray(y[:1])
         t_k = (time.perf_counter() - t0) / iters_per
+        if run16 is not None:
+            t0 = time.perf_counter()
+            for _ in range(iters_per):
+                y = run16()
+            np.asarray(y[:1])
+            t16 = (time.perf_counter() - t0) / iters_per
+            t_bf16 = t16 if t_bf16 is None else min(t_bf16, t16)
         t0 = time.perf_counter()
         for _ in range(stream_iters):
             z = stream(stream_buf)
@@ -126,32 +158,6 @@ def main():
             time.sleep(8.0 if now > base_deadline else 2.0)
 
     t, window_gbps = best
-
-    # secondary: the bf16-multiply band path under the precision policy
-    # (docs/precision.md) — pre-cast operand, f32 accumulate; reported in
-    # extra so the headline stays the full-precision default
-    t_bf16 = None
-    try:
-        from aoclsparse_tpu.kernels.xla.spmv import spmv_bwd
-
-        form_b = plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="bwd")
-        xp_b = jnp.pad(x_d, (form_b.bwd_padL, form_b.bwd_n_pad - form_b.bwd_padL - n))
-        wv16 = jnp.asarray(form_b.bwd_val, dtype=jnp.bfloat16)
-
-        def run16():
-            return spmv_bwd(wv16, xp_b, form_b.bwd_W, form_b.bwd_base8, form_b.bwd_n_pad, True)
-
-        y = run16()
-        np.asarray(y[:1])
-        t_bf16 = float("inf")
-        for _ in range(4):
-            t0 = time.perf_counter()
-            for _ in range(iters_per):
-                y = run16()
-            np.asarray(y[:1])
-            t_bf16 = min(t_bf16, (time.perf_counter() - t0) / iters_per)
-    except Exception:
-        pass
 
     isize = 4
     vsize = np.dtype(dtype).itemsize

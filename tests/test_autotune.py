@@ -129,8 +129,12 @@ def test_optimize_autotune_env(rng, monkeypatch):
     A, dense = _band(rng, 1024)
     ast.set_mv_hint(A, Operation.none, MatrixDescriptor(), nop=500)
     ast.optimize(A)
-    form = get_plan(A).exec_form_for(MatrixDescriptor(), Operation.none)
-    assert form is not None  # a winner was pinned (measured, any kind)
+    # the measured winner must already sit in the kind=None cache slot —
+    # exec_form_for would build one on demand, so assert the slot directly
+    d = MatrixDescriptor()
+    key = (d.type, d.fill_mode, d.diag_type, Operation.none, None)
+    assert key in get_plan(A).exec_forms
+    form = get_plan(A).exec_forms[key]
     x = rng.standard_normal(1024)
     y = ast.mv(1.0, A, MatrixDescriptor(), Operation.none, x, 0.0)
     np.testing.assert_allclose(np.asarray(y), dense @ x, atol=1e-8)

@@ -175,3 +175,26 @@ def test_ilu0_inf_pivot_status(rng):
     with pytest.raises(ast.AoclSparseError) as e:
         ast.ilu0_factorize(A)
     assert e.value.status == Status.numerical_error
+
+
+def test_nonfinite_beta_propagates_without_y(rng):
+    """beta = inf/nan with NO accumulate target: beta * 0 must still
+    contaminate (the y=None dispatch fast path only applies to finite
+    beta == 0; extreme_value_tests.cpp IEEE policy)."""
+    m, n = 12, 10
+    mask = rng.random((m, n)) < 0.5
+    dense = np.where(mask, rng.standard_normal((m, n)), 0.0)
+    ptr = np.concatenate([[0], np.cumsum(mask.sum(1))])
+    A = ast.create_csr(m, n, ptr, np.nonzero(mask)[1], dense[mask])
+    x = rng.standard_normal(n)
+    B = rng.standard_normal((n, 3))
+    for bad in (float("inf"), float("nan")):
+        y = np.asarray(ast.mv(1.0, A, GEN, Operation.none, x, bad))
+        assert np.all(np.isnan(y))
+        C = np.asarray(ast.mm(1.0, A, GEN, Operation.none, B, bad))
+        assert np.all(np.isnan(C))
+    # empty matrix + non-finite alpha contaminates through the quick exit
+    A0 = ast.create_csr(m, n, np.zeros(m + 1, np.int64), np.zeros(0, np.int64), np.zeros(0))
+    C0 = rng.standard_normal((m, 3))
+    out = np.asarray(ast.mm(float("inf"), A0, GEN, Operation.none, B, 1.0, C0))
+    assert np.all(np.isnan(out))
