@@ -19,6 +19,7 @@ registry.register("mv", KernelEntry(5, "xla_bwd", spmv.spmv_bwd, "bwd", "any", 1
 registry.register("mv", KernelEntry(6, "xla_diag", spmv.spmv_diag, "diag", "any", 1))
 registry.register("mv", KernelEntry(7, "xla_gen", spmv.spmv_gen, "gen", "any", 1))
 registry.register("mv", KernelEntry(9, "xla_bwdg", spmv.spmv_bwdg, "bwdg", "any", 1))
+registry.register("mv", KernelEntry(10, "xla_sell", spmv.spmv_sell, "sell", "any", 0))
 
 from ..pallas.spmv import spmv_bandt  # noqa: E402
 

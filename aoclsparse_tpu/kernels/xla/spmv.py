@@ -31,6 +31,7 @@ import numpy as np
 __all__ = [
     "csr_row_ids",
     "spmv_segsum",
+    "spmv_sell",
     "spmv_ell",
     "spmv_ellhyb",
     "spmv_bsr",
@@ -50,6 +51,19 @@ def csr_row_ids(ptr) -> np.ndarray:
 def spmv_segsum(ind, val, row_ids, x, m: int):
     """y = A @ x via gather + segment-sum. `row_ids` must be sorted
     (CSR order), letting XLA use the scan-based segment-sum lowering."""
+    prods = val * x[ind]
+    return jax.ops.segment_sum(prods, row_ids, num_segments=m, indices_are_sorted=True)
+
+
+@partial(jax.jit, static_argnames=("m",))
+def spmv_sell(ind, val, row_ids, x, m: int):
+    """y = A @ x over the flattened sliced-ELL layout (core/formats.py SELL):
+    8-row slices each padded to a lane-multiple width. Padding entries carry
+    val == 0 and an in-range column, so unlike spmv_ell no validity mask is
+    needed, and unlike spmv_segsum the buffer is tile-aligned per slice.
+    `row_ids` are the precomputed per-entry destination rows (sorted — slice
+    layout is row-major). Plays the reference's BLKCSR/BR4 dispatch role
+    (aoclsparse_analysis.cpp:35-385) as an explicit-KID alternative form."""
     prods = val * x[ind]
     return jax.ops.segment_sum(prods, row_ids, num_segments=m, indices_are_sorted=True)
 

@@ -95,7 +95,7 @@ def _zero_aux(dtype):
 
 def _run_exec_form(form, x, kid):
     e = registry.select("mv", fmt=form.kind, kid=kid)
-    if form.kind == "segsum":
+    if form.kind in ("segsum", "sell"):
         return e.fn(form.ind, form.val, form.row_ids, x, form.m)
     if form.kind == "ell":
         return e.fn(form.ell_ind, form.ell_val, x)
@@ -278,7 +278,17 @@ def _spmv_core(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, x, kid=N
         # with invalid_kid when unsupported, cntx_dispatcher.hpp:272-364)
         for e in registry.table("mv"):
             if e.kid == kid:
-                if e.fmt not in ("segsum", "ell", "ellhyb", "bwd", "diag", "gen", "bandt", "bwdg"):
+                if e.fmt not in (
+                    "segsum",
+                    "ell",
+                    "ellhyb",
+                    "bwd",
+                    "diag",
+                    "gen",
+                    "bandt",
+                    "bwdg",
+                    "sell",
+                ):
                     raise AoclSparseError(
                         Status.invalid_kid, f"kid {kid} serves format '{e.fmt}', not CSR"
                     )

@@ -467,11 +467,19 @@ class ExecForm:
     hubr_slab: Optional[jax.Array] = None  # (kr, m_pad) dense, permuted cols
     hubr_dest: Optional[np.ndarray] = None  # flat positions into hubr_slab
     hubr_src: Optional[np.ndarray] = None  # positions into eff val
+    # sell (flattened sliced-ELL; reuses ind/val/row_ids device fields)
+    sell_dest: Optional[np.ndarray] = None  # (nnzE,) flat positions into padded val
+    sell_total: int = 0  # padded buffer length
 
     def refresh(self, eff_val: jax.Array) -> None:
         self._bwd_val_bf16 = None  # derived bf16 operand (mixed-precision path)
         if self.kind == "segsum":
             self.val = eff_val
+        elif self.kind == "sell":
+            vh = np.asarray(eff_val)
+            buf = np.zeros(self.sell_total, dtype=vh.dtype)
+            buf[self.sell_dest] = vh
+            self.val = jnp.asarray(buf)
         elif self.kind == "diag":
             vh = np.asarray(eff_val)
             ndiag = int(self.dia_offs.shape[0])
@@ -1244,6 +1252,58 @@ def _build_diag(eff: EffectiveCSR) -> ExecForm:
     return form
 
 
+def _build_sell(eff: EffectiveCSR) -> ExecForm:
+    """Sliced-ELL execution form (explicit-KID alternative to ell/ellhyb):
+    SUBLANE-row slices, each padded to its own LANE-multiple width, flattened.
+    All structure work is vectorized numpy (throttled-Python rule). Padding
+    entries get column 0 and value 0 so the kernel needs no mask."""
+    m, n = eff.shape
+    ptr64 = eff.ptr.astype(np.int64)
+    lens = np.diff(ptr64)
+    nsl = -(-m // SUBLANE) if m else 0
+    if nsl == 0 or eff.nnz == 0:
+        # degenerate: empty buffer, kernel returns zeros via segment_sum
+        return ExecForm(
+            kind="sell",
+            m=m,
+            n=n,
+            ind=jnp.zeros((0,), jnp.int32),
+            val=jnp.zeros((0,), eff.val.dtype),
+            row_ids=jnp.zeros((0,), jnp.int32),
+            sell_dest=np.zeros(0, np.int64),
+            sell_total=0,
+        )
+    lens_pad = np.zeros(nsl * SUBLANE, dtype=np.int64)
+    lens_pad[:m] = lens
+    wmax = lens_pad.reshape(nsl, SUBLANE).max(axis=1)
+    widths = np.maximum(LANE, -(-wmax // LANE) * LANE)  # per-slice padded width
+    base = np.concatenate([[0], np.cumsum(widths * SUBLANE)])  # slice offsets
+    total = int(base[-1])
+    # flat destination of each stored entry: row start + offset within row
+    row_off = base[np.arange(m) // SUBLANE] + (np.arange(m) % SUBLANE) * widths[
+        np.arange(m) // SUBLANE
+    ]
+    nnzE = int(ptr64[-1])
+    dest = np.repeat(row_off, lens) + (np.arange(nnzE) - np.repeat(ptr64[:-1], lens))
+    ind_buf = np.zeros(total, dtype=np.int32)
+    ind_buf[dest] = eff.ind
+    # per-position destination row (sorted by construction: row-major slices)
+    pos = np.arange(total, dtype=np.int64)
+    sl = np.searchsorted(base, pos, side="right") - 1
+    row_ids = np.minimum(sl * SUBLANE + (pos - base[sl]) // widths[sl], m - 1)
+    form = ExecForm(
+        kind="sell",
+        m=m,
+        n=n,
+        ind=jnp.asarray(ind_buf),
+        row_ids=jnp.asarray(row_ids.astype(np.int32)),
+        sell_dest=dest,
+        sell_total=total,
+    )
+    form.refresh(eff.val)
+    return form
+
+
 def build_exec_form(eff: EffectiveCSR, kind: Optional[str] = None) -> ExecForm:
     if kind is None:
         kind = choose_mv_format(eff)
@@ -1292,6 +1352,8 @@ def build_exec_form(eff: EffectiveCSR, kind: Optional[str] = None) -> ExecForm:
             val=eff.val,
             row_ids=jnp.asarray(rows),
         )
+    if kind == "sell":
+        return _build_sell(eff)
     lens = np.diff(eff.ptr.astype(np.int64))
     w_max = int(lens.max()) if lens.size else 0
     if kind == "ell":
