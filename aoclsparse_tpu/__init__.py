@@ -53,7 +53,12 @@ from .core.auxiliary import (  # noqa: F401
     is_tpu_build,
 )
 from .core.context import get_context  # noqa: F401
-from .kernels.autotune import autotune_mv, autotune_trsv  # noqa: F401
+from .kernels.autotune import (  # noqa: F401
+    autotune_mm,
+    autotune_mv,
+    autotune_spgemm,
+    autotune_trsv,
+)
 from .kernels.registry import debug_dispatcher  # noqa: F401
 from .ops import (  # noqa: F401
     add,

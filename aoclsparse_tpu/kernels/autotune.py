@@ -26,7 +26,7 @@ import numpy as np
 from ..core.descr import MatrixDescriptor
 from ..core.types import AoclSparseError, Operation, Status
 
-__all__ = ["autotune_mv", "autotune_trsv"]
+__all__ = ["autotune_mv", "autotune_trsv", "autotune_mm", "autotune_spgemm"]
 
 _MV_KINDS = ("bandt", "bwd", "diag", "gen", "ell", "ellhyb", "segsum")
 
@@ -106,6 +106,139 @@ def autotune_mv(
     key = (descr.type, descr.fill_mode, descr.diag_type, op, None)
     plan.exec_forms[key] = forms[winner]
     return results
+
+
+_MM_KINDS = ("bandtm", "bwdg", "ell", "ellhyb", "segsum")
+
+
+def autotune_mm(
+    A,
+    k: int = 128,
+    descr: Optional[MatrixDescriptor] = None,
+    op: Operation = Operation.none,
+    iters: int = 10,
+    chunks: int = 3,
+    kinds: Optional[Tuple[str, ...]] = None,
+    B=None,
+) -> Dict[str, float]:
+    """Measure the SpMM execution forms for `A` at RHS width `k` through the
+    live ``mm`` dispatch and pin the winner for (descr, op, k) — the SpMM
+    counterpart of autotune_mv (ROADMAP round-3: extend autotune to mm).
+
+    Returns {form_kind: best_seconds_per_mm}. The pin lives in
+    ``plan._mm_tuned`` and is consulted by ``mm`` when no explicit kid is
+    given; ``update_values`` refreshes the underlying forms unchanged."""
+    from ..kernels.registry import registry
+    from ..ops.level3.csrmm import mm
+    from ..planner.plan import get_plan
+
+    if A is None:
+        raise AoclSparseError(Status.invalid_pointer, "null matrix handle")
+    descr = MatrixDescriptor() if descr is None else descr
+    op = Operation(op)
+    plan = get_plan(A)
+    eff = plan.effective_for(descr, op, A.dtype)
+    n_in = eff.shape[1]
+    if B is None:
+        B = jnp.asarray(
+            np.linspace(-1.0, 1.0, n_in * k).reshape(n_in, k), dtype=A.dtype
+        )
+    else:
+        B = jnp.asarray(B).astype(A.dtype)
+        k = int(B.shape[1])
+    kid_of = {e.fmt: e.kid for e in registry.table("mm")}
+    results: Dict[str, float] = {}
+    for kind in kinds or _MM_KINDS:
+        kid = kid_of.get(kind)
+        if kid is None:
+            continue
+        try:
+            C = mm(1.0, A, descr, op, B, 0.0, kid=kid)
+            np.asarray(jnp.ravel(C)[:1])  # compile + sync
+        except Exception:
+            continue  # form not buildable for this structure/k (e.g. bandtm caps)
+        best = float("inf")
+        for _ in range(chunks):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                C = mm(1.0, A, descr, op, B, 0.0, kid=kid)
+            np.asarray(jnp.ravel(C)[:1])
+            best = min(best, (time.perf_counter() - t0) / iters)
+        results[kind] = best
+    if not results:
+        raise AoclSparseError(Status.internal_error, "no mm form could be timed")
+    winner = min(results, key=results.get)
+    if getattr(plan, "_mm_tuned", None) is None:
+        plan._mm_tuned = {}
+    plan._mm_tuned[(descr.type, descr.fill_mode, descr.diag_type, op, k)] = winner
+    return results
+
+
+def autotune_spgemm(
+    A,
+    B,
+    opA: Operation = Operation.none,
+    opB: Operation = Operation.none,
+    descrA: Optional[MatrixDescriptor] = None,
+    descrB: Optional[MatrixDescriptor] = None,
+    iters: int = 5,
+    chunks: int = 2,
+):
+    """Measure both SpGEMM numeric engines (band scan-of-matmuls vs
+    product-expansion segment-sum) for op(A)@op(B) and pin the winner on the
+    staged product's plan (ROADMAP round-3: extend autotune to the spgemm
+    engine choice).
+
+    Returns ``(C, results)``: C is the nnz_count-staged product handle whose
+    plan is pinned — drive ``sp2m(..., request=finalize, C=C)`` on it (the
+    reference's staged protocol, functions.h:2184-2201) to use the measured
+    engine; `results` maps engine name to best seconds per numeric pass."""
+    from ..core.descr import MatrixDescriptor as MD
+    from ..core.types import Request
+    from ..ops.level3.spgemm import _effective, _numeric, _numeric_auto, sp2m
+
+    if A is None or B is None:
+        raise AoclSparseError(Status.invalid_pointer, "null matrix handle")
+    descrA = MD() if descrA is None else descrA
+    descrB = MD() if descrB is None else descrB
+    C = sp2m(opA, descrA, A, opB, descrB, B, request=Request.nnz_count)
+    plan = C._spgemm_plan
+    effA = _effective(A, descrA, Operation(opA))
+    effB = _effective(B, descrB, Operation(opB))
+
+    def _time(fn) -> float:
+        v = fn()
+        np.asarray(jnp.ravel(v)[:1])
+        best = float("inf")
+        for _ in range(chunks):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                v = fn()
+            np.asarray(jnp.ravel(v)[:1])
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    results: Dict[str, float] = {}
+    if plan.nnz:
+        results["expand"] = _time(
+            lambda: _numeric(
+                effA.val, effB.val, plan.pa, plan.pb, plan.pc, plan.nnz, False, False
+            )
+        )
+        if plan.band is not None:
+            try:
+                results["band"] = _time(
+                    lambda: _numeric_auto(plan, effA, effB, False, False)
+                )
+            except Exception:
+                plan.band = None
+    if not results:
+        results["expand"] = 0.0  # empty product: either engine is a no-op
+    if results.get("band") is None or results["expand"] <= results.get(
+        "band", float("inf")
+    ):
+        plan.band = None  # pin the expansion engine for finalize passes
+    return C, results
 
 
 def autotune_trsv(

@@ -110,6 +110,12 @@ def mm(
         else:
             raise AoclSparseError(Status.invalid_kid, f"kid {kid} not in table for 'mm'")
     if kind is None:
+        # empirical pin from autotune_mm (keyed by RHS width — bandtm
+        # eligibility depends on it)
+        tuned = getattr(plan, "_mm_tuned", None)
+        if tuned is not None:
+            kind = tuned.get((descr.type, descr.fill_mode, descr.diag_type, op, k))
+    if kind is None:
         # TPU: group-banded MXU form when the band blowup is acceptable
         # (gathers are ~400x off the stream rate there; see planner notes)
         import os
@@ -145,6 +151,14 @@ def mm(
                         else "bwdg"
                     )
     form = plan.exec_form_for(descr, op, kind=kind, dtype=A.dtype)
+    if form.kind not in ("segsum", "ell", "ellhyb", "bwdg", "bandtm"):
+        # the kind=None plan slot can hold an mv-selected/mv-autotuned form
+        # (diag/bandt/gen/bwd) that has no mm kernel row: rebuild with a
+        # gather form mm can dispatch instead of failing the registry lookup
+        from ...planner.plan import gather_fallback_kind
+
+        eff = plan.effective_for(descr, op, A.dtype)
+        form = plan.exec_form_for(descr, op, kind=gather_fallback_kind(eff), dtype=A.dtype)
     e = registry.select("mm", fmt=form.kind, kid=kid)
     Bc = B.astype(A.dtype)
     if form.kind == "bandtm":

@@ -1304,6 +1304,17 @@ def _build_sell(eff: EffectiveCSR) -> ExecForm:
     return form
 
 
+def gather_fallback_kind(eff: EffectiveCSR) -> str:
+    """Pick among the gather execution forms (segsum/ell/ellhyb) by fill —
+    the choice every consumer can dispatch (mv, mm, distributed paths)."""
+    lens0 = np.diff(eff.ptr.astype(np.int64))
+    w0 = int(lens0.max()) if lens0.size else 0
+    fill0 = eff.nnz / float(max(eff.m, 1) * max(w0, 1))
+    if w0 == 0:
+        return "segsum"
+    return "ell" if fill0 >= 0.5 or w0 <= 2 * max(float(lens0.mean()), 1.0) else "ellhyb"
+
+
 def build_exec_form(eff: EffectiveCSR, kind: Optional[str] = None) -> ExecForm:
     if kind is None:
         kind = choose_mv_format(eff)
@@ -1313,14 +1324,7 @@ def build_exec_form(eff: EffectiveCSR, kind: Optional[str] = None) -> ExecForm:
         if form is not None:
             return form
         # composite rejected (band still too wide): gather-form fallback
-        lens0 = np.diff(eff.ptr.astype(np.int64))
-        w0 = int(lens0.max()) if lens0.size else 0
-        fill0 = eff.nnz / float(max(m, 1) * max(w0, 1))
-        kind = (
-            "segsum"
-            if w0 == 0
-            else ("ell" if fill0 >= 0.5 or w0 <= 2 * max(float(lens0.mean()), 1.0) else "ellhyb")
-        )
+        kind = gather_fallback_kind(eff)
     if kind == "diag":
         return _build_diag(eff)
     if kind == "bandt":

@@ -144,3 +144,57 @@ def test_optimize_autotune_env(rng, monkeypatch):
     ast.optimize(B)
     yb = ast.mv(1.0, B, MatrixDescriptor(), Operation.none, np.ones(512), 0.0)
     np.testing.assert_allclose(np.asarray(yb), dense_b @ np.ones(512), atol=1e-8)
+
+
+def test_autotune_mm_pins_and_dispatches(rng):
+    """autotune_mm times the mm forms and pins the winner for (descr,op,k);
+    a subsequent mm with no kid dispatches the pinned form."""
+    A, dense = _band(rng, 512)
+    t = ast.autotune_mm(A, k=8, iters=1, chunks=1, kinds=("ell", "ellhyb", "segsum"))
+    assert t and all(v > 0 for v in t.values())
+    winner = min(t, key=t.get)
+    plan = get_plan(A)
+    d = MatrixDescriptor()
+    assert plan._mm_tuned[(d.type, d.fill_mode, d.diag_type, Operation.none, 8)] == winner
+    B = rng.standard_normal((512, 8))
+    C = ast.mm(1.0, A, d, Operation.none, B, 0.0)
+    np.testing.assert_allclose(np.asarray(C), dense @ B, atol=1e-8)
+    # a different RHS width is not pinned (bandtm eligibility is k-dependent)
+    C2 = ast.mm(1.0, A, d, Operation.none, rng.standard_normal((512, 3)), 0.0)
+    assert C2.shape == (512, 3)
+
+
+def test_mm_after_autotune_mv_incompatible_form(rng):
+    """Regression: autotune_mv can plant a diag/bandt/gen form in the
+    kind=None plan slot; mm has no kernel rows for those and must fall back
+    to a gather form instead of raising not_implemented."""
+    A, dense = _band(rng, 512)
+    ast.autotune_mv(A, iters=1, chunks=1, kinds=("diag", "bwd"))
+    B = rng.standard_normal((512, 4))
+    C = ast.mm(1.0, A, MatrixDescriptor(), Operation.none, B, 0.0)
+    np.testing.assert_allclose(np.asarray(C), dense @ B, atol=1e-8)
+
+
+def test_autotune_spgemm_engines_and_finalize(rng, monkeypatch):
+    """autotune_spgemm measures both numeric engines, pins the winner on the
+    staged plan, and finalize reproduces the product under the pin."""
+    monkeypatch.setenv("AOCLSPARSE_TPU_FORCE_BANDGEMM", "1")
+    from aoclsparse_tpu.core.types import Request
+
+    A, dA = _band(rng, 256)
+    B, dB = _band(rng, 256)
+    C, t = ast.autotune_spgemm(A, B, iters=1, chunks=1)
+    assert "expand" in t
+    plan = C._spgemm_plan
+    # whichever engine won, finalize must agree with the dense product
+    d = MatrixDescriptor()
+    C = ast.sp2m(Operation.none, d, A, Operation.none, d, B, request=Request.finalize, C=C)
+    mC, nC, _, ptr, ind, val = ast.export_csr(C)
+    got = np.zeros((mC, nC))
+    got[np.repeat(np.arange(mC), np.diff(ptr)), np.asarray(ind)] = np.asarray(val)
+    np.testing.assert_allclose(got, dA @ dB, atol=1e-8)
+    # the pin is deterministic: band is either attached (won) or cleared
+    if "band" in t and t["band"] < t["expand"]:
+        assert plan.band is not None
+    else:
+        assert plan.band is None
