@@ -67,9 +67,18 @@ class Hint:
 
 
 class SparseMatrix:
-    """Mutable handle around an immutable format pytree."""
+    """Mutable handle around an immutable format pytree.
+
+    Values may be LAZY: a SpGEMM product computed on the band engine keeps
+    its CSR values as a pending extraction thunk (`_lazy`), because the
+    extraction gather costs ~13 ns/nnz on this TPU while chained mv/sp2m
+    consumption runs straight on the seeded device band. Any access to
+    ``.data`` materializes the values first, so every existing consumer
+    stays correct; shape/nnz/dtype answer from the lazy structure without
+    paying the gather."""
 
     def __init__(self, data, input_format: FormatType, base: IndexBase = IndexBase.zero):
+        self._lazy = None  # (ptr, ind, shape, dtype, thunk) | None
         self.data = data  # format pytree, zero-based
         self.input_format = FormatType(input_format)
         self.base = IndexBase(base)
@@ -80,28 +89,66 @@ class SparseMatrix:
         self.plan = None  # planner.Plan once optimize() ran
         self.ilu_state = None  # solvers.ilu0 factorization cache
 
+    # -- lazy-values protocol -----------------------------------------------------
+    @property
+    def data(self):
+        if self._lazy is not None:
+            from .formats import CSR
+
+            ptr, ind, shape, _dtype, thunk = self._lazy
+            self._lazy = None
+            self._data = CSR(ptr, ind, thunk(), shape=shape)
+            # the seeded band form was created together with the thunk; seat
+            # its staleness key now that a concrete value array exists
+            if getattr(self, "_seed_bwdg", None) is not None and (
+                getattr(self, "_seed_bwdg_val", None) is None
+            ):
+                self._seed_bwdg_val = self._data.val
+        return self._data
+
+    @data.setter
+    def data(self, v) -> None:
+        self._lazy = None
+        self._data = v
+
+    def set_lazy_values(self, ptr, ind, shape, dtype, thunk) -> None:
+        """Install a pending value extraction: structure is final, values
+        materialize on first ``.data`` access (kernels/xla/spgemm_band.py)."""
+        self._data = None
+        self._lazy = (ptr, ind, shape, dtype, thunk)
+
+    @property
+    def values_pending(self) -> bool:
+        return self._lazy is not None
+
     # -- convenience passthroughs -------------------------------------------------
     @property
     def shape(self) -> Tuple[int, int]:
-        return self.data.shape
+        if self._lazy is not None:
+            return self._lazy[2]
+        return self._data.shape
 
     @property
     def m(self) -> int:
-        return self.data.shape[0]
+        return self.shape[0]
 
     @property
     def n(self) -> int:
-        return self.data.shape[1]
+        return self.shape[1]
 
     @property
     def nnz(self) -> int:
+        if self._lazy is not None:
+            return int(np.asarray(self._lazy[0])[-1])
         from .formats import nnz_of
 
-        return nnz_of(self.data)
+        return nnz_of(self._data)
 
     @property
     def dtype(self):
-        return self.data.dtype
+        if self._lazy is not None:
+            return self._lazy[3]
+        return self._data.dtype
 
     def add_hint(self, hint: Hint) -> None:
         self.hints.insert(0, hint)  # reference prepends (csr_util.cpp:47)
@@ -384,6 +431,20 @@ def set_value(h: SparseMatrix, row: int, col: int, value) -> SparseMatrix:
 def update_values(h: SparseMatrix, values) -> SparseMatrix:
     """Replace all values keeping the pattern (auxiliary.cpp:674-706)."""
     values = jnp.asarray(values)
+    if h.values_pending:
+        # pending lazy extraction (band-engine SpGEMM product): the old
+        # values are being replaced wholesale — skip materializing them
+        ptr, ind, shape, _dtype, _thunk = h._lazy
+        require(
+            values.shape[0] == int(np.asarray(ptr)[-1]),
+            Status.invalid_size,
+            "update_values length mismatch",
+        )
+        h.data = CSR(ptr, ind, values, shape=shape)
+        h.ilu_state = None
+        if h.plan is not None:
+            h.plan.refresh_values(h.data)
+        return h
     A = h.data
     if isinstance(A, TCSR):
         # parity: the reference's update_values handles csr/coo only

@@ -251,8 +251,21 @@ def _run_exec_form(form, x, kid):
 
 def _spmv_core(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, x, kid=None):
     """op(descr(A)) @ x without the alpha/beta epilogue."""
-    data = A.data
     general_n = MatrixType(descr.type) == MatrixType.general and op == Operation.none
+    if (
+        general_n
+        and kid is None
+        and A.plan is None
+        and A.values_pending
+        and A.mem_policy != MemoryPolicy.restricted
+    ):
+        # lazy band-engine SpGEMM product consumed as a plain operand: run
+        # straight on the seeded device band — touching A.data would pay the
+        # CSR extraction gather this mode exists to skip
+        seed = getattr(A, "_seed_bwdg", None)
+        if seed is not None:
+            return _run_exec_form(seed, x, None)
+    data = A.data
     # native-format fast paths (the reference's format switch, mv.cpp:179)
     if general_n and isinstance(data, ELL):
         e = registry.select("mv", fmt="ell", kid=kid)

@@ -182,7 +182,11 @@ def _operand_seed(H: SparseMatrix, descr: MatrixDescriptor, op) -> Optional[obje
     (general descriptor, op none — the band holds plain unconjugated
     values) and the handle's values haven't been swapped since seeding."""
     seed = getattr(H, "_seed_bwdg", None)
-    if seed is None or getattr(H, "_seed_bwdg_val", None) is not H.data.val:
+    if seed is None:
+        return None
+    # values_pending certifies freshness without materializing the lazy
+    # extraction (seed and thunk were created by the same numeric pass)
+    if not H.values_pending and getattr(H, "_seed_bwdg_val", None) is not H.data.val:
         return None
     if Operation(op) != Operation.none:
         return None
@@ -246,14 +250,35 @@ def _seed_cband(out: SparseMatrix, plan: "SpgemmPlan", dtype) -> None:
 
     out._seed_bwdg = cband_exec_form(band, cb, plan.shape[0], plan.shape[1], dtype)
     # tie the seed to the value array it extracts to: set_value/update_values
-    # swap data.val, making a pending (not yet planted) band stale
-    out._seed_bwdg_val = out.data.val
+    # swap data.val, making a pending (not yet planted) band stale. With lazy
+    # values there is no concrete array yet — the data property seats the key
+    # at materialization (core/matrix.py), and values_pending itself certifies
+    # freshness meanwhile (seed + thunk were created together).
+    out._seed_bwdg_val = None if out.values_pending else out.data.val
 
 
-def _numeric_auto(plan: "SpgemmPlan", effA, effB, conj_a: bool, conj_b: bool):
-    """Run the numeric stage through the band fast path when attached."""
+def _lazy_values_enabled() -> bool:
+    """Lazy band-product values (skip the ~13 ns/nnz CSR extraction gather
+    until someone actually reads CSR values): default ON on TPU, OFF on CPU;
+    AOCLSPARSE_TPU_LAZY_SPGEMM=0/1 overrides."""
+    import os
+
+    v = os.environ.get("AOCLSPARSE_TPU_LAZY_SPGEMM")
+    if v is not None:
+        return v in ("1", "true")
+    from ...core.context import get_context
+
+    return get_context().is_tpu
+
+
+def _numeric_auto(plan: "SpgemmPlan", effA, effB, conj_a: bool, conj_b: bool, lazy=False):
+    """Run the numeric stage through the band fast path when attached.
+
+    With ``lazy=True`` (band engine only) the C band is computed but the
+    CSR extraction gather is deferred: returns ``("lazy", thunk)`` where
+    the thunk yields the CSR-ordered values on demand."""
     if plan.band is not None:
-        from ...kernels.xla.spgemm_band import band_gemm_values
+        from ...kernels.xla.spgemm_band import band_gemm_cband
 
         # cache the conjugated value arrays on the plan keyed by the source
         # array reference: a fresh jnp.conj per call would defeat the band
@@ -269,7 +294,12 @@ def _numeric_auto(plan: "SpgemmPlan", effA, effB, conj_a: bool, conj_b: bool):
 
         va = _conj_cached("a", effA.val, conj_a)
         vb = _conj_cached("b", effB.val, conj_b)
-        return band_gemm_values(plan.band, va, vb)
+        band = plan.band
+        cband = band_gemm_cband(band, va, vb)
+        band._last_cband = cband
+        if lazy:
+            return ("lazy", lambda: cband.reshape(-1)[jnp.asarray(band.extract_idx)])
+        return cband.reshape(-1)[jnp.asarray(band.extract_idx)]
     return _numeric(effA.val, effB.val, plan.pa, plan.pb, plan.pc, plan.nnz, conj_a, conj_b)
 
 
@@ -312,11 +342,19 @@ def sp2m(
         plan: SpgemmPlan = C._spgemm_plan
         effA = _effective(A, descrA, opA)
         effB = _effective(B, descrB, opB)
-        val = _numeric_auto(plan, effA, effB, plan.conj_a, plan.conj_b)
-        C.data = CSR(plan.ptr, plan.ind, val, shape=plan.shape)
+        lazy = plan.band is not None and _lazy_values_enabled()
+        val = _numeric_auto(plan, effA, effB, plan.conj_a, plan.conj_b, lazy=lazy)
+        dtype = jnp.result_type(effA.val.dtype, effB.val.dtype)
+        if lazy:
+            thunk = val[1]
+            C.set_lazy_values(
+                plan.ptr, plan.ind, plan.shape, dtype, lambda: thunk().astype(dtype)
+            )
+        else:
+            C.data = CSR(plan.ptr, plan.ind, val, shape=plan.shape)
         # the handle's cached plan (if any) holds pre-finalize values
         C.invalidate()
-        _seed_cband(C, plan, val.dtype)
+        _seed_cband(C, plan, dtype)
         return C
     effA = _effective(A, descrA, Operation(opA))
     effB = _effective(B, descrB, Operation(opB))
@@ -332,7 +370,17 @@ def sp2m(
     if request == Request.nnz_count:
         val = jnp.zeros((plan.nnz,), dtype=dtype)
     else:
-        val = _numeric_auto(plan, effA, effB, False, False)
+        lazy = plan.band is not None and _lazy_values_enabled()
+        val = _numeric_auto(plan, effA, effB, False, False, lazy=lazy)
+        if lazy:
+            thunk = val[1]
+            out = SparseMatrix(None, FormatType.csr)
+            out.set_lazy_values(
+                plan.ptr, plan.ind, plan.shape, dtype, lambda: thunk().astype(dtype)
+            )
+            out._spgemm_plan = plan
+            _seed_cband(out, plan, dtype)
+            return out
     out = SparseMatrix(CSR(plan.ptr, plan.ind, val.astype(dtype), shape=plan.shape), FormatType.csr)
     out._spgemm_plan = plan
     if request == Request.full_computation:
