@@ -48,6 +48,7 @@ def _build() -> bool:
                 "-march=native",
                 "-shared",
                 "-fPIC",
+                "-pthread",
                 "-std=c++17",
                 str(_SRC),
                 "-o",

@@ -13,6 +13,8 @@
 #include <algorithm>
 #include <complex>
 #include <cstdint>
+#include <cstdlib>
+#include <thread>
 #include <vector>
 
 // ---------------------------------------------------------------------------
@@ -148,32 +150,24 @@ int64_t spgemm_nnz(int64_t mA,
 // Cind capacity P. Returns nnzC.
 // ---------------------------------------------------------------------------
 
-int64_t spgemm_expand(int64_t mA,
-                                 const int64_t *Aptr,
-                                 const int64_t *Aind,
-                                 const int64_t *Bptr,
-                                 const int64_t *Bind,
-                                 int32_t *pa,
-                                 int32_t *pb,
-                                 int32_t *pc,
-                                 int64_t *Cptr,
-                                 int32_t *Cind,
-                                 uint8_t upper_only,
-                                 int64_t *p_count_out)
+// Expand a contiguous row range [i0, i1) writing at precomputed offsets:
+// Cptr/Pptr already hold the global prefix sums, so ranges are disjoint
+// and the fill parallelizes (the reference's static OpenMP row split,
+// level3/aoclsparse_csr2m.cpp:89-101, as std::thread ranges).
+static void expand_rows(int64_t i0,
+                        int64_t i1,
+                        const int64_t *Aptr,
+                        const int64_t *Aind,
+                        const int64_t *Bptr,
+                        const int64_t *Bind,
+                        int32_t *pa,
+                        int32_t *pb,
+                        int32_t *pc,
+                        const int64_t *Cptr,
+                        const int64_t *Pptr,
+                        int32_t *Cind,
+                        uint8_t upper_only)
 {
-    // Marker-based, no comparison sort over the P products (only the nnzC
-    // output columns sort per row; typically P >> nnzC):
-    //   pass 1: dense marker assigns each distinct column a slot in
-    //           first-seen order; products buffer into row scratch with
-    //           their local slot + per-slot counts accumulate,
-    //   pass 2: sort the row's (col, slot) pairs -> rank permutation,
-    //   pass 3: counting-sort placement writes the row's products at their
-    //           (row, col)-ordered final positions, so pc comes out
-    //           non-decreasing (the device numeric stage's sorted
-    //           segment-sum requires it).
-    // This is the Gustavson marker scan of the reference's symbolic stage
-    // (level3/aoclsparse_csr2m.cpp:89-200) extended to also emit the
-    // product triples the device numeric stage consumes.
     std::vector<int64_t> marker;  // col -> absolute slot; grown on demand
     marker.assign((size_t)1, -1);
     std::vector<std::pair<int64_t, int64_t>> row_cols;  // (col, local slot)
@@ -182,11 +176,10 @@ int64_t spgemm_expand(int64_t mA,
     std::vector<int64_t> off;                            // write offset per local slot
     struct Prod { int32_t a, b, slot; };
     std::vector<Prod> scratch;                           // row's products
-    int64_t p_out = 0, c_out = 0;
-    Cptr[0] = 0;
-    for (int64_t i = 0; i < mA; ++i) {
-        const int64_t row_c0 = c_out;
-        const int64_t row_p0 = p_out;
+    for (int64_t i = i0; i < i1; ++i) {
+        const int64_t row_c0 = Cptr[i];
+        const int64_t row_p0 = Pptr[i];
+        int64_t c_out = row_c0;
         row_cols.clear();
         scratch.clear();
         for (int64_t k = Aptr[i]; k < Aptr[i + 1]; ++k) {
@@ -197,8 +190,8 @@ int64_t spgemm_expand(int64_t mA,
                 if (j >= (int64_t)marker.size())
                     marker.resize(std::max((size_t)j + 1, marker.size() * 2), -1);
                 int64_t slot = marker[(size_t)j];
-                if (slot < row_c0) {  // not seen this row
-                    slot = c_out++;
+                if (slot < row_c0) {  // not seen this row (stale markers are
+                    slot = c_out++;   //  below row_c0: freshness by offset)
                     marker[(size_t)j] = slot;
                     row_cols.push_back({j, slot - row_c0});
                     cnt.push_back(0);
@@ -206,7 +199,6 @@ int64_t spgemm_expand(int64_t mA,
                 const int64_t ls = slot - row_c0;
                 ++cnt[(size_t)ls];
                 scratch.push_back({(int32_t)k, (int32_t)t, (int32_t)ls});
-                ++p_out;
             }
         }
         // order the row's columns; local slot -> sorted rank
@@ -232,10 +224,123 @@ int64_t spgemm_expand(int64_t mA,
             pc[pos] = (int32_t)(row_c0 + rank[(size_t)pr.slot]);
         }
         cnt.clear();
-        Cptr[i + 1] = c_out;
     }
-    // markers hold stale absolute slots between rows: correctness relies on
-    // the `slot < row_c0` freshness test, so no reset pass is needed
+}
+
+// Count pass for a row range: per-row distinct columns (-> Cptr[i+1]) and
+// per-row kept products (-> Pcnt[i]).
+static void count_rows(int64_t i0,
+                       int64_t i1,
+                       const int64_t *Aptr,
+                       const int64_t *Aind,
+                       const int64_t *Bptr,
+                       const int64_t *Bind,
+                       int64_t *Crow,
+                       int64_t *Pcnt,
+                       uint8_t upper_only)
+{
+    std::vector<int64_t> marker;
+    marker.assign((size_t)1, -1);
+    for (int64_t i = i0; i < i1; ++i) {
+        int64_t nc = 0, np = 0;
+        for (int64_t k = Aptr[i]; k < Aptr[i + 1]; ++k) {
+            const int64_t kk = Aind[k];
+            for (int64_t t = Bptr[kk]; t < Bptr[kk + 1]; ++t) {
+                const int64_t j = Bind[t];
+                if (upper_only && j < i) continue;
+                if (j >= (int64_t)marker.size())
+                    marker.resize(std::max((size_t)j + 1, marker.size() * 2), -1);
+                if (marker[(size_t)j] != i) { marker[(size_t)j] = i; ++nc; }
+                ++np;
+            }
+        }
+        Crow[i] = nc;
+        Pcnt[i] = np;
+    }
+}
+
+static int expand_threads()
+{
+    if (const char *env = std::getenv("AOCLSPARSE_NUM_THREADS")) {
+        const long v = std::atol(env);
+        if (v >= 1) return (int)std::min<long>(v, 64);
+    }
+    const unsigned hw = std::thread::hardware_concurrency();
+    return hw ? (int)std::min(hw, 8u) : 1;
+}
+
+int64_t spgemm_expand(int64_t mA,
+                                 const int64_t *Aptr,
+                                 const int64_t *Aind,
+                                 const int64_t *Bptr,
+                                 const int64_t *Bind,
+                                 int32_t *pa,
+                                 int32_t *pb,
+                                 int32_t *pc,
+                                 int64_t *Cptr,
+                                 int32_t *Cind,
+                                 uint8_t upper_only,
+                                 int64_t *p_count_out)
+{
+    // Marker-based, no comparison sort over the P products (only the nnzC
+    // output columns sort per row; typically P >> nnzC):
+    //   count pass (parallel row ranges): per-row distinct-column and
+    //           product counts -> serial prefix sums give every row its
+    //           global write offsets,
+    //   fill pass (parallel, ranges balanced by product count): per row,
+    //           dense marker assigns slots in first-seen order, the row's
+    //           (col, slot) pairs sort -> rank permutation, counting-sort
+    //           placement writes products at (row, col)-ordered positions,
+    //           so pc comes out non-decreasing (the device numeric stage's
+    //           sorted segment-sum requires it).
+    // This is the Gustavson marker scan of the reference's symbolic stage
+    // (level3/aoclsparse_csr2m.cpp:89-200) extended to also emit the
+    // product triples the device numeric stage consumes, with the
+    // reference's OpenMP row split rebuilt on std::thread.
+    std::vector<int64_t> Pptr((size_t)mA + 1, 0);
+    int64_t *Crow = Cptr + 1;  // stash per-row counts where prefixes land
+    const int nt_req = expand_threads();
+    const int64_t rows_per_min = 2048;
+    int nt = (int)std::min<int64_t>(nt_req, std::max<int64_t>(mA / rows_per_min, 1));
+    if (nt <= 1) {
+        count_rows(0, mA, Aptr, Aind, Bptr, Bind, Crow, Pptr.data() + 1, upper_only);
+    } else {
+        std::vector<std::thread> ths;
+        for (int tix = 0; tix < nt; ++tix) {
+            const int64_t i0 = mA * tix / nt, i1 = mA * (tix + 1) / nt;
+            ths.emplace_back(count_rows, i0, i1, Aptr, Aind, Bptr, Bind,
+                             Crow, Pptr.data() + 1, upper_only);
+        }
+        for (auto &t : ths) t.join();
+    }
+    Cptr[0] = 0;
+    for (int64_t i = 0; i < mA; ++i) {
+        Cptr[i + 1] += Cptr[i];
+        Pptr[(size_t)i + 1] += Pptr[(size_t)i];
+    }
+    const int64_t p_out = Pptr[(size_t)mA];
+    const int64_t c_out = Cptr[mA];
+    if (nt <= 1) {
+        expand_rows(0, mA, Aptr, Aind, Bptr, Bind, pa, pb, pc,
+                    Cptr, Pptr.data(), Cind, upper_only);
+    } else {
+        // balance fill ranges by product count (power-law rows skew badly
+        // under an even row split)
+        std::vector<std::thread> ths;
+        int64_t i0 = 0;
+        for (int tix = 0; tix < nt; ++tix) {
+            const int64_t target = p_out * (tix + 1) / nt;
+            int64_t i1 = (tix == nt - 1)
+                ? mA
+                : (std::lower_bound(Pptr.begin() + i0, Pptr.end(), target)
+                   - Pptr.begin());
+            if (i1 < i0) i1 = i0;
+            ths.emplace_back(expand_rows, i0, i1, Aptr, Aind, Bptr, Bind,
+                             pa, pb, pc, Cptr, Pptr.data(), Cind, upper_only);
+            i0 = i1;
+        }
+        for (auto &t : ths) t.join();
+    }
     *p_count_out = p_out;
     return c_out;
 }
