@@ -29,6 +29,7 @@ __all__ = [
     "dist_spmv_ell_sharded_x",
     "dist_spmv_bwd_halo",
     "dist_spmv_bwd_halo_overlap",
+    "dist_spmm_bwd_halo",
     "dist_spmv_ell_balanced",
 ]
 
@@ -259,6 +260,127 @@ def dist_spmv_bwd_halo_overlap(mesh: Mesh, form, x_sharded, axis: str = "x"):
         return jnp.concatenate(parts, axis=0).reshape(-1)
 
     return _local(wv, x_sharded)
+
+
+def dist_spmm_bwd_halo(mesh: Mesh, form, B_sharded, axis: str = "x"):
+    """Distributed SpMM C = A @ B with A's group-banded (bwdg) form row-
+    sharded and the dense RHS B row-sharded — the SpMM half of SURVEY.md
+    §5.8(i) (halo exchange "for SpMV/SpMM" overlapped with local compute).
+
+    Each device exchanges only the band's boundary ROW BLOCKS of B over the
+    ring (`ppermute`, O(W·K) bytes instead of an O(n·K) all-gather), splits
+    its row groups into INTERIOR groups whose B-windows lie inside the
+    local shard and EDGE groups touching a halo, and runs the local compute
+    as a lax.scan of plain 2-D MXU matmuls (kernels/xla/spmm.py spmm_bwd —
+    batched dot_general is pathological on this stack). The interior scan
+    depends only on the local B shard, so XLA may run it while the
+    ppermutes are on the wire.
+
+    Contract (mirrors dist_spmv_bwd_halo): square spill-free bwdg form,
+    B_sharded (m_pad, K) row-sharded over `axis` with m_pad a multiple of
+    G * n_devices and the halo narrower than one shard. Returns C with the
+    same sharding. Reference role: the OpenMP row split of csrmm
+    (level3/aoclsparse_csrmm.hpp:59) rebuilt as a mesh partition."""
+    ndev = mesh.shape[axis]
+    if form.sp_ind is not None and int(form.sp_ind.shape[0]):
+        raise ValueError("halo path requires a spill-free band form")
+    G = form.bwd_G
+    W = form.bwd_W
+    rel = form.bwd_rel  # G-aligned window start in original row coords
+    m_pad = int(B_sharded.shape[0])
+    K = int(B_sharded.shape[1])
+    if m_pad % (G * ndev):
+        raise ValueError("B rows must be padded to a multiple of G * n_devices")
+    mloc = m_pad // ndev
+    HL = max(0, -rel)
+    HR = max(0, rel + W - G)
+    if HL > mloc or HR > mloc:
+        raise ValueError("halo wider than a shard: use a replicated-B path")
+    nblk_pad = m_pad // G
+    ngl = nblk_pad // ndev
+    nslice = -(-W // G)
+    wv = form.bwd_val
+    if wv.shape[0] != nblk_pad:
+        wv = jnp.pad(wv, ((0, nblk_pad - wv.shape[0]), (0, 0), (0, 0)))
+    wv = jax.device_put(wv, NamedSharding(mesh, P(axis, None, None)))
+    fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
+    bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
+    # interior groups: the SLICE [G*gl + rel, + nslice*G) (what _wins
+    # actually fetches — a G-granular over-read past W) inside [0, mloc)
+    nslice_g = -(-W // G)
+    gi0 = max(0, -(-HL // G))
+    gi1 = min(ngl, mloc // G - rel // G - nslice_g + 1)
+    split = gi1 > gi0
+    acc = jnp.float32 if wv.dtype in (jnp.float32, jnp.bfloat16) else wv.dtype
+
+    def _scan_mm(wv_part, wins_part):
+        def step(_, args):
+            a_g, w_g = args
+            return None, jnp.dot(a_g, w_g, preferred_element_type=acc)
+
+        _, outs = jax.lax.scan(step, None, (wv_part, wins_part))
+        return outs
+
+    def _wins(src2, off, ngrp_part):
+        # src2: (rows/G, G*K) view; static starts
+        w2 = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(src2, off + j, off + j + ngrp_part, axis=0)
+                for j in range(nslice)
+            ],
+            axis=1,
+        )
+        return w2.reshape(ngrp_part, nslice * G, K)[:, :W, :]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None)),
+        out_specs=P(axis, None),
+    )
+    def _local(wv_c, Bloc):
+        me = jax.lax.axis_index(axis)
+        zero = jnp.zeros((), Bloc.dtype)
+        # issue the halo transfers first …
+        if HL:
+            left = jax.lax.ppermute(Bloc[-HL:], axis, fwd)
+            left = jnp.where(me == 0, zero, left)
+        else:
+            left = jnp.zeros((0, K), Bloc.dtype)
+        if HR:
+            right = jax.lax.ppermute(Bloc[:HR], axis, bwd)
+            right = jnp.where(me == ndev - 1, zero, right)
+        else:
+            right = jnp.zeros((0, K), Bloc.dtype)
+        off = (rel + HL) // G  # xe group offset of local group 0's window
+        # xe must cover the last edge group's full G-granular slice
+        need_rows = G * (off + ngl - 1 + nslice)
+
+        def _xe():
+            xe = jnp.concatenate([left, Bloc, right], axis=0)
+            pad = max(need_rows - xe.shape[0], (-xe.shape[0]) % G)
+            pad += (-(xe.shape[0] + pad)) % G
+            if pad:
+                xe = jnp.pad(xe, ((0, pad), (0, 0)))
+            return xe.reshape(-1, G * K)
+
+        parts = []
+        if split:
+            # … interior scan depends only on Bloc: overlappable. Window of
+            # local group gl starts at row G*gl + rel >= 0 (G-aligned).
+            Bloc2 = Bloc.reshape(mloc // G, G * K)
+            y_int = _scan_mm(wv_c[gi0:gi1], _wins(Bloc2, gi0 + rel // G, gi1 - gi0))
+            xe2 = _xe()
+            if gi0:
+                parts.append(_scan_mm(wv_c[:gi0], _wins(xe2, off, gi0)))
+            parts.append(y_int)
+            if gi1 < ngl:
+                parts.append(_scan_mm(wv_c[gi1:], _wins(xe2, off + gi1, ngl - gi1)))
+        else:
+            parts.append(_scan_mm(wv_c, _wins(_xe(), off, ngl)))
+        return jnp.concatenate(parts, axis=0).reshape(mloc, K).astype(wv_c.dtype)
+
+    return _local(wv, B_sharded)
 
 
 def dist_spmv_ell_balanced(mesh: Mesh, ell_ind_stack, x, bounds, val_stack, axis: str = "x"):

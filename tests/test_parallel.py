@@ -194,3 +194,51 @@ def test_dist_cg_uneven_rows(rng):
     mesh = make_mesh(8)
     x, k, rnorm = dist_cg(mesh, form.ell_ind, form.ell_val, b, rtol=1e-10, maxit=200)
     np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), atol=1e-6)
+
+
+def _band_csr(rng, m, per, lo_shift=0):
+    """Square banded matrix: row i has `per` cols in [i+lo_shift, i+lo_shift+2*per)."""
+    span = 2 * per
+    base = np.clip(np.arange(m) + lo_shift, 0, m - span)
+    pick = np.argsort(rng.random((m, span)), axis=1)[:, :per]
+    cols = np.sort(base[:, None] + pick, axis=1)
+    ptr = np.arange(m + 1) * per
+    val = rng.standard_normal(m * per)
+    return ast.create_csr(m, m, ptr, cols.reshape(-1), val)
+
+
+@pytest.mark.parametrize("lo_shift", [-6, 0, 40])
+def test_dist_spmm_bwd_halo(rng, lo_shift):
+    """Distributed SpMM over the group-banded form with ppermute row-block
+    halos (SURVEY §5.8(i) SpMM half): parity with the single-device mm."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from aoclsparse_tpu.parallel import dist_spmm_bwd_halo
+
+    m, per, K = 8192, 5, 8  # 2 bwdg groups (G=512) per device on the 8-mesh
+    A = _band_csr(rng, m, per, lo_shift)
+    form = get_plan(A).exec_form_for(MatrixDescriptor(), Operation.none, kind="bwdg")
+    assert form.bwd_G == 512 and form.sp_ind is None
+    B = rng.standard_normal((m, K))
+    want = np.asarray(ast.mm(1.0, A, MatrixDescriptor(), Operation.none, B, 0.0))
+    mesh = make_mesh(8)
+    Bs = jax.device_put(jnp.asarray(B), NamedSharding(mesh, P("x", None)))
+    C = dist_spmm_bwd_halo(mesh, form, Bs)
+    np.testing.assert_allclose(np.asarray(C)[:m], want, atol=1e-8)
+
+
+def test_dist_spmm_bwd_halo_single_group(rng):
+    """m_pad == G * ndev: one group per device, no interior -> unsplit path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from aoclsparse_tpu.parallel import dist_spmm_bwd_halo
+
+    m, per, K = 4096, 4, 4
+    A = _band_csr(rng, m, per)
+    form = get_plan(A).exec_form_for(MatrixDescriptor(), Operation.none, kind="bwdg")
+    B = rng.standard_normal((m, K))
+    want = np.asarray(ast.mm(1.0, A, MatrixDescriptor(), Operation.none, B, 0.0))
+    mesh = make_mesh(8)
+    Bs = jax.device_put(jnp.asarray(B), NamedSharding(mesh, P("x", None)))
+    C = dist_spmm_bwd_halo(mesh, form, Bs)
+    np.testing.assert_allclose(np.asarray(C)[:m], want, atol=1e-8)
