@@ -1,6 +1,13 @@
 """Distributed execution over jax.sharding meshes (SURVEY.md §2.9/§5.8)."""
 
-from .cg import cg_bwd_jit, cg_ell_jit, dist_cg, dist_cg_bwd, prepare_dist_ell  # noqa: F401
+from .cg import (  # noqa: F401
+    cg_bwd_jit,
+    cg_ell_jit,
+    dist_cg,
+    dist_cg_bwd,
+    dist_cg_bwd_halo,
+    prepare_dist_ell,
+)
 from .gmres import dist_gmres_bwd, gmres_bwd_jit  # noqa: F401
 from .spgemm import (  # noqa: F401
     dist_spgemm_halo,

@@ -20,9 +20,17 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["cg_ell_jit", "dist_cg", "prepare_dist_ell"]
+__all__ = [
+    "cg_ell_jit",
+    "cg_bwd_jit",
+    "dist_cg",
+    "dist_cg_bwd",
+    "dist_cg_bwd_halo",
+    "prepare_dist_ell",
+]
 
 
 @partial(jax.jit, static_argnames=("maxit", "W", "base8", "padL", "n_pad"))
@@ -203,6 +211,102 @@ def dist_cg_bwd(
         sp_rows,
         sp_val,
     )
+    return x[:m], int(k), float(rnorm)
+
+
+def dist_cg_bwd_halo(
+    mesh: Mesh,
+    form,
+    b,
+    x0=None,
+    rtol: float = 1e-8,
+    atol: float = 0.0,
+    maxit: int = 500,
+    axis: str = "x",
+):
+    """Distributed CG with FULLY SHARDED vectors and ppermute band halos
+    inside the while_loop — the multi-step-solver refinement of
+    dist_spmv_bwd_halo (SURVEY.md §5.8(i)): per iteration each device moves
+    only the W-wide boundary windows of p over the ring (O(W) bytes) plus
+    two psum'd scalars, instead of dist_cg_bwd's O(n) all-gather of the
+    einsum output. Same iteration as cg_bwd_jit (reference CG task order,
+    itsol_functions.hpp:619-870), whole solve = ONE dispatch.
+
+    Contract: square spill-free band ExecForm with the halo narrower than
+    one shard. Returns (x, iters, rnorm)."""
+    ndev = mesh.shape[axis]
+    if form.sp_ind is not None and int(form.sp_ind.shape[0]):
+        raise ValueError("halo path requires a spill-free band form")
+    from .spmv import _bwd_halo_matvec
+
+    W = form.bwd_W
+    rel_lo = 8 * form.bwd_base8 - form.bwd_padL
+    matvec, HL, HR = _bwd_halo_matvec(axis, ndev, W, rel_lo)
+    m = form.m
+    m_pad = -(-m // (8 * ndev)) * 8 * ndev
+    if HL > m_pad // ndev or HR > m_pad // ndev:
+        raise ValueError("halo wider than a shard: use dist_cg_bwd")
+    wv = form.bwd_val
+    if wv.shape[0] != m_pad // 8:
+        wv = jnp.pad(wv, ((0, m_pad // 8 - wv.shape[0]), (0, 0), (0, 0)))
+    wv = jax.device_put(wv, NamedSharding(mesh, P(axis, None, None)))
+    vsh = NamedSharding(mesh, P(axis))
+    b = jnp.asarray(b)
+    bp = jax.device_put(jnp.pad(b, (0, m_pad - b.shape[0])).astype(wv.dtype), vsh)
+    x0p = (
+        jnp.zeros((m_pad,), wv.dtype)
+        if x0 is None
+        else jnp.pad(jnp.asarray(x0), (0, m_pad - np.shape(x0)[0])).astype(wv.dtype)
+    )
+    x0p = jax.device_put(x0p, vsh)
+    rep = NamedSharding(mesh, P())
+    rtol_c = jax.device_put(jnp.asarray(rtol, wv.dtype), rep)
+    atol_c = jax.device_put(jnp.asarray(atol, wv.dtype), rep)
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis), P(axis), P(), P()),
+        out_specs=(P(axis), P(), P()),
+    )
+    def _cg(wv_c, bl, x0l, rt, at):
+        def dot(u, v):
+            return jax.lax.psum(jnp.sum(u * v), axis)
+
+        bnorm = jnp.sqrt(dot(bl, bl))
+        brtol = rt * bnorm
+        r0 = matvec(wv_c, x0l) - bl
+        rn0 = jnp.sqrt(dot(r0, r0))
+
+        def cond(state):
+            x, r, p, rz, k, rnorm = state
+            not_conv = jnp.logical_and(rnorm > at, rnorm > brtol)
+            return jnp.logical_and(not_conv, k < maxit)
+
+        def body(state):
+            x, r, p, rz, k, rnorm = state
+            rz_new = dot(r, r)
+            beta = jnp.where(k == 0, jnp.zeros_like(rz), rz_new / rz)
+            p = beta * p - r
+            q = matvec(wv_c, p)
+            alpha = rz_new / dot(p, q)
+            x = x + alpha * p
+            r = r + alpha * q
+            return (x, r, p, rz_new, k + 1, jnp.sqrt(dot(r, r)))
+
+        state = (
+            x0l,
+            r0,
+            jnp.zeros_like(x0l),
+            jnp.ones((), bl.dtype),
+            jnp.zeros((), jnp.int32),
+            rn0,
+        )
+        x, r, p, rz, k, rnorm = jax.lax.while_loop(cond, body, state)
+        return x, k, rnorm
+
+    x, k, rnorm = _cg(wv, bp, x0p, rtol_c, atol_c)
     return x[:m], int(k), float(rnorm)
 
 

@@ -99,45 +99,17 @@ def dist_spmv_ell_sharded_x(mesh: Mesh, ell_ind, ell_val, x_sharded, axis: str =
     return _local(ell_ind, ell_val, x_sharded)
 
 
-def dist_spmv_bwd_halo(mesh: Mesh, form, x_sharded, axis: str = "x"):
-    """Banded-window SpMV with x SHARDED and only the band halos exchanged
-    via `ppermute` — the §5.8(i) halo-exchange schedule: instead of
-    all-gathering the whole x (O(n) bytes per device per call), each device
-    receives just the W-wide boundary windows from its ring neighbors
-    (O(W) bytes over ICI), which XLA can overlap with the local einsum.
-
-    Requires a square banded ExecForm without spill whose halo fits inside
-    one neighbor shard (the planner's band forms satisfy this for
-    n >> W * n_devices); callers fall back to the all-gather path
-    otherwise. x_sharded: (m_pad,) sharded over `axis`, m_pad a multiple
-    of 8*n_devices. Returns y with the same sharding."""
-    ndev = mesh.shape[axis]
-    if form.sp_ind is not None and int(form.sp_ind.shape[0]):
-        raise ValueError("halo path requires a spill-free band form")
-    W = form.bwd_W
-    rel_lo = 8 * form.bwd_base8 - form.bwd_padL
+def _bwd_halo_matvec(axis: str, ndev: int, W: int, rel_lo: int):
+    """Build the per-device halo matvec `(wv_c, xloc) -> y_loc` used by the
+    halo SpMV and the halo Krylov loops: ppermute the W-wide boundary
+    windows over the ring, stitch, run the local band einsum."""
     HL = max(0, -rel_lo)
     HR = max(0, rel_lo + W - 8)
-    m_pad = int(x_sharded.shape[0])
-    mloc = m_pad // ndev
-    if HL > mloc or HR > mloc:
-        raise ValueError("halo wider than a shard: use the all-gather path")
-    nblk_pad = m_pad // 8
-    wv = form.bwd_val
-    if wv.shape[0] != nblk_pad:
-        wv = jnp.pad(wv, ((0, nblk_pad - wv.shape[0]), (0, 0), (0, 0)))
-    wv = jax.device_put(wv, NamedSharding(mesh, P(axis, None, None)))
     fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
     bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
     base_loc = (rel_lo + HL) // 8  # window start inside the extended local x
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis)),
-        out_specs=P(axis),
-    )
-    def _local(wv_c, xloc):
+    def matvec(wv_c, xloc):
         me = jax.lax.axis_index(axis)
         zero = jnp.zeros((), xloc.dtype)
         if HL:
@@ -161,6 +133,46 @@ def dist_spmv_bwd_halo(mesh: Mesh, form, x_sharded, axis: str = "x"):
             axis=1,
         )
         return jnp.einsum("brw,bw->br", wv_c, pats).reshape(-1)
+
+    return matvec, HL, HR
+
+
+def dist_spmv_bwd_halo(mesh: Mesh, form, x_sharded, axis: str = "x"):
+    """Banded-window SpMV with x SHARDED and only the band halos exchanged
+    via `ppermute` — the §5.8(i) halo-exchange schedule: instead of
+    all-gathering the whole x (O(n) bytes per device per call), each device
+    receives just the W-wide boundary windows from its ring neighbors
+    (O(W) bytes over ICI), which XLA can overlap with the local einsum.
+
+    Requires a square banded ExecForm without spill whose halo fits inside
+    one neighbor shard (the planner's band forms satisfy this for
+    n >> W * n_devices); callers fall back to the all-gather path
+    otherwise. x_sharded: (m_pad,) sharded over `axis`, m_pad a multiple
+    of 8*n_devices. Returns y with the same sharding."""
+    ndev = mesh.shape[axis]
+    if form.sp_ind is not None and int(form.sp_ind.shape[0]):
+        raise ValueError("halo path requires a spill-free band form")
+    W = form.bwd_W
+    rel_lo = 8 * form.bwd_base8 - form.bwd_padL
+    matvec, HL, HR = _bwd_halo_matvec(axis, ndev, W, rel_lo)
+    m_pad = int(x_sharded.shape[0])
+    mloc = m_pad // ndev
+    if HL > mloc or HR > mloc:
+        raise ValueError("halo wider than a shard: use the all-gather path")
+    nblk_pad = m_pad // 8
+    wv = form.bwd_val
+    if wv.shape[0] != nblk_pad:
+        wv = jnp.pad(wv, ((0, nblk_pad - wv.shape[0]), (0, 0), (0, 0)))
+    wv = jax.device_put(wv, NamedSharding(mesh, P(axis, None, None)))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis)),
+        out_specs=P(axis),
+    )
+    def _local(wv_c, xloc):
+        return matvec(wv_c, xloc)
 
     return _local(wv, x_sharded)
 

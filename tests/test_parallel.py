@@ -242,3 +242,30 @@ def test_dist_spmm_bwd_halo_single_group(rng):
     Bs = jax.device_put(jnp.asarray(B), NamedSharding(mesh, P("x", None)))
     C = dist_spmm_bwd_halo(mesh, form, Bs)
     np.testing.assert_allclose(np.asarray(C)[:m], want, atol=1e-8)
+
+
+def test_dist_cg_bwd_halo(rng):
+    """Halo-CG: fully sharded vectors, ppermute band halos inside the
+    while_loop; must match dense solve AND dist_cg_bwd's iteration count
+    (reductions are psum'd, so the scalar sequence is identical up to
+    reduction order)."""
+    from aoclsparse_tpu.parallel import dist_cg_bwd, dist_cg_bwd_halo
+
+    m = 384
+    # banded SPD: pentadiagonal, diagonally dominant -> spill-free bwd form
+    dense = np.zeros((m, m))
+    for off, v in [(0, 6.0), (1, -1.0), (2, -0.5)]:
+        dense += np.diag(np.full(m - off, v), off)
+        if off:
+            dense += np.diag(np.full(m - off, v), -off)
+    msk = dense != 0
+    ptr = np.concatenate([[0], np.cumsum(msk.sum(1))]).astype(np.int64)
+    A = ast.create_csr(m, m, ptr, np.nonzero(msk)[1].astype(np.int32), dense[msk])
+    form = get_plan(A).exec_form_for(MatrixDescriptor(), Operation.none, kind="bwd")
+    assert form.sp_ind is None or form.sp_ind.shape[0] == 0
+    b = rng.standard_normal(m)
+    mesh = make_mesh(8)
+    x1, k1, rn1 = dist_cg_bwd(mesh, form, b, rtol=1e-10, maxit=400)
+    x2, k2, rn2 = dist_cg_bwd_halo(mesh, form, b, rtol=1e-10, maxit=400)
+    np.testing.assert_allclose(np.asarray(x2), np.linalg.solve(dense, b), atol=1e-6)
+    assert abs(k2 - k1) <= 2  # same math, different reduction order
