@@ -28,3 +28,5 @@ from .spmv import (  # noqa: F401
     shard_ell,
 )
 from .trsv import dist_trsm_pipeline, dist_trsv_pipeline  # noqa: F401
+from .placement import fetch, mesh_is_multiprocess, put  # noqa: F401
+from .multiproc import global_mesh, init_multiprocess  # noqa: F401

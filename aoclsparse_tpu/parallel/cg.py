@@ -21,7 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .placement import put
 
 __all__ = [
     "cg_ell_jit",
@@ -31,6 +33,16 @@ __all__ = [
     "dist_cg_bwd_halo",
     "prepare_dist_ell",
 ]
+
+
+def _trim(x, m: int):
+    """Drop the row padding. A multi-process global array cannot be sliced
+    eagerly (some shards are remote), so the slice runs as a tiny SPMD jit."""
+    if int(x.shape[0]) == m:
+        return x
+    if x.is_fully_addressable:
+        return x[:m]
+    return jax.jit(lambda a: jax.lax.slice_in_dim(a, 0, m))(x)
 
 
 @partial(jax.jit, static_argnames=("maxit", "W", "base8", "padL", "n_pad"))
@@ -149,8 +161,11 @@ def prepare_dist_ell(mesh: Mesh, ell_ind, ell_val, axis: str = "x"):
         pad = ((0, m_pad - m), (0, 0))
         ell_ind = jnp.pad(ell_ind, pad, constant_values=-1)
         ell_val = jnp.pad(ell_val, pad)
-    sh = NamedSharding(mesh, P(axis, None))
-    return jax.device_put(ell_ind, sh), jax.device_put(ell_val, sh), m_pad
+    return (
+        put(ell_ind, mesh, P(axis, None)),
+        put(ell_val, mesh, P(axis, None)),
+        m_pad,
+    )
 
 
 def dist_cg_bwd(
@@ -176,8 +191,7 @@ def dist_cg_bwd(
     m_pad = nblk_pad * 8
     # n_pad must still cover every slice after padding rows
     n_pad = max(form.bwd_n_pad, 8 * (form.bwd_base8 + form.bwd_W // 8 - 1 + nblk_pad))
-    wv = jax.device_put(wv, NamedSharding(mesh, P(axis, None, None)))
-    rep = NamedSharding(mesh, P())
+    wv = put(wv, mesh, P(axis, None, None))
     m = form.m
     b = jnp.asarray(b)
     bp = jnp.pad(b, (0, m_pad - b.shape[0]))
@@ -186,22 +200,22 @@ def dist_cg_bwd(
         if x0 is None
         else jnp.pad(jnp.asarray(x0), (0, m_pad - np.shape(x0)[0]))
     )
-    bp = jax.device_put(bp.astype(wv.dtype), rep)
-    x0p = jax.device_put(x0p.astype(wv.dtype), rep)
+    bp = put(bp.astype(wv.dtype), mesh, P())
+    x0p = put(x0p.astype(wv.dtype), mesh, P())
 
     # the kernel pads x by (padL, n_pad - padL - len): feed the padded-rows
     # vector and let the matvec's internal pad cover the window tail
     sp_ind = sp_rows = sp_val = None
     if form.sp_ind is not None and form.sp_ind.shape[0]:
-        sp_ind = jax.device_put(form.sp_ind, rep)
-        sp_rows = jax.device_put(form.sp_rows, rep)
-        sp_val = jax.device_put(form.sp_val, rep)
+        sp_ind = put(form.sp_ind, mesh, P())
+        sp_rows = put(form.sp_rows, mesh, P())
+        sp_val = put(form.sp_val, mesh, P())
     x, k, rnorm = cg_bwd_jit(
         wv,
         bp,
         x0p,
-        jnp.asarray(rtol, wv.dtype),
-        jnp.asarray(atol, wv.dtype),
+        put(np.asarray(rtol, wv.dtype), mesh, P()),
+        put(np.asarray(atol, wv.dtype), mesh, P()),
         maxit,
         form.bwd_W,
         form.bwd_base8,
@@ -211,7 +225,7 @@ def dist_cg_bwd(
         sp_rows,
         sp_val,
     )
-    return x[:m], int(k), float(rnorm)
+    return _trim(x, m), int(k), float(rnorm)
 
 
 def dist_cg_bwd_halo(
@@ -249,19 +263,17 @@ def dist_cg_bwd_halo(
     wv = form.bwd_val
     if wv.shape[0] != m_pad // 8:
         wv = jnp.pad(wv, ((0, m_pad // 8 - wv.shape[0]), (0, 0), (0, 0)))
-    wv = jax.device_put(wv, NamedSharding(mesh, P(axis, None, None)))
-    vsh = NamedSharding(mesh, P(axis))
+    wv = put(wv, mesh, P(axis, None, None))
     b = jnp.asarray(b)
-    bp = jax.device_put(jnp.pad(b, (0, m_pad - b.shape[0])).astype(wv.dtype), vsh)
+    bp = put(jnp.pad(b, (0, m_pad - b.shape[0])).astype(wv.dtype), mesh, P(axis))
     x0p = (
         jnp.zeros((m_pad,), wv.dtype)
         if x0 is None
         else jnp.pad(jnp.asarray(x0), (0, m_pad - np.shape(x0)[0])).astype(wv.dtype)
     )
-    x0p = jax.device_put(x0p, vsh)
-    rep = NamedSharding(mesh, P())
-    rtol_c = jax.device_put(jnp.asarray(rtol, wv.dtype), rep)
-    atol_c = jax.device_put(jnp.asarray(atol, wv.dtype), rep)
+    x0p = put(x0p, mesh, P(axis))
+    rtol_c = put(np.asarray(rtol, wv.dtype), mesh, P())
+    atol_c = put(np.asarray(atol, wv.dtype), mesh, P())
 
     @jax.jit
     @partial(
@@ -307,7 +319,7 @@ def dist_cg_bwd_halo(
         return x, k, rnorm
 
     x, k, rnorm = _cg(wv, bp, x0p, rtol_c, atol_c)
-    return x[:m], int(k), float(rnorm)
+    return _trim(x, m), int(k), float(rnorm)
 
 
 def dist_cg(
@@ -324,16 +336,21 @@ def dist_cg(
     """Distributed CG: shard the operand + vectors over the mesh and run the
     single-dispatch CG. XLA inserts all-gather/psum collectives over ICI."""
     ind_s, val_s, m_pad = prepare_dist_ell(mesh, ell_ind, ell_val, axis)
-    vsh = NamedSharding(mesh, P(axis))
     m = b.shape[0]
     if m_pad != m:
         b = jnp.pad(jnp.asarray(b), (0, m_pad - m))
     x0 = jnp.zeros((m_pad,), val_s.dtype) if x0 is None else jnp.asarray(x0)
     if x0.shape[0] != m_pad:
         x0 = jnp.pad(x0, (0, m_pad - x0.shape[0]))
-    b = jax.device_put(b.astype(val_s.dtype), vsh)
-    x0 = jax.device_put(x0.astype(val_s.dtype), vsh)
+    b = put(b.astype(val_s.dtype), mesh, P(axis))
+    x0 = put(x0.astype(val_s.dtype), mesh, P(axis))
     x, k, rnorm = cg_ell_jit(
-        ind_s, val_s, b, x0, jnp.asarray(rtol, val_s.dtype), jnp.asarray(atol, val_s.dtype), maxit
+        ind_s,
+        val_s,
+        b,
+        x0,
+        put(np.asarray(rtol, val_s.dtype), mesh, P()),
+        put(np.asarray(atol, val_s.dtype), mesh, P()),
+        maxit,
     )
-    return x[:m], int(k), float(rnorm)
+    return _trim(x, m), int(k), float(rnorm)

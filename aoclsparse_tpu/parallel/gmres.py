@@ -18,7 +18,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .placement import put
 
 __all__ = ["gmres_bwd_jit", "dist_gmres_bwd"]
 
@@ -142,23 +144,22 @@ def dist_gmres_bwd(
         wv = jnp.pad(wv, ((0, nblk_pad - nblk), (0, 0), (0, 0)))
     m_pad = nblk_pad * 8
     n_pad = max(form.bwd_n_pad, 8 * (form.bwd_base8 + form.bwd_W // 8 - 1 + nblk_pad))
-    wv = jax.device_put(wv, NamedSharding(mesh, P(axis, None, None)))
-    rep = NamedSharding(mesh, P())
+    wv = put(wv, mesh, P(axis, None, None))
     m = form.m
     b = jnp.asarray(b)
-    bp = jax.device_put(jnp.pad(b, (0, m_pad - b.shape[0])).astype(wv.dtype), rep)
+    bp = put(jnp.pad(b, (0, m_pad - b.shape[0])).astype(wv.dtype), mesh, P())
     x0p = (
         jnp.zeros((m_pad,), wv.dtype)
         if x0 is None
         else jnp.pad(jnp.asarray(x0), (0, m_pad - np.shape(x0)[0])).astype(wv.dtype)
     )
-    x0p = jax.device_put(x0p, rep)
+    x0p = put(x0p, mesh, P())
     maxcycles = max(1, -(-maxit // restart))
     sp_ind = sp_rows = sp_val = None
     if form.sp_ind is not None and form.sp_ind.shape[0]:
-        sp_ind = jax.device_put(form.sp_ind, rep)
-        sp_rows = jax.device_put(form.sp_rows, rep)
-        sp_val = jax.device_put(form.sp_val, rep)
+        sp_ind = put(form.sp_ind, mesh, P())
+        sp_rows = put(form.sp_rows, mesh, P())
+        sp_val = put(form.sp_val, mesh, P())
     x, ncyc, rnorm = gmres_bwd_jit(
         wv,
         bp,

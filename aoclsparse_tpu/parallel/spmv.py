@@ -19,8 +19,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
+
+from .placement import put
 
 __all__ = [
     "make_mesh",
@@ -54,16 +56,15 @@ def shard_ell(mesh: Mesh, ell_ind, ell_val, axis: str = "x"):
     n = mesh.shape[axis]
     m = ell_ind.shape[0]
     m_pad = -(-m // n) * n
-    sh = NamedSharding(mesh, P(axis, None))
-    ind = jax.device_put(_pad_rows(ell_ind, m_pad), sh)
-    val = jax.device_put(_pad_rows(ell_val, m_pad), sh)
+    ind = put(_pad_rows(ell_ind, m_pad), mesh, P(axis, None))
+    val = put(_pad_rows(ell_val, m_pad), mesh, P(axis, None))
     return ind, val, m_pad
 
 
 def dist_spmv_ell(mesh: Mesh, ell_ind, ell_val, x, axis: str = "x"):
     """y = A @ x with A row-sharded and x replicated: embarrassingly parallel,
     each device reduces its row block (the direct OpenMP-row-split analog)."""
-    xr = jax.device_put(x, NamedSharding(mesh, P()))
+    xr = put(x, mesh, P())
 
     @partial(
         shard_map,
@@ -163,7 +164,7 @@ def dist_spmv_bwd_halo(mesh: Mesh, form, x_sharded, axis: str = "x"):
     wv = form.bwd_val
     if wv.shape[0] != nblk_pad:
         wv = jnp.pad(wv, ((0, nblk_pad - wv.shape[0]), (0, 0), (0, 0)))
-    wv = jax.device_put(wv, NamedSharding(mesh, P(axis, None, None)))
+    wv = put(wv, mesh, P(axis, None, None))
 
     @partial(
         shard_map,
@@ -209,7 +210,7 @@ def dist_spmv_bwd_halo_overlap(mesh: Mesh, form, x_sharded, axis: str = "x"):
     wv = form.bwd_val
     if wv.shape[0] != nblk_pad:
         wv = jnp.pad(wv, ((0, nblk_pad - wv.shape[0]), (0, 0), (0, 0)))
-    wv = jax.device_put(wv, NamedSharding(mesh, P(axis, None, None)))
+    wv = put(wv, mesh, P(axis, None, None))
     fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
     bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
     base = rel_lo + HL  # xe index of local x position 0's window origin
@@ -314,7 +315,7 @@ def dist_spmm_bwd_halo(mesh: Mesh, form, B_sharded, axis: str = "x"):
     wv = form.bwd_val
     if wv.shape[0] != nblk_pad:
         wv = jnp.pad(wv, ((0, nblk_pad - wv.shape[0]), (0, 0), (0, 0)))
-    wv = jax.device_put(wv, NamedSharding(mesh, P(axis, None, None)))
+    wv = put(wv, mesh, P(axis, None, None))
     fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
     bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
     # interior groups: the SLICE [G*gl + rel, + nslice*G) (what _wins
@@ -402,9 +403,9 @@ def dist_spmv_ell_balanced(mesh: Mesh, ell_ind_stack, x, bounds, val_stack, axis
     matrices keep every device busy (the reference's static row split,
     csr2m.cpp:89-101, stalls on skew). x replicated; returns the stacked
     padded (n_parts, mloc) result + bounds for compaction."""
-    xr = jax.device_put(x, NamedSharding(mesh, P()))
-    ind_s = jax.device_put(ell_ind_stack, NamedSharding(mesh, P(axis, None, None)))
-    val_s = jax.device_put(val_stack, NamedSharding(mesh, P(axis, None, None)))
+    xr = put(x, mesh, P())
+    ind_s = put(ell_ind_stack, mesh, P(axis, None, None))
+    val_s = put(val_stack, mesh, P(axis, None, None))
 
     @partial(
         shard_map,

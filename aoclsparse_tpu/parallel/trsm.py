@@ -10,7 +10,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .placement import put
 
 __all__ = ["dist_trsm"]
 
@@ -29,10 +31,9 @@ def dist_trsm(mesh: Mesh, form, B, axis: str = "x"):
     m_pad = form.nblk * form.nb
     if m_pad != m:
         B = jnp.pad(B, ((0, m_pad - m), (0, 0)))
-    Bs = jax.device_put(B, NamedSharding(mesh, P(None, axis)))
-    rep = NamedSharding(mesh, P())
-    D = jax.device_put(form.D, rep)
-    Lv = jax.device_put(form.Lval, rep)
+    Bs = put(B, mesh, P(None, axis))
+    D = put(form.D, mesh, P())
+    Lv = put(form.Lval, mesh, P())
     if form.kind == "win":
         from ..kernels.xla.trsv import trsv_blocked_win
 
@@ -40,7 +41,7 @@ def dist_trsm(mesh: Mesh, form, B, axis: str = "x"):
     else:
         from ..kernels.xla.trsv import trsv_blocked
 
-        Li = jax.device_put(form.Lind, rep)
+        Li = put(form.Lind, mesh, P())
         X = trsv_blocked(D, Li, Lv, Bs, form.nb, m_pad)
     X = X[:m]
     if form.reversed_:

@@ -25,7 +25,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .placement import put
 from jax import shard_map
 
 __all__ = ["dist_trsv_pipeline", "dist_trsm_pipeline"]
@@ -59,10 +61,9 @@ def _prep(mesh, form, axis):
         Lwin = jnp.concatenate(
             [Lwin, jnp.zeros((nblk_pad - nblk, nb, WL), Lwin.dtype)]
         )
-    sh = NamedSharding(mesh, P(axis, None, None))
     return (
-        jax.device_put(Dinv, sh),
-        jax.device_put(Lwin, sh),
+        put(Dinv, mesh, P(axis, None, None)),
+        put(Lwin, mesh, P(axis, None, None)),
         ndev,
         nb,
         WL,
@@ -102,7 +103,7 @@ def dist_trsv_pipeline(mesh: Mesh, form, b, axis: str = "x"):
     if form.reversed_:
         b2 = b2[::-1]
     b2 = jnp.pad(b2, ((0, m_pad - b2.shape[0]), (0, 0))).astype(Dinv.dtype)
-    b_sh = jax.device_put(b2, NamedSharding(mesh, P(axis, None)))
+    b_sh = put(b2, mesh, P(axis, None))
     ring = [(i, (i + 1) % ndev) for i in range(ndev)]
 
     @partial(
@@ -149,7 +150,7 @@ def dist_trsm_pipeline(mesh: Mesh, form, B, axis: str = "x"):
     ncg = ndev  # column groups = devices keeps the pipeline full
     kc = -(-k // ncg)
     B2 = jnp.pad(B2, ((0, m_pad - B2.shape[0]), (0, ncg * kc - k))).astype(Dinv.dtype)
-    b_sh = jax.device_put(B2, NamedSharding(mesh, P(axis, None)))
+    b_sh = put(B2, mesh, P(axis, None))
     ring = [(i, (i + 1) % ndev) for i in range(ndev)]
     nticks = ndev + ncg - 1
 
