@@ -114,6 +114,7 @@ from .solvers import (  # noqa: F401
     itsol_rci_input,
     itsol_rci_solve,
     itsol_solve,
+    itsol_solve_operator,
     pcg_solve,
     pgmres_solve,
     sorv,

@@ -1,6 +1,6 @@
 """Preconditioners (ILU0, SymGS, SOR) and the CG/GMRES Krylov layer."""
 
-from .fused import pcg_solve, pgmres_solve  # noqa: F401
+from .fused import make_cg_operator, make_gmres_operator, pcg_solve, pgmres_solve  # noqa: F401
 from .ilu import IluState, ilu0_factorize, ilu_smoother  # noqa: F401
 from .itsol import (  # noqa: F401
     CgRci,
@@ -16,6 +16,7 @@ from .itsol import (  # noqa: F401
     itsol_rci_input,
     itsol_rci_solve,
     itsol_solve,
+    itsol_solve_operator,
 )
 from .options import OptionRegistry  # noqa: F401
 from .sorv import sorv  # noqa: F401

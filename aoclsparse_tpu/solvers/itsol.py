@@ -53,6 +53,7 @@ __all__ = [
     "itsol_rci_input",
     "itsol_rci_solve",
     "itsol_solve",
+    "itsol_solve_operator",
     "CgRci",
     "GmresRci",
 ]
@@ -580,4 +581,60 @@ def itsol_solve(
         if rci.status == Status.maxit:
             # reference returns the best x with maxit status; surface both
             return rci.x, handle.rinfo, Status.maxit
+    return rci.x, handle.rinfo, rci.status
+
+
+def itsol_solve_operator(
+    handle: ItsolHandle,
+    n: int,
+    matvec: Callable,
+    b,
+    x0=None,
+    precond: Optional[Callable] = None,
+    monitoring: Optional[Callable] = None,
+):
+    """Matrix-free forward interface: like itsol_solve but `matvec` is any
+    callable v -> A@v (the functional operator protocol SURVEY.md §7 maps
+    the reference's RCI onto; the reference reaches matrix-free use only by
+    hand-driving aoclsparse_itsol_?_rci_solve). The SGS/ILU0 preconditioner
+    options need a matrix handle and therefore raise invalid_value here —
+    pass a `precond` callable with the "User" option instead.
+    Returns (x, rinfo, status)."""
+    if matvec is None:
+        raise AoclSparseError(Status.invalid_pointer, "null matvec")
+    itsol_rci_input(handle, n, b)
+    x0 = jnp.zeros((n,), handle.dtype) if x0 is None else jnp.asarray(x0)
+    opts = handle.options
+    solver = opts.get("iterative method")
+    pre_id = opts.get("cg preconditioner" if solver == SOLVER_CG else "gmres preconditioner")
+    if pre_id == PRECOND_USER and precond is None:
+        raise AoclSparseError(Status.invalid_value, "User preconditioner requires callable")
+    if pre_id not in (PRECOND_NONE, PRECOND_USER):
+        raise AoclSparseError(
+            Status.invalid_value,
+            "matrix-free solve supports only None/User preconditioners",
+        )
+    precond_fn = precond if pre_id == PRECOND_USER else None
+
+    rci = _make_rci(handle, x0, user_precond=False)
+    handle.rci = rci
+    try:
+        job, u = rci.step()
+        while job != RciJob.stop:
+            if job == RciJob.mv:
+                job, u = rci.step(jnp.asarray(matvec(u)))
+            elif job == RciJob.precond:
+                job, u = rci.step(precond_fn(u) if precond_fn is not None else u)
+            else:
+                if monitoring is not None:
+                    flag = monitoring(np.asarray(u), handle.rinfo)
+                    if flag:
+                        rci.status = Status.user_stop
+                        break
+                job, u = rci.step()
+    finally:
+        handle.rci = None
+        handle.options.unlock_all()
+    if rci.status == Status.maxit:
+        return rci.x, handle.rinfo, Status.maxit
     return rci.x, handle.rinfo, rci.status

@@ -3,6 +3,7 @@ host RCI path: solution parity and iteration-count agreement (the reference
 forward interface drives the same task machines, itsol_functions.hpp:1352,
 1493 — iteration counts must match the RCI stepper on the same problem)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -175,3 +176,122 @@ def test_pgmres_complex_ilu0(rng):
     x_n, it_n, _ = ast.pgmres_solve(A, b, rtol=1e-8, maxit=200, restart=15)
     np.testing.assert_allclose(dense @ np.asarray(x_p), b, atol=1e-5)
     assert it_p <= it_n
+
+
+# ---------------------------------------------------------------------------
+# matrix-free operator solvers (SURVEY.md §7 functional RCI protocol)
+# ---------------------------------------------------------------------------
+
+
+def test_cg_operator_matches_pcg(rng):
+    from aoclsparse_tpu.solvers import make_cg_operator, pcg_solve
+
+    m = 48
+    A, dense = _spd(rng, m)
+    b = rng.standard_normal(m)
+    dj = jnp.asarray(dense)
+    solve = make_cg_operator(lambda v: dj @ v, maxit=300)
+    x, it, rn = solve(b, rtol=1e-10)
+    xr, itr, rnr = pcg_solve(A, b, rtol=1e-10, maxit=300)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xr), atol=1e-8)
+    assert it == itr  # identical iteration path on the same operator
+
+
+def test_cg_operator_jacobi_precond(rng):
+    from aoclsparse_tpu.solvers import make_cg_operator
+
+    m = 48
+    A, dense = _spd(rng, m)
+    b = rng.standard_normal(m)
+    dj = jnp.asarray(dense)
+    dinv = jnp.asarray(1.0 / np.diag(dense))
+    plain = make_cg_operator(lambda v: dj @ v, maxit=500)
+    pre = make_cg_operator(lambda v: dj @ v, precond=lambda r: dinv * r, maxit=500)
+    x0_, i0, _ = plain(b, rtol=1e-10)
+    x1, i1, _ = pre(b, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(x1), np.linalg.solve(dense, b), atol=1e-7)
+    assert i1 <= i0  # Jacobi can't be worse on this SPD class
+
+
+def test_gmres_operator_matches_pgmres(rng):
+    from aoclsparse_tpu.solvers import make_gmres_operator, pgmres_solve
+
+    m = 40
+    A, dense = _general(rng, m)
+    b = rng.standard_normal(m)
+    dj = jnp.asarray(dense)
+    solve = make_gmres_operator(lambda v: dj @ v, maxit=300, restart=15)
+    x, it, rn = solve(b, rtol=1e-10)
+    xr, itr, _ = pgmres_solve(A, b, rtol=1e-10, maxit=300, restart=15)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xr), atol=1e-8)
+    assert it == itr
+
+
+def test_gmres_operator_reusable_across_rhs(rng):
+    from aoclsparse_tpu.solvers import make_gmres_operator
+
+    m = 32
+    A, dense = _general(rng, m)
+    dj = jnp.asarray(dense)
+    solve = make_gmres_operator(lambda v: dj @ v, maxit=200, restart=10)
+    for _ in range(3):
+        b = rng.standard_normal(m)
+        x, it, rn = solve(b, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), atol=1e-6)
+
+
+def test_itsol_solve_operator_matches_matrix_path(rng):
+    m = 40
+    A, dense = _spd(rng, m)
+    b = rng.standard_normal(m)
+    h = ast.itsol_init(np.float64)
+    ast.itsol_option_set(h, "iterative method", "CG")
+    x_mat, rinfo_mat, st_mat = ast.itsol_solve(h, m, A, GEN, b)
+    it_mat = int(rinfo_mat[RINFO_ITER])
+
+    h2 = ast.itsol_init(np.float64)
+    ast.itsol_option_set(h2, "iterative method", "CG")
+    dj = jnp.asarray(dense)
+    x_op, rinfo_op, st_op = ast.itsol_solve_operator(h2, m, lambda v: dj @ v, b)
+    assert st_mat == st_op == Status.success
+    assert int(rinfo_op[RINFO_ITER]) == it_mat
+    np.testing.assert_allclose(np.asarray(x_op), np.asarray(x_mat), atol=1e-9)
+
+
+def test_itsol_solve_operator_user_precond_and_errors(rng):
+    m = 32
+    A, dense = _spd(rng, m)
+    b = rng.standard_normal(m)
+    dj = jnp.asarray(dense)
+    dinv = jnp.asarray(1.0 / np.diag(dense))
+
+    h = ast.itsol_init(np.float64)
+    ast.itsol_option_set(h, "iterative method", "CG")
+    ast.itsol_option_set(h, "cg preconditioner", "User")
+    x, rinfo, st = ast.itsol_solve_operator(
+        h, m, lambda v: dj @ v, b, precond=lambda r: dinv * r
+    )
+    assert st == Status.success
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), atol=1e-7)
+
+    # User option without a callable -> invalid_value
+    h2 = ast.itsol_init(np.float64)
+    ast.itsol_option_set(h2, "iterative method", "CG")
+    ast.itsol_option_set(h2, "cg preconditioner", "User")
+    with pytest.raises(ast.AoclSparseError) as ei:
+        ast.itsol_solve_operator(h2, m, lambda v: dj @ v, b)
+    assert ei.value.status == Status.invalid_value
+
+    # matrix-needing preconditioner -> invalid_value in matrix-free mode
+    h3 = ast.itsol_init(np.float64)
+    ast.itsol_option_set(h3, "iterative method", "CG")
+    ast.itsol_option_set(h3, "cg preconditioner", "SGS")
+    with pytest.raises(ast.AoclSparseError) as ei:
+        ast.itsol_solve_operator(h3, m, lambda v: dj @ v, b)
+    assert ei.value.status == Status.invalid_value
+
+    # null matvec -> invalid_pointer
+    h4 = ast.itsol_init(np.float64)
+    with pytest.raises(ast.AoclSparseError) as ei:
+        ast.itsol_solve_operator(h4, m, None, b)
+    assert ei.value.status == Status.invalid_pointer
