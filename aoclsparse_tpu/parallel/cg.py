@@ -31,6 +31,7 @@ __all__ = [
     "dist_cg",
     "dist_cg_bwd",
     "dist_cg_bwd_halo",
+    "dist_cg_pipelined",
     "prepare_dist_ell",
 ]
 
@@ -319,6 +320,131 @@ def dist_cg_bwd_halo(
         return x, k, rnorm
 
     x, k, rnorm = _cg(wv, bp, x0p, rtol_c, atol_c)
+    return _trim(x, m), int(k), float(rnorm)
+
+
+def dist_cg_pipelined(
+    mesh: Mesh,
+    form,
+    b,
+    x0=None,
+    rtol: float = 1e-8,
+    atol: float = 0.0,
+    maxit: int = 500,
+    axis: str = "x",
+):
+    """Distributed PIPELINED CG (Ghysels–Vanroose single-reduction variant)
+    over the band-halo matvec: per iteration the TWO inner products are
+    packed into ONE `psum` of a length-2 vector, and the recurrence is
+    rearranged so the matvec q = A·w does NOT depend on that reduction —
+    the XLA scheduler is free to run the ppermute+einsum while the psum is
+    on the wire. This is the collective-latency-hiding refinement of
+    dist_cg_bwd_halo (SURVEY.md §5.8's "overlap with local compute" applied
+    to the solver's reductions; the reference, being single-node OpenMP,
+    has no analog — its dots are shared-memory).
+
+    Recurrence (unpreconditioned):
+        γ=(r,r), δ=(w,r) [one psum];  q = A w  [overlapped]
+        β = γ/γ₋ ;  α = γ/(δ − βγ/α₋)
+        z←q+βz ; s←w+βs ; p←r+βp ; x←x+αp ; r←r−αs ; w←w−αz
+    Convergence on √γ like the reference CG's ||r||₂ test. Extra storage:
+    3 vectors over classic CG — the standard pipelining trade.
+
+    Contract matches dist_cg_bwd_halo (square spill-free band form, halo
+    narrower than one shard). Returns (x, iters, rnorm)."""
+    ndev = mesh.shape[axis]
+    if form.sp_ind is not None and int(form.sp_ind.shape[0]):
+        raise ValueError("halo path requires a spill-free band form")
+    from .spmv import _bwd_halo_matvec
+
+    W = form.bwd_W
+    rel_lo = 8 * form.bwd_base8 - form.bwd_padL
+    matvec, HL, HR = _bwd_halo_matvec(axis, ndev, W, rel_lo)
+    m = form.m
+    m_pad = -(-m // (8 * ndev)) * 8 * ndev
+    if HL > m_pad // ndev or HR > m_pad // ndev:
+        raise ValueError("halo wider than a shard: use dist_cg_bwd")
+    wv = form.bwd_val
+    if wv.shape[0] != m_pad // 8:
+        wv = jnp.pad(wv, ((0, m_pad // 8 - wv.shape[0]), (0, 0), (0, 0)))
+    wv = put(wv, mesh, P(axis, None, None))
+    b = jnp.asarray(b)
+    bp = put(jnp.pad(b, (0, m_pad - b.shape[0])).astype(wv.dtype), mesh, P(axis))
+    x0p = (
+        jnp.zeros((m_pad,), wv.dtype)
+        if x0 is None
+        else jnp.pad(jnp.asarray(x0), (0, m_pad - np.shape(x0)[0])).astype(wv.dtype)
+    )
+    x0p = put(x0p, mesh, P(axis))
+    rtol_c = put(np.asarray(rtol, wv.dtype), mesh, P())
+    atol_c = put(np.asarray(atol, wv.dtype), mesh, P())
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis), P(axis), P(), P()),
+        out_specs=(P(axis), P(), P()),
+    )
+    def _pipecg(wv_c, bl, x0l, rt, at):
+        def dot2(u1, v1, u2, v2):
+            # the single fused reduction: both dots ride ONE psum
+            local = jnp.stack([jnp.sum(u1 * v1), jnp.sum(u2 * v2)])
+            return jax.lax.psum(local, axis)
+
+        bnorm = jnp.sqrt(jax.lax.psum(jnp.sum(bl * bl), axis))
+        brtol = rt * bnorm
+        r0 = bl - matvec(wv_c, x0l)
+        w0 = matvec(wv_c, r0)
+        zv = jnp.zeros_like(x0l)
+        rn0sq = jax.lax.psum(jnp.sum(r0 * r0), axis)
+        tolsq = jnp.maximum(at, brtol) ** 2
+
+        # convergence is tested on the γ=(r,r) that the fused reduction of
+        # the PREVIOUS iteration produced (the standard pipelined-CG lag:
+        # one extra cheap update past the classic stopping point instead of
+        # a third collective per iteration)
+        def cond(st):
+            x, r, w, z, s, p, g, a_old, k = st
+            return jnp.logical_and(g > tolsq, k < maxit)
+
+        def body(st):
+            x, r, w, z, s, p, g_old, a_old, k = st
+            gd = dot2(r, r, w, r)  # ONE collective per iteration …
+            q = matvec(wv_c, w)  # … overlapped with the matvec
+            g, d = gd[0], gd[1]
+            beta = jnp.where(k == 0, jnp.zeros_like(g), g / g_old)
+            denom = d - beta * g / jnp.where(k == 0, jnp.ones_like(a_old), a_old)
+            alpha = g / denom
+            # γ already ≤ tol² (the lagged test): freeze the state so the
+            # in-flight update cannot disturb the converged x
+            conv = g <= tolsq
+            alpha = jnp.where(conv, jnp.zeros_like(alpha), alpha)
+            z = q + beta * z
+            s = w + beta * s
+            p = r + beta * p
+            x = x + alpha * p
+            r = r - alpha * s
+            w = w - alpha * z
+            k = jnp.where(conv, k, k + 1)
+            return (x, r, w, z, s, p, g, jnp.where(conv, a_old, alpha), k)
+
+        st = (
+            x0l,
+            r0,
+            w0,
+            zv,
+            zv,
+            zv,
+            rn0sq,
+            jnp.ones_like(rn0sq),
+            jnp.zeros((), jnp.int32),
+        )
+        x, r, w, z, s, p, g, a, k = jax.lax.while_loop(cond, body, st)
+        rnorm = jnp.sqrt(jax.lax.psum(jnp.sum(r * r), axis))
+        return x, k, rnorm
+
+    x, k, rnorm = _pipecg(wv, bp, x0p, rtol_c, atol_c)
     return _trim(x, m), int(k), float(rnorm)
 
 

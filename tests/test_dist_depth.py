@@ -341,3 +341,62 @@ def test_dist_symgs_cache_refreshes_on_update(rng):
     x2_ref = np.asarray(ast.symgs(Operation.none, A, gen, 1.0, b))
     np.testing.assert_allclose(x2, x2_ref, atol=1e-10)
     assert not np.allclose(x1, x2)  # values actually changed the sweep
+
+
+def test_dist_cg_pipelined_matches_classic(rng):
+    """Pipelined CG (one fused psum/iter) must track the classic halo-CG:
+    same solution, iteration count within the pipelining lag."""
+    from aoclsparse_tpu.parallel import dist_cg_bwd_halo, dist_cg_pipelined
+
+    m = 256
+    half = 3
+    dense = np.zeros((m, m))
+    for d in range(-half, half + 1):
+        v = rng.standard_normal(m - abs(d))
+        dense += np.diag(v, d)
+    dense = (dense + dense.T) / 2 + np.eye(m) * 8
+    ptr, ind, val = [0], [], []
+    for i in range(m):
+        cols = np.nonzero(dense[i])[0]
+        ind += cols.tolist()
+        val += dense[i, cols].tolist()
+        ptr.append(len(ind))
+    A = ast.create_csr(m, m, np.asarray(ptr, np.int32), np.asarray(ind, np.int32), np.asarray(val))
+    form = get_plan(A).exec_form_for(MatrixDescriptor(), Operation.none, kind="bwd")
+    b = dense @ np.ones(m)
+    mesh = make_mesh(8)
+    x1, k1, rn1 = dist_cg_bwd_halo(mesh, form, b, rtol=1e-12, maxit=400)
+    x2, k2, rn2 = dist_cg_pipelined(mesh, form, b, rtol=1e-12, maxit=400)
+    np.testing.assert_allclose(np.asarray(x2), np.ones(m), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-8)
+    assert abs(k2 - k1) <= 3
+    assert rn2 <= 1e-9 * np.linalg.norm(b)
+
+
+def test_dist_cg_pipelined_quick_exits(rng):
+    """b = 0 and exact x0 terminate without iterating (the lagged test must
+    not run past an already-converged start)."""
+    from aoclsparse_tpu.parallel import dist_cg_pipelined
+
+    m = 128
+    dense = np.zeros((m, m))
+    for d in range(-2, 3):
+        v = rng.standard_normal(m - abs(d))
+        dense += np.diag(v, d)
+    dense = (dense + dense.T) / 2 + np.eye(m) * 6
+    ptr, ind, val = [0], [], []
+    for i in range(m):
+        cols = np.nonzero(dense[i])[0]
+        ind += cols.tolist()
+        val += dense[i, cols].tolist()
+        ptr.append(len(ind))
+    A = ast.create_csr(m, m, np.asarray(ptr, np.int32), np.asarray(ind, np.int32), np.asarray(val))
+    form = get_plan(A).exec_form_for(MatrixDescriptor(), Operation.none, kind="bwd")
+    mesh = make_mesh(8)
+    x, k, rn = dist_cg_pipelined(mesh, form, np.zeros(m), rtol=1e-10, atol=1e-300, maxit=50)
+    assert k == 0 and np.allclose(np.asarray(x), 0.0)
+    xstar = rng.standard_normal(m)
+    b = dense @ xstar
+    x2, k2, rn2 = dist_cg_pipelined(mesh, form, b, x0=xstar, rtol=1e-10, maxit=50)
+    assert k2 == 0
+    np.testing.assert_allclose(np.asarray(x2), xstar, atol=1e-12)
