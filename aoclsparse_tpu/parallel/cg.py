@@ -238,6 +238,7 @@ def dist_cg_bwd_halo(
     atol: float = 0.0,
     maxit: int = 500,
     axis: str = "x",
+    dinv=None,
 ):
     """Distributed CG with FULLY SHARDED vectors and ppermute band halos
     inside the while_loop — the multi-step-solver refinement of
@@ -246,6 +247,11 @@ def dist_cg_bwd_halo(
     two psum'd scalars, instead of dist_cg_bwd's O(n) all-gather of the
     einsum output. Same iteration as cg_bwd_jit (reference CG task order,
     itsol_functions.hpp:619-870), whole solve = ONE dispatch.
+
+    `dinv` (optional, length-m host array) enables JACOBI preconditioning:
+    z = dinv ⊙ r — a purely shard-local apply (no extra collectives), the
+    standard distributed-PCG baseline. Convergence stays on ||r||₂ like the
+    reference CG.
 
     Contract: square spill-free band ExecForm with the halo narrower than
     one shard. Returns (x, iters, rnorm)."""
@@ -275,17 +281,27 @@ def dist_cg_bwd_halo(
     x0p = put(x0p, mesh, P(axis))
     rtol_c = put(np.asarray(rtol, wv.dtype), mesh, P())
     atol_c = put(np.asarray(atol, wv.dtype), mesh, P())
+    has_pre = dinv is not None
+    if has_pre:
+        dv = np.zeros(m_pad, dtype=np.float64)
+        dv[:m] = np.asarray(dinv)
+        dinv_s = put(jnp.asarray(dv).astype(wv.dtype), mesh, P(axis))
+    else:
+        dinv_s = bp  # placeholder with the right sharding; unused
 
     @jax.jit
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis), P(axis), P(), P()),
+        in_specs=(P(axis, None, None), P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(axis), P(), P()),
     )
-    def _cg(wv_c, bl, x0l, rt, at):
+    def _cg(wv_c, bl, x0l, dl, rt, at):
         def dot(u, v):
             return jax.lax.psum(jnp.sum(u * v), axis)
+
+        def prec(r):
+            return dl * r if has_pre else r
 
         bnorm = jnp.sqrt(dot(bl, bl))
         brtol = rt * bnorm
@@ -299,9 +315,10 @@ def dist_cg_bwd_halo(
 
         def body(state):
             x, r, p, rz, k, rnorm = state
-            rz_new = dot(r, r)
+            z = prec(r)
+            rz_new = dot(r, z)
             beta = jnp.where(k == 0, jnp.zeros_like(rz), rz_new / rz)
-            p = beta * p - r
+            p = beta * p - z
             q = matvec(wv_c, p)
             alpha = rz_new / dot(p, q)
             x = x + alpha * p
@@ -319,7 +336,7 @@ def dist_cg_bwd_halo(
         x, r, p, rz, k, rnorm = jax.lax.while_loop(cond, body, state)
         return x, k, rnorm
 
-    x, k, rnorm = _cg(wv, bp, x0p, rtol_c, atol_c)
+    x, k, rnorm = _cg(wv, bp, x0p, dinv_s, rtol_c, atol_c)
     return _trim(x, m), int(k), float(rnorm)
 
 
@@ -332,6 +349,7 @@ def dist_cg_pipelined(
     atol: float = 0.0,
     maxit: int = 500,
     axis: str = "x",
+    dinv=None,
 ):
     """Distributed PIPELINED CG (Ghysels–Vanroose single-reduction variant)
     over the band-halo matvec: per iteration the TWO inner products are
@@ -349,6 +367,11 @@ def dist_cg_pipelined(
         z←q+βz ; s←w+βs ; p←r+βp ; x←x+αp ; r←r−αs ; w←w−αz
     Convergence on √γ like the reference CG's ||r||₂ test. Extra storage:
     3 vectors over classic CG — the standard pipelining trade.
+
+    `dinv` (optional, length-m host array) switches to the PRECONDITIONED
+    Ghysels–Vanroose recurrence with M⁻¹ = diag(dinv) (Jacobi — shard-local
+    apply): the THREE inner products (γ=(r,u), δ=(w,u), ρ=(r,r)) ride the
+    same single fused psum, convergence stays on ||r||₂ via ρ.
 
     Contract matches dist_cg_bwd_halo (square spill-free band form, halo
     narrower than one shard). Returns (x, iters, rnorm)."""
@@ -378,73 +401,129 @@ def dist_cg_pipelined(
     x0p = put(x0p, mesh, P(axis))
     rtol_c = put(np.asarray(rtol, wv.dtype), mesh, P())
     atol_c = put(np.asarray(atol, wv.dtype), mesh, P())
+    has_pre = dinv is not None
+    if has_pre:
+        dv = np.zeros(m_pad, dtype=np.float64)
+        dv[:m] = np.asarray(dinv)
+        dinv_s = put(jnp.asarray(dv).astype(wv.dtype), mesh, P(axis))
+    else:
+        dinv_s = bp  # placeholder with the right sharding; unused
 
     @jax.jit
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis), P(axis), P(), P()),
+        in_specs=(P(axis, None, None), P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(axis), P(), P()),
     )
-    def _pipecg(wv_c, bl, x0l, rt, at):
-        def dot2(u1, v1, u2, v2):
-            # the single fused reduction: both dots ride ONE psum
-            local = jnp.stack([jnp.sum(u1 * v1), jnp.sum(u2 * v2)])
+    def _pipecg(wv_c, bl, x0l, dl, rt, at):
+        def dots(*pairs):
+            # the single fused reduction: every dot rides ONE psum
+            local = jnp.stack([jnp.sum(u * v) for u, v in pairs])
             return jax.lax.psum(local, axis)
 
         bnorm = jnp.sqrt(jax.lax.psum(jnp.sum(bl * bl), axis))
         brtol = rt * bnorm
         r0 = bl - matvec(wv_c, x0l)
-        w0 = matvec(wv_c, r0)
         zv = jnp.zeros_like(x0l)
         rn0sq = jax.lax.psum(jnp.sum(r0 * r0), axis)
         tolsq = jnp.maximum(at, brtol) ** 2
 
-        # convergence is tested on the γ=(r,r) that the fused reduction of
+        # convergence is tested on the ρ=(r,r) that the fused reduction of
         # the PREVIOUS iteration produced (the standard pipelined-CG lag:
         # one extra cheap update past the classic stopping point instead of
-        # a third collective per iteration)
-        def cond(st):
-            x, r, w, z, s, p, g, a_old, k = st
-            return jnp.logical_and(g > tolsq, k < maxit)
+        # an extra collective per iteration)
+        if not has_pre:
 
-        def body(st):
-            x, r, w, z, s, p, g_old, a_old, k = st
-            gd = dot2(r, r, w, r)  # ONE collective per iteration …
-            q = matvec(wv_c, w)  # … overlapped with the matvec
-            g, d = gd[0], gd[1]
-            beta = jnp.where(k == 0, jnp.zeros_like(g), g / g_old)
-            denom = d - beta * g / jnp.where(k == 0, jnp.ones_like(a_old), a_old)
-            alpha = g / denom
-            # γ already ≤ tol² (the lagged test): freeze the state so the
-            # in-flight update cannot disturb the converged x
-            conv = g <= tolsq
-            alpha = jnp.where(conv, jnp.zeros_like(alpha), alpha)
-            z = q + beta * z
-            s = w + beta * s
-            p = r + beta * p
-            x = x + alpha * p
-            r = r - alpha * s
-            w = w - alpha * z
-            k = jnp.where(conv, k, k + 1)
-            return (x, r, w, z, s, p, g, jnp.where(conv, a_old, alpha), k)
+            def cond(st):
+                x, r, w, z, s, p, g, a_old, k = st
+                return jnp.logical_and(g > tolsq, k < maxit)
 
-        st = (
-            x0l,
-            r0,
-            w0,
-            zv,
-            zv,
-            zv,
-            rn0sq,
-            jnp.ones_like(rn0sq),
-            jnp.zeros((), jnp.int32),
-        )
-        x, r, w, z, s, p, g, a, k = jax.lax.while_loop(cond, body, st)
+            def body(st):
+                x, r, w, z, s, p, g_old, a_old, k = st
+                gd = dots((r, r), (w, r))  # ONE collective per iteration …
+                q = matvec(wv_c, w)  # … overlapped with the matvec
+                g, d = gd[0], gd[1]
+                beta = jnp.where(k == 0, jnp.zeros_like(g), g / g_old)
+                denom = d - beta * g / jnp.where(k == 0, jnp.ones_like(a_old), a_old)
+                alpha = g / denom
+                # γ already ≤ tol² (the lagged test): freeze the state so
+                # the in-flight update cannot disturb the converged x
+                conv = g <= tolsq
+                alpha = jnp.where(conv, jnp.zeros_like(alpha), alpha)
+                z = q + beta * z
+                s = w + beta * s
+                p = r + beta * p
+                x = x + alpha * p
+                r = r - alpha * s
+                w = w - alpha * z
+                k = jnp.where(conv, k, k + 1)
+                return (x, r, w, z, s, p, g, jnp.where(conv, a_old, alpha), k)
+
+            w0 = matvec(wv_c, r0)
+            st = (
+                x0l,
+                r0,
+                w0,
+                zv,
+                zv,
+                zv,
+                rn0sq,
+                jnp.ones_like(rn0sq),
+                jnp.zeros((), jnp.int32),
+            )
+            x, r, w, z, s, p, g, a, k = jax.lax.while_loop(cond, body, st)
+        else:
+            # preconditioned recurrence: u = M⁻¹r, w = A u, and the M⁻¹/A
+            # applications of the NEXT search direction happen before the
+            # fused reduction lands
+            def cond(st):
+                x, r, u, w, z, q, s, p, g, a_old, rho, k = st
+                return jnp.logical_and(rho > tolsq, k < maxit)
+
+            def body(st):
+                x, r, u, w, z, q, s, p, g_old, a_old, rho_old, k = st
+                gdr = dots((r, u), (w, u), (r, r))  # ONE collective …
+                mh = dl * w  # shard-local Jacobi apply
+                nh = matvec(wv_c, mh)  # … overlapped with the matvec
+                g, d, rho = gdr[0], gdr[1], gdr[2]
+                beta = jnp.where(k == 0, jnp.zeros_like(g), g / g_old)
+                denom = d - beta * g / jnp.where(k == 0, jnp.ones_like(a_old), a_old)
+                alpha = g / denom
+                conv = rho <= tolsq
+                alpha = jnp.where(conv, jnp.zeros_like(alpha), alpha)
+                z = nh + beta * z
+                q = mh + beta * q
+                s = w + beta * s
+                p = u + beta * p
+                x = x + alpha * p
+                r = r - alpha * s
+                u = u - alpha * q
+                w = w - alpha * z
+                k = jnp.where(conv, k, k + 1)
+                return (x, r, u, w, z, q, s, p, g, jnp.where(conv, a_old, alpha), rho, k)
+
+            u0 = dl * r0
+            w0 = matvec(wv_c, u0)
+            st = (
+                x0l,
+                r0,
+                u0,
+                w0,
+                zv,
+                zv,
+                zv,
+                zv,
+                jnp.ones_like(rn0sq),
+                jnp.ones_like(rn0sq),
+                rn0sq,
+                jnp.zeros((), jnp.int32),
+            )
+            x, r, u, w, z, q, s, p, g, a, rho, k = jax.lax.while_loop(cond, body, st)
         rnorm = jnp.sqrt(jax.lax.psum(jnp.sum(r * r), axis))
         return x, k, rnorm
 
-    x, k, rnorm = _pipecg(wv, bp, x0p, rtol_c, atol_c)
+    x, k, rnorm = _pipecg(wv, bp, x0p, dinv_s, rtol_c, atol_c)
     return _trim(x, m), int(k), float(rnorm)
 
 
