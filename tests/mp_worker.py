@@ -117,4 +117,15 @@ assert rn2 <= 1e-9 * np.linalg.norm(b), (it2, rn2)
 np.testing.assert_allclose(mp.fetch(xs2), np.ones(m), atol=1e-7)
 print(pid, "dist_cg_bwd_halo ok", flush=True)
 
+# 5) pipelined Jacobi-PCG: the single fused psum per iteration crosses the
+#    process boundary too
+from aoclsparse_tpu.parallel import dist_cg_pipelined  # noqa: E402
+
+xs3, it3, rn3 = dist_cg_pipelined(
+    mesh, bwd, b, rtol=1e-12, maxit=400, dinv=1.0 / np.diag(dense)
+)
+assert rn3 <= 1e-9 * np.linalg.norm(b), (it3, rn3)
+np.testing.assert_allclose(mp.fetch(xs3), np.ones(m), atol=1e-7)
+print(pid, "dist_cg_pipelined ok", flush=True)
+
 print(pid, "MP-OK", flush=True)

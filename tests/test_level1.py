@@ -181,3 +181,34 @@ def test_level1_kid_override_and_invalid(rng):
         with pytest.raises(AoclSparseError) as e:
             fn(*args, kid=99)
         assert e.value.status == Status.invalid_kid
+
+
+@pytest.mark.parametrize(
+    "op",
+    ["axpyi", "doti", "dotci", "dotui", "gthr", "gthrz", "sctr", "roti"],
+)
+@pytest.mark.parametrize("bad", [-1, 99])
+def test_level1_invalid_index(rng, op, bad):
+    """Out-of-range compressed indices surface invalid_index_value on every
+    level-1 op (reference *_tests.cpp InvalidIndx cases; an XLA gather would
+    silently clamp instead)."""
+    import aoclsparse_tpu.ops.level1 as l1
+
+    n = 8
+    dt = np.complex128 if op in ("dotci", "dotui") else np.float64
+    x = rng.standard_normal(3).astype(dt)
+    y = rng.standard_normal(n).astype(dt)
+    indx = np.array([0, bad, 2], np.int32)
+    fn = getattr(l1, op)
+    with pytest.raises(ast.AoclSparseError) as ei:
+        if op == "axpyi":
+            fn(2.0, x, indx, y)
+        elif op in ("doti", "dotci", "dotui"):
+            fn(x, indx, y)
+        elif op in ("gthr", "gthrz"):
+            fn(y, indx)
+        elif op == "sctr":
+            fn(x, indx, y)
+        else:  # roti
+            fn(x, indx, y, 0.8, 0.6)
+    assert ei.value.status == ast.Status.invalid_index_value
