@@ -30,4 +30,5 @@ from .spmv import (  # noqa: F401
 )
 from .trsv import dist_trsm_pipeline, dist_trsv_pipeline  # noqa: F401
 from .placement import fetch, mesh_is_multiprocess, put  # noqa: F401
+from .precond import block_jacobi_inv  # noqa: F401
 from .multiproc import global_mesh, init_multiprocess  # noqa: F401

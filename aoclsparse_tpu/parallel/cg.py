@@ -46,6 +46,49 @@ def _trim(x, m: int):
     return jax.jit(lambda a: jax.lax.slice_in_dim(a, 0, m))(x)
 
 
+def _prep_precond(dinv, mesh, axis, m: int, m_pad: int, dtype, placeholder):
+    """Place a shard-local preconditioner operand for the distributed CG
+    variants. Returns (device_operand, in_spec, kind) with kind one of
+    None / "diag" / "block".
+
+    - 1-D `dinv` (length m): Jacobi; padded with zeros (padding rows carry
+      r = 0 anyway) and row-sharded.
+    - 3-D `dinv` (m_pad/nb, nb, nb) block inverses (see
+      parallel/precond.py block_jacobi_inv): block-Jacobi; the block count
+      must split evenly over the mesh axis (nb divides the shard rows).
+    """
+    if dinv is None:
+        return placeholder, P(axis), None
+    d = np.asarray(dinv)
+    ndev = mesh.shape[axis]
+    if d.ndim == 1:
+        dv = np.zeros(m_pad, dtype=np.float64)
+        dv[: d.shape[0]] = d
+        return put(jnp.asarray(dv).astype(dtype), mesh, P(axis)), P(axis), "diag"
+    if d.ndim == 3:
+        nblk, nb, nb2 = d.shape
+        if nb != nb2 or nblk * nb != m_pad:
+            raise ValueError("block dinv must be (m_pad/nb, nb, nb)")
+        if nblk % ndev:
+            raise ValueError("block count must divide evenly over the mesh axis")
+        return (
+            put(jnp.asarray(d).astype(dtype), mesh, P(axis, None, None)),
+            P(axis, None, None),
+            "block",
+        )
+    raise ValueError("dinv must be 1-D (Jacobi) or 3-D (block-Jacobi)")
+
+
+def _apply_precond(kind, dl, r):
+    """Traceable shard-local z = M⁻¹ r for the kinds of _prep_precond."""
+    if kind is None:
+        return r
+    if kind == "diag":
+        return dl * r
+    nb = dl.shape[1]
+    return jnp.einsum("bij,bj->bi", dl, r.reshape(-1, nb)).reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("maxit", "W", "base8", "padL", "n_pad"))
 def cg_bwd_jit(
     win_val,
@@ -248,9 +291,11 @@ def dist_cg_bwd_halo(
     einsum output. Same iteration as cg_bwd_jit (reference CG task order,
     itsol_functions.hpp:619-870), whole solve = ONE dispatch.
 
-    `dinv` (optional, length-m host array) enables JACOBI preconditioning:
-    z = dinv ⊙ r — a purely shard-local apply (no extra collectives), the
-    standard distributed-PCG baseline. Convergence stays on ||r||₂ like the
+    `dinv` (optional) enables shard-local preconditioning with no extra
+    collectives: a length-m array is JACOBI (z = dinv ⊙ r); an
+    (m_pad/nb, nb, nb) array of block inverses (parallel/precond.py
+    block_jacobi_inv) is BLOCK-JACOBI, applied as one batched einsum — MXU
+    work, still zero communication. Convergence stays on ||r||₂ like the
     reference CG.
 
     Contract: square spill-free band ExecForm with the halo narrower than
@@ -281,19 +326,13 @@ def dist_cg_bwd_halo(
     x0p = put(x0p, mesh, P(axis))
     rtol_c = put(np.asarray(rtol, wv.dtype), mesh, P())
     atol_c = put(np.asarray(atol, wv.dtype), mesh, P())
-    has_pre = dinv is not None
-    if has_pre:
-        dv = np.zeros(m_pad, dtype=np.float64)
-        dv[:m] = np.asarray(dinv)
-        dinv_s = put(jnp.asarray(dv).astype(wv.dtype), mesh, P(axis))
-    else:
-        dinv_s = bp  # placeholder with the right sharding; unused
+    dinv_s, dspec, prec_kind = _prep_precond(dinv, mesh, axis, m, m_pad, wv.dtype, bp)
 
     @jax.jit
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis), P(axis), P(axis), P(), P()),
+        in_specs=(P(axis, None, None), P(axis), P(axis), dspec, P(), P()),
         out_specs=(P(axis), P(), P()),
     )
     def _cg(wv_c, bl, x0l, dl, rt, at):
@@ -301,7 +340,7 @@ def dist_cg_bwd_halo(
             return jax.lax.psum(jnp.sum(u * v), axis)
 
         def prec(r):
-            return dl * r if has_pre else r
+            return _apply_precond(prec_kind, dl, r)
 
         bnorm = jnp.sqrt(dot(bl, bl))
         brtol = rt * bnorm
@@ -368,10 +407,12 @@ def dist_cg_pipelined(
     Convergence on √γ like the reference CG's ||r||₂ test. Extra storage:
     3 vectors over classic CG — the standard pipelining trade.
 
-    `dinv` (optional, length-m host array) switches to the PRECONDITIONED
-    Ghysels–Vanroose recurrence with M⁻¹ = diag(dinv) (Jacobi — shard-local
-    apply): the THREE inner products (γ=(r,u), δ=(w,u), ρ=(r,r)) ride the
-    same single fused psum, convergence stays on ||r||₂ via ρ.
+    `dinv` (optional) switches to the PRECONDITIONED Ghysels–Vanroose
+    recurrence with a shard-local M⁻¹: length-m array = Jacobi, an
+    (m_pad/nb, nb, nb) block-inverse array (parallel/precond.py) =
+    block-Jacobi (one batched einsum). The THREE inner products (γ=(r,u),
+    δ=(w,u), ρ=(r,r)) ride the same single fused psum; convergence stays
+    on ||r||₂ via ρ.
 
     Contract matches dist_cg_bwd_halo (square spill-free band form, halo
     narrower than one shard). Returns (x, iters, rnorm)."""
@@ -401,19 +442,14 @@ def dist_cg_pipelined(
     x0p = put(x0p, mesh, P(axis))
     rtol_c = put(np.asarray(rtol, wv.dtype), mesh, P())
     atol_c = put(np.asarray(atol, wv.dtype), mesh, P())
-    has_pre = dinv is not None
-    if has_pre:
-        dv = np.zeros(m_pad, dtype=np.float64)
-        dv[:m] = np.asarray(dinv)
-        dinv_s = put(jnp.asarray(dv).astype(wv.dtype), mesh, P(axis))
-    else:
-        dinv_s = bp  # placeholder with the right sharding; unused
+    dinv_s, dspec, prec_kind = _prep_precond(dinv, mesh, axis, m, m_pad, wv.dtype, bp)
+    has_pre = prec_kind is not None
 
     @jax.jit
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis), P(axis), P(axis), P(), P()),
+        in_specs=(P(axis, None, None), P(axis), P(axis), dspec, P(), P()),
         out_specs=(P(axis), P(), P()),
     )
     def _pipecg(wv_c, bl, x0l, dl, rt, at):
@@ -484,7 +520,7 @@ def dist_cg_pipelined(
             def body(st):
                 x, r, u, w, z, q, s, p, g_old, a_old, rho_old, k = st
                 gdr = dots((r, u), (w, u), (r, r))  # ONE collective …
-                mh = dl * w  # shard-local Jacobi apply
+                mh = _apply_precond(prec_kind, dl, w)  # shard-local apply
                 nh = matvec(wv_c, mh)  # … overlapped with the matvec
                 g, d, rho = gdr[0], gdr[1], gdr[2]
                 beta = jnp.where(k == 0, jnp.zeros_like(g), g / g_old)
@@ -503,7 +539,7 @@ def dist_cg_pipelined(
                 k = jnp.where(conv, k, k + 1)
                 return (x, r, u, w, z, q, s, p, g, jnp.where(conv, a_old, alpha), rho, k)
 
-            u0 = dl * r0
+            u0 = _apply_precond(prec_kind, dl, r0)
             w0 = matvec(wv_c, u0)
             st = (
                 x0l,
