@@ -16,7 +16,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .placement import fetch, put
 from jax import shard_map
 
 __all__ = ["partition_products", "dist_spgemm_numeric", "dist_spgemm_rowpart", "dist_spgemm_halo"]
@@ -71,13 +73,11 @@ def dist_spgemm_rowpart(mesh: Mesh, effA, effB, axis: str = "x"):
         pa_s[d, : pa.size] = pa
         pb_s[d, : pb.size] = pb
         pc_s[d, : pc.size] = pc
-    sh2 = NamedSharding(mesh, P(axis, None))
-    rep = NamedSharding(mesh, P())
-    pa_d = jax.device_put(jnp.asarray(pa_s), sh2)
-    pb_d = jax.device_put(jnp.asarray(pb_s), sh2)
-    pc_d = jax.device_put(jnp.asarray(pc_s), sh2)
-    a_d = jax.device_put(jnp.asarray(effA.val), rep)
-    b_d = jax.device_put(jnp.asarray(effB.val), rep)
+    pa_d = put(jnp.asarray(pa_s), mesh, P(axis, None))
+    pb_d = put(jnp.asarray(pb_s), mesh, P(axis, None))
+    pc_d = put(jnp.asarray(pc_s), mesh, P(axis, None))
+    a_d = put(jnp.asarray(effA.val), mesh, P())
+    b_d = put(jnp.asarray(effB.val), mesh, P())
 
     @partial(
         shard_map,
@@ -90,7 +90,7 @@ def dist_spgemm_rowpart(mesh: Mesh, effA, effB, axis: str = "x"):
         out = jax.ops.segment_sum(prods, pc[0], num_segments=nnzC_max + 1)
         return out[None, :nnzC_max]
 
-    c_blocks = np.asarray(_local(pa_d, pb_d, pc_d, a_d, b_d))  # (n_dev, nnzC_max)
+    c_blocks = fetch(_local(pa_d, pb_d, pc_d, a_d, b_d))  # (n_dev, nnzC_max)
     # assemble global C: shard offsets are cumulative local nnz counts
     offs = np.cumsum([0] + [int(p[3][-1]) for p in shard_plans])
     Cptr = np.zeros(mA + 1, dtype=np.int64)
@@ -135,13 +135,11 @@ def dist_spgemm_numeric(mesh: Mesh, plan, a_val, b_val, axis: str = "x"):
     """Numeric stage on the mesh; returns the (nnzC,) C value vector."""
     n_dev = mesh.shape[axis]
     pa_s, pb_s, pc_s, chunk = partition_products(plan, n_dev)
-    sh2 = NamedSharding(mesh, P(axis, None))
-    rep = NamedSharding(mesh, P())
-    pa_d = jax.device_put(jnp.asarray(pa_s), sh2)
-    pb_d = jax.device_put(jnp.asarray(pb_s), sh2)
-    pc_d = jax.device_put(jnp.asarray(pc_s), sh2)
-    a_d = jax.device_put(jnp.asarray(a_val), rep)
-    b_d = jax.device_put(jnp.asarray(b_val), rep)
+    pa_d = put(jnp.asarray(pa_s), mesh, P(axis, None))
+    pb_d = put(jnp.asarray(pb_s), mesh, P(axis, None))
+    pc_d = put(jnp.asarray(pc_s), mesh, P(axis, None))
+    a_d = put(jnp.asarray(a_val), mesh, P())
+    b_d = put(jnp.asarray(b_val), mesh, P())
 
     @partial(
         shard_map,
@@ -156,6 +154,9 @@ def dist_spgemm_numeric(mesh: Mesh, plan, a_val, b_val, axis: str = "x"):
         return out[None, :chunk]
 
     c_blocks = _local(pa_d, pb_d, pc_d, a_d, b_d)  # (n_dev, chunk)
+    if not c_blocks.is_fully_addressable:
+        # multi-process: eager reshape/slice cannot touch remote shards
+        return jax.jit(lambda a: a.reshape(-1)[: plan.nnz])(c_blocks)
     return c_blocks.reshape(-1)[: plan.nnz]
 
 
@@ -285,15 +286,13 @@ def dist_spgemm_halo(mesh: Mesh, effA, effB, axis: str = "x"):
         pb_s[d, : pb.size] = pbl
         pc_s[d, : pc.size] = pc
 
-    sh2 = NamedSharding(mesh, P(axis, None))
-    rep = NamedSharding(mesh, P())
-    pa_d = jax.device_put(jnp.asarray(pa_s), sh2)
-    pb_d = jax.device_put(jnp.asarray(pb_s), sh2)
-    pc_d = jax.device_put(jnp.asarray(pc_s), sh2)
-    loc_d = jax.device_put(jnp.asarray(locB), sh2)
-    outR_d = jax.device_put(jnp.asarray(outR), sh2)
-    outL_d = jax.device_put(jnp.asarray(outL), sh2)
-    a_d = jax.device_put(jnp.asarray(effA.val), rep)
+    pa_d = put(jnp.asarray(pa_s), mesh, P(axis, None))
+    pb_d = put(jnp.asarray(pb_s), mesh, P(axis, None))
+    pc_d = put(jnp.asarray(pc_s), mesh, P(axis, None))
+    loc_d = put(jnp.asarray(locB), mesh, P(axis, None))
+    outR_d = put(jnp.asarray(outR), mesh, P(axis, None))
+    outL_d = put(jnp.asarray(outL), mesh, P(axis, None))
+    a_d = put(jnp.asarray(effA.val), mesh, P())
 
     fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
@@ -313,7 +312,7 @@ def dist_spgemm_halo(mesh: Mesh, effA, effB, axis: str = "x"):
         out = jax.ops.segment_sum(prods, pc[0], num_segments=nnzC_max + 1)
         return out[None, :nnzC_max]
 
-    c_blocks = np.asarray(_numeric(pa_d, pb_d, pc_d, loc_d, outR_d, outL_d, a_d))
+    c_blocks = fetch(_numeric(pa_d, pb_d, pc_d, loc_d, outR_d, outL_d, a_d))
 
     offs = np.cumsum([0] + [int(p[3][-1]) for p in shard_plans])
     Cptr = np.zeros(mA + 1, dtype=np.int64)

@@ -128,4 +128,16 @@ assert rn3 <= 1e-9 * np.linalg.norm(b), (it3, rn3)
 np.testing.assert_allclose(mp.fetch(xs3), np.ones(m), atol=1e-7)
 print(pid, "dist_cg_pipelined ok", flush=True)
 
+# 6) B-sharded SpGEMM: per-shard symbolic + ppermute B-row value slabs
+#    crossing the process boundary
+from aoclsparse_tpu.parallel import dist_spgemm_halo  # noqa: E402
+
+eff = plan.effective_for(MatrixDescriptor(), Operation.none, A.dtype)
+Cptr, Cind, Cval = dist_spgemm_halo(mesh, eff, eff)
+Cd = np.zeros((m, m))
+for i in range(m):
+    Cd[i, Cind[Cptr[i] : Cptr[i + 1]]] = Cval[Cptr[i] : Cptr[i + 1]]
+np.testing.assert_allclose(Cd, dense @ dense, atol=1e-8)
+print(pid, "dist_spgemm_halo ok", flush=True)
+
 print(pid, "MP-OK", flush=True)
