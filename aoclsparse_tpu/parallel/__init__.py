@@ -9,7 +9,7 @@ from .cg import (  # noqa: F401
     dist_cg_pipelined,
     prepare_dist_ell,
 )
-from .gmres import dist_gmres_bwd, gmres_bwd_jit  # noqa: F401
+from .gmres import dist_gmres_bwd, dist_gmres_bwd_halo, gmres_bwd_jit  # noqa: F401
 from .spgemm import (  # noqa: F401
     dist_spgemm_halo,
     dist_spgemm_numeric,

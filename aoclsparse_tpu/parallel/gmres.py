@@ -22,7 +22,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .placement import put
 
-__all__ = ["gmres_bwd_jit", "dist_gmres_bwd"]
+__all__ = ["gmres_bwd_jit", "dist_gmres_bwd", "dist_gmres_bwd_halo"]
 
 
 @partial(jax.jit, static_argnames=("R", "maxcycles", "W", "base8", "padL", "n_pad"))
@@ -177,3 +177,148 @@ def dist_gmres_bwd(
         sp_val,
     )
     return x[:m], int(ncyc) * restart, float(rnorm)
+
+
+def dist_gmres_bwd_halo(
+    mesh: Mesh,
+    form,
+    b,
+    x0=None,
+    rtol: float = 1e-8,
+    atol: float = 0.0,
+    restart: int = 20,
+    maxit: int = 150,
+    axis: str = "x",
+):
+    """Distributed restarted GMRES with a SHARDED KRYLOV BASIS and ppermute
+    band halos — the GMRES member of the halo-solver family (dist_cg_bwd_halo,
+    dist_cg_pipelined). The (R+1, n) basis V is GMRES's dominant memory
+    consumer; here every vector (b, x, r, the V rows) is row-sharded, so
+    per-device storage is O(R·n/P) instead of dist_gmres_bwd's replicated
+    O(R·n). Per inner Arnoldi step the communication is: the W-wide band
+    halos of V[j] (two `ppermute`s inside the matvec) plus the WHOLE CGS
+    projection as ONE fused psum of an (R+1)-vector (local (R+1,mloc)·w
+    matvec-shaped contraction, then psum) and one scalar psum for the
+    normalization — independent of n. Givens rotations and the small H solve
+    run on replicated scalars, identical to gmres_bwd_jit (reference
+    recurrence, itsol_functions.hpp:1133-1160).
+
+    Contract matches dist_cg_bwd_halo: square spill-free band ExecForm, halo
+    narrower than one shard, real dtypes. Returns (x, iters, rnorm)."""
+    from jax import shard_map
+
+    from .cg import _trim
+    from .spmv import _bwd_halo_matvec
+
+    ndev = mesh.shape[axis]
+    if form.sp_ind is not None and int(form.sp_ind.shape[0]):
+        raise ValueError("halo path requires a spill-free band form")
+    W = form.bwd_W
+    rel_lo = 8 * form.bwd_base8 - form.bwd_padL
+    matvec, HL, HR = _bwd_halo_matvec(axis, ndev, W, rel_lo)
+    m = form.m
+    m_pad = -(-m // (8 * ndev)) * 8 * ndev
+    if HL > m_pad // ndev or HR > m_pad // ndev:
+        raise ValueError("halo wider than a shard: use dist_gmres_bwd")
+    wv = form.bwd_val
+    if wv.shape[0] != m_pad // 8:
+        wv = jnp.pad(wv, ((0, m_pad // 8 - wv.shape[0]), (0, 0), (0, 0)))
+    wv = put(wv, mesh, P(axis, None, None))
+    b = jnp.asarray(b)
+    bp = put(jnp.pad(b, (0, m_pad - b.shape[0])).astype(wv.dtype), mesh, P(axis))
+    x0p = (
+        jnp.zeros((m_pad,), wv.dtype)
+        if x0 is None
+        else jnp.pad(jnp.asarray(x0), (0, m_pad - np.shape(x0)[0])).astype(wv.dtype)
+    )
+    x0p = put(x0p, mesh, P(axis))
+    rtol_c = put(np.asarray(rtol, wv.dtype), mesh, P())
+    atol_c = put(np.asarray(atol, wv.dtype), mesh, P())
+    R = int(restart)
+    maxcycles = max(1, -(-int(maxit) // R))
+    dtype = np.dtype(np.float32) if wv.dtype == jnp.float32 else np.dtype(np.float64)
+    tiny = float(np.finfo(dtype).tiny * 1e3)
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis), P(axis), P(), P()),
+        out_specs=(P(axis), P(), P()),
+    )
+    def _gmres(wv_c, bl, x0l, rt, at):
+        dt = bl.dtype
+        mloc = bl.shape[0]
+        tiny_c = jnp.asarray(tiny, dt)
+
+        def psum(v):
+            return jax.lax.psum(v, axis)
+
+        def nrm(v):
+            return jnp.sqrt(psum(jnp.sum(v * v)))
+
+        bnorm = nrm(bl)
+        brtol = rt * bnorm
+
+        def inner(j, carry):
+            V, H, g, c, s = carry
+            w = matvec(wv_c, V[j])
+            # whole CGS projection = ONE fused psum of an (R+1)-vector
+            hcol = psum(V @ w)
+            mask = jnp.arange(R + 1) <= j
+            hcol = jnp.where(mask, hcol, 0)
+            w = w - hcol @ V
+            hh = nrm(w)
+            V = V.at[j + 1].set(w / jnp.maximum(hh, tiny_c))
+            hcol = hcol.at[j + 1].set(hh)
+
+            def rot_body(i, hc):
+                r1, r2 = hc[i], hc[i + 1]
+                pred = i < j
+                hc = hc.at[i].set(jnp.where(pred, c[i] * r1 + s[i] * r2, r1))
+                hc = hc.at[i + 1].set(jnp.where(pred, -s[i] * r1 + c[i] * r2, r2))
+                return hc
+
+            hcol = jax.lax.fori_loop(0, R, rot_body, hcol)
+            denom = jnp.maximum(jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2), tiny_c)
+            cj = hcol[j] / denom
+            sj = hcol[j + 1] / denom
+            c = c.at[j].set(cj)
+            s = s.at[j].set(sj)
+            hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
+            H = H.at[:, j].set(hcol)
+            gj = g[j]
+            g = g.at[j].set(cj * gj).at[j + 1].set(-sj * gj)
+            return (V, H, g, c, s)
+
+        def cycle_cond(state):
+            x, ncyc, rnorm = state
+            not_conv = jnp.logical_and(rnorm > at, rnorm > brtol)
+            return jnp.logical_and(not_conv, ncyc < maxcycles)
+
+        def cycle_body(state):
+            x, ncyc, rnorm = state
+            r0 = bl - matvec(wv_c, x)
+            beta = nrm(r0)
+            V = jnp.zeros((R + 1, mloc), dt).at[0].set(r0 / jnp.maximum(beta, tiny_c))
+            H = jnp.zeros((R + 1, R), dt)
+            g = jnp.zeros((R + 1,), dt).at[0].set(beta)
+            c = jnp.zeros((R,), dt)
+            s = jnp.zeros((R,), dt)
+            V, H, g, c, s = jax.lax.fori_loop(0, R, inner, (V, H, g, c, s))
+            y = jax.lax.linalg.triangular_solve(
+                H[:R, :R] + jnp.eye(R, dtype=dt) * tiny_c,
+                g[:R, None],
+                left_side=True,
+                lower=False,
+            )[:, 0]
+            x = x + V[:R].T @ y  # shard-local update
+            return (x, ncyc + 1, jnp.abs(g[R]))
+
+        r0 = bl - matvec(wv_c, x0l)
+        state = (x0l, jnp.zeros((), jnp.int32), nrm(r0))
+        x, ncyc, rnorm = jax.lax.while_loop(cycle_cond, cycle_body, state)
+        return x, ncyc, rnorm
+
+    x, ncyc, rnorm = _gmres(wv, bp, x0p, rtol_c, atol_c)
+    return _trim(x, m), int(ncyc) * R, float(rnorm)

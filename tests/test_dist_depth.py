@@ -500,3 +500,33 @@ def test_block_jacobi_inv_contract(rng):
     np.testing.assert_allclose(D[0], np.eye(8) / 3.0)
     with pytest.raises(ValueError):
         block_jacobi_inv(eff, 7, 32)  # nb must divide m_pad
+
+
+def test_dist_gmres_halo_matches_replicated(rng):
+    """Sharded-basis halo-GMRES (V rows sharded, CGS projection = one fused
+    psum) must reproduce the replicated-vector dist GMRES bit-for-bit in the
+    iteration path (same recurrence, same rotation scalars)."""
+    from aoclsparse_tpu.parallel import dist_gmres_bwd, dist_gmres_bwd_halo
+
+    m = 256
+    dense = np.zeros((m, m))
+    for d in range(-3, 4):
+        v = rng.standard_normal(m - abs(d))
+        dense += np.diag(v, d)
+    np.fill_diagonal(dense, np.abs(dense).sum(1) + 1)  # nonsymmetric
+    ptr, ind, val = [0], [], []
+    for i in range(m):
+        cols = np.nonzero(dense[i])[0]
+        ind += cols.tolist()
+        val += dense[i, cols].tolist()
+        ptr.append(len(ind))
+    A = ast.create_csr(m, m, np.asarray(ptr, np.int32), np.asarray(ind, np.int32), np.asarray(val))
+    form = get_plan(A).exec_form_for(MatrixDescriptor(), Operation.none, kind="bwd")
+    xstar = rng.standard_normal(m)
+    b = dense @ xstar
+    mesh = make_mesh(8)
+    x1, it1, rn1 = dist_gmres_bwd(mesh, form, b, rtol=1e-12, restart=20, maxit=300)
+    x2, it2, rn2 = dist_gmres_bwd_halo(mesh, form, b, rtol=1e-12, restart=20, maxit=300)
+    assert it2 == it1
+    np.testing.assert_allclose(np.asarray(x2), xstar, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-10)
