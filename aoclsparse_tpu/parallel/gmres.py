@@ -189,6 +189,7 @@ def dist_gmres_bwd_halo(
     restart: int = 20,
     maxit: int = 150,
     axis: str = "x",
+    dinv=None,
 ):
     """Distributed restarted GMRES with a SHARDED KRYLOV BASIS and ppermute
     band halos — the GMRES member of the halo-solver family (dist_cg_bwd_halo,
@@ -203,11 +204,19 @@ def dist_gmres_bwd_halo(
     run on replicated scalars, identical to gmres_bwd_jit (reference
     recurrence, itsol_functions.hpp:1133-1160).
 
+    `dinv` (optional) adds shard-local RIGHT preconditioning (Jacobi for a
+    length-m array, block-Jacobi for an (m_pad/nb, nb, nb) block-inverse
+    array — parallel/precond.py): the Arnoldi operator becomes A·M⁻¹ and
+    the cycle update applies M⁻¹ once to the correction (x += M⁻¹(Vᵀy)),
+    so the tracked residual stays the TRUE residual — the reference's
+    right-preconditioned recurrence (itsol_functions.hpp:1493), zero extra
+    collectives.
+
     Contract matches dist_cg_bwd_halo: square spill-free band ExecForm, halo
     narrower than one shard, real dtypes. Returns (x, iters, rnorm)."""
     from jax import shard_map
 
-    from .cg import _trim
+    from .cg import _apply_precond, _prep_precond, _trim
     from .spmv import _bwd_halo_matvec
 
     ndev = mesh.shape[axis]
@@ -234,6 +243,7 @@ def dist_gmres_bwd_halo(
     x0p = put(x0p, mesh, P(axis))
     rtol_c = put(np.asarray(rtol, wv.dtype), mesh, P())
     atol_c = put(np.asarray(atol, wv.dtype), mesh, P())
+    dinv_s, dspec, prec_kind = _prep_precond(dinv, mesh, axis, m, m_pad, wv.dtype, bp)
     R = int(restart)
     maxcycles = max(1, -(-int(maxit) // R))
     dtype = np.dtype(np.float32) if wv.dtype == jnp.float32 else np.dtype(np.float64)
@@ -243,10 +253,10 @@ def dist_gmres_bwd_halo(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis), P(axis), P(), P()),
+        in_specs=(P(axis, None, None), P(axis), P(axis), dspec, P(), P()),
         out_specs=(P(axis), P(), P()),
     )
-    def _gmres(wv_c, bl, x0l, rt, at):
+    def _gmres(wv_c, bl, x0l, dl, rt, at):
         dt = bl.dtype
         mloc = bl.shape[0]
         tiny_c = jnp.asarray(tiny, dt)
@@ -262,7 +272,7 @@ def dist_gmres_bwd_halo(
 
         def inner(j, carry):
             V, H, g, c, s = carry
-            w = matvec(wv_c, V[j])
+            w = matvec(wv_c, _apply_precond(prec_kind, dl, V[j]))
             # whole CGS projection = ONE fused psum of an (R+1)-vector
             hcol = psum(V @ w)
             mask = jnp.arange(R + 1) <= j
@@ -312,7 +322,8 @@ def dist_gmres_bwd_halo(
                 left_side=True,
                 lower=False,
             )[:, 0]
-            x = x + V[:R].T @ y  # shard-local update
+            upd = V[:R].T @ y  # shard-local update
+            x = x + _apply_precond(prec_kind, dl, upd)
             return (x, ncyc + 1, jnp.abs(g[R]))
 
         r0 = bl - matvec(wv_c, x0l)
@@ -320,5 +331,5 @@ def dist_gmres_bwd_halo(
         x, ncyc, rnorm = jax.lax.while_loop(cycle_cond, cycle_body, state)
         return x, ncyc, rnorm
 
-    x, ncyc, rnorm = _gmres(wv, bp, x0p, rtol_c, atol_c)
+    x, ncyc, rnorm = _gmres(wv, bp, x0p, dinv_s, rtol_c, atol_c)
     return _trim(x, m), int(ncyc) * R, float(rnorm)
