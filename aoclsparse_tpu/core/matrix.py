@@ -23,6 +23,7 @@ import numpy as np
 from .descr import GENERAL, MatrixDescriptor
 from .formats import BSR, COO, CSC, CSR, DIA, ELL, TCSR
 from .types import (
+    AoclSparseError,
     FormatType,
     IndexBase,
     MatrixSort,
@@ -387,6 +388,8 @@ def export_coo(h: SparseMatrix, base: Optional[IndexBase] = None):
 
 
 def copy(h: SparseMatrix) -> SparseMatrix:
+    if h is None:
+        raise AoclSparseError(Status.invalid_pointer, "null matrix handle")
     out = SparseMatrix(h.data, h.input_format, h.base)  # pytrees are immutable: share
     out.sort = h.sort
     out.fulldiag = h.fulldiag
@@ -395,9 +398,19 @@ def copy(h: SparseMatrix) -> SparseMatrix:
 
 
 def order_mat(h: SparseMatrix) -> SparseMatrix:
-    """In-place sort of column indices within each row (auxiliary.cpp:837)."""
+    """In-place sort of column indices within each row (auxiliary.cpp:837).
+
+    Reference contract: null handle -> invalid_pointer; ordering is
+    implemented only for the CSR input format (auxiliary.cpp:846-848) —
+    other formats return not_implemented."""
     from ..convert import conversions as cv
 
+    if h is None:
+        raise AoclSparseError(Status.invalid_pointer, "null matrix handle")
+    if h.input_format != FormatType.csr:
+        raise AoclSparseError(
+            Status.not_implemented, "order_mat supports CSR input only (reference parity)"
+        )
     A = _to_csr_data(h)
     h.data = cv.sort_csr(A)
     h.input_format = FormatType.csr

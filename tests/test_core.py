@@ -183,3 +183,91 @@ class TestDoid:
         assert trans_doid(Doid.gn) == Doid.gt
         for d in Doid:
             assert trans_doid(trans_doid(d)) == d
+
+
+class TestOrderCopyContract:
+    """Reference taxonomy for order/copy (order_tests.cpp, copy_tests.cpp):
+    null/format failures, no-op cases, per-format copies, plan-cache
+    interplay (InputCsrIsOptimized)."""
+
+    def test_order_null_matrix(self):
+        with pytest.raises(asp.AoclSparseError) as ei:
+            asp.order_mat(None)
+        assert ei.value.status == asp.Status.invalid_pointer
+
+    def test_order_coo_rejected(self):
+        # order() is CSR/CSC-only in the reference (CooMatrixFailure)
+        ind = np.array([0, 1], np.int32)
+        A = asp.create_coo(2, 2, row=ind, col=ind, val=np.ones(2))
+        with pytest.raises(asp.AoclSparseError) as ei:
+            asp.order_mat(A)
+        assert ei.value.status == asp.Status.not_implemented
+
+    def test_order_empty_do_nothing(self):
+        A = asp.create_csr(2, 2, np.zeros(3, np.int32), np.zeros(0, np.int32), np.zeros(0))
+        asp.order_mat(A)  # DoNothing: no raise
+        _, _, _, p, i, v = asp.export_csr(A)
+        assert i.size == 0
+
+    def test_order_sorted_is_stable(self):
+        ptr = np.array([0, 2, 4], np.int32)
+        ind = np.array([0, 1, 0, 1], np.int32)
+        val = np.arange(1.0, 5.0)
+        A = asp.create_csr(2, 2, ptr, ind, val)
+        asp.order_mat(A)  # SortedCsrSuccess: already sorted stays put
+        _, _, _, _, i, v = asp.export_csr(A)
+        np.testing.assert_array_equal(i, ind)
+        np.testing.assert_allclose(v, val)
+
+    def test_order_one_nnz_rows(self):
+        ptr = np.array([0, 1, 2, 3], np.int32)
+        ind = np.array([2, 0, 1], np.int32)
+        A = asp.create_csr(3, 3, ptr, ind, np.arange(1.0, 4.0))
+        asp.order_mat(A)  # AllRowOneNnzSuc
+        _, _, _, _, i, v = asp.export_csr(A)
+        np.testing.assert_array_equal(i, ind)
+
+    def test_order_invalidates_cached_plan(self):
+        # InputCsrIsOptimized: ordering after optimize must not serve the
+        # pre-order execution form
+        from aoclsparse_tpu.planner.plan import get_plan
+        from aoclsparse_tpu import MatrixDescriptor, Operation
+
+        ptr = np.array([0, 2, 4], np.int32)
+        ind = np.array([1, 0, 1, 0], np.int32)
+        val = np.array([2.0, 1.0, 4.0, 3.0])
+        A = asp.create_csr(2, 2, ptr, ind, val)
+        y0 = asp.mv(1.0, A, MatrixDescriptor(), Operation.none, np.ones(2), 0.0)
+        asp.order_mat(A)
+        y1 = asp.mv(1.0, A, MatrixDescriptor(), Operation.none, np.ones(2), 0.0)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0))
+
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64, np.complex64, np.complex128])
+    def test_copy_csr_dtypes(self, dtype):
+        ptr, ind, val = small_csr()
+        val = val.astype(dtype)
+        if np.issubdtype(dtype, np.complexfloating):
+            val = val + 1j * val
+        A = asp.create_csr(4, 4, ptr, ind, val)
+        B = asp.copy(A)
+        _, _, _, pb, ib, vb = asp.export_csr(B)
+        np.testing.assert_allclose(vb, val)
+        assert B.dtype == A.dtype
+
+    def test_copy_csc_and_coo(self):
+        # CopyCsc / CopyCoo: per-format copies round-trip through export
+        ind = np.array([0, 1], np.int32)
+        C = asp.create_coo(2, 2, row=ind, col=ind, val=np.array([1.0, 2.0]))
+        C2 = asp.copy(C)
+        _, _, _, r2, c2, v2 = asp.export_coo(C2)
+        np.testing.assert_array_equal(r2, ind)
+        np.testing.assert_allclose(v2, [1.0, 2.0])
+        S = asp.create_csc(2, 2, np.array([0, 1, 2], np.int32), ind, np.array([3.0, 4.0]))
+        S2 = asp.copy(S)
+        _, _, _, p2, i2, w2 = asp.export_csc(S2)
+        np.testing.assert_allclose(w2, [3.0, 4.0])
+
+    def test_copy_null(self):
+        with pytest.raises(asp.AoclSparseError) as ei:
+            asp.copy(None)
+        assert ei.value.status == asp.Status.invalid_pointer
