@@ -53,7 +53,12 @@ def convert_format(h: SparseMatrix, fmt: FormatType, op: Operation = Operation.n
     """Generic handle-level format conversion."""
     from ..convert import conversions as cv
 
-    fmt = FormatType(fmt)
+    if h is None:
+        raise AoclSparseError(Status.invalid_pointer, "null matrix handle")
+    try:
+        fmt = FormatType(fmt)
+    except ValueError:
+        raise AoclSparseError(Status.invalid_value, f"unknown format {fmt!r}") from None
     if fmt == FormatType.csr:
         return convert_csr(h, op)
     if fmt == FormatType.bsr:

@@ -351,13 +351,22 @@ def create_dia(m, n, dist, val, base: IndexBase = IndexBase.zero) -> SparseMatri
 # ---------------------------------------------------------------------------
 
 
+def _require_handle(h) -> None:
+    """Reference contract: every handle-taking entry point returns
+    invalid_pointer on a null matrix (e.g. auxiliary.cpp:840)."""
+    if h is None:
+        raise AoclSparseError(Status.invalid_pointer, "null matrix handle")
+
+
 def _to_csr_data(h: SparseMatrix) -> CSR:
+    _require_handle(h)
     from ..convert import conversions as cv
 
     return cv.to_csr(h.data)
 
 
 def export_csr(h: SparseMatrix, base: Optional[IndexBase] = None):
+    _require_handle(h)
     """Return (m, n, nnz, ptr, ind, val) numpy views in the requested base."""
     A = _to_csr_data(h)
     b = int(base if base is not None else h.base)
@@ -367,6 +376,7 @@ def export_csr(h: SparseMatrix, base: Optional[IndexBase] = None):
 
 
 def export_csc(h: SparseMatrix, base: Optional[IndexBase] = None):
+    _require_handle(h)
     from ..convert import conversions as cv
 
     A = cv.to_csc(h.data)
@@ -375,6 +385,7 @@ def export_csc(h: SparseMatrix, base: Optional[IndexBase] = None):
 
 
 def export_coo(h: SparseMatrix, base: Optional[IndexBase] = None):
+    _require_handle(h)
     from ..convert import conversions as cv
 
     A = cv.to_coo(h.data)
@@ -388,8 +399,7 @@ def export_coo(h: SparseMatrix, base: Optional[IndexBase] = None):
 
 
 def copy(h: SparseMatrix) -> SparseMatrix:
-    if h is None:
-        raise AoclSparseError(Status.invalid_pointer, "null matrix handle")
+    _require_handle(h)
     out = SparseMatrix(h.data, h.input_format, h.base)  # pytrees are immutable: share
     out.sort = h.sort
     out.fulldiag = h.fulldiag
@@ -405,8 +415,7 @@ def order_mat(h: SparseMatrix) -> SparseMatrix:
     other formats return not_implemented."""
     from ..convert import conversions as cv
 
-    if h is None:
-        raise AoclSparseError(Status.invalid_pointer, "null matrix handle")
+    _require_handle(h)
     if h.input_format != FormatType.csr:
         raise AoclSparseError(
             Status.not_implemented, "order_mat supports CSR input only (reference parity)"
@@ -442,6 +451,9 @@ def set_value(h: SparseMatrix, row: int, col: int, value) -> SparseMatrix:
 
 
 def update_values(h: SparseMatrix, values) -> SparseMatrix:
+    _require_handle(h)
+    if values is None:
+        raise AoclSparseError(Status.invalid_pointer, "null values")
     """Replace all values keeping the pattern (auxiliary.cpp:674-706)."""
     values = jnp.asarray(values)
     if h.values_pending:
@@ -477,7 +489,10 @@ def update_values(h: SparseMatrix, values) -> SparseMatrix:
 
 
 def destroy(h: SparseMatrix) -> None:
-    """API-parity no-op (GC owns memory)."""
+    """API-parity release (GC owns memory). A null handle is a success
+    no-op, exactly the reference (auxiliary.cpp:654-658 `if(A && *A)`)."""
+    if h is None:
+        return
     h.data = None
     h.plan = None
     h.ilu_state = None

@@ -1473,6 +1473,10 @@ class Plan:
 
 
 def optimize(A: SparseMatrix) -> Plan:
+    if A is None:
+        from ..core.types import AoclSparseError, Status
+
+        raise AoclSparseError(Status.invalid_pointer, "null matrix handle")
     """Walk the hint list and prebuild what the hints ask for.
 
     With AOCLSPARSE_TPU_AUTOTUNE=1, heavily-hinted mv operations

@@ -241,3 +241,41 @@ def test_convert_format_bad_target(A5):
 def test_export_base_restoration(A5):
     m, n, nnz, ptr, ind, val = ast.export_csr(A5, base=1)
     assert ptr[0] == 1 and ind.min() >= 1
+
+
+@pytest.mark.parametrize(
+    "fn_name",
+    [
+        "export_csr",
+        "export_csc",
+        "export_coo",
+        "convert_format",
+        "update_values",
+        "set_value",
+        "optimize",
+        "copy",
+        "order_mat",
+    ],
+)
+def test_null_handle_invalid_pointer(fn_name):
+    """Every handle-taking entry point surfaces invalid_pointer on a null
+    matrix (the reference's universal `if(!mat) return invalid_pointer`
+    prologue) — never a raw Python AttributeError."""
+    import inspect
+
+    fn = getattr(ast, fn_name)
+    sig = inspect.signature(fn)
+    nargs = sum(
+        1
+        for p in sig.parameters.values()
+        if p.default is inspect.Parameter.empty
+        and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+    )
+    with pytest.raises(ast.AoclSparseError) as ei:
+        fn(*([None] * nargs))
+    assert ei.value.status == Status.invalid_pointer
+
+
+def test_destroy_null_is_noop():
+    """destroy(NULL) is a success no-op (auxiliary.cpp:654-658)."""
+    assert ast.destroy(None) is None
