@@ -68,6 +68,8 @@ def trsv(
     kid: Optional[int] = None,
 ):
     """x = op(tri(A))^{-1} (alpha * b)  (aoclsparse_?trsv)."""
+    if A is None or descr is None or b is None:
+        raise AoclSparseError(Status.invalid_pointer, "null argument")
     b = jnp.asarray(b)
     if b.ndim != 1 or b.shape[0] != A.shape[0]:
         raise AoclSparseError(Status.invalid_size, f"b must be ({A.shape[0]},), got {b.shape}")

@@ -32,6 +32,8 @@ def trsm(
     kid: Optional[int] = None,
 ):
     """X = op(tri(A))^{-1} (alpha * B), B dense (m, k) (aoclsparse_?trsm)."""
+    if A is None or descr is None or B is None:
+        raise AoclSparseError(Status.invalid_pointer, "null argument")
     B = jnp.asarray(B)
     order = Order(order)
     if order == Order.column:

@@ -126,6 +126,8 @@ def ilu_smoother(
     """x = U^{-1} L^{-1} b over the cached ILU0 factors
     (aoclsparse_?ilu_smoother). Returns x; the LU working values are
     inspectable via ``A.ilu_state.lu`` (the precond_csr_val analog)."""
+    if A is None or b is None:
+        raise AoclSparseError(Status.invalid_pointer, "null argument")
     if b is None:
         raise AoclSparseError(Status.invalid_pointer, "null b")
     if Operation(op) != Operation.none:

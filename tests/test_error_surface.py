@@ -279,3 +279,24 @@ def test_null_handle_invalid_pointer(fn_name):
 def test_destroy_null_is_noop():
     """destroy(NULL) is a success no-op (auxiliary.cpp:654-658)."""
     assert ast.destroy(None) is None
+
+
+def test_null_op_arguments_invalid_pointer(A5):
+    """trsv/trsm/sorv/ilu_smoother null-argument prologue (reference
+    *_tests.cpp NullArg cases)."""
+    from aoclsparse_tpu.core.types import SorType
+
+    D = MatrixDescriptor()
+    x = np.ones(5)
+    for thunk in (
+        lambda: ast.trsv(1.0, None, D, Operation.none, x),
+        lambda: ast.trsv(1.0, A5, D, Operation.none, None),
+        lambda: ast.trsm(1.0, None, D, Operation.none, np.ones((5, 2))),
+        lambda: ast.trsm(1.0, A5, D, Operation.none, None),
+        lambda: ast.sorv(SorType.forward, D, None, 1.0, 1.0, x, x),
+        lambda: ast.ilu_smoother(None, D, x),
+        lambda: ast.ilu_smoother(A5, D, None),
+    ):
+        with pytest.raises(AoclSparseError) as ei:
+            thunk()
+        assert ei.value.status == Status.invalid_pointer
