@@ -24,8 +24,10 @@ from .spmv import (  # noqa: F401
     dist_spmv_bwd_halo_overlap,
     dist_spmv_ell,
     dist_spmv_ell_balanced,
+    dist_spmv_ell_halo_plan,
     dist_spmv_ell_sharded_x,
     make_mesh,
+    plan_general_halo,
     shard_ell,
 )
 from .trsv import dist_trsm_pipeline, dist_trsv_pipeline  # noqa: F401

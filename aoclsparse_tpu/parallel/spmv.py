@@ -33,6 +33,8 @@ __all__ = [
     "dist_spmv_bwd_halo_overlap",
     "dist_spmm_bwd_halo",
     "dist_spmv_ell_balanced",
+    "plan_general_halo",
+    "dist_spmv_ell_halo_plan",
 ]
 
 
@@ -421,3 +423,104 @@ def dist_spmv_ell_balanced(mesh: Mesh, ell_ind_stack, x, bounds, val_stack, axis
         return jnp.sum(prods, axis=1)[None]
 
     return _local(ind_s, val_s, xr)
+
+
+def plan_general_halo(ell_ind, ndev: int, n_loc: int):
+    """Host planning for the GENERAL-sparsity halo exchange (SURVEY.md
+    §5.8(i) "a plan-derived halo-exchange schedule ... gather remote x
+    entries"): from the row-sharded padded-ELL indices, compute per
+    (src→dst) pair exactly which x entries must move, so the device program
+    exchanges O(halo) values via ONE `all_to_all` instead of all-gathering
+    the whole x (dist_spmv_ell_sharded_x). Works for ANY structure — the
+    general-matrix counterpart of the band ppermute halo.
+
+    ell_ind: (m_pad, w) global column indices, -1 padding, m_pad divisible
+    by ndev; x is split uniformly into ndev shards of n_loc entries.
+    Returns (ind_remap, pack_idx, S_max):
+      - pack_idx (ndev, ndev, S_max): pack_idx[src, dst] = LOCAL positions
+        (into src's x shard) of the entries src sends dst, zero-padded;
+      - ind_remap (m_pad, w): per-device-local indices into the stitched
+        [x_loc | recv(ndev, S_max)] buffer (-1 padding preserved).
+    Vectorized numpy (host structure work rule)."""
+    ell_ind = np.asarray(ell_ind)
+    m_pad, w = ell_ind.shape
+    if m_pad % ndev:
+        raise ValueError("ell rows must be padded to a device multiple")
+    m_loc = m_pad // ndev
+    need = []  # need[dst][src] = sorted unique cols dst needs from src
+    for d in range(ndev):
+        sl = ell_ind[d * m_loc : (d + 1) * m_loc]
+        cols = np.unique(sl[sl >= 0])
+        owner = cols // n_loc
+        need.append([cols[owner == s] for s in range(ndev)])
+    S_max = 1
+    for d in range(ndev):
+        for s in range(ndev):
+            if s != d:
+                S_max = max(S_max, need[d][s].size)
+    pack_idx = np.zeros((ndev, ndev, S_max), dtype=np.int64)
+    for s in range(ndev):
+        for d in range(ndev):
+            if s == d:
+                continue
+            lst = need[d][s]
+            pack_idx[s, d, : lst.size] = lst - s * n_loc
+    ind_remap = np.full_like(ell_ind, -1, dtype=np.int64)
+    for d in range(ndev):
+        sl = ell_ind[d * m_loc : (d + 1) * m_loc]
+        out = np.full(sl.shape, -1, dtype=np.int64)
+        valid = sl >= 0
+        cols = np.where(valid, sl, 0)
+        owner = cols // n_loc
+        local = owner == d
+        out[valid & local] = (cols - d * n_loc)[valid & local]
+        for s in range(ndev):
+            if s == d:
+                continue
+            m = valid & (owner == s)
+            if not m.any():
+                continue
+            pos = np.searchsorted(need[d][s], cols[m])
+            out[m] = n_loc + s * S_max + pos
+        ind_remap[d * m_loc : (d + 1) * m_loc] = out
+    return ind_remap, pack_idx, S_max
+
+
+def dist_spmv_ell_halo_plan(mesh: Mesh, ell_ind, ell_val, x_sharded, axis: str = "x"):
+    """General-sparsity SpMV with x SHARDED and a PLAN-DERIVED halo
+    exchange: the host schedule (plan_general_halo) says exactly which x
+    entries each device pair trades, the device program packs them with one
+    local gather, moves them with ONE `lax.all_to_all` (O(halo) bytes over
+    ICI/DCN, any structure), stitches [x_loc | recv] and runs the padded-ELL
+    reduce on host-remapped indices. Completes SURVEY.md §5.8(i) beyond the
+    band-structured ppermute path (dist_spmv_bwd_halo). The schedule is
+    cached on (id-stable) operands by the caller; returns y row-sharded."""
+    ndev = mesh.shape[axis]
+    n_pad = int(x_sharded.shape[0])
+    if n_pad % ndev:
+        raise ValueError("x must be padded to a device multiple")
+    n_loc = n_pad // ndev
+    ell_ind = np.asarray(ell_ind)
+    m_pad = ell_ind.shape[0]
+    if m_pad % ndev:
+        raise ValueError("ell rows must be padded to a device multiple")
+    ind_remap, pack_idx, S_max = plan_general_halo(ell_ind, ndev, n_loc)
+    ind_s = put(jnp.asarray(ind_remap), mesh, P(axis, None))
+    val_s = put(jnp.asarray(ell_val), mesh, P(axis, None))
+    pidx_s = put(jnp.asarray(pack_idx), mesh, P(axis, None, None))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None, None), P(axis)),
+        out_specs=P(axis),
+    )
+    def _local(ind, val, pidx, xloc):
+        send = xloc[pidx[0]]  # (ndev, S_max) pack gather, host-planned positions
+        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
+        buf = jnp.concatenate([xloc, recv.reshape(-1)])
+        g = jnp.take(buf, jnp.maximum(ind, 0), axis=0)
+        prods = jnp.where(ind >= 0, val * g, jnp.zeros((), dtype=val.dtype))
+        return jnp.sum(prods, axis=1)
+
+    return _local(ind_s, val_s, pidx_s, x_sharded)
