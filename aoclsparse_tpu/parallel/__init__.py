@@ -6,6 +6,7 @@ from .cg import (  # noqa: F401
     dist_cg,
     dist_cg_bwd,
     dist_cg_bwd_halo,
+    dist_cg_ell_halo,
     dist_cg_pipelined,
     prepare_dist_ell,
 )

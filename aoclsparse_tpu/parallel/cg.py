@@ -32,6 +32,7 @@ __all__ = [
     "dist_cg_bwd",
     "dist_cg_bwd_halo",
     "dist_cg_pipelined",
+    "dist_cg_ell_halo",
     "prepare_dist_ell",
 ]
 
@@ -594,4 +595,117 @@ def dist_cg(
         put(np.asarray(atol, val_s.dtype), mesh, P()),
         maxit,
     )
+    return _trim(x, m), int(k), float(rnorm)
+
+
+def dist_cg_ell_halo(
+    mesh: Mesh,
+    ell_ind,
+    ell_val,
+    b,
+    x0=None,
+    rtol: float = 1e-8,
+    atol: float = 0.0,
+    maxit: int = 500,
+    axis: str = "x",
+    dinv=None,
+):
+    """Distributed CG on GENERAL (non-banded) structure with the
+    plan-derived halo exchange inside the while_loop: per iteration each
+    device packs exactly the x entries its neighbors' rows reference (host
+    schedule, parallel/spmv.py plan_general_halo), trades them in ONE
+    `lax.all_to_all` (O(halo) bytes for ANY sparsity), and runs the local
+    padded-ELL reduce — the general-structure member of the halo solver
+    family (band: dist_cg_bwd_halo). Vectors fully sharded; dots psum'd;
+    optional `dinv` (Jacobi / block-Jacobi) as in the band variants.
+
+    ell_ind/ell_val: (m, w) padded-ELL arrays (host). Square operands only
+    (the Krylov iterate feeds back into the matvec). Returns
+    (x, iters, rnorm)."""
+    from .spmv import plan_general_halo
+
+    ndev = mesh.shape[axis]
+    ell_ind = np.asarray(ell_ind)
+    ell_val = np.asarray(ell_val)
+    m = int(np.shape(b)[0])
+    m_pad = -(-max(m, ell_ind.shape[0]) // ndev) * ndev
+    if ell_ind.shape[0] != m_pad:
+        pad = ((0, m_pad - ell_ind.shape[0]), (0, 0))
+        ell_ind = np.pad(ell_ind, pad, constant_values=-1)
+        ell_val = np.pad(ell_val, pad)
+    n_loc = m_pad // ndev
+    ind_remap, pack_idx, S_max = plan_general_halo(ell_ind, ndev, n_loc)
+    dt = ell_val.dtype
+    ind_s = put(jnp.asarray(ind_remap), mesh, P(axis, None))
+    val_s = put(jnp.asarray(ell_val), mesh, P(axis, None))
+    pidx_s = put(jnp.asarray(pack_idx), mesh, P(axis, None, None))
+    bp = put(jnp.asarray(np.pad(np.asarray(b), (0, m_pad - m))).astype(dt), mesh, P(axis))
+    x0p = (
+        jnp.zeros((m_pad,), dt)
+        if x0 is None
+        else jnp.pad(jnp.asarray(x0), (0, m_pad - np.shape(x0)[0])).astype(dt)
+    )
+    x0p = put(x0p, mesh, P(axis))
+    rtol_c = put(np.asarray(rtol, dt), mesh, P())
+    atol_c = put(np.asarray(atol, dt), mesh, P())
+    dinv_s, dspec, prec_kind = _prep_precond(dinv, mesh, axis, m, m_pad, dt, bp)
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None, None), P(axis), P(axis), dspec, P(), P()),
+        out_specs=(P(axis), P(), P()),
+    )
+    def _cg(ind, val, pidx, bl, x0l, dl, rt, at):
+        pidx2 = pidx[0]
+
+        def matvec(v):
+            send = v[pidx2]
+            recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
+            buf = jnp.concatenate([v, recv.reshape(-1)])
+            g = jnp.take(buf, jnp.maximum(ind, 0), axis=0)
+            prods = jnp.where(ind >= 0, val * g, jnp.zeros((), dtype=val.dtype))
+            return jnp.sum(prods, axis=1)
+
+        def dot(u, v):
+            return jax.lax.psum(jnp.sum(u * v), axis)
+
+        def prec(r):
+            return _apply_precond(prec_kind, dl, r)
+
+        bnorm = jnp.sqrt(dot(bl, bl))
+        brtol = rt * bnorm
+        r0 = matvec(x0l) - bl
+        rn0 = jnp.sqrt(dot(r0, r0))
+
+        def cond(state):
+            x, r, p, rz, k, rnorm = state
+            not_conv = jnp.logical_and(rnorm > at, rnorm > brtol)
+            return jnp.logical_and(not_conv, k < maxit)
+
+        def body(state):
+            x, r, p, rz, k, rnorm = state
+            z = prec(r)
+            rz_new = dot(r, z)
+            beta = jnp.where(k == 0, jnp.zeros_like(rz), rz_new / rz)
+            p = beta * p - z
+            q = matvec(p)
+            alpha = rz_new / dot(p, q)
+            x = x + alpha * p
+            r = r + alpha * q
+            return (x, r, p, rz_new, k + 1, jnp.sqrt(dot(r, r)))
+
+        state = (
+            x0l,
+            r0,
+            jnp.zeros_like(x0l),
+            jnp.ones((), bl.dtype),
+            jnp.zeros((), jnp.int32),
+            rn0,
+        )
+        x, r, p, rz, k, rnorm = jax.lax.while_loop(cond, body, state)
+        return x, k, rnorm
+
+    x, k, rnorm = _cg(ind_s, val_s, pidx_s, bp, x0p, dinv_s, rtol_c, atol_c)
     return _trim(x, m), int(k), float(rnorm)

@@ -633,3 +633,32 @@ def test_plan_general_halo_local_only(rng):
     assert (pack_idx == 0).all()
     valid = ell >= 0
     assert (ind_remap[valid] < n_loc).all()
+
+
+def test_dist_cg_ell_halo_general_structure(rng):
+    """General-structure halo-CG: plan-derived all_to_all exchange inside
+    the while_loop, bit-identical iteration path to the all-gather dist_cg,
+    Jacobi preconditioning composes."""
+    from aoclsparse_tpu.parallel import dist_cg, dist_cg_ell_halo
+
+    m = 128
+    B = rng.standard_normal((m, m))
+    B[np.abs(B) < 1.3] = 0
+    dense = B @ B.T + m * np.eye(m)
+    dense[np.abs(dense) < 1e-12] = 0
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int64)
+    ind = np.nonzero(dense)[1].astype(np.int32)
+    A = ast.create_csr(m, m, ptr, ind, dense[dense != 0])
+    form = get_plan(A).exec_form_for(MatrixDescriptor(), Operation.none, kind="ell")
+    xstar = rng.standard_normal(m)
+    b = dense @ xstar
+    mesh = make_mesh(8)
+    x1, k1, _ = dist_cg(mesh, form.ell_ind, form.ell_val, b, rtol=1e-12, maxit=500)
+    x2, k2, _ = dist_cg_ell_halo(mesh, form.ell_ind, form.ell_val, b, rtol=1e-12, maxit=500)
+    assert k2 == k1
+    np.testing.assert_allclose(np.asarray(x2), xstar, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-10)
+    x3, k3, _ = dist_cg_ell_halo(
+        mesh, form.ell_ind, form.ell_val, b, rtol=1e-12, maxit=500, dinv=1.0 / np.diag(dense)
+    )
+    np.testing.assert_allclose(np.asarray(x3), xstar, atol=1e-7)
