@@ -449,11 +449,14 @@ def sp2md(
     rows, pa, pb = _expand(effA.ptr, effA.ind, effB.ptr, effB.ind, mA)
     cols = effB.ind.astype(np.int64)[pb] if pb.size else pb
     dtype = jnp.result_type(A.dtype, B.dtype)
-    C0 = (
-        jnp.zeros((mA, nB), dtype=dtype)
-        if C is None
-        else (jnp.asarray(C).T if Order(order) == Order.column else jnp.asarray(C)).astype(dtype)
-    )
+    if C is None:
+        C0 = jnp.zeros((mA, nB), dtype=dtype)
+    else:
+        C0 = (jnp.asarray(C).T if Order(order) == Order.column else jnp.asarray(C)).astype(dtype)
+        if C0.shape != (mA, nB):
+            raise AoclSparseError(
+                Status.invalid_size, f"C must be ({mA},{nB}), got {tuple(C0.shape)}"
+            )
     out = _numeric_dense(
         effA.val,
         effB.val,
@@ -532,11 +535,14 @@ def syrkd(opA: Operation, A: SparseMatrix, alpha, beta=0.0, C=None, order: Order
     if is_complex_dtype(dtype):
         alpha = complex(np.real(alpha))
         beta = complex(np.real(beta))
-    C0 = (
-        jnp.zeros((m, m), dtype=dtype)
-        if C is None
-        else (jnp.asarray(C).T if Order(order) == Order.column else jnp.asarray(C)).astype(dtype)
-    )
+    if C is None:
+        C0 = jnp.zeros((m, m), dtype=dtype)
+    else:
+        C0 = (jnp.asarray(C).T if Order(order) == Order.column else jnp.asarray(C)).astype(dtype)
+        if C0.shape != (m, m):
+            raise AoclSparseError(
+                Status.invalid_size, f"C must be ({m},{m}), got {tuple(C0.shape)}"
+            )
     out = _numeric_dense(
         effL.val,
         effR.val,
@@ -667,11 +673,14 @@ def syprd(
         Ct = _mm(1.0, A, GENERAL, Operation.transpose, T.T, 0.0)
         Cnew = Ct.T
     mC = Cnew.shape[0]
-    C0 = (
-        jnp.zeros((mC, mC), dtype=dtype)
-        if C is None
-        else (jnp.asarray(C).T if Order(order) == Order.column else jnp.asarray(C)).astype(dtype)
-    )
+    if C is None:
+        C0 = jnp.zeros((mC, mC), dtype=dtype)
+    else:
+        C0 = (jnp.asarray(C).T if Order(order) == Order.column else jnp.asarray(C)).astype(dtype)
+        if C0.shape != (mC, mC):
+            raise AoclSparseError(
+                Status.invalid_size, f"C must be ({mC},{mC}), got {tuple(C0.shape)}"
+            )
     out = jnp.asarray(alpha, dtype) * Cnew.astype(dtype) + jnp.asarray(beta, dtype) * C0
     return out.T if Order(order) == Order.column else out
 

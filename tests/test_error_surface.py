@@ -300,3 +300,18 @@ def test_null_op_arguments_invalid_pointer(A5):
         with pytest.raises(AoclSparseError) as ei:
             thunk()
         assert ei.value.status == Status.invalid_pointer
+
+
+def test_dense_output_c_shape_checks(A5):
+    """syrkd/sp2md/syprd validate the caller's C shape with invalid_size
+    (reference WrongSize taxonomy) instead of leaking a broadcast error."""
+    bad = np.ones((3, 3))
+    D = MatrixDescriptor()
+    for thunk in (
+        lambda: ast.syrkd(Operation.none, A5, 1.0, 1.0, bad),
+        lambda: ast.sp2md(Operation.none, D, A5, Operation.none, D, A5, 1.0, 1.0, bad),
+        lambda: ast.syprd(Operation.none, A5, np.eye(5), 1.0, 1.0, bad),
+    ):
+        with pytest.raises(AoclSparseError) as ei:
+            thunk()
+        assert ei.value.status == Status.invalid_size
