@@ -35,6 +35,7 @@ __all__ = [
     "dist_spmv_ell_balanced",
     "plan_general_halo",
     "dist_spmv_ell_halo_plan",
+    "dist_spmm_ell_halo_plan",
 ]
 
 
@@ -524,3 +525,43 @@ def dist_spmv_ell_halo_plan(mesh: Mesh, ell_ind, ell_val, x_sharded, axis: str =
         return jnp.sum(prods, axis=1)
 
     return _local(ind_s, val_s, pidx_s, x_sharded)
+
+
+def dist_spmm_ell_halo_plan(mesh: Mesh, ell_ind, ell_val, B_sharded, axis: str = "x"):
+    """General-sparsity SpMM C = A @ B with B ROW-SHARDED and a plan-derived
+    halo exchange — the SpMM half of §5.8(i) for arbitrary structure (the
+    band-structured counterpart is dist_spmm_bwd_halo). The same host
+    schedule as dist_spmv_ell_halo_plan decides which B ROWS each device
+    pair trades; the device program packs them with one local row gather,
+    moves (ndev, S_max, K) slabs in ONE `lax.all_to_all`, and contracts the
+    local padded-ELL rows against the stitched [B_loc | recv] row buffer.
+    Returns C row-sharded like A."""
+    ndev = mesh.shape[axis]
+    n_pad = int(B_sharded.shape[0])
+    K = int(B_sharded.shape[1])
+    if n_pad % ndev:
+        raise ValueError("B rows must be padded to a device multiple")
+    n_loc = n_pad // ndev
+    ell_ind = np.asarray(ell_ind)
+    if ell_ind.shape[0] % ndev:
+        raise ValueError("ell rows must be padded to a device multiple")
+    ind_remap, pack_idx, S_max = plan_general_halo(ell_ind, ndev, n_loc)
+    ind_s = put(jnp.asarray(ind_remap), mesh, P(axis, None))
+    val_s = put(jnp.asarray(ell_val), mesh, P(axis, None))
+    pidx_s = put(jnp.asarray(pack_idx), mesh, P(axis, None, None))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None, None), P(axis, None)),
+        out_specs=P(axis, None),
+    )
+    def _local(ind, val, pidx, Bloc):
+        send = Bloc[pidx[0]]  # (ndev, S_max, K) host-planned row pack
+        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
+        buf = jnp.concatenate([Bloc, recv.reshape(-1, Bloc.shape[1])], axis=0)
+        g = jnp.take(buf, jnp.maximum(ind, 0), axis=0)  # (m_loc, w, K)
+        prods = jnp.where((ind >= 0)[..., None], val[..., None] * g, jnp.zeros((), val.dtype))
+        return jnp.sum(prods, axis=1)
+
+    return _local(ind_s, val_s, pidx_s, B_sharded)

@@ -662,3 +662,30 @@ def test_dist_cg_ell_halo_general_structure(rng):
         mesh, form.ell_ind, form.ell_val, b, rtol=1e-12, maxit=500, dinv=1.0 / np.diag(dense)
     )
     np.testing.assert_allclose(np.asarray(x3), xstar, atol=1e-7)
+
+
+def test_dist_spmm_general_halo_plan(rng):
+    """General-structure SpMM halo: B row-sharded, one all_to_all of the
+    host-scheduled B-row slabs, parity with the dense oracle."""
+    from jax.sharding import PartitionSpec as P
+
+    from conftest import random_csr
+
+    from aoclsparse_tpu.parallel import dist_spmm_ell_halo_plan, put
+
+    m = n = 80
+    K = 6
+    ptr, ind, val, dense = random_csr(rng, m, n, density=0.07)
+    A = ast.create_csr(m, n, ptr, ind, val)
+    form = get_plan(A).exec_form_for(MatrixDescriptor(), Operation.none, kind="ell")
+    mesh = make_mesh(8)
+    ell_ind = np.asarray(form.ell_ind)
+    ell_val = np.asarray(form.ell_val)
+    mp = -(-ell_ind.shape[0] // 8) * 8
+    ell_ind = np.pad(ell_ind, ((0, mp - ell_ind.shape[0]), (0, 0)), constant_values=-1)
+    ell_val = np.pad(ell_val, ((0, mp - ell_val.shape[0]), (0, 0)))
+    B = rng.standard_normal((n, K))
+    n_pad = -(-n // 8) * 8
+    B_sh = put(np.pad(B, ((0, n_pad - n), (0, 0))), mesh, P("x", None))
+    C = dist_spmm_ell_halo_plan(mesh, ell_ind, ell_val, B_sh)
+    np.testing.assert_allclose(np.asarray(C)[:m], dense @ B, rtol=1e-9, atol=1e-12)
