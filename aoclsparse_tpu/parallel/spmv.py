@@ -36,6 +36,8 @@ __all__ = [
     "plan_general_halo",
     "dist_spmv_ell_halo_plan",
     "dist_spmm_ell_halo_plan",
+    "dist_spmv_balanced_halo",
+    "compact_balanced",
 ]
 
 
@@ -565,3 +567,44 @@ def dist_spmm_ell_halo_plan(mesh: Mesh, ell_ind, ell_val, B_sharded, axis: str =
         return jnp.sum(prods, axis=1)
 
     return _local(ind_s, val_s, pidx_s, B_sharded)
+
+
+def dist_spmv_balanced_halo(mesh: Mesh, ptr, ind, val, x_sharded, axis: str = "x"):
+    """NNZ-BALANCED row partition COMPOSED with the plan-derived halo
+    exchange — the full §5.8(i) requirement in one schedule: rows split on
+    the cumulative-nnz curve (skewed/power-law matrices keep every device
+    busy; partition.py), x stays uniformly sharded, and only the
+    host-scheduled cross-shard x entries move (one `lax.all_to_all`).
+
+    The balanced ELL stack reshapes directly into the uniform-rows contract
+    of dist_spmv_ell_halo_plan: each device owns `mloc` padded rows that
+    cover its nnz-balanced row range. Returns (y_padded, bounds, mloc);
+    compact with `compact_balanced` (host) — y_padded[p*mloc + r] is row
+    bounds[p] + r of the true product."""
+    from .partition import nnz_balanced_bounds, pack_balanced_ell
+
+    ndev = mesh.shape[axis]
+    # align=1: the padded-ELL halo path has no sublane constraint, and the
+    # default 8-row alignment can collapse cuts to 0 under extreme skew
+    # (power-law heads with hundreds of nnz in the first few rows)
+    bounds = nnz_balanced_bounds(ptr, ndev, align=1)
+    src, ind_stack, mloc, bounds = pack_balanced_ell(ptr, ind, ndev, bounds=bounds)
+    valh = np.asarray(val)
+    vals = np.where(src >= 0, valh[np.clip(src, 0, None)], np.zeros((), valh.dtype))
+    w = ind_stack.shape[2]
+    y = dist_spmv_ell_halo_plan(
+        mesh, ind_stack.reshape(ndev * mloc, w), vals.reshape(ndev * mloc, w), x_sharded, axis=axis
+    )
+    return y, bounds, mloc
+
+
+def compact_balanced(y, bounds, mloc: int) -> np.ndarray:
+    """Drop the per-part row padding of a balanced-partition result (host)."""
+    from .placement import fetch
+
+    yh = fetch(y)
+    parts = [
+        yh[p * mloc : p * mloc + (int(bounds[p + 1]) - int(bounds[p]))]
+        for p in range(len(bounds) - 1)
+    ]
+    return np.concatenate(parts) if parts else yh[:0]
