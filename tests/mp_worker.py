@@ -128,7 +128,21 @@ assert rn3 <= 1e-9 * np.linalg.norm(b), (it3, rn3)
 np.testing.assert_allclose(mp.fetch(xs3), np.ones(m), atol=1e-7)
 print(pid, "dist_cg_pipelined ok", flush=True)
 
-# 6) B-sharded SpGEMM: per-shard symbolic + ppermute B-row value slabs
+# 6) plan-derived general halo: the all_to_all crosses the process boundary
+from aoclsparse_tpu.parallel import dist_spmv_ell_halo_plan  # noqa: E402
+
+ell_ind = np.asarray(form.ell_ind)
+ell_val = np.asarray(form.ell_val)
+mp8 = -(-ell_ind.shape[0] // 8) * 8
+ell_ind = np.pad(ell_ind, ((0, mp8 - ell_ind.shape[0]), (0, 0)), constant_values=-1)
+ell_val = np.pad(ell_val, ((0, mp8 - ell_val.shape[0]), (0, 0)))
+n_pad8 = -(-m // 8) * 8
+x_sh2 = mp.put(np.pad(x, (0, n_pad8 - m)), mesh, P("x"))
+yg = dist_spmv_ell_halo_plan(mesh, ell_ind, ell_val, x_sh2)
+np.testing.assert_allclose(mp.fetch(yg)[:m], want, rtol=1e-10)
+print(pid, "dist_spmv_ell_halo_plan (all_to_all) ok", flush=True)
+
+# 7) B-sharded SpGEMM: per-shard symbolic + ppermute B-row value slabs
 #    crossing the process boundary
 from aoclsparse_tpu.parallel import dist_spgemm_halo  # noqa: E402
 
