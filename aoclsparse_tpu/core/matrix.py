@@ -366,8 +366,8 @@ def _to_csr_data(h: SparseMatrix) -> CSR:
 
 
 def export_csr(h: SparseMatrix, base: Optional[IndexBase] = None):
-    _require_handle(h)
     """Return (m, n, nnz, ptr, ind, val) numpy views in the requested base."""
+    _require_handle(h)
     A = _to_csr_data(h)
     b = int(base if base is not None else h.base)
     ptr = np.asarray(A.ptr) + b
@@ -399,6 +399,8 @@ def export_coo(h: SparseMatrix, base: Optional[IndexBase] = None):
 
 
 def copy(h: SparseMatrix) -> SparseMatrix:
+    """Independent handle over the same immutable data (aoclsparse_copy);
+    later update_values on either handle does not affect the other."""
     _require_handle(h)
     out = SparseMatrix(h.data, h.input_format, h.base)  # pytrees are immutable: share
     out.sort = h.sort
@@ -451,10 +453,10 @@ def set_value(h: SparseMatrix, row: int, col: int, value) -> SparseMatrix:
 
 
 def update_values(h: SparseMatrix, values) -> SparseMatrix:
+    """Replace all values keeping the pattern (auxiliary.cpp:674-706)."""
     _require_handle(h)
     if values is None:
         raise AoclSparseError(Status.invalid_pointer, "null values")
-    """Replace all values keeping the pattern (auxiliary.cpp:674-706)."""
     values = jnp.asarray(values)
     if h.values_pending:
         # pending lazy extraction (band-engine SpGEMM product): the old

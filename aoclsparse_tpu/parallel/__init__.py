@@ -18,11 +18,12 @@ from .spgemm import (  # noqa: F401
     partition_products,
 )
 from .partition import nnz_balanced_bounds, pack_balanced_ell  # noqa: F401
-from .spmv import compact_balanced, dist_spmv_balanced_halo  # noqa: F401
 from .sweeps import dist_ilu_apply, dist_symgs  # noqa: F401
 from .spmv import (  # noqa: F401
+    compact_balanced,
     dist_spmm_bwd_halo,
     dist_spmm_ell_halo_plan,
+    dist_spmv_balanced_halo,
     dist_spmv_bwd_halo,
     dist_spmv_bwd_halo_overlap,
     dist_spmv_ell,

@@ -37,14 +37,20 @@ __all__ = [
 ]
 
 
+@partial(jax.jit, static_argnames=("m",))
+def _trim_jit(a, m: int):
+    return jax.lax.slice_in_dim(a, 0, m)
+
+
 def _trim(x, m: int):
     """Drop the row padding. A multi-process global array cannot be sliced
-    eagerly (some shards are remote), so the slice runs as a tiny SPMD jit."""
+    eagerly (some shards are remote), so the slice runs as a tiny SPMD jit
+    (module-level jit: one trace per m, not per call)."""
     if int(x.shape[0]) == m:
         return x
     if x.is_fully_addressable:
         return x[:m]
-    return jax.jit(lambda a: jax.lax.slice_in_dim(a, 0, m))(x)
+    return _trim_jit(x, m)
 
 
 def _prep_precond(dinv, mesh, axis, m: int, m_pad: int, dtype, placeholder):
@@ -63,6 +69,10 @@ def _prep_precond(dinv, mesh, axis, m: int, m_pad: int, dtype, placeholder):
     d = np.asarray(dinv)
     ndev = mesh.shape[axis]
     if d.ndim == 1:
+        if d.shape[0] not in (m, m_pad):
+            raise ValueError(
+                f"Jacobi dinv must have length m={m} (or m_pad={m_pad}), got {d.shape[0]}"
+            )
         dv = np.zeros(m_pad, dtype=np.float64)
         dv[: d.shape[0]] = d
         return put(jnp.asarray(dv).astype(dtype), mesh, P(axis)), P(axis), "diag"
@@ -622,7 +632,7 @@ def dist_cg_ell_halo(
     ell_ind/ell_val: (m, w) padded-ELL arrays (host). Square operands only
     (the Krylov iterate feeds back into the matvec). Returns
     (x, iters, rnorm)."""
-    from .spmv import plan_general_halo
+    from .spmv import _general_halo_matvec as _ghm, plan_general_halo
 
     ndev = mesh.shape[axis]
     ell_ind = np.asarray(ell_ind)
@@ -659,14 +669,10 @@ def dist_cg_ell_halo(
     )
     def _cg(ind, val, pidx, bl, x0l, dl, rt, at):
         pidx2 = pidx[0]
+        mv_body = _ghm(axis)
 
         def matvec(v):
-            send = v[pidx2]
-            recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
-            buf = jnp.concatenate([v, recv.reshape(-1)])
-            g = jnp.take(buf, jnp.maximum(ind, 0), axis=0)
-            prods = jnp.where(ind >= 0, val * g, jnp.zeros((), dtype=val.dtype))
-            return jnp.sum(prods, axis=1)
+            return mv_body(ind, val, pidx2, v)
 
         def dot(u, v):
             return jax.lax.psum(jnp.sum(u * v), axis)

@@ -13,13 +13,20 @@ they are nnz-sized, tiny next to the product stream).
 from __future__ import annotations
 
 from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .placement import fetch, put
 from jax import shard_map
+
+from .placement import fetch, put
+
+
+@partial(jax.jit, static_argnames=("nnz",))
+def _flatten_trim(a, nnz: int):
+    return a.reshape(-1)[:nnz]
 
 __all__ = ["partition_products", "dist_spgemm_numeric", "dist_spgemm_rowpart", "dist_spgemm_halo"]
 
@@ -156,7 +163,7 @@ def dist_spgemm_numeric(mesh: Mesh, plan, a_val, b_val, axis: str = "x"):
     c_blocks = _local(pa_d, pb_d, pc_d, a_d, b_d)  # (n_dev, chunk)
     if not c_blocks.is_fully_addressable:
         # multi-process: eager reshape/slice cannot touch remote shards
-        return jax.jit(lambda a: a.reshape(-1)[: plan.nnz])(c_blocks)
+        return _flatten_trim(c_blocks, plan.nnz)
     return c_blocks.reshape(-1)[: plan.nnz]
 
 

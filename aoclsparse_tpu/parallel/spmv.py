@@ -450,6 +450,12 @@ def plan_general_halo(ell_ind, ndev: int, n_loc: int):
     if m_pad % ndev:
         raise ValueError("ell rows must be padded to a device multiple")
     m_loc = m_pad // ndev
+    valid_cols = ell_ind[ell_ind >= 0]
+    if valid_cols.size and int(valid_cols.max()) >= ndev * n_loc:
+        raise ValueError(
+            f"column index {int(valid_cols.max())} outside the sharded x "
+            f"(ndev*n_loc = {ndev * n_loc}); pad x / check operand width"
+        )
     need = []  # need[dst][src] = sorted unique cols dst needs from src
     for d in range(ndev):
         sl = ell_ind[d * m_loc : (d + 1) * m_loc]
@@ -489,6 +495,30 @@ def plan_general_halo(ell_ind, ndev: int, n_loc: int):
     return ind_remap, pack_idx, S_max
 
 
+def _general_halo_matvec(axis: str):
+    """Shared device body of the plan-derived general halo: pack the
+    host-scheduled entries with one local gather, trade them in ONE
+    `lax.all_to_all`, stitch [local | recv] and run the masked padded-ELL
+    reduce. `v` may be (n_loc,) (SpMV/CG) or (n_loc, K) rows (SpMM)."""
+
+    def matvec(ind, val, pidx2, v):
+        send = v[pidx2]
+        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
+        if v.ndim == 1:
+            buf = jnp.concatenate([v, recv.reshape(-1)])
+            g = jnp.take(buf, jnp.maximum(ind, 0), axis=0)
+            prods = jnp.where(ind >= 0, val * g, jnp.zeros((), dtype=val.dtype))
+        else:
+            buf = jnp.concatenate([v, recv.reshape(-1, v.shape[1])], axis=0)
+            g = jnp.take(buf, jnp.maximum(ind, 0), axis=0)  # (m_loc, w, K)
+            prods = jnp.where(
+                (ind >= 0)[..., None], val[..., None] * g, jnp.zeros((), val.dtype)
+            )
+        return jnp.sum(prods, axis=1)
+
+    return matvec
+
+
 def dist_spmv_ell_halo_plan(mesh: Mesh, ell_ind, ell_val, x_sharded, axis: str = "x"):
     """General-sparsity SpMV with x SHARDED and a PLAN-DERIVED halo
     exchange: the host schedule (plan_general_halo) says exactly which x
@@ -512,6 +542,8 @@ def dist_spmv_ell_halo_plan(mesh: Mesh, ell_ind, ell_val, x_sharded, axis: str =
     val_s = put(jnp.asarray(ell_val), mesh, P(axis, None))
     pidx_s = put(jnp.asarray(pack_idx), mesh, P(axis, None, None))
 
+    mv_body = _general_halo_matvec(axis)
+
     @partial(
         shard_map,
         mesh=mesh,
@@ -519,12 +551,7 @@ def dist_spmv_ell_halo_plan(mesh: Mesh, ell_ind, ell_val, x_sharded, axis: str =
         out_specs=P(axis),
     )
     def _local(ind, val, pidx, xloc):
-        send = xloc[pidx[0]]  # (ndev, S_max) pack gather, host-planned positions
-        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
-        buf = jnp.concatenate([xloc, recv.reshape(-1)])
-        g = jnp.take(buf, jnp.maximum(ind, 0), axis=0)
-        prods = jnp.where(ind >= 0, val * g, jnp.zeros((), dtype=val.dtype))
-        return jnp.sum(prods, axis=1)
+        return mv_body(ind, val, pidx[0], xloc)
 
     return _local(ind_s, val_s, pidx_s, x_sharded)
 
@@ -540,7 +567,6 @@ def dist_spmm_ell_halo_plan(mesh: Mesh, ell_ind, ell_val, B_sharded, axis: str =
     Returns C row-sharded like A."""
     ndev = mesh.shape[axis]
     n_pad = int(B_sharded.shape[0])
-    K = int(B_sharded.shape[1])
     if n_pad % ndev:
         raise ValueError("B rows must be padded to a device multiple")
     n_loc = n_pad // ndev
@@ -552,6 +578,8 @@ def dist_spmm_ell_halo_plan(mesh: Mesh, ell_ind, ell_val, B_sharded, axis: str =
     val_s = put(jnp.asarray(ell_val), mesh, P(axis, None))
     pidx_s = put(jnp.asarray(pack_idx), mesh, P(axis, None, None))
 
+    mv_body = _general_halo_matvec(axis)
+
     @partial(
         shard_map,
         mesh=mesh,
@@ -559,12 +587,7 @@ def dist_spmm_ell_halo_plan(mesh: Mesh, ell_ind, ell_val, B_sharded, axis: str =
         out_specs=P(axis, None),
     )
     def _local(ind, val, pidx, Bloc):
-        send = Bloc[pidx[0]]  # (ndev, S_max, K) host-planned row pack
-        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
-        buf = jnp.concatenate([Bloc, recv.reshape(-1, Bloc.shape[1])], axis=0)
-        g = jnp.take(buf, jnp.maximum(ind, 0), axis=0)  # (m_loc, w, K)
-        prods = jnp.where((ind >= 0)[..., None], val[..., None] * g, jnp.zeros((), val.dtype))
-        return jnp.sum(prods, axis=1)
+        return mv_body(ind, val, pidx[0], Bloc)
 
     return _local(ind_s, val_s, pidx_s, B_sharded)
 

@@ -1473,10 +1473,6 @@ class Plan:
 
 
 def optimize(A: SparseMatrix) -> Plan:
-    if A is None:
-        from ..core.types import AoclSparseError, Status
-
-        raise AoclSparseError(Status.invalid_pointer, "null matrix handle")
     """Walk the hint list and prebuild what the hints ask for.
 
     With AOCLSPARSE_TPU_AUTOTUNE=1, heavily-hinted mv operations
@@ -1485,6 +1481,10 @@ def optimize(A: SparseMatrix) -> Plan:
     the live dispatch and the winner pinned (kernels/autotune.py) — the
     measurement amortizes over the hinted call count, exactly the trade
     the reference's nop hint expresses."""
+    if A is None:
+        from ..core.types import AoclSparseError, Status
+
+        raise AoclSparseError(Status.invalid_pointer, "null matrix handle")
     import os
 
     plan = get_plan(A)

@@ -128,8 +128,6 @@ def ilu_smoother(
     inspectable via ``A.ilu_state.lu`` (the precond_csr_val analog)."""
     if A is None or b is None:
         raise AoclSparseError(Status.invalid_pointer, "null argument")
-    if b is None:
-        raise AoclSparseError(Status.invalid_pointer, "null b")
     if Operation(op) != Operation.none:
         raise AoclSparseError(Status.not_implemented, "ilu_smoother supports op=none (parity)")
     st = ilu0_factorize(A)

@@ -49,8 +49,6 @@ def sorv(
 ):
     """One SOR iteration; returns the updated x (aoclsparse_?sorv)."""
     if A is None or descr is None or x is None or b is None:
-        raise AoclSparseError(Status.invalid_pointer, "null argument")
-    if A is None or descr is None or x is None or b is None:
         raise AoclSparseError(Status.invalid_pointer, "null argument to sorv")
     if SorType(sor_type) != SorType.forward:
         raise AoclSparseError(Status.not_implemented, "only forward SOR (parity)")

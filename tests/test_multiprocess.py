@@ -44,6 +44,13 @@ def test_two_process_gloo_dist_ops():
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
+        # reap and collect whatever the workers printed before the hang
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=30)
+                outs.append(out or "")
+            except Exception:
+                outs.append("<no output captured>")
         pytest.fail("multi-process workers timed out:\n" + "\n---\n".join(outs))
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
