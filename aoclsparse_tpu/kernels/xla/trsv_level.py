@@ -1,0 +1,192 @@
+"""Level-scheduled (wavefront) triangular solve.
+
+SURVEY.md §7's second sequential-algorithm design: "level-scheduling
+analysis in the planner (host-side, C++-backed where hot) → wavefront
+execution as a lax.scan over levels with batched per-level sparse ops".
+The planner's default TRSV is the blocked scan (planner/triangular.py —
+MXU block solves, best for banded structure where the dependency chain is
+long anyway); THIS form wins when the dependency DAG is SHALLOW
+(circuit/power-law triangles with few levels): all rows of a level solve
+simultaneously as one masked gather-reduce, so the scan has `nlev` steps
+instead of `m/nb`.
+
+Reference role: the sequential loop-carried sweep of
+level2/aoclsparse_trsv_kt.cpp:65-…, re-parallelized the TPU way. Exposed
+as TRSV KID 1 (the blocked scan stays KID 0 and the Oracle default).
+
+Level analysis runs in native C++ (native/host_kernels.cpp
+level_schedule); the host packing here is vectorized numpy per the repo
+rule. Value paths stay refreshable: the form stores src positions into the
+effective value array and `refresh()` regathers on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["LevelForm", "build_level_form", "solve_levels"]
+
+
+@dataclasses.dataclass
+class LevelForm:
+    """Wavefront execution form for one oriented triangle."""
+
+    m: int
+    nlev: int
+    R_max: int  # max rows per level
+    W_max: int  # max strict-lower entries per row
+    reversed_: bool
+    unit_diag: bool
+    rows: jax.Array  # (L, R) int32 row ids, m (scratch) for padding
+    row_valid: jax.Array  # (L, R) bool
+    cols: jax.Array  # (L, R, W) int32 col ids, 0-clamped; -1 -> masked
+    col_valid: jax.Array  # (L, R, W) bool
+    Lval: Optional[jax.Array]  # (L, R, W)
+    Dinv: Optional[jax.Array]  # (L, R)
+    _L_srcpos: np.ndarray  # (L, R, W) int64 into eff.val (-1 pad)
+    _D_srcpos: np.ndarray  # (L, R) int64 into eff.val (-1 pad)
+    _eff = None  # EffectiveCSR kept by the planner for refresh
+
+    def refresh(self, eff_val: jax.Array) -> None:
+        """Regather values after update_values (value-path rule)."""
+        v = jnp.asarray(eff_val)
+        Ls = jnp.asarray(self._L_srcpos)
+        self.Lval = jnp.where(
+            Ls >= 0, v[jnp.clip(Ls, 0)], jnp.zeros((), v.dtype)
+        )
+        if self.unit_diag:
+            self.Dinv = jnp.ones(self._D_srcpos.shape, v.dtype)
+        else:
+            Ds = jnp.asarray(self._D_srcpos)
+            d = jnp.where(Ds >= 0, v[jnp.clip(Ds, 0)], jnp.ones((), v.dtype))
+            self.Dinv = 1.0 / d
+
+    def solve(self, b) -> jax.Array:
+        """x = T^{-1} b, b (m,) or (m, k)."""
+        b = jnp.asarray(b)
+        squeeze = b.ndim == 1
+        b2 = b[:, None] if squeeze else b
+        if self.reversed_:
+            b2 = b2[::-1]
+        x = _solve_levels_jit(
+            self.rows, self.row_valid, self.cols, self.col_valid, self.Lval, self.Dinv, b2, self.m
+        )
+        if self.reversed_:
+            x = x[::-1]
+        return x[:, 0] if squeeze else x
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _solve_levels_jit(rows, row_valid, cols, col_valid, Lval, Dinv, b2, m: int):
+    """lax.scan over levels: every row of a level solves simultaneously.
+    x carries one scratch row at index m for level padding."""
+    k = b2.shape[1]
+    x0 = jnp.zeros((m + 1, k), b2.dtype)
+    bp = jnp.concatenate([b2, jnp.zeros((1, k), b2.dtype)], axis=0)
+
+    def step(x, lvl):
+        r, rv, c, cv, lv, di = lvl
+        g = x[c]  # (R, W, k) gather of already-solved levels
+        contrib = jnp.where(cv[..., None], lv[..., None].astype(x.dtype) * g, 0)
+        s = jnp.sum(contrib, axis=1)  # (R, k)
+        xi = (bp[r] - s) * di[..., None].astype(x.dtype)
+        xi = jnp.where(rv[..., None], xi, 0)
+        return x.at[r].set(xi), None
+
+    x, _ = jax.lax.scan(
+        step, x0, (rows, row_valid, cols, col_valid, Lval, Dinv)
+    )
+    return x[:m]
+
+
+def solve_levels(form: LevelForm, b):
+    return form.solve(b)
+
+
+def build_level_form(
+    eff_ptr, eff_ind, eff_src, m: int, reversed_: bool, unit_diag: bool, eff_val
+) -> LevelForm:
+    """Build the wavefront form from an ORIENTED (lower) triangle structure:
+    ptr/ind sorted CSR of the lower-oriented triangle, eff_src mapping each
+    entry to its position in the effective value array. The native C++
+    level analysis walks the strictly-lower dependency DAG."""
+    from ... import native
+
+    ptr = np.asarray(eff_ptr, dtype=np.int64)
+    ind = np.asarray(eff_ind, dtype=np.int64)
+    src = np.asarray(eff_src, dtype=np.int64)
+    levels, nlev = native.level_schedule(m, ptr, ind)
+    nlev = max(int(nlev), 1)
+
+    counts = np.bincount(levels, minlength=nlev).astype(np.int64) if m else np.zeros(1, np.int64)
+    R_max = max(int(counts.max()) if counts.size else 1, 1)
+    # slot of each row inside its level
+    lvl_first = np.zeros(nlev, dtype=np.int64)
+    np.cumsum(counts[:-1], out=lvl_first[1:])
+    order = np.lexsort((np.arange(m), levels))  # rows grouped by level
+    slot_of = np.empty(m, dtype=np.int64)
+    slot_of[order] = np.arange(m, dtype=np.int64) - lvl_first[levels[order]]
+
+    rows_pad = np.full((nlev, R_max), m, dtype=np.int32)  # m = scratch row
+    row_valid = np.zeros((nlev, R_max), dtype=bool)
+    rows_pad[levels, slot_of] = np.arange(m, dtype=np.int32)
+    row_valid[levels, slot_of] = True
+
+    lens = np.diff(ptr)
+    rows_of = np.repeat(np.arange(m, dtype=np.int64), lens)
+    cols = ind
+    strict = cols < rows_of
+    W_max = 1
+    if strict.any():
+        cl = np.bincount(rows_of[strict], minlength=m)
+        W_max = max(1, int(cl.max()))
+    Lcols = np.zeros((nlev, R_max, W_max), dtype=np.int32)
+    col_valid = np.zeros((nlev, R_max, W_max), dtype=bool)
+    L_srcpos = np.full((nlev, R_max, W_max), -1, dtype=np.int64)
+    if strict.any():
+        e_rows = rows_of[strict]
+        # strict-lower entries are a sorted-prefix of each row
+        pos_in_row = np.arange(cols.size, dtype=np.int64) - np.repeat(ptr[:-1], lens)
+        p = pos_in_row[strict]
+        li = levels[e_rows]
+        si = slot_of[e_rows]
+        Lcols[li, si, p] = cols[strict].astype(np.int32)
+        col_valid[li, si, p] = True
+        L_srcpos[li, si, p] = src[strict]
+    D_srcpos = np.full((nlev, R_max), -1, dtype=np.int64)
+    dmask = cols == rows_of
+    if dmask.any():
+        e_rows = rows_of[dmask]
+        D_srcpos[levels[e_rows], slot_of[e_rows]] = src[dmask]
+    if not unit_diag and bool((row_valid & (D_srcpos < 0)).any()):
+        from ...core.types import AoclSparseError, Status
+
+        missing = int(rows_pad[row_valid & (D_srcpos < 0)].min())
+        raise AoclSparseError(
+            Status.invalid_value, f"missing diagonal entry in row {missing}"
+        )
+
+    form = LevelForm(
+        m=m,
+        nlev=nlev,
+        R_max=R_max,
+        W_max=W_max,
+        reversed_=reversed_,
+        unit_diag=unit_diag,
+        rows=jnp.asarray(rows_pad),
+        row_valid=jnp.asarray(row_valid),
+        cols=jnp.asarray(Lcols),
+        col_valid=jnp.asarray(col_valid),
+        Lval=None,
+        Dinv=None,
+        _L_srcpos=L_srcpos,
+        _D_srcpos=D_srcpos,
+    )
+    form.refresh(eff_val)
+    return form

@@ -28,6 +28,9 @@ from ...planner.triangular import trsv_form_for
 __all__ = ["trsv", "trsv_strided", "csrsv"]
 
 registry.register("sv", KernelEntry(0, "xla_blocked_scan", trsv_blocked, "blocked", "any", 0))
+# KID 1: level-scheduled wavefront (opt-in: priority below the blocked scan;
+# wins on shallow dependency DAGs — circuit-class triangles)
+registry.register("sv", KernelEntry(1, "xla_level_wavefront", None, "level", "any", -1))
 
 
 def _solve(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, rhs, kid):
@@ -42,8 +45,13 @@ def _solve(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, rhs, kid):
         raise AoclSparseError(
             Status.invalid_value, "trsv requires a triangular or symmetric/hermitian descriptor"
         )
-    registry.select("sv", fmt="blocked", kid=kid)  # KID validation/introspection
+    entry = registry.select("sv", kid=kid)  # KID validation + engine choice
     plan = get_plan(A)
+    if entry.fmt == "level":
+        from ...planner.triangular import trsv_level_form_for
+
+        lform = trsv_level_form_for(plan, descr, op)
+        return lform.solve(rhs)
     form = trsv_form_for(plan, descr, op)
     m_pad = form.nblk * form.nb
     rhs = jnp.asarray(rhs)

@@ -414,3 +414,53 @@ def _transpose_eff(eff: EffectiveCSR) -> EffectiveCSR:
     out._parent = eff  # type: ignore[attr-defined]
     out._order = order  # type: ignore[attr-defined]
     return out
+
+
+def trsv_level_form_for(plan: Plan, descr: MatrixDescriptor, op: Operation):
+    """Cached level-scheduled (wavefront) TRSV form — TRSV KID 1
+    (kernels/xla/trsv_level.py). Same orientation rules as trsv_form_for
+    (upper triangles solve on the reversed structure; transpose ops on the
+    host-transposed structure; conj-transpose folds conjugation into the
+    values). Rebuilt after update_values (plan.levels drops)."""
+    from ..kernels.xla.trsv_level import build_level_form
+
+    tri_descr = MatrixDescriptor(
+        type=MatrixType.triangular,
+        fill_mode=descr.fill_mode,
+        diag_type=descr.diag_type,
+        base=descr.base,
+    )
+    dt = DiagType(tri_descr.diag_type)
+    if dt == DiagType.zero:
+        raise AoclSparseError(Status.invalid_value, "cannot solve with zero diagonal")
+    if plan.levels is None:
+        plan.levels = {}
+    op_ = Operation(op)
+    key = ("trsv_level", tri_descr.fill_mode, tri_descr.diag_type, op_)
+    form = plan.levels.get(key)
+    if form is not None:
+        return form
+    if op_ == Operation.conjugate_transpose:
+        eff = build_effective_csr(plan.clean, tri_descr, Operation.none)
+        eff = EffectiveCSR(eff.ptr, eff.ind, eff.src, True, eff.const_val, eff.shape)
+        eff.materialize(plan.clean.val)
+    else:
+        eff = build_effective_csr(plan.clean, tri_descr, Operation.none)
+    if op_ != Operation.none:
+        eff = _transpose_eff(eff)
+    lower = FillMode(tri_descr.fill_mode) == FillMode.lower
+    eff_lower = lower if op_ == Operation.none else not lower
+    m = eff.m
+    if eff_lower:
+        ptr, ind, src = eff.ptr, eff.ind, np.arange(eff.nnz, dtype=np.int64)
+        reversed_ = False
+    else:
+        rev = _reverse_structure(eff)
+        ptr, ind, src = rev.ptr, rev.ind, rev.src
+        reversed_ = True
+    form = build_level_form(
+        ptr, ind, src, m, reversed_, dt == DiagType.unit, eff.val
+    )
+    form._eff = eff
+    plan.levels[key] = form
+    return form

@@ -146,3 +146,96 @@ def test_mm_bad_shapes(rng):
     with pytest.raises(AoclSparseError) as e:
         ast.mm(1.0, A, MatrixDescriptor(), Operation.none, np.ones((5, 3)), 0.0)
     assert e.value.status == Status.invalid_size
+
+
+# ---------------------------------------------------------------------------
+# level-scheduled wavefront TRSV (KID 1; SURVEY §7 "lax.scan over levels")
+# ---------------------------------------------------------------------------
+
+
+def _circuit_tri(rng, m=96):
+    full = np.tril(rng.random((m, m)) < 0.05) * rng.standard_normal((m, m))
+    np.fill_diagonal(full, 2.0 + rng.random(m))
+    full = np.tril(full) + np.triu(
+        rng.standard_normal((m, m)) * (rng.random((m, m)) < 0.05), 1
+    )
+    ptr = np.concatenate([[0], np.cumsum((full != 0).sum(1))]).astype(np.int64)
+    ind = np.nonzero(full)[1].astype(np.int32)
+    return ast.create_csr(m, m, ptr, ind, full[full != 0]), full
+
+
+@pytest.mark.parametrize("fill", [FillMode.lower, FillMode.upper])
+@pytest.mark.parametrize("dt", [DiagType.non_unit, DiagType.unit])
+@pytest.mark.parametrize("op", [Operation.none, Operation.transpose])
+def test_trsv_level_kid_parity(rng, fill, dt, op):
+    A, full = _circuit_tri(rng)
+    m = A.shape[0]
+    b = rng.standard_normal(m)
+    D = MatrixDescriptor(type=MatrixType.triangular, fill_mode=fill, diag_type=dt)
+    x0 = np.asarray(ast.trsv(1.0, A, D, op, b, kid=0))
+    x1 = np.asarray(ast.trsv(1.0, A, D, op, b, kid=1))
+    np.testing.assert_allclose(x1, x0, rtol=1e-12, atol=1e-12)
+
+
+def test_trsv_level_shallow_dag(rng):
+    """Circuit-class triangles have nlev << m — the wavefront's reason to
+    exist (the blocked scan does m/nb sequential steps regardless)."""
+    from aoclsparse_tpu.planner.plan import get_plan
+    from aoclsparse_tpu.planner.triangular import trsv_level_form_for
+
+    A, _ = _circuit_tri(rng, m=160)
+    D = MatrixDescriptor(
+        type=MatrixType.triangular, fill_mode=FillMode.lower, diag_type=DiagType.non_unit
+    )
+    f = trsv_level_form_for(get_plan(A), D, Operation.none)
+    assert f.nlev < 160 / 4
+
+
+def test_trsv_level_refresh_and_trsm(rng):
+    A, full = _circuit_tri(rng)
+    m = A.shape[0]
+    D = MatrixDescriptor(
+        type=MatrixType.triangular, fill_mode=FillMode.lower, diag_type=DiagType.non_unit
+    )
+    B = rng.standard_normal((m, 3))
+    X0 = np.asarray(ast.trsm(1.0, A, D, Operation.none, B, kid=0))
+    X1 = np.asarray(ast.trsm(1.0, A, D, Operation.none, B, kid=1))
+    np.testing.assert_allclose(X1, X0, rtol=1e-12, atol=1e-12)
+    # value update rebuilds the level form (plan.levels drops on refresh)
+    _, _, _, ptr, ind, val = ast.export_csr(A)
+    ast.update_values(A, np.asarray(val) * 2.0)
+    b = rng.standard_normal(m)
+    x0 = np.asarray(ast.trsv(1.0, A, D, Operation.none, b, kid=0))
+    x1 = np.asarray(ast.trsv(1.0, A, D, Operation.none, b, kid=1))
+    np.testing.assert_allclose(x1, x0, rtol=1e-12, atol=1e-12)
+
+
+def test_trsv_level_complex_conjtrans(rng):
+    m = 48
+    full = np.tril(rng.random((m, m)) < 0.08) * (
+        rng.standard_normal((m, m)) + 1j * rng.standard_normal((m, m))
+    )
+    np.fill_diagonal(full, 2.0 + rng.random(m))
+    ptr = np.concatenate([[0], np.cumsum((full != 0).sum(1))]).astype(np.int64)
+    ind = np.nonzero(full)[1].astype(np.int32)
+    A = ast.create_csr(m, m, ptr, ind, full[full != 0])
+    D = MatrixDescriptor(
+        type=MatrixType.triangular, fill_mode=FillMode.lower, diag_type=DiagType.non_unit
+    )
+    b = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    x0 = np.asarray(ast.trsv(1.0, A, D, Operation.conjugate_transpose, b, kid=0))
+    x1 = np.asarray(ast.trsv(1.0, A, D, Operation.conjugate_transpose, b, kid=1))
+    np.testing.assert_allclose(x1, x0, rtol=1e-12, atol=1e-12)
+
+
+def test_trsv_level_missing_diag(rng):
+    m = 8
+    ptr = np.arange(m + 1, dtype=np.int64)
+    ind = np.zeros(m, np.int32)  # only column 0 entries: rows 1.. lack diag
+    A = ast.create_csr(m, m, ptr, ind, np.ones(m))
+    D = MatrixDescriptor(
+        type=MatrixType.triangular, fill_mode=FillMode.lower, diag_type=DiagType.non_unit
+    )
+    with pytest.raises(ast.AoclSparseError) as ei:
+        ast.trsv(1.0, A, D, Operation.none, np.ones(m), kid=1)
+    assert ei.value.status == Status.invalid_value
