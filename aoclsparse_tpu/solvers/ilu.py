@@ -43,6 +43,10 @@ class IluState:
     lu_clean: CleanCSR  # clean structure with LU values
     l_form: object = None  # TrsvForm for unit-L solve
     u_form: object = None  # TrsvForm for U solve
+    l_level: object = None  # LevelForm twins (built lazily on kid=1)
+    u_level: object = None
+    _eff_l: object = None
+    _eff_u: object = None
 
 
 def _ilu0_host(m, ptr, ind, val):
@@ -100,8 +104,35 @@ def ilu0_factorize(A: SparseMatrix) -> IluState:
     nb = adaptive_nb(lu_clean.m, dtype=np.asarray(lu_clean.val).dtype)
     st.l_form = build_trsv_form(lu_clean, l_descr, Operation.none, ("ilu", "l"), eff_l, nb)
     st.u_form = build_trsv_form(lu_clean, u_descr, Operation.none, ("ilu", "u"), eff_u, nb)
+    st._eff_l = eff_l
+    st._eff_u = eff_u
     A.ilu_state = st
     return st
+
+
+def _ilu_level_forms(st: IluState):
+    """Lazily build the level-scheduled twins of the factor sweeps
+    (kernels/xla/trsv_level.py; the ILU0 analog of TRSV KID 1 — wins on
+    shallow circuit-class factor DAGs)."""
+    if st.l_level is None:
+        from ..kernels.xla.trsv_level import build_level_form
+        from ..planner.triangular import _reverse_structure
+
+        eff_l, eff_u = st._eff_l, st._eff_u
+        st.l_level = build_level_form(
+            eff_l.ptr,
+            eff_l.ind,
+            np.arange(eff_l.nnz, dtype=np.int64),
+            eff_l.m,
+            False,
+            True,  # unit lower
+            eff_l.val,
+        )
+        rev = _reverse_structure(eff_u)
+        st.u_level = build_level_form(
+            rev.ptr, rev.ind, rev.src, eff_u.m, True, False, eff_u.val
+        )
+    return st.l_level, st.u_level
 
 
 def _apply_form(form, rhs):
@@ -122,17 +153,25 @@ def ilu_smoother(
     descr: Optional[MatrixDescriptor] = None,
     b=None,
     op: Operation = Operation.none,
+    kid: Optional[int] = None,
 ):
     """x = U^{-1} L^{-1} b over the cached ILU0 factors
     (aoclsparse_?ilu_smoother). Returns x; the LU working values are
-    inspectable via ``A.ilu_state.lu`` (the precond_csr_val analog)."""
+    inspectable via ``A.ilu_state.lu`` (the precond_csr_val analog).
+    kid selects the sweep engine like trsv: 0/None = blocked scan,
+    1 = level-scheduled wavefront (shallow factor DAGs)."""
     if A is None or b is None:
         raise AoclSparseError(Status.invalid_pointer, "null argument")
     if Operation(op) != Operation.none:
         raise AoclSparseError(Status.not_implemented, "ilu_smoother supports op=none (parity)")
+    if kid not in (None, 0, 1):
+        raise AoclSparseError(Status.invalid_kid, f"ilu_smoother kid {kid}")
     st = ilu0_factorize(A)
     b = jnp.asarray(b).astype(A.dtype)
     if b.shape[0] != A.shape[0]:
         raise AoclSparseError(Status.invalid_size, "b size mismatch")
+    if kid == 1:
+        l_lvl, u_lvl = _ilu_level_forms(st)
+        return u_lvl.solve(l_lvl.solve(b))
     yz = _apply_form(st.l_form, b)
     return _apply_form(st.u_form, yz)

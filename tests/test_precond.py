@@ -219,3 +219,21 @@ def test_sorv_unsupported_modes(rng):
             np.ones(5),
         )
     assert e.value.status == Status.not_implemented
+
+
+def test_ilu_smoother_level_engine(rng):
+    """ilu_smoother kid=1 (level-scheduled factor sweeps) matches the
+    blocked default exactly and rejects unknown kids."""
+    m = 96
+    dense = (rng.random((m, m)) < 0.06) * rng.standard_normal((m, m))
+    np.fill_diagonal(dense, 4.0 + rng.random(m))
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int64)
+    ind = np.nonzero(dense)[1].astype(np.int32)
+    A = ast.create_csr(m, m, ptr, ind, dense[dense != 0])
+    b = rng.standard_normal(m)
+    x0 = np.asarray(ast.ilu_smoother(A, None, b))
+    x1 = np.asarray(ast.ilu_smoother(A, None, b, kid=1))
+    np.testing.assert_allclose(x1, x0, rtol=1e-12, atol=1e-12)
+    with pytest.raises(ast.AoclSparseError) as ei:
+        ast.ilu_smoother(A, None, b, kid=9)
+    assert ei.value.status == Status.invalid_kid
