@@ -237,3 +237,22 @@ def test_ilu_smoother_level_engine(rng):
     with pytest.raises(ast.AoclSparseError) as ei:
         ast.ilu_smoother(A, None, b, kid=9)
     assert ei.value.status == Status.invalid_kid
+
+
+def test_symgs_kid_level_engine(rng):
+    """symgs forwards its kid to trsv, so kid=1 runs both triangular sweeps
+    on the level-scheduled engine — exact parity with the default."""
+    from aoclsparse_tpu import MatrixDescriptor, Operation
+
+    m = 96
+    dense = (rng.random((m, m)) < 0.06) * rng.standard_normal((m, m))
+    dense = (dense + dense.T) / 2
+    np.fill_diagonal(dense, 5.0 + rng.random(m))
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int64)
+    ind = np.nonzero(dense)[1].astype(np.int32)
+    A = ast.create_csr(m, m, ptr, ind, dense[dense != 0])
+    b = rng.standard_normal(m)
+    D = MatrixDescriptor()
+    x0 = np.asarray(ast.symgs(Operation.none, A, D, 1.0, b, kid=0))
+    x1 = np.asarray(ast.symgs(Operation.none, A, D, 1.0, b, kid=1))
+    np.testing.assert_allclose(x1, x0, rtol=1e-12, atol=1e-12)
