@@ -34,7 +34,7 @@ from .spmv import (  # noqa: F401
     plan_general_halo,
     shard_ell,
 )
-from .trsv import dist_trsm_pipeline, dist_trsv_pipeline  # noqa: F401
+from .trsv import dist_trsm_pipeline, dist_trsv_levels, dist_trsv_pipeline  # noqa: F401
 from .placement import fetch, mesh_is_multiprocess, put  # noqa: F401
 from .precond import block_jacobi_inv  # noqa: F401
 from .multiproc import global_mesh, init_multiprocess  # noqa: F401

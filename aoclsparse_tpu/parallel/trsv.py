@@ -30,7 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .placement import put
 from jax import shard_map
 
-__all__ = ["dist_trsv_pipeline", "dist_trsm_pipeline"]
+__all__ = ["dist_trsv_pipeline", "dist_trsm_pipeline", "dist_trsv_levels"]
 
 
 def _pvary(v, axis):
@@ -190,3 +190,86 @@ def dist_trsm_pipeline(mesh: Mesh, form, B, axis: str = "x"):
     if form.reversed_:
         X = X[::-1]
     return X
+
+
+def dist_trsv_levels(mesh: Mesh, form, b, axis: str = "x"):
+    """Sharded LEVEL-SCHEDULED triangular solve — §5.8(iii) for GENERAL
+    structure (the block-row pipeline above covers banded operands; this
+    covers shallow-DAG circuit-class triangles). The wavefront form's
+    per-level row sets (kernels/xla/trsv_level.py LevelForm) shard across
+    the mesh: every device solves its slice of each level simultaneously,
+    then ONE `all_gather` of the level's new entries (O(R_max) values)
+    makes them visible for the next level's gathers — the collective-per-
+    level schedule of a distributed wavefront sweep. x is replicated
+    (every row may be read by any later level on any device).
+
+    Returns x (replicated)."""
+    ndev = mesh.shape[axis]
+    L, R = form.rows.shape
+    W = form.cols.shape[2]
+    Rp = -(-R // ndev) * ndev
+    m = form.m
+
+    def pad_r(a, fill):
+        if a.shape[1] == Rp:
+            return a
+        pw = [(0, 0), (0, Rp - a.shape[1])] + [(0, 0)] * (a.ndim - 2)
+        return jnp.pad(a, pw, constant_values=fill)
+
+    rows = put(pad_r(form.rows, m), mesh, P(None, axis))
+    rvalid = put(pad_r(form.row_valid, False), mesh, P(None, axis))
+    cols = put(pad_r(form.cols, 0), mesh, P(None, axis, None))
+    cvalid = put(pad_r(form.col_valid, False), mesh, P(None, axis, None))
+    Lval = put(pad_r(form.Lval, 0), mesh, P(None, axis, None))
+    Dinv = put(pad_r(form.Dinv, 1), mesh, P(None, axis))
+
+    b = jnp.asarray(b)
+    squeeze = b.ndim == 1
+    b2 = b[:, None] if squeeze else b
+    if form.reversed_:
+        b2 = b2[::-1]
+    b_r = put(b2, mesh, P())
+
+    # check_vma=False: the carry is typed device-varying because the
+    # per-level all_gathers flow into it, but after each gather every
+    # device provably holds the identical x — the replicated out_spec is
+    # correct even though the VMA checker cannot infer it
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis),
+            P(None, axis),
+            P(None, axis, None),
+            P(None, axis, None),
+            P(None, axis, None),
+            P(None, axis),
+            P(),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _solve(r_s, rv_s, c_s, cv_s, lv_s, di_s, bl):
+        k = bl.shape[1]
+        x0 = jnp.zeros((m + 1, k), bl.dtype)
+        bp = jnp.concatenate([bl, jnp.zeros((1, k), bl.dtype)], axis=0)
+
+        def step(x, lvl):
+            r, rv, c, cv, lv, di = lvl  # local level slice (R_loc, ...)
+            g = x[c]
+            contrib = jnp.where(cv[..., None], lv[..., None].astype(x.dtype) * g, 0)
+            s = jnp.sum(contrib, axis=1)
+            xi = (bp[r] - s) * di[..., None].astype(x.dtype)
+            xi = jnp.where(rv[..., None], xi, 0)
+            # ONE collective per level: everyone learns the level's entries
+            xi_all = jax.lax.all_gather(xi, axis, tiled=True)
+            r_all = jax.lax.all_gather(r, axis, tiled=True)
+            return x.at[r_all].set(xi_all), None
+
+        x, _ = jax.lax.scan(step, x0, (r_s, rv_s, c_s, cv_s, lv_s, di_s))
+        return x[:m]
+
+    x = _solve(rows, rvalid, cols, cvalid, Lval, Dinv, b_r)
+    if form.reversed_:
+        x = x[::-1]
+    return x[:, 0] if squeeze else x

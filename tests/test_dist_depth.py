@@ -724,3 +724,40 @@ def test_dist_spmv_balanced_halo_skew(rng):
     bal = np.diff(ptr[nnz_balanced_bounds(ptr, 8, align=1)]).astype(float)
     uni = np.diff(ptr[np.linspace(0, m, 9).astype(int)]).astype(float)
     assert bal.max() / max(bal.min(), 1) < uni.max() / max(uni.min(), 1) / 2
+
+
+def test_dist_trsv_levels_general(rng):
+    """Sharded level-scheduled TRSV (§5.8(iii) for general structure):
+    per-level rows split over the mesh, one all_gather per level — parity
+    with the single-device solve for both fills and multi-RHS."""
+    from aoclsparse_tpu.core.types import DiagType, FillMode, MatrixType
+    from aoclsparse_tpu.parallel import dist_trsv_levels
+    from aoclsparse_tpu.planner.triangular import trsv_level_form_for
+
+    m = 128
+    full = np.tril(rng.random((m, m)) < 0.05) * rng.standard_normal((m, m))
+    np.fill_diagonal(full, 2.0 + rng.random(m))
+    full = np.tril(full) + np.triu(
+        rng.standard_normal((m, m)) * (rng.random((m, m)) < 0.05), 1
+    )
+    ptr = np.concatenate([[0], np.cumsum((full != 0).sum(1))]).astype(np.int64)
+    ind = np.nonzero(full)[1].astype(np.int32)
+    A = ast.create_csr(m, m, ptr, ind, full[full != 0])
+    mesh = make_mesh(8)
+    b = rng.standard_normal(m)
+    for fill in (FillMode.lower, FillMode.upper):
+        D = MatrixDescriptor(
+            type=MatrixType.triangular, fill_mode=fill, diag_type=DiagType.non_unit
+        )
+        form = trsv_level_form_for(get_plan(A), D, Operation.none)
+        x_ref = np.asarray(ast.trsv(1.0, A, D, Operation.none, b, kid=0))
+        x_dist = np.asarray(dist_trsv_levels(mesh, form, b))
+        np.testing.assert_allclose(x_dist, x_ref, rtol=1e-12, atol=1e-12)
+    D = MatrixDescriptor(
+        type=MatrixType.triangular, fill_mode=FillMode.lower, diag_type=DiagType.non_unit
+    )
+    form = trsv_level_form_for(get_plan(A), D, Operation.none)
+    B = rng.standard_normal((m, 3))
+    X_ref = np.asarray(ast.trsm(1.0, A, D, Operation.none, B, kid=0))
+    X_dist = np.asarray(dist_trsv_levels(mesh, form, B))
+    np.testing.assert_allclose(X_dist, X_ref, rtol=1e-11, atol=1e-12)
