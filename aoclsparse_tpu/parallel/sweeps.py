@@ -45,15 +45,27 @@ def _pipeline_solve(mesh, form, rhs, axis):
     return jnp.asarray(x)
 
 
-def dist_ilu_apply(mesh: Mesh, A, b, axis: str = "x"):
-    """x = U^{-1} L^{-1} b over the cached ILU0 factors, both solves as
-    block-row pipelines over the mesh (the distributed ilu_smoother)."""
+def dist_ilu_apply(mesh: Mesh, A, b, axis: str = "x", engine: str = "pipeline"):
+    """x = U^{-1} L^{-1} b over the cached ILU0 factors. engine="pipeline"
+    (default) runs both solves as block-row ring pipelines (banded
+    operands); engine="level" shards the wavefront LevelForms instead
+    (parallel/trsv.py dist_trsv_levels — one all_gather per dependency
+    level, the shallow-DAG schedule)."""
     from ..solvers.ilu import ilu0_factorize
 
     if b is None:
         raise AoclSparseError(Status.invalid_pointer, "null b")
     st = A.ilu_state if getattr(A, "ilu_state", None) is not None else ilu0_factorize(A)
     b = jnp.asarray(b).astype(A.dtype)
+    if engine == "level":
+        from ..solvers.ilu import _ilu_level_forms
+        from .trsv import dist_trsv_levels
+
+        l_lvl, u_lvl = _ilu_level_forms(st)
+        y = dist_trsv_levels(mesh, l_lvl, b, axis=axis)
+        return dist_trsv_levels(mesh, u_lvl, y, axis=axis)
+    if engine != "pipeline":
+        raise AoclSparseError(Status.invalid_value, f"unknown engine '{engine}'")
     y = _pipeline_solve(mesh, st.l_form, b, axis)[: A.shape[0]]
     return _pipeline_solve(mesh, st.u_form, y, axis)[: A.shape[0]]
 

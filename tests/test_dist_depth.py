@@ -761,3 +761,23 @@ def test_dist_trsv_levels_general(rng):
     X_ref = np.asarray(ast.trsm(1.0, A, D, Operation.none, B, kid=0))
     X_dist = np.asarray(dist_trsv_levels(mesh, form, B))
     np.testing.assert_allclose(X_dist, X_ref, rtol=1e-11, atol=1e-12)
+
+
+def test_dist_ilu_apply_level_engine(rng):
+    """dist_ilu_apply(engine='level') runs both factor sweeps as sharded
+    wavefronts — parity with the pipeline engine and the local smoother."""
+    from aoclsparse_tpu.parallel import dist_ilu_apply
+
+    m = 96
+    dense = (rng.random((m, m)) < 0.06) * rng.standard_normal((m, m))
+    np.fill_diagonal(dense, 4.0 + rng.random(m))
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int64)
+    ind = np.nonzero(dense)[1].astype(np.int32)
+    A = ast.create_csr(m, m, ptr, ind, dense[dense != 0])
+    b = rng.standard_normal(m)
+    mesh = make_mesh(8)
+    x_ref = np.asarray(ast.ilu_smoother(A, None, b))
+    x_lvl = np.asarray(dist_ilu_apply(mesh, A, b, engine="level"))
+    np.testing.assert_allclose(x_lvl, x_ref, rtol=1e-11, atol=1e-12)
+    with pytest.raises(ast.AoclSparseError):
+        dist_ilu_apply(mesh, A, b, engine="nope")
