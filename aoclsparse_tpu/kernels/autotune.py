@@ -232,12 +232,27 @@ def autotune_spgemm(
                 )
             except Exception:
                 plan.band = None
+        # third engine: threaded host numeric (reference csr2m.cpp:405-545)
+        from .. import native as _native
+
+        av = np.asarray(effA.val)
+        bv = np.asarray(effB.val)
+        pa_h, pb_h, pc_h = np.asarray(plan.pa), np.asarray(plan.pb), np.asarray(plan.pc)
+        probe = _native.spgemm_numeric_host(pa_h, pb_h, pc_h, av, bv, plan.nnz)
+        if probe is not None:
+
+            def _host():
+                return jnp.asarray(
+                    _native.spgemm_numeric_host(pa_h, pb_h, pc_h, av, bv, plan.nnz)
+                )
+
+            results["host"] = _time(_host)
     if not results:
         results["expand"] = 0.0  # empty product: either engine is a no-op
-    if results.get("band") is None or results["expand"] <= results.get(
-        "band", float("inf")
-    ):
-        plan.band = None  # pin the expansion engine for finalize passes
+    best = min(results, key=results.get)
+    plan._host_engine = best == "host"
+    if best != "band":
+        plan.band = None  # pin the chosen engine for finalize passes
     return C, results
 
 

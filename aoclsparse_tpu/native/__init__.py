@@ -101,6 +101,15 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.spgemm_expand.argtypes = (
             [ctypes.c_int64] + [i64p] * 4 + [i32p] * 3 + [i64p, i32p, ctypes.c_uint8, i64p]
         )
+        for suf, vt in (
+            ("s", ctypes.POINTER(ctypes.c_float)),
+            ("d", ctypes.POINTER(ctypes.c_double)),
+            ("c", ctypes.c_void_p),
+            ("z", ctypes.c_void_p),
+        ):
+            fn = getattr(lib, f"spgemm_numeric_{suf}")
+            fn.restype = None
+            fn.argtypes = [ctypes.c_int64, i32p, i32p, i32p, vt, vt, vt, ctypes.c_int64]
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.blkcsr_count.restype = ctypes.c_int64
         lib.blkcsr_count.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p, i64p, ctypes.c_int64]
@@ -467,3 +476,44 @@ def blkcsr_build(m: int, n: int, ptr, ind, nrowsblk: int):
         perm.ctypes.data_as(i64p),
     )
     return brow_ptr, bcol[:nblk], masks[: nblk * nrowsblk], perm[: int(nval)]
+
+
+def spgemm_numeric_host(pa, pb, pc, aval, bval, nnzC: int):
+    """Threaded host numeric pass over the expansion plan (the reference's
+    numeric Gustavson, level3/aoclsparse_csr2m.cpp:405-545): threads own
+    disjoint output ranges of the SORTED pc (binary search), so the
+    accumulation is race-free. Returns the (nnzC,) value vector or None
+    when the native library is unavailable (callers fall back to the
+    device segment-sum)."""
+    lib = _load()
+    if lib is None:
+        return None
+    pa32 = np.ascontiguousarray(np.asarray(pa, dtype=np.int32))
+    pb32 = np.ascontiguousarray(np.asarray(pb, dtype=np.int32))
+    pc32 = np.ascontiguousarray(np.asarray(pc, dtype=np.int32))
+    av = np.ascontiguousarray(np.asarray(aval))
+    bv = np.ascontiguousarray(np.asarray(bval))
+    dt = np.result_type(av.dtype, bv.dtype)
+    av = av.astype(dt, copy=False)
+    bv = bv.astype(dt, copy=False)
+    suf = {"float32": "s", "float64": "d", "complex64": "c", "complex128": "z"}.get(dt.name)
+    if suf is None:
+        return None
+    cv = np.zeros(max(int(nnzC), 1), dtype=dt)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    if suf in ("s", "d"):
+        ct = ctypes.c_float if suf == "s" else ctypes.c_double
+        vp = lambda a: a.ctypes.data_as(ctypes.POINTER(ct))
+    else:
+        vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    getattr(lib, f"spgemm_numeric_{suf}")(
+        ctypes.c_int64(pa32.size),
+        pa32.ctypes.data_as(i32p),
+        pb32.ctypes.data_as(i32p),
+        pc32.ctypes.data_as(i32p),
+        vp(av),
+        vp(bv),
+        vp(cv),
+        ctypes.c_int64(int(nnzC)),
+    )
+    return cv[: int(nnzC)]

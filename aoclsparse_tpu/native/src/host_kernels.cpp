@@ -556,3 +556,83 @@ int64_t blkcsr_build(int64_t m, int64_t n,
 }
 
 } // extern "C"
+
+// ---------------------------------------------------------------------------
+// SpGEMM host numeric: Cval[pc[p]] += Aval[pa[p]] * Bval[pb[p]] over the
+// symbolic stage's sorted product triples — the reference's numeric
+// Gustavson pass (level3/aoclsparse_csr2m.cpp:405-545) on the expansion
+// plan. pc is NON-DECREASING (spgemm_expand guarantees it), so threads own
+// disjoint OUTPUT ranges found by binary search: race-free, no atomics.
+// Complex dtypes pass through as interleaved (re, im) pairs.
+// ---------------------------------------------------------------------------
+
+template <typename T>
+static void spgemm_numeric_body(int64_t P,
+                                const int32_t *pa,
+                                const int32_t *pb,
+                                const int32_t *pc,
+                                const T *av,
+                                const T *bv,
+                                T *cv,
+                                int64_t nnzC)
+{
+    for (int64_t i = 0; i < nnzC; ++i) cv[i] = T(0);
+    const int nt_req = expand_threads();
+    const int nt = (int)std::min<int64_t>(nt_req, std::max<int64_t>(nnzC, 1));
+    if (nt <= 1 || P < (1 << 16)) {
+        for (int64_t p = 0; p < P; ++p)
+            cv[pc[p]] += av[pa[p]] * bv[pb[p]];
+        return;
+    }
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) {
+        const int64_t c_lo = nnzC * t / nt;
+        const int64_t c_hi = nnzC * (t + 1) / nt;
+        ths.emplace_back([=]() {
+            // products for outputs [c_lo, c_hi): binary search on sorted pc
+            const int32_t *beg = std::lower_bound(pc, pc + P, (int32_t)c_lo);
+            const int32_t *end = std::lower_bound(pc, pc + P, (int32_t)c_hi);
+            for (const int32_t *q = beg; q != end; ++q) {
+                const int64_t p = q - pc;
+                cv[*q] += av[pa[p]] * bv[pb[p]];
+            }
+        });
+    }
+    for (auto &th : ths) th.join();
+}
+
+extern "C" {
+
+void spgemm_numeric_s(int64_t P, const int32_t *pa, const int32_t *pb,
+                      const int32_t *pc, const float *av, const float *bv,
+                      float *cv, int64_t nnzC)
+{
+    spgemm_numeric_body<float>(P, pa, pb, pc, av, bv, cv, nnzC);
+}
+
+void spgemm_numeric_d(int64_t P, const int32_t *pa, const int32_t *pb,
+                      const int32_t *pc, const double *av, const double *bv,
+                      double *cv, int64_t nnzC)
+{
+    spgemm_numeric_body<double>(P, pa, pb, pc, av, bv, cv, nnzC);
+}
+
+void spgemm_numeric_c(int64_t P, const int32_t *pa, const int32_t *pb,
+                      const int32_t *pc, const void *av, const void *bv,
+                      void *cv, int64_t nnzC)
+{
+    spgemm_numeric_body<std::complex<float>>(
+        P, pa, pb, pc, (const std::complex<float> *)av,
+        (const std::complex<float> *)bv, (std::complex<float> *)cv, nnzC);
+}
+
+void spgemm_numeric_z(int64_t P, const int32_t *pa, const int32_t *pb,
+                      const int32_t *pc, const void *av, const void *bv,
+                      void *cv, int64_t nnzC)
+{
+    spgemm_numeric_body<std::complex<double>>(
+        P, pa, pb, pc, (const std::complex<double> *)av,
+        (const std::complex<double> *)bv, (std::complex<double> *)cv, nnzC);
+}
+
+} // extern "C"

@@ -300,6 +300,31 @@ def _numeric_auto(plan: "SpgemmPlan", effA, effB, conj_a: bool, conj_b: bool, la
         if lazy:
             return ("lazy", lambda: cband.reshape(-1)[jnp.asarray(band.extract_idx)])
         return cband.reshape(-1)[jnp.asarray(band.extract_idx)]
+    # HOST engine: the reference's threaded numeric Gustavson
+    # (csr2m.cpp:405-545) on the expansion plan — race-free output-range
+    # threading over the sorted pc. Wins on general (band-incompressible)
+    # products where the device segment-sum pays ~13ns/product in gathers
+    # (measured ~3.5x; autotune_spgemm pins it per plan, or force with
+    # AOCLSPARSE_TPU_SPGEMM_HOST=1).
+    import os
+
+    use_host = getattr(plan, "_host_engine", False) or os.environ.get(
+        "AOCLSPARSE_TPU_SPGEMM_HOST", "0"
+    ) in ("1", "true")
+    if use_host and plan.nnz:
+        from ... import native
+
+        av = np.asarray(effA.val)
+        bv = np.asarray(effB.val)
+        if conj_a and np.iscomplexobj(av):
+            av = np.conj(av)
+        if conj_b and np.iscomplexobj(bv):
+            bv = np.conj(bv)
+        cv = native.spgemm_numeric_host(
+            np.asarray(plan.pa), np.asarray(plan.pb), np.asarray(plan.pc), av, bv, plan.nnz
+        )
+        if cv is not None:
+            return jnp.asarray(cv)
     return _numeric(effA.val, effB.val, plan.pa, plan.pb, plan.pc, plan.nnz, conj_a, conj_b)
 
 

@@ -244,3 +244,55 @@ def test_add_shape_mismatch(rng):
     with pytest.raises(AoclSparseError) as e:
         ast.add(Operation.none, 1.0, A, B)
     assert e.value.status == Status.invalid_size
+
+
+def test_spgemm_host_numeric_engine(rng, monkeypatch):
+    """The threaded host numeric engine (reference csr2m.cpp:405-545 on the
+    expansion plan) matches the device segment-sum, including complex conj
+    flows and the staged finalize protocol."""
+    from aoclsparse_tpu import Request
+    from aoclsparse_tpu.kernels.autotune import autotune_spgemm
+
+    m = 96
+    dense = (rng.random((m, m)) < 0.08) * (
+        rng.standard_normal((m, m)) + 1j * rng.standard_normal((m, m))
+    )
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int64)
+    ind = np.nonzero(dense)[1].astype(np.int32)
+    A = ast.create_csr(m, m, ptr, ind, dense[dense != 0])
+    want = dense @ dense
+    monkeypatch.setenv("AOCLSPARSE_TPU_SPGEMM_HOST", "1")
+    C = ast.spmm(A, A)
+    _, _, _, cp, ci, cv = ast.export_csr(C)
+    got = np.zeros((m, m), complex)
+    for i in range(m):
+        got[i, ci[cp[i] : cp[i + 1]]] = cv[cp[i] : cp[i + 1]]
+    np.testing.assert_allclose(got, want, atol=1e-10)
+    # syrk exercises the conj_b=True host flow for complex dtypes
+    S = ast.syrk(Operation.none, A)
+    _, _, _, sp, si, sv = ast.export_csr(S)
+    wantH = dense @ np.conj(dense.T)
+    gotH = np.zeros((m, m), complex)
+    for i in range(m):
+        gotH[i, si[sp[i] : sp[i + 1]]] = sv[sp[i] : sp[i + 1]]
+    triu = np.triu(np.ones((m, m), bool))
+    np.testing.assert_allclose(gotH[triu], wantH[triu], atol=1e-10)
+    monkeypatch.delenv("AOCLSPARSE_TPU_SPGEMM_HOST")
+    # autotune reports all available engines and finalize stays correct
+    C2, results = autotune_spgemm(A, A)
+    assert "expand" in results and "host" in results
+    C2 = ast.sp2m(
+        Operation.none,
+        MatrixDescriptor(),
+        A,
+        Operation.none,
+        MatrixDescriptor(),
+        A,
+        request=Request.finalize,
+        C=C2,
+    )
+    _, _, _, cp, ci, cv = ast.export_csr(C2)
+    got = np.zeros((m, m), complex)
+    for i in range(m):
+        got[i, ci[cp[i] : cp[i + 1]]] = cv[cp[i] : cp[i + 1]]
+    np.testing.assert_allclose(got, want, atol=1e-10)
