@@ -142,7 +142,22 @@ yg = dist_spmv_ell_halo_plan(mesh, ell_ind, ell_val, x_sh2)
 np.testing.assert_allclose(mp.fetch(yg)[:m], want, rtol=1e-10)
 print(pid, "dist_spmv_ell_halo_plan (all_to_all) ok", flush=True)
 
-# 7) B-sharded SpGEMM: per-shard symbolic + ppermute B-row value slabs
+# 7) sharded level-scheduled TRSV: per-level all_gather across processes
+from aoclsparse_tpu.core.types import DiagType, FillMode, MatrixType  # noqa: E402
+from aoclsparse_tpu.parallel import dist_trsv_levels  # noqa: E402
+from aoclsparse_tpu.planner.triangular import trsv_level_form_for  # noqa: E402
+
+tri = MatrixDescriptor(
+    type=MatrixType.triangular, fill_mode=FillMode.lower, diag_type=DiagType.non_unit
+)
+lform = trsv_level_form_for(plan, tri, Operation.none)
+bt = rng.standard_normal(m)
+xt = mp.fetch(dist_trsv_levels(mesh, lform, bt))
+Lh = np.tril(dense)
+np.testing.assert_allclose(Lh @ xt, bt, rtol=1e-9, atol=1e-10)
+print(pid, "dist_trsv_levels ok", flush=True)
+
+# 8) B-sharded SpGEMM: per-shard symbolic + ppermute B-row value slabs
 #    crossing the process boundary
 from aoclsparse_tpu.parallel import dist_spgemm_halo  # noqa: E402
 
