@@ -238,7 +238,9 @@ def autotune_spgemm(
         av = np.asarray(effA.val)
         bv = np.asarray(effB.val)
         pa_h, pb_h, pc_h = np.asarray(plan.pa), np.asarray(plan.pb), np.asarray(plan.pc)
-        probe = _native.spgemm_numeric_host(pa_h, pb_h, pc_h, av, bv, plan.nnz)
+        # zero-length probe: exercises lib availability + dtype support
+        # without paying a full numeric pass
+        probe = _native.spgemm_numeric_host(pa_h[:0], pb_h[:0], pc_h[:0], av, bv, 0)
         if probe is not None:
 
             def _host():

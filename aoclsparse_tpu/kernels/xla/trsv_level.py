@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["LevelForm", "build_level_form", "solve_levels"]
+__all__ = ["LevelForm", "build_level_form", "solve_levels", "level_step"]
 
 
 @dataclasses.dataclass
@@ -82,6 +82,18 @@ class LevelForm:
         return x[:, 0] if squeeze else x
 
 
+def level_step(x, bp, r, rv, c, cv, lv, di):
+    """Solve ONE wavefront level against the partial solution x: returns
+    the level's new entries xi (R, k), zeroed on padding rows. Shared by
+    the local scan below and the distributed dist_trsv_levels (which adds
+    an all_gather of xi between levels)."""
+    g = x[c]  # (R, W, k) gather of already-solved levels
+    contrib = jnp.where(cv[..., None], lv[..., None].astype(x.dtype) * g, 0)
+    s = jnp.sum(contrib, axis=1)  # (R, k)
+    xi = (bp[r] - s) * di[..., None].astype(x.dtype)
+    return jnp.where(rv[..., None], xi, 0)
+
+
 @partial(jax.jit, static_argnames=("m",))
 def _solve_levels_jit(rows, row_valid, cols, col_valid, Lval, Dinv, b2, m: int):
     """lax.scan over levels: every row of a level solves simultaneously.
@@ -92,11 +104,7 @@ def _solve_levels_jit(rows, row_valid, cols, col_valid, Lval, Dinv, b2, m: int):
 
     def step(x, lvl):
         r, rv, c, cv, lv, di = lvl
-        g = x[c]  # (R, W, k) gather of already-solved levels
-        contrib = jnp.where(cv[..., None], lv[..., None].astype(x.dtype) * g, 0)
-        s = jnp.sum(contrib, axis=1)  # (R, k)
-        xi = (bp[r] - s) * di[..., None].astype(x.dtype)
-        xi = jnp.where(rv[..., None], xi, 0)
+        xi = level_step(x, bp, r, rv, c, cv, lv, di)
         return x.at[r].set(xi), None
 
     x, _ = jax.lax.scan(

@@ -277,7 +277,12 @@ def _numeric_auto(plan: "SpgemmPlan", effA, effB, conj_a: bool, conj_b: bool, la
     With ``lazy=True`` (band engine only) the C band is computed but the
     CSR extraction gather is deferred: returns ``("lazy", thunk)`` where
     the thunk yields the CSR-ordered values on demand."""
-    if plan.band is not None:
+    import os
+
+    use_host = getattr(plan, "_host_engine", False) or os.environ.get(
+        "AOCLSPARSE_TPU_SPGEMM_HOST", "0"
+    ) in ("1", "true")
+    if plan.band is not None and not use_host:
         from ...kernels.xla.spgemm_band import band_gemm_cband
 
         # cache the conjugated value arrays on the plan keyed by the source
@@ -305,12 +310,8 @@ def _numeric_auto(plan: "SpgemmPlan", effA, effB, conj_a: bool, conj_b: bool, la
     # threading over the sorted pc. Wins on general (band-incompressible)
     # products where the device segment-sum pays ~13ns/product in gathers
     # (measured ~3.5x; autotune_spgemm pins it per plan, or force with
-    # AOCLSPARSE_TPU_SPGEMM_HOST=1).
-    import os
-
-    use_host = getattr(plan, "_host_engine", False) or os.environ.get(
-        "AOCLSPARSE_TPU_SPGEMM_HOST", "0"
-    ) in ("1", "true")
+    # AOCLSPARSE_TPU_SPGEMM_HOST=1 — the env override beats an attached
+    # band plan, checked above).
     if use_host and plan.nnz:
         from ... import native
 

@@ -254,13 +254,11 @@ def dist_trsv_levels(mesh: Mesh, form, b, axis: str = "x"):
         x0 = jnp.zeros((m + 1, k), bl.dtype)
         bp = jnp.concatenate([bl, jnp.zeros((1, k), bl.dtype)], axis=0)
 
+        from ..kernels.xla.trsv_level import level_step
+
         def step(x, lvl):
             r, rv, c, cv, lv, di = lvl  # local level slice (R_loc, ...)
-            g = x[c]
-            contrib = jnp.where(cv[..., None], lv[..., None].astype(x.dtype) * g, 0)
-            s = jnp.sum(contrib, axis=1)
-            xi = (bp[r] - s) * di[..., None].astype(x.dtype)
-            xi = jnp.where(rv[..., None], xi, 0)
+            xi = level_step(x, bp, r, rv, c, cv, lv, di)
             # ONE collective per level: everyone learns the level's entries
             xi_all = jax.lax.all_gather(xi, axis, tiled=True)
             r_all = jax.lax.all_gather(r, axis, tiled=True)

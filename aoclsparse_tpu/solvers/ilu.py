@@ -119,6 +119,20 @@ def _ilu_level_forms(st: IluState):
         from ..planner.triangular import _reverse_structure
 
         eff_l, eff_u = st._eff_l, st._eff_u
+        if eff_l is None or eff_u is None:
+            # checkpoint-restored states carry lu_clean but not the
+            # effective triangles (io/checkpoint.py): rebuild them
+            l_descr = MatrixDescriptor(
+                type=MatrixType.triangular, fill_mode=FillMode.lower, diag_type=DiagType.unit
+            )
+            u_descr = MatrixDescriptor(
+                type=MatrixType.triangular,
+                fill_mode=FillMode.upper,
+                diag_type=DiagType.non_unit,
+            )
+            eff_l = build_effective_csr(st.lu_clean, l_descr, Operation.none)
+            eff_u = build_effective_csr(st.lu_clean, u_descr, Operation.none)
+            st._eff_l, st._eff_u = eff_l, eff_u
         st.l_level = build_level_form(
             eff_l.ptr,
             eff_l.ind,

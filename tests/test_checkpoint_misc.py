@@ -71,3 +71,26 @@ def test_nan_checks_context():
             _ = jnp.log(jnp.zeros(4) - 1.0).block_until_ready()
     # restored afterwards
     _ = jnp.log(jnp.zeros(4) - 1.0).block_until_ready()
+
+
+def test_checkpoint_restored_ilu_level_engine(rng, tmp_path):
+    """ilu_smoother(kid=1) on a checkpoint-restored handle rebuilds the
+    effective triangles from lu_clean instead of crashing (the restored
+    IluState carries no _eff_l/_eff_u)."""
+    from aoclsparse_tpu.io.checkpoint import load_matrix, save_matrix
+    from aoclsparse_tpu.solvers.ilu import ilu0_factorize
+
+    m = 48
+    dense = (rng.random((m, m)) < 0.1) * rng.standard_normal((m, m))
+    np.fill_diagonal(dense, 4.0)
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int64)
+    ind = np.nonzero(dense)[1].astype(np.int32)
+    A = ast.create_csr(m, m, ptr, ind, dense[dense != 0])
+    ilu0_factorize(A)
+    b = rng.standard_normal(m)
+    p = tmp_path / "ck.npz"
+    save_matrix(str(p), A)
+    B = load_matrix(str(p))
+    x0 = np.asarray(ast.ilu_smoother(A, None, b, kid=1))
+    x1 = np.asarray(ast.ilu_smoother(B, None, b, kid=1))
+    np.testing.assert_allclose(x1, x0, rtol=1e-12)

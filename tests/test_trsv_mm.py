@@ -175,6 +175,11 @@ def test_trsv_level_kid_parity(rng, fill, dt, op):
     x0 = np.asarray(ast.trsv(1.0, A, D, op, b, kid=0))
     x1 = np.asarray(ast.trsv(1.0, A, D, op, b, kid=1))
     np.testing.assert_allclose(x1, x0, rtol=1e-12, atol=1e-12)
+    # oracle parity (CLAUDE.md rule): both engines must track the scalar
+    # reference, not merely each other
+    _, _, _, rptr, rind, rval = ast.export_csr(A)
+    want = ref_trsv(1.0, m, rptr, rind, rval, D, op, b)
+    assert_allclose_spec(x1, want, dtype=np.float64, scale=30)
 
 
 def test_trsv_level_shallow_dag(rng):
