@@ -271,3 +271,33 @@ class TestOrderCopyContract:
         with pytest.raises(asp.AoclSparseError) as ei:
             asp.copy(None)
         assert ei.value.status == asp.Status.invalid_pointer
+
+
+class TestGeneratorAndDetection:
+    """rng_tests.cpp analog: the test-matrix generator is reproducible, and
+    creation detects sortedness / full-diagonal status (the reference's
+    FD_STATUS/SRT_STATUS table)."""
+
+    def test_random_csr_reproducible(self):
+        from conftest import random_csr
+
+        a = random_csr(np.random.default_rng(42), 20, 20, density=0.3)
+        b = random_csr(np.random.default_rng(42), 20, 20, density=0.3)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_sort_detection(self):
+        from aoclsparse_tpu.core.types import MatrixSort
+
+        ptr = np.array([0, 2, 4], np.int32)
+        A = asp.create_csr(2, 3, ptr, np.array([0, 2, 1, 2], np.int32), np.arange(4.0))
+        assert A.sort == MatrixSort.fully_sorted
+        B = asp.create_csr(2, 3, ptr, np.array([2, 0, 1, 2], np.int32), np.arange(4.0))
+        assert B.sort == MatrixSort.unsorted
+
+    def test_fulldiag_detection(self):
+        ptr = np.array([0, 2, 3], np.int32)
+        A = asp.create_csr(2, 2, ptr, np.array([0, 1, 1], np.int32), np.arange(3.0))
+        assert A.fulldiag is True
+        B = asp.create_csr(2, 2, ptr, np.array([0, 1, 0], np.int32), np.arange(3.0))
+        assert B.fulldiag is False
