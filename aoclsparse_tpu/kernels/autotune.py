@@ -310,10 +310,39 @@ def autotune_trsv(
         except Exception:
             continue
         results[form.nb] = best
+    # level-scheduled wavefront engine (TRSV KID 1) as one more candidate:
+    # wins on shallow circuit-class dependency DAGs
+    try:
+        from ..planner.triangular import trsv_level_form_for
+
+        lform = trsv_level_form_for(plan, descr, op)
+        r2 = jnp.asarray(
+            np.tile(np.linspace(1.0, 2.0, m, dtype=np.float64)[:, None], (1, k))
+        ).astype(A.dtype)
+        lform.solve(r2)
+        np.asarray(jnp.ravel(lform.solve(r2))[:1])
+        best = float("inf")
+        for _ in range(chunks):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                x = lform.solve(r2)
+            np.asarray(jnp.ravel(x)[:1])
+            best = min(best, (time.perf_counter() - t0) / iters)
+        results["level"] = best
+    except Exception:
+        pass
     if not results:
         raise AoclSparseError(Status.internal_error, "no block size could be timed")
     winner = min(results, key=results.get)
-    if getattr(plan, "_trsv_tuned", None) is None:
-        plan._trsv_tuned = {}
-    plan._trsv_tuned[(descr.fill_mode, descr.diag_type, op)] = winner
+    key = (descr.fill_mode, descr.diag_type, op)
+    if winner == "level":
+        if getattr(plan, "_trsv_engine", None) is None:
+            plan._trsv_engine = {}
+        plan._trsv_engine[key] = "level"
+    else:
+        if getattr(plan, "_trsv_engine", None) is not None:
+            plan._trsv_engine.pop(key, None)
+        if getattr(plan, "_trsv_tuned", None) is None:
+            plan._trsv_tuned = {}
+        plan._trsv_tuned[key] = winner
     return results

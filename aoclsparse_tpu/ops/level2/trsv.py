@@ -47,6 +47,11 @@ def _solve(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, rhs, kid):
         )
     entry = registry.select("sv", kid=kid)  # KID validation + engine choice
     plan = get_plan(A)
+    if kid is None and entry.fmt != "level":
+        # autotune_trsv may have pinned the level engine for this key
+        eng = getattr(plan, "_trsv_engine", None)
+        if eng and eng.get((descr.fill_mode, descr.diag_type, Operation(op))) == "level":
+            entry = registry.select("sv", kid=1)
     if entry.fmt == "level":
         from ...planner.triangular import trsv_level_form_for
 

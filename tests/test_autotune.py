@@ -198,3 +198,34 @@ def test_autotune_spgemm_engines_and_finalize(rng, monkeypatch):
         assert plan.band is not None
     else:
         assert plan.band is None
+
+
+def test_autotune_trsv_level_candidate(rng):
+    """autotune_trsv times the level-scheduled engine alongside the blocked
+    block sizes; a level win pins the engine and plain trsv() dispatch
+    follows the pin (value-refresh keeps parity: plan.levels rebuilds)."""
+    from aoclsparse_tpu.core.types import DiagType, FillMode, MatrixType
+    from aoclsparse_tpu.kernels.autotune import autotune_trsv
+    from aoclsparse_tpu.planner.plan import get_plan
+
+    m = 96
+    full = np.tril(rng.random((m, m)) < 0.05) * rng.standard_normal((m, m))
+    np.fill_diagonal(full, 2.0 + rng.random(m))
+    ptr = np.concatenate([[0], np.cumsum((full != 0).sum(1))]).astype(np.int64)
+    ind = np.nonzero(full)[1].astype(np.int32)
+    A = ast.create_csr(m, m, ptr, ind, full[full != 0])
+    D = MatrixDescriptor(
+        type=MatrixType.triangular, fill_mode=FillMode.lower, diag_type=DiagType.non_unit
+    )
+    res = autotune_trsv(A, D, Operation.none, iters=2, chunks=1)
+    assert "level" in res
+    b = rng.standard_normal(m)
+    x = np.asarray(ast.trsv(1.0, A, D, Operation.none, b))
+    x0 = np.asarray(ast.trsv(1.0, A, D, Operation.none, b, kid=0))
+    np.testing.assert_allclose(x, x0, rtol=1e-12, atol=1e-12)
+    # values update: dispatch (pinned or not) still tracks the fresh values
+    _, _, _, p2, i2, v2 = ast.export_csr(A)
+    ast.update_values(A, np.asarray(v2) * 3.0)
+    x1 = np.asarray(ast.trsv(1.0, A, D, Operation.none, b))
+    x2 = np.asarray(ast.trsv(1.0, A, D, Operation.none, b, kid=0))
+    np.testing.assert_allclose(x1, x2, rtol=1e-12, atol=1e-12)
