@@ -78,6 +78,7 @@ def dist_symgs(
     b,
     x0=None,
     axis: str = "x",
+    engine: str = "pipeline",
 ):
     """One distributed symmetric Gauss-Seidel sweep (the mesh rebuild of
     aoclsparse_?symgs, solvers/aoclsparse_symgs.hpp:88+):
@@ -86,7 +87,9 @@ def dist_symgs(
         2. r = L_s x1 ;       (U+D) x  = b - r     [SpMV + pipelined solve]
 
     The strict-triangle SpMVs run row-sharded (dist_spmv_ell); the
-    triangular solves run as block-row ring pipelines. Returns x."""
+    triangular solves run as block-row ring pipelines (engine="pipeline")
+    or sharded level wavefronts (engine="level" — shallow circuit-class
+    DAGs, parallel/trsv.py dist_trsv_levels). Returns x."""
     from ..planner.plan import get_plan
     from ..planner.triangular import trsv_form_for
 
@@ -110,7 +113,9 @@ def dist_symgs(
     # full ELL arrays through the contended tunnel per sweep would dominate
     # an outer iteration (the single-device sweep caches its whole fused
     # program for the same reason, solvers/symgs.py _symgs_fused)
-    ckey = ("dist_symgs", mtype, descr.fill_mode, axis, mesh.shape[axis])
+    if engine not in ("pipeline", "level"):
+        raise AoclSparseError(Status.invalid_value, f"unknown engine '{engine}'")
+    ckey = ("dist_symgs", mtype, descr.fill_mode, axis, mesh.shape[axis], engine)
     cache = getattr(plan, "_dist_sweep_cache", None)
     if cache is None:
         cache = plan._dist_sweep_cache = {}
@@ -131,12 +136,22 @@ def dist_symgs(
 
             return run
 
-        ops = (
-            _sharded_mv(tri_us, u_op),
-            _sharded_mv(tri_ls, l_op),
-            trsv_form_for(plan, tri_l, l_op),
-            trsv_form_for(plan, tri_u, u_op),
-        )
+        if engine == "level":
+            from ..planner.triangular import trsv_level_form_for
+
+            ops = (
+                _sharded_mv(tri_us, u_op),
+                _sharded_mv(tri_ls, l_op),
+                trsv_level_form_for(plan, tri_l, l_op),
+                trsv_level_form_for(plan, tri_u, u_op),
+            )
+        else:
+            ops = (
+                _sharded_mv(tri_us, u_op),
+                _sharded_mv(tri_ls, l_op),
+                trsv_form_for(plan, tri_l, l_op),
+                trsv_form_for(plan, tri_u, u_op),
+            )
         cache[ckey] = ops
     mv_us, mv_ls, form_l, form_u = ops
 
@@ -144,6 +159,13 @@ def dist_symgs(
     x0 = jnp.zeros((m,), A.dtype) if x0 is None else jnp.asarray(x0).astype(A.dtype)
     alpha_c = jnp.asarray(alpha, A.dtype)
 
+    if engine == "level":
+        from .trsv import dist_trsv_levels
+
+        q = mv_us(x0)
+        x1 = dist_trsv_levels(mesh, form_l, b - alpha_c * q, axis=axis)[:m]
+        r = mv_ls(x1)
+        return dist_trsv_levels(mesh, form_u, b - r, axis=axis)[:m]
     q = mv_us(x0)  # U_s x0 (alpha applied below, symgs.hpp step 1)
     x1 = _pipeline_solve(mesh, form_l, b - alpha_c * q, axis)[:m]
     r = mv_ls(x1)

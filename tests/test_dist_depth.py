@@ -781,3 +781,25 @@ def test_dist_ilu_apply_level_engine(rng):
     np.testing.assert_allclose(x_lvl, x_ref, rtol=1e-11, atol=1e-12)
     with pytest.raises(ast.AoclSparseError):
         dist_ilu_apply(mesh, A, b, engine="nope")
+
+
+def test_dist_symgs_level_engine(rng):
+    """dist_symgs(engine='level') composes the sharded wavefront solves —
+    parity with the pipeline engine and the local sweep."""
+    from aoclsparse_tpu.parallel import dist_symgs
+
+    m = 96
+    dense = (rng.random((m, m)) < 0.06) * rng.standard_normal((m, m))
+    dense = (dense + dense.T) / 2
+    np.fill_diagonal(dense, 5.0 + rng.random(m))
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int64)
+    ind = np.nonzero(dense)[1].astype(np.int32)
+    A = ast.create_csr(m, m, ptr, ind, dense[dense != 0])
+    b = rng.standard_normal(m)
+    mesh = make_mesh(8)
+    D = MatrixDescriptor()
+    x_ref = np.asarray(ast.symgs(Operation.none, A, D, 1.0, b))
+    x_l = np.asarray(dist_symgs(mesh, A, D, 1.0, b, engine="level"))
+    np.testing.assert_allclose(x_l, x_ref, rtol=1e-10, atol=1e-11)
+    with pytest.raises(ast.AoclSparseError):
+        dist_symgs(mesh, A, D, 1.0, b, engine="bogus")
