@@ -329,6 +329,82 @@ def main():
         }
     )
 
+    # ---- SpGEMM threaded HOST numeric engine (third engine) ----
+    try:
+        from aoclsparse_tpu import native as _nat
+
+        pa_h = np.asarray(plan2.pa)
+        pb_h = np.asarray(plan2.pb)
+        pc_h = np.asarray(plan2.pc)
+        av_h = np.asarray(effA.val)
+        t0 = time.perf_counter()
+        cv = _nat.spgemm_numeric_host(pa_h, pb_h, pc_h, av_h, av_h, plan2.nnz)
+        t_first = time.perf_counter() - t0
+        if cv is not None:
+            best = t_first
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _nat.spgemm_numeric_host(pa_h, pb_h, pc_h, av_h, av_h, plan2.nnz)
+                best = min(best, time.perf_counter() - t0)
+            results.append(
+                {
+                    "metric": "spgemm_numeric_host",
+                    "value": round(2 * P / best / 1e9, 2),
+                    "unit": "GFLOP/s",
+                    "extra": {"t_ms": round(best * 1e3, 3), "products_M": round(P / 1e6, 1)},
+                }
+            )
+    except Exception as e:
+        results.append({"metric": "spgemm_numeric_host", "error": repr(e)[:200]})
+
+    # ---- TRSV level-scheduled wavefront engine on a circuit profile ----
+    try:
+        from aoclsparse_tpu.planner.triangular import trsv_level_form_for
+
+        mc = 65536
+        # shallow-DAG circuit triangle: sparse random strict-lower + diag
+        rows_c = np.repeat(np.arange(mc), 3)
+        cols_c = (rng.random(3 * mc) * np.repeat(np.arange(mc), 3)).astype(np.int64)
+        mask_c = cols_c < rows_c
+        rc, cc = rows_c[mask_c], cols_c[mask_c]
+        key = rc * mc + cc
+        key = np.unique(key)
+        rc, cc = key // mc, key % mc
+        rows_all = np.concatenate([rc, np.arange(mc)])
+        cols_all = np.concatenate([cc, np.arange(mc)])
+        order_c = np.lexsort((cols_all, rows_all))
+        rows_all, cols_all = rows_all[order_c], cols_all[order_c]
+        vals_all = rng.standard_normal(rows_all.size).astype(np.float32)
+        vals_all[cols_all == rows_all] = 4.0
+        ptr_c = np.zeros(mc + 1, np.int64)
+        np.add.at(ptr_c, rows_all + 1, 1)
+        ptr_c = np.cumsum(ptr_c)
+        Ac = ast.create_csr(mc, mc, ptr_c, cols_all.astype(np.int32), vals_all)
+        bc = jnp.asarray(rng.standard_normal(mc).astype(np.float32))
+        lf = trsv_level_form_for(get_plan(Ac), descr_t, Operation.none)
+        t_lvl = chain_min(lambda: lf.solve(bc), iters_per=5, chunks=4)
+        bf = trsv_form_for(get_plan(Ac), descr_t, Operation.none)
+        mp_c = bf.nblk * bf.nb
+        bc2 = jnp.pad(bc[:, None], ((0, mp_c - mc), (0, 0)))
+        t_blk = chain_min(lambda: bf.solve(bc2), iters_per=5, chunks=4)
+        nnz_c = rows_all.size
+        results.append(
+            {
+                "metric": "trsv_level_circuit",
+                "value": round((2 * nnz_c - mc) / t_lvl / 1e9, 3),
+                "unit": "GFLOP/s",
+                "extra": {
+                    "t_level_ms": round(t_lvl * 1e3, 3),
+                    "t_blocked_ms": round(t_blk * 1e3, 3),
+                    "nlev": lf.nlev,
+                    "m": mc,
+                    "speedup_vs_blocked": round(t_blk / t_lvl, 2),
+                },
+            }
+        )
+    except Exception as e:
+        results.append({"metric": "trsv_level_circuit", "error": repr(e)[:200]})
+
     # ---- SpGEMM band x band numeric (scan-of-matmuls engine) ----
     try:
         from aoclsparse_tpu.kernels.xla.spgemm_band import (
