@@ -244,3 +244,21 @@ def test_trsv_level_missing_diag(rng):
     with pytest.raises(ast.AoclSparseError) as ei:
         ast.trsv(1.0, A, D, Operation.none, np.ones(m), kid=1)
     assert ei.value.status == Status.invalid_value
+
+
+def test_trsv_strided_level_engine(rng):
+    """trsv_strided forwards kid, so the level engine serves strided RHS
+    identically to the blocked scan."""
+    m = 48
+    full = np.tril(rng.random((m, m)) < 0.1) * rng.standard_normal((m, m))
+    np.fill_diagonal(full, 3.0)
+    ptr = np.concatenate([[0], np.cumsum((full != 0).sum(1))]).astype(np.int64)
+    ind = np.nonzero(full)[1].astype(np.int32)
+    A = ast.create_csr(m, m, ptr, ind, full[full != 0])
+    D = MatrixDescriptor(
+        type=MatrixType.triangular, fill_mode=FillMode.lower, diag_type=DiagType.non_unit
+    )
+    b = rng.standard_normal(2 * m)
+    x0 = np.asarray(ast.trsv_strided(1.0, A, D, Operation.none, b, 2, kid=0))
+    x1 = np.asarray(ast.trsv_strided(1.0, A, D, Operation.none, b, 2, kid=1))
+    np.testing.assert_allclose(x1, x0, rtol=1e-12)
