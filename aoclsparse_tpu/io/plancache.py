@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.descr import MatrixDescriptor
-from ..core.types import AoclSparseError, Operation, Status
+from ..core.types import AoclSparseError, DiagType, FillMode, Operation, Status
 
 __all__ = ["save_plan", "load_plan"]
 
@@ -111,6 +111,11 @@ def save_plan(A, path: str) -> None:
         "trsv_tuned": [
             [_encode_key(k), int(v)] for k, v in (getattr(plan, "_trsv_tuned", None) or {}).items()
         ],
+        "trsv_engine": [
+            [_encode_key(k), str(v)]
+            for k, v in (getattr(plan, "_trsv_engine", None) or {}).items()
+        ],
+        "host_engine": bool(getattr(plan, "_host_engine", False)),
     }
     for i, (key, form) in enumerate(plan.exec_forms.items()):
         entry = {"key": _encode_key(key)}
@@ -157,8 +162,15 @@ def load_plan(A, path: str) -> int:
         n_restored += 1
     tuned = {}
     for key, nb in manifest.get("trsv_tuned", []):
-        tuned[(key[0], key[1], Operation(key[2]))] = int(nb)
+        tuned[(FillMode(key[0]), DiagType(key[1]), Operation(key[2]))] = int(nb)
     if tuned:
         plan._trsv_tuned = tuned
+    eng = {}
+    for key, name in manifest.get("trsv_engine", []):
+        eng[(FillMode(key[0]), DiagType(key[1]), Operation(key[2]))] = str(name)
+    if eng:
+        plan._trsv_engine = eng
+    if manifest.get("host_engine"):
+        plan._host_engine = True
     return n_restored
 

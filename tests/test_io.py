@@ -108,3 +108,38 @@ def test_bad_header(tmp_path):
     p = _write(tmp_path, "bad.mtx", "not a matrix\n1 1 1\n")
     with pytest.raises(ast.AoclSparseError):
         read_mtx(p)
+
+
+def test_plan_snapshot_persists_engine_pins(rng, tmp_path):
+    """save_plan/load_plan carry the autotune engine pins (trsv level
+    engine, spgemm host engine) alongside the block-size pins."""
+    from aoclsparse_tpu.core.types import DiagType, FillMode, MatrixType
+    from aoclsparse_tpu.io.plancache import load_plan, save_plan
+    from aoclsparse_tpu.planner.plan import get_plan
+
+    m = 64
+    full = np.tril(rng.random((m, m)) < 0.08) * rng.standard_normal((m, m))
+    np.fill_diagonal(full, 3.0)
+    ptr = np.concatenate([[0], np.cumsum((full != 0).sum(1))]).astype(np.int64)
+    ind = np.nonzero(full)[1].astype(np.int32)
+    A = ast.create_csr(m, m, ptr, ind, full[full != 0])
+    key = (FillMode.lower, DiagType.non_unit, Operation.none)
+    get_plan(A)._trsv_engine = {key: "level"}
+    get_plan(A)._host_engine = True
+    p = str(tmp_path / "plan.npz")
+    save_plan(A, p)
+    B = ast.create_csr(m, m, ptr, ind, full[full != 0])
+    load_plan(B, p)
+    pb = get_plan(B)
+    assert pb._trsv_engine.get(key) == "level"
+    assert pb._host_engine is True
+    # the restored pin must actually steer dispatch
+    D = MatrixDescriptor(
+        type=MatrixType.triangular, fill_mode=FillMode.lower, diag_type=DiagType.non_unit
+    )
+    b = rng.standard_normal(m)
+    np.testing.assert_allclose(
+        np.asarray(ast.trsv(1.0, B, D, Operation.none, b)),
+        np.asarray(ast.trsv(1.0, B, D, Operation.none, b, kid=0)),
+        rtol=1e-12,
+    )
