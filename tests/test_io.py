@@ -113,7 +113,7 @@ def test_bad_header(tmp_path):
 def test_plan_snapshot_persists_engine_pins(rng, tmp_path):
     """save_plan/load_plan carry the autotune engine pins (trsv level
     engine, spgemm host engine) alongside the block-size pins."""
-    from aoclsparse_tpu.core.types import DiagType, FillMode, MatrixType
+    from aoclsparse_tpu.core.types import DiagType, FillMode, MatrixType, Operation
     from aoclsparse_tpu.io.plancache import load_plan, save_plan
     from aoclsparse_tpu.planner.plan import get_plan
 
@@ -134,7 +134,7 @@ def test_plan_snapshot_persists_engine_pins(rng, tmp_path):
     assert pb._trsv_engine.get(key) == "level"
     assert pb._host_engine is True
     # the restored pin must actually steer dispatch
-    D = MatrixDescriptor(
+    D = ast.MatrixDescriptor(
         type=MatrixType.triangular, fill_mode=FillMode.lower, diag_type=DiagType.non_unit
     )
     b = rng.standard_normal(m)
