@@ -96,8 +96,13 @@ def test_save_load_preserves_autotune_pins(rng):
         save_plan(A, p)
         B = ast.create_csr(m, m, ptr, np.nonzero(mask)[1], dense[mask])
         load_plan(B, p)
-        form = trsv_form_for(get_plan(B), low, Operation.none)
-        assert form.nb == winner
+        if winner == "level":
+            # engine winners pin _trsv_engine, not a block size
+            key = (low.fill_mode, low.diag_type, Operation.none)
+            assert get_plan(B)._trsv_engine.get(key) == "level"
+        else:
+            form = trsv_form_for(get_plan(B), low, Operation.none)
+            assert form.nb == winner
         b = rng.standard_normal(m)
         x = ast.trsv(1.0, B, low, Operation.none, b)
         np.testing.assert_allclose(dense @ np.asarray(x), b, atol=1e-8)
