@@ -116,6 +116,10 @@ def save_plan(A, path: str) -> None:
             for k, v in (getattr(plan, "_trsv_engine", None) or {}).items()
         ],
         "host_engine": bool(getattr(plan, "_host_engine", False)),
+        "mv_engine": [
+            [_encode_key(k), str(v)]
+            for k, v in (getattr(plan, "_mv_engine", None) or {}).items()
+        ],
     }
     for i, (key, form) in enumerate(plan.exec_forms.items()):
         entry = {"key": _encode_key(key)}
@@ -172,5 +176,10 @@ def load_plan(A, path: str) -> int:
         plan._trsv_engine = eng
     if manifest.get("host_engine"):
         plan._host_engine = True
+    mveng = {}
+    for key, name in manifest.get("mv_engine", []):
+        mveng[(key[0], key[1], key[2], Operation(key[3]))] = str(name)
+    if mveng:
+        plan._mv_engine = mveng
     return n_restored
 

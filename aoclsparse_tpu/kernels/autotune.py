@@ -28,7 +28,7 @@ from ..core.types import AoclSparseError, Operation, Status
 
 __all__ = ["autotune_mv", "autotune_trsv", "autotune_mm", "autotune_spgemm"]
 
-_MV_KINDS = ("bandt", "bwd", "diag", "gen", "ell", "ellhyb", "segsum")
+_MV_KINDS = ("bandt", "bwd", "diag", "gen", "ell", "ellhyb", "segsum", "host")
 
 
 def _time_form(form, x, iters: int, chunks: int) -> float:
@@ -37,13 +37,18 @@ def _time_form(form, x, iters: int, chunks: int) -> float:
     from ..ops.level2.mv import _run_exec_form
 
     y = _run_exec_form(form, x, None)
-    np.asarray(jnp.ravel(y)[:1])  # compile + sync
+    if not isinstance(y, np.ndarray):
+        np.asarray(jnp.ravel(y)[:1])  # compile + sync
     best = float("inf")
     for _ in range(chunks):
         t0 = time.perf_counter()
         for _ in range(iters):
             y = _run_exec_form(form, x, None)
-        np.asarray(jnp.ravel(y)[:1])
+        if not isinstance(y, np.ndarray):
+            # host engine results are already synced (np.asarray per call —
+            # the device fetch it pays with a jnp probe input is part of
+            # the honest measurement)
+            np.asarray(jnp.ravel(y)[:1])
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -82,9 +87,16 @@ def autotune_mv(
     else:
         x = jnp.asarray(x).astype(A.dtype)
 
+    if kinds is None:
+        kinds = _MV_KINDS
+        if eff.ind.shape[0] > (1 << 18):
+            # the host engine targets the dispatch-latency-bound regime
+            # (~1-3 ms/dispatch ≈ a few-hundred-k-nnz device SpMV); above
+            # that it only wastes measurement time unless explicitly asked
+            kinds = tuple(k for k in kinds if k != "host")
     results: Dict[str, float] = {}
     forms = {}
-    for kind in kinds or _MV_KINDS:
+    for kind in kinds:
         try:
             form = build_exec_form(eff, kind)
         except Exception:
@@ -103,8 +115,24 @@ def autotune_mv(
     if not results:
         raise AoclSparseError(Status.internal_error, "no execution form could be timed")
     winner = min(results, key=results.get)
-    key = (descr.type, descr.fill_mode, descr.diag_type, op, None)
-    plan.exec_forms[key] = forms[winner]
+    key4 = (descr.type, descr.fill_mode, descr.diag_type, op)
+    key = key4 + (None,)
+    if winner == "host":
+        # pin the host engine at the eager mv entry only; traced callers
+        # (fused solvers, symgs) keep the best DEVICE form in the auto slot
+        if getattr(plan, "_mv_engine", None) is None:
+            plan._mv_engine = {}
+        plan._mv_engine[key4] = "host"
+        # host form lives in exec_forms under its explicit kind so
+        # refresh_values/save_plan cover it
+        plan.exec_forms[key4 + ("host",)] = forms["host"]
+        device = {k: v for k, v in results.items() if k != "host"}
+        if device:
+            plan.exec_forms[key] = forms[min(device, key=device.get)]
+    else:
+        if getattr(plan, "_mv_engine", None) is not None:
+            plan._mv_engine.pop(key4, None)
+        plan.exec_forms[key] = forms[winner]
     return results
 
 

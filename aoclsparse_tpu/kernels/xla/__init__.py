@@ -24,3 +24,12 @@ registry.register("mv", KernelEntry(10, "xla_sell", spmv.spmv_sell, "sell", "any
 from ..pallas.spmv import spmv_bandt  # noqa: E402
 
 registry.register("mv", KernelEntry(8, "pallas_bandt", spmv_bandt, "bandt", "any", 2))
+
+# Host engine for latency-bound tiny operands (kernels/host.py): negative
+# priority keeps it out of Oracle auto-selection — it runs only via an
+# explicit KID or an autotune_mv pin (CLAUDE.md non-default carve-out)
+from ..host import HOST_MV_KID, spmv_host_csr  # noqa: E402
+
+registry.register(
+    "mv", KernelEntry(HOST_MV_KID, "host_csr", spmv_host_csr, "host", "any", -5)
+)

@@ -95,6 +95,14 @@ def _zero_aux(dtype):
 
 def _run_exec_form(form, x, kid):
     e = registry.select("mv", fmt=form.kind, kid=kid)
+    if form.kind == "host":
+        # host numpy engine (kernels/host.py): never valid under a trace —
+        # the result must stay host-resident, a tracer has no host value
+        if isinstance(x, jax.core.Tracer):
+            raise AoclSparseError(
+                Status.not_implemented, "host mv engine inside a traced program"
+            )
+        return e.fn(form.host_ptr, form.host_ind, form.host_val, np.asarray(x))
     if form.kind in ("segsum", "sell"):
         return e.fn(form.ind, form.val, form.row_ids, x, form.m)
     if form.kind == "ell":
@@ -313,6 +321,89 @@ def _spmv_core(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, x, kid=N
     return _run_exec_form(form, x, kid)
 
 
+def _host_route(A, descr, op, x, kid):
+    """Return the host ExecForm when this call should run on the host engine
+    (explicit HOST KID, or an autotune_mv pin), else None. Traced inputs
+    never route here: a pin falls back to the device form, an explicit KID
+    errors out."""
+    from ...kernels.host import HOST_MV_KID
+
+    if kid is not None and kid != HOST_MV_KID:
+        return None
+    try:
+        op = Operation(op)
+        descr.validate()
+    except Exception:
+        return None  # let the main path raise its usual statuses
+    if isinstance(x, jax.core.Tracer):
+        if kid == HOST_MV_KID:
+            raise AoclSparseError(
+                Status.not_implemented, "host mv engine inside a traced program"
+            )
+        return None
+    general_n = MatrixType(descr.type) == MatrixType.general and op == Operation.none
+    if kid == HOST_MV_KID:
+        if general_n and isinstance(A.data, (ELL, DIA, BSR)):
+            # native-format fast paths keep their own KAT rows (mv.cpp:179)
+            raise AoclSparseError(
+                Status.invalid_kid, "host mv engine serves the CSR planner path"
+            )
+        plan = get_plan(A)
+        return plan.exec_form_for(descr, op, kind="host", dtype=A.dtype)
+    # autotune pin: only consult an EXISTING plan — never materialize lazy
+    # SpGEMM values or build a plan just to probe for a pin
+    if A.values_pending or A.plan is None:
+        return None
+    if general_n and isinstance(A.data, (ELL, DIA, BSR)):
+        return None
+    eng = getattr(A.plan, "_mv_engine", None)
+    if eng and eng.get((descr.type, descr.fill_mode, descr.diag_type, op)) == "host":
+        return A.plan.exec_form_for(descr, op, kind="host", dtype=A.dtype)
+    return None
+
+
+def _mv_host(alpha, A, descr, op, x, beta, y, form):
+    """Whole-call host path: numpy validation, kernel and epilogue. Returns
+    np.ndarray — the engine exists to keep sub-ms operands off the ~1-3 ms
+    device dispatch / ~27 ms fetch path, so nothing touches the device."""
+    from ...core.validate import check_dtype_compat
+
+    descr.validate()
+    op = Operation(op)
+    m, n = A.shape
+    nx, ny = (n, m) if op == Operation.none else (m, n)
+    xh = np.asarray(x)
+    if xh.shape != (nx,):
+        raise AoclSparseError(Status.invalid_size, f"x must have shape ({nx},), got {xh.shape}")
+    yh = None
+    if y is not None:
+        yh = np.asarray(y)
+        if yh.shape != (ny,):
+            raise AoclSparseError(
+                Status.invalid_size, f"y must have shape ({ny},), got {yh.shape}"
+            )
+    if MatrixType(descr.type) in (
+        MatrixType.symmetric,
+        MatrixType.hermitian,
+        MatrixType.triangular,
+    ) and m != n:
+        raise AoclSparseError(Status.invalid_size, f"{descr.type.name} requires square A")
+    check_dtype_compat(A.dtype, xh.dtype, "x")
+    dtype = np.result_type(np.dtype(A.dtype), xh.dtype)
+    y0 = np.zeros(ny, dtype=dtype) if yh is None else yh.astype(dtype)
+    if A.nnz == 0 or (np.isscalar(alpha) and alpha == 0):
+        # empty/alpha-0 quick exit keeps IEEE alpha*0 propagation (mv.cpp:118)
+        return ((alpha * 0) * np.zeros(ny, dtype=dtype) + beta * y0).astype(dtype)
+    e = registry.select("mv", fmt="host", kid=None)
+    ax = e.fn(form.host_ptr, form.host_ind, form.host_val, xh.astype(dtype, copy=False))
+    if yh is None and np.isscalar(beta) and beta == 0:
+        # finite-zero beta: skip the accumulate (nan/inf beta falls through)
+        if np.isscalar(alpha) and alpha == 1.0:
+            return ax.astype(dtype, copy=False)
+        return (alpha * ax).astype(dtype, copy=False)
+    return (alpha * ax + beta * y0).astype(dtype, copy=False)
+
+
 def mv(
     alpha,
     A: SparseMatrix,
@@ -324,6 +415,11 @@ def mv(
     kid: Optional[int] = None,
 ):
     """y = alpha * op(descr(A)) @ x + beta * y  (aoclsparse_?mv)."""
+    if A is None or descr is None or x is None:
+        raise AoclSparseError(Status.invalid_pointer, "null argument to mv")
+    hform = _host_route(A, descr, op, x, kid)
+    if hform is not None:
+        return _mv_host(alpha, A, descr, op, x, beta, y, hform)
     op, x, y, ny = _validate(A, descr, op, x, y)
     from ...core.validate import check_dtype_compat
 
@@ -368,5 +464,9 @@ def dotmv(
     """Fused y = alpha*op(A)x + beta*y then d = <x, y> (conjugated for complex
     x, matching aoclsparse_dotmv.hpp:32). Returns (y, d)."""
     ynew = mv(alpha, A, descr, op, x, beta, y, kid=kid)
+    if isinstance(ynew, np.ndarray):
+        # host-engine result stays host-resident (kernels/host.py)
+        d = np.sum(np.conj(np.asarray(x)).astype(ynew.dtype) * ynew)
+        return ynew, d
     d = _dot_conj(jnp.asarray(x).astype(ynew.dtype), ynew)
     return ynew, d

@@ -470,10 +470,17 @@ class ExecForm:
     # sell (flattened sliced-ELL; reuses ind/val/row_ids device fields)
     sell_dest: Optional[np.ndarray] = None  # (nnzE,) flat positions into padded val
     sell_total: int = 0  # padded buffer length
+    # host (numpy CSR for the latency-bound host engine, kernels/host.py):
+    # everything stays host-resident; never the default, never traced
+    host_ptr: Optional[np.ndarray] = None
+    host_ind: Optional[np.ndarray] = None
+    host_val: Optional[np.ndarray] = None
 
     def refresh(self, eff_val: jax.Array) -> None:
         self._bwd_val_bf16 = None  # derived bf16 operand (mixed-precision path)
-        if self.kind == "segsum":
+        if self.kind == "host":
+            self.host_val = np.asarray(eff_val)
+        elif self.kind == "segsum":
             self.val = eff_val
         elif self.kind == "sell":
             vh = np.asarray(eff_val)
@@ -1344,6 +1351,16 @@ def build_exec_form(eff: EffectiveCSR, kind: Optional[str] = None) -> ExecForm:
         # scan overhead ~8us on this stack; batched dot_general is avoided
         # entirely — see kernels/xla/spmm.py)
         return _build_bwd(eff, G=512, kind="bwdg")
+    if kind == "host":
+        form = ExecForm(
+            kind="host",
+            m=m,
+            n=n,
+            host_ptr=np.asarray(eff.ptr, dtype=np.int64),
+            host_ind=np.asarray(eff.ind),
+        )
+        form.refresh(eff.val)
+        return form
     if kind == "segsum":
         rows = np.repeat(
             np.arange(m, dtype=np.int32), np.diff(eff.ptr.astype(np.int64))

@@ -32,7 +32,19 @@ def test_autotune_times_pins_and_refreshes(rng):
     assert len(t) >= 3 and all(v > 0 for v in t.values())
     winner = min(t, key=t.get)
     form = get_plan(A).exec_form_for(MatrixDescriptor(), Operation.none)
-    assert form.kind == winner
+    if winner == "host":
+        # host engine winners pin _mv_engine; the auto slot keeps the best
+        # DEVICE form for traced callers (fused solvers)
+        key4 = (
+            MatrixDescriptor().type,
+            MatrixDescriptor().fill_mode,
+            MatrixDescriptor().diag_type,
+            Operation.none,
+        )
+        assert get_plan(A)._mv_engine.get(key4) == "host"
+        assert form.kind != "host"
+    else:
+        assert form.kind == winner
     x = rng.standard_normal(2048)
     y = ast.mv(1.0, A, MatrixDescriptor(), Operation.none, x, 0.0)
     np.testing.assert_allclose(np.asarray(y), dense @ x, atol=1e-8)
