@@ -18,7 +18,7 @@ from .spgemm import (  # noqa: F401
     partition_products,
 )
 from .partition import nnz_balanced_bounds, pack_balanced_ell  # noqa: F401
-from .sweeps import dist_ilu_apply, dist_symgs  # noqa: F401
+from .sweeps import dist_ilu_apply, dist_symgs, dist_symgs_chain  # noqa: F401
 from .spmv import (  # noqa: F401
     compact_balanced,
     dist_spmm_bwd_halo,

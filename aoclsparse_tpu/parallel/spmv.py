@@ -27,6 +27,7 @@ from .placement import put
 __all__ = [
     "make_mesh",
     "shard_ell",
+    "spmv_ell_runner",
     "dist_spmv_ell",
     "dist_spmv_ell_sharded_x",
     "dist_spmv_bwd_halo",
@@ -66,10 +67,10 @@ def shard_ell(mesh: Mesh, ell_ind, ell_val, axis: str = "x"):
     return ind, val, m_pad
 
 
-def dist_spmv_ell(mesh: Mesh, ell_ind, ell_val, x, axis: str = "x"):
-    """y = A @ x with A row-sharded and x replicated: embarrassingly parallel,
-    each device reduces its row block (the direct OpenMP-row-split analog)."""
-    xr = put(x, mesh, P())
+def spmv_ell_runner(mesh: Mesh, axis: str = "x"):
+    """Traceable core of the row-sharded/replicated-x ELL SpMV: safe to call
+    inside jit/fori_loop over pre-sharded operands (used by the fused
+    smoother chains, parallel/sweeps.py)."""
 
     @partial(
         shard_map,
@@ -82,7 +83,14 @@ def dist_spmv_ell(mesh: Mesh, ell_ind, ell_val, x, axis: str = "x"):
         prods = jnp.where(ind >= 0, val * g, jnp.zeros((), dtype=val.dtype))
         return jnp.sum(prods, axis=1)
 
-    return _local(ell_ind, ell_val, xr)
+    return _local
+
+
+def dist_spmv_ell(mesh: Mesh, ell_ind, ell_val, x, axis: str = "x"):
+    """y = A @ x with A row-sharded and x replicated: embarrassingly parallel,
+    each device reduces its row block (the direct OpenMP-row-split analog)."""
+    xr = put(x, mesh, P())
+    return spmv_ell_runner(mesh, axis)(ell_ind, ell_val, xr)
 
 
 def dist_spmv_ell_sharded_x(mesh: Mesh, ell_ind, ell_val, x_sharded, axis: str = "x"):

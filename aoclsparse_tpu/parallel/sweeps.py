@@ -30,7 +30,7 @@ from ..core.types import (
 from .spmv import dist_spmv_ell, shard_ell
 from .trsv import dist_trsv_pipeline
 
-__all__ = ["dist_ilu_apply", "dist_symgs"]
+__all__ = ["dist_ilu_apply", "dist_symgs", "dist_symgs_chain"]
 
 
 def _tri(fill, diag):
@@ -171,3 +171,119 @@ def dist_symgs(
     r = mv_ls(x1)
     x = _pipeline_solve(mesh, form_u, b - r, axis)[:m]
     return x
+
+
+def dist_symgs_chain(
+    mesh: Mesh,
+    A,
+    descr: MatrixDescriptor,
+    alpha,
+    b,
+    nsweeps: int,
+    x0=None,
+    axis: str = "x",
+):
+    """nsweeps distributed SymGS sweeps as ONE compiled program.
+
+    dist_symgs dispatches four collective programs per sweep and returns to
+    the host between sweeps, so an N-sweep smoother chain pays N host
+    round-trips (~1-3 ms each through the tunnel) plus N cold collective
+    schedules. Here the whole chain traces into a single jitted
+    lax.fori_loop over sweeps — the SpMV shard_maps and both ring-pipeline
+    solves (parallel/trsv.py pipeline_runner) compose inside the loop body,
+    so XLA schedules the ppermute/all_gather stream across stage boundaries
+    and the host syncs once per CHAIN. The reference's smoother loop is the
+    caller's (sequential, aoclsparse_symgs.hpp:88+); this is its mesh
+    rebuild for multi-step smoothing (ROADMAP: double-buffered halo for
+    multi-step smoother chains).
+
+    Returns x after nsweeps sweeps (parity with nsweeps dist_symgs calls
+    is pinned in tests)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..planner.plan import get_plan
+    from ..planner.triangular import trsv_form_for
+    from .placement import put
+    from .spmv import shard_ell, spmv_ell_runner
+    from .trsv import _prep, pipeline_runner
+
+    if b is None:
+        raise AoclSparseError(Status.invalid_pointer, "null b")
+    if not isinstance(nsweeps, int) or nsweeps < 1:
+        raise AoclSparseError(Status.invalid_value, "nsweeps must be a positive int")
+    mtype = MatrixType(descr.type)
+    if mtype not in (MatrixType.general, MatrixType.symmetric):
+        raise AoclSparseError(Status.not_implemented, f"dist_symgs_chain: type {mtype.name}")
+    m, n = A.shape
+    if m != n:
+        raise AoclSparseError(Status.invalid_size, "symgs requires a square matrix")
+    if jnp.iscomplexobj(jnp.zeros((), A.dtype)):
+        raise AoclSparseError(Status.not_implemented, "dist_symgs_chain: real dtypes")
+
+    from ..solvers.symgs import lu_view_selection
+
+    l_fm, l_op, u_fm, u_op = lu_view_selection(mtype, descr, Operation.none)
+    plan = get_plan(A)
+    cache = getattr(plan, "_dist_sweep_cache", None)
+    if cache is None:
+        cache = plan._dist_sweep_cache = {}
+    ckey = ("dist_symgs_chain", mtype, descr.fill_mode, axis, mesh.shape[axis], nsweeps)
+    entry = cache.get(ckey)
+    if entry is None:
+        tri_l = _tri(l_fm, DiagType.non_unit)
+        tri_u = _tri(u_fm, DiagType.non_unit)
+        tri_ls = _tri(l_fm, DiagType.zero)
+        tri_us = _tri(u_fm, DiagType.zero)
+
+        def _ell(descr_s, op_s):
+            form = plan.exec_form_for(descr_s, op_s, kind="ell", dtype=A.dtype)
+            return shard_ell(mesh, form.ell_ind, form.ell_val, axis=axis)
+
+        ind_us, val_us, _ = _ell(tri_us, u_op)
+        ind_ls, val_ls, _ = _ell(tri_ls, l_op)
+        form_l = trsv_form_for(plan, tri_l, l_op)
+        form_u = trsv_form_for(plan, tri_u, u_op)
+        Dl, Ll, ndev, nb_l, WL_l, nblk_l = _prep(mesh, form_l, axis)
+        Du, Lu, _, nb_u, WL_u, nblk_u = _prep(mesh, form_u, axis)
+        mvr = spmv_ell_runner(mesh, axis)
+        run_l = pipeline_runner(mesh, axis, ndev, nb_l, WL_l, 1)
+        run_u = pipeline_runner(mesh, axis, ndev, nb_u, WL_u, 1)
+        rep = NamedSharding(mesh, P())
+        cfg = (
+            (nblk_l * nb_l, bool(form_l.reversed_)),
+            (nblk_u * nb_u, bool(form_u.reversed_)),
+        )
+
+        @jax.jit
+        def chain(ind_us, val_us, ind_ls, val_ls, Dl, Ll, Du, Lu, b_r, x0_r, a_c):
+            def solve(run, Dinv, Lwin, pad_rev, rhs):
+                m_pad, reversed_ = pad_rev
+                r2 = rhs[::-1] if reversed_ else rhs
+                r2 = jnp.pad(r2, (0, m_pad - m))[:, None]
+                xs = run(Dinv, Lwin, r2)[:m, 0]
+                return xs[::-1] if reversed_ else xs
+
+            def sweep(_, x):
+                q = mvr(ind_us, val_us, x)[:m]
+                x1 = solve(run_l, Dl, Ll, cfg[0], b_r - a_c * q)
+                x1 = jax.lax.with_sharding_constraint(x1, rep)
+                r = mvr(ind_ls, val_ls, x1)[:m]
+                x2 = solve(run_u, Du, Lu, cfg[1], b_r - r)
+                return jax.lax.with_sharding_constraint(x2, rep)
+
+            return jax.lax.fori_loop(0, nsweeps, sweep, x0_r)
+
+        entry = (chain, (ind_us, val_us, ind_ls, val_ls, Dl, Ll, Du, Lu))
+        cache[ckey] = entry
+    chain, ops = entry
+    from jax.sharding import PartitionSpec as _P
+
+    b_r = put(jnp.asarray(b).astype(A.dtype), mesh, _P())
+    x0_r = put(
+        jnp.zeros((m,), A.dtype) if x0 is None else jnp.asarray(x0).astype(A.dtype),
+        mesh,
+        _P(),
+    )
+    a_c = jnp.asarray(alpha, A.dtype)
+    return chain(*ops, b_r, x0_r, a_c)

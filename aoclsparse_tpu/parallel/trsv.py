@@ -30,7 +30,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .placement import put
 from jax import shard_map
 
-__all__ = ["dist_trsv_pipeline", "dist_trsm_pipeline", "dist_trsv_levels"]
+__all__ = [
+    "dist_trsv_pipeline",
+    "dist_trsm_pipeline",
+    "dist_trsv_levels",
+    "pipeline_runner",
+]
 
 
 def _pvary(v, axis):
@@ -89,21 +94,10 @@ def _local_chunk_scan(Dinv_c, Lwin_c, b_c, w0, nb, WL):
     return w, xs.reshape(gloc * nb, k)
 
 
-def dist_trsv_pipeline(mesh: Mesh, form, b, axis: str = "x"):
-    """Solve the planner's blocked-lower form with operands sharded over the
-    mesh, window handoff by ppermute. b: (m,) (or (m, k) — see
-    dist_trsm_pipeline for the column-pipelined variant). Returns x (m,)."""
-    Dinv, Lwin, ndev, nb, WL, nblk_pad = _prep(mesh, form, axis)
-    m_pad = nblk_pad * nb
-    squeeze = np.ndim(b) == 1
-    b2 = jnp.asarray(b)
-    if squeeze:
-        b2 = b2[:, None]
-    k = b2.shape[1]
-    if form.reversed_:
-        b2 = b2[::-1]
-    b2 = jnp.pad(b2, ((0, m_pad - b2.shape[0]), (0, 0))).astype(Dinv.dtype)
-    b_sh = put(b2, mesh, P(axis, None))
+def pipeline_runner(mesh: Mesh, axis: str, ndev: int, nb: int, WL: int, k: int):
+    """The traceable core of the block-row ring pipeline: a shard_map
+    program (Dinv, Lwin, b) -> x over PRE-SHARDED operands. Pure — safe to
+    call inside jit/fori_loop (dist_symgs_chain composes sweeps from it)."""
     ring = [(i, (i + 1) % ndev) for i in range(ndev)]
 
     @partial(
@@ -129,7 +123,25 @@ def dist_trsv_pipeline(mesh: Mesh, form, b, axis: str = "x"):
         _, xs = jax.lax.fori_loop(0, ndev, tick, (w0, x0))
         return xs
 
-    x = _run(Dinv, Lwin, b_sh)[: form.m]
+    return _run
+
+
+def dist_trsv_pipeline(mesh: Mesh, form, b, axis: str = "x"):
+    """Solve the planner's blocked-lower form with operands sharded over the
+    mesh, window handoff by ppermute. b: (m,) (or (m, k) — see
+    dist_trsm_pipeline for the column-pipelined variant). Returns x (m,)."""
+    Dinv, Lwin, ndev, nb, WL, nblk_pad = _prep(mesh, form, axis)
+    m_pad = nblk_pad * nb
+    squeeze = np.ndim(b) == 1
+    b2 = jnp.asarray(b)
+    if squeeze:
+        b2 = b2[:, None]
+    k = b2.shape[1]
+    if form.reversed_:
+        b2 = b2[::-1]
+    b2 = jnp.pad(b2, ((0, m_pad - b2.shape[0]), (0, 0))).astype(Dinv.dtype)
+    b_sh = put(b2, mesh, P(axis, None))
+    x = pipeline_runner(mesh, axis, ndev, nb, WL, k)(Dinv, Lwin, b_sh)[: form.m]
     if form.reversed_:
         x = x[::-1]
     return x[:, 0] if squeeze else x

@@ -10,7 +10,7 @@ import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 import aoclsparse_tpu as ast
-from aoclsparse_tpu import MatrixDescriptor, Operation
+from aoclsparse_tpu import AoclSparseError, MatrixDescriptor, Operation, Status
 from aoclsparse_tpu.core.types import DiagType, FillMode, MatrixType
 from aoclsparse_tpu.parallel import (
     dist_spmv_bwd_halo,
@@ -322,6 +322,67 @@ def test_dist_ilu_apply_matches_local(rng):
     x_d = np.asarray(dist_ilu_apply(mesh, A, b))
     x_l = np.asarray(ast.ilu_smoother(A, MatrixDescriptor(), b))
     np.testing.assert_allclose(x_d, x_l, atol=1e-8)
+
+
+def test_dist_symgs_chain_matches_eager_sweeps(rng):
+    """The fused N-sweep chain (one compiled program) must match N eager
+    dist_symgs calls and the local sweep loop exactly, including the x0
+    carry, on general and symmetric descriptors."""
+    from aoclsparse_tpu.parallel import dist_symgs, dist_symgs_chain
+
+    m = 160
+    ptr, ind, val, S = _spd_csr(rng, m)
+    A = ast.create_csr(m, m, ptr, ind, val)
+    mesh = make_mesh(8)
+    b = rng.standard_normal(m)
+    gen = MatrixDescriptor()
+    x_chain = np.asarray(dist_symgs_chain(mesh, A, gen, 1.3, b, nsweeps=3))
+    x_eager = None
+    for _ in range(3):
+        x_eager = dist_symgs(mesh, A, gen, 1.3, b, x0=x_eager)
+    np.testing.assert_allclose(x_chain, np.asarray(x_eager), atol=1e-10)
+    x_loc = None
+    for _ in range(3):
+        x_loc = ast.symgs(Operation.none, A, gen, 1.3, b, x0=x_loc)
+    np.testing.assert_allclose(x_chain, np.asarray(x_loc), atol=1e-10)
+    # nontrivial x0 flows into the first sweep
+    x0 = rng.standard_normal(m)
+    c1 = np.asarray(dist_symgs_chain(mesh, A, gen, 1.0, b, nsweeps=2, x0=x0))
+    e1 = dist_symgs(mesh, A, gen, 1.0, b, x0=dist_symgs(mesh, A, gen, 1.0, b, x0=x0))
+    np.testing.assert_allclose(c1, np.asarray(e1), atol=1e-10)
+    # symmetric descriptor over the stored lower triangle
+    keep = ind <= np.repeat(np.arange(m), np.diff(ptr))
+    rows_t = np.repeat(np.arange(m), np.diff(ptr))[keep]
+    pl = np.concatenate([[0], np.cumsum(np.bincount(rows_t, minlength=m))])
+    At = ast.create_csr(m, m, pl, ind[keep], val[keep])
+    sym = MatrixDescriptor().with_(type=1)
+    xs_chain = np.asarray(dist_symgs_chain(mesh, At, sym, 1.0, b, nsweeps=2))
+    xs_eager = dist_symgs(mesh, At, sym, 1.0, b, x0=dist_symgs(mesh, At, sym, 1.0, b))
+    np.testing.assert_allclose(xs_chain, np.asarray(xs_eager), atol=1e-10)
+
+
+def test_dist_symgs_chain_refresh_and_contract(rng):
+    from aoclsparse_tpu.parallel import dist_symgs_chain
+
+    m = 96
+    ptr, ind, val, S = _spd_csr(rng, m)
+    A = ast.create_csr(m, m, ptr, ind, val)
+    mesh = make_mesh(8)
+    b = rng.standard_normal(m)
+    gen = MatrixDescriptor()
+    x1 = np.asarray(dist_symgs_chain(mesh, A, gen, 1.0, b, nsweeps=2))
+    ast.update_values(A, val * 2)
+    x2 = np.asarray(dist_symgs_chain(mesh, A, gen, 1.0, b, nsweeps=2))
+    x2_ref = ast.symgs(Operation.none, A, gen, 1.0, b)
+    x2_ref = np.asarray(ast.symgs(Operation.none, A, gen, 1.0, b, x0=x2_ref))
+    np.testing.assert_allclose(x2, x2_ref, atol=1e-10)
+    assert not np.allclose(x1, x2)
+    with pytest.raises(AoclSparseError) as e:
+        dist_symgs_chain(mesh, A, gen, 1.0, None, nsweeps=2)
+    assert e.value.status == Status.invalid_pointer
+    with pytest.raises(AoclSparseError) as e2:
+        dist_symgs_chain(mesh, A, gen, 1.0, b, nsweeps=0)
+    assert e2.value.status == Status.invalid_value
 
 
 def test_dist_symgs_cache_refreshes_on_update(rng):
