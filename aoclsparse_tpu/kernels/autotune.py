@@ -359,14 +359,33 @@ def autotune_trsv(
         results["level"] = best
     except Exception:
         pass
+    # host sequential engine (TRSV KID 2): wins when the whole solve is
+    # latency-bound (tiny m) — a device dispatch alone costs ~1-3 ms here.
+    # k>1 probes tune the TRSM path, which has no host engine — skip.
+    if k == 1:
+        try:
+            from ..planner.triangular import trsv_host_form_for
+
+            hform = trsv_host_form_for(plan, descr, op)
+            bh = np.linspace(1.0, 2.0, m).astype(A.dtype)
+            hform.solve(bh)
+            best = float("inf")
+            for _ in range(chunks):
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    hform.solve(bh)
+                best = min(best, (time.perf_counter() - t0) / iters)
+            results["host"] = best
+        except Exception:
+            pass
     if not results:
         raise AoclSparseError(Status.internal_error, "no block size could be timed")
     winner = min(results, key=results.get)
     key = (descr.fill_mode, descr.diag_type, op)
-    if winner == "level":
+    if winner in ("level", "host"):
         if getattr(plan, "_trsv_engine", None) is None:
             plan._trsv_engine = {}
-        plan._trsv_engine[key] = "level"
+        plan._trsv_engine[key] = winner
     else:
         if getattr(plan, "_trsv_engine", None) is not None:
             plan._trsv_engine.pop(key, None)

@@ -110,6 +110,15 @@ def _load() -> Optional[ctypes.CDLL]:
             fn = getattr(lib, f"spgemm_numeric_{suf}")
             fn.restype = None
             fn.argtypes = [ctypes.c_int64, i32p, i32p, i32p, vt, vt, vt, ctypes.c_int64]
+        for suf, vt in (
+            ("s", ctypes.POINTER(ctypes.c_float)),
+            ("d", ctypes.POINTER(ctypes.c_double)),
+            ("c", ctypes.c_void_p),
+            ("z", ctypes.c_void_p),
+        ):
+            fn = getattr(lib, f"trsv_seq_{suf}")
+            fn.restype = None
+            fn.argtypes = [ctypes.c_int64, i64p, i64p, vt, vt, vt, ctypes.c_int]
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.blkcsr_count.restype = ctypes.c_int64
         lib.blkcsr_count.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p, i64p, ctypes.c_int64]
@@ -476,6 +485,63 @@ def blkcsr_build(m: int, n: int, ptr, ind, nrowsblk: int):
         perm.ctypes.data_as(i64p),
     )
     return brow_ptr, bcol[:nblk], masks[: nblk * nrowsblk], perm[: int(nval)]
+
+
+def trsv_seq(m: int, ptr, ind, val, b, lower: bool) -> np.ndarray:
+    """Sequential substitution over a host CSR triangle (the host TRSV
+    engine, trsv KID 2; reference role: the scalar substitution of
+    level2/aoclsparse_trsv_kr.hpp). The triangle must carry its diagonal
+    materialized (the planner's effective triangle always does — unit diag
+    becomes constant 1 entries, plan.py _inject_diag); a zero/missing pivot
+    divides through to IEEE inf/nan like the device forms. Falls back to a
+    row-loop numpy path when the native library is unavailable (acceptable:
+    this engine exists for latency-bound SMALL solves)."""
+    ptr64 = _i64(ptr)
+    ind64 = _i64(ind)
+    v = np.ascontiguousarray(np.asarray(val))
+    dt = np.result_type(v.dtype, np.asarray(b).dtype)
+    v = v.astype(dt, copy=False)
+    bh = np.ascontiguousarray(np.asarray(b), dtype=dt)
+    lib = _load()
+    suf = _SUFFIX.get(np.dtype(dt))
+    if lib is None or suf is None:
+        return _trsv_seq_numpy(m, ptr64, ind64, v, bh, lower)
+    x = np.zeros(m, dtype=dt)
+    if suf in ("s", "d"):
+        ct = ctypes.c_float if suf == "s" else ctypes.c_double
+        vp = lambda a: a.ctypes.data_as(ctypes.POINTER(ct))
+    else:
+        vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    getattr(lib, f"trsv_seq_{suf}")(
+        ctypes.c_int64(m),
+        ptr64.ctypes.data_as(i64p),
+        ind64.ctypes.data_as(i64p),
+        vp(v),
+        vp(bh),
+        vp(x),
+        ctypes.c_int(1 if lower else 0),
+    )
+    return x
+
+
+def _trsv_seq_numpy(m, ptr, ind, val, b, lower):
+    """Row-loop fallback (vectorized within each row)."""
+    dt = np.result_type(val.dtype, b.dtype)
+    x = np.zeros(m, dtype=dt)
+    err = np.errstate(divide="ignore", invalid="ignore")
+    rng = range(m) if lower else range(m - 1, -1, -1)
+    with err:
+        for i in rng:
+            k0, k1 = int(ptr[i]), int(ptr[i + 1])
+            cols = ind[k0:k1]
+            vals = val[k0:k1]
+            dmask = cols == i
+            off = (cols < i) if lower else (cols > i)
+            s = vals[off] @ x[cols[off]] if off.any() else dt.type(0)
+            d = vals[dmask][0] if dmask.any() else dt.type(0)
+            x[i] = (b[i] - s) / d
+    return x
 
 
 def spgemm_numeric_host(pa, pb, pc, aval, bval, nnzC: int):

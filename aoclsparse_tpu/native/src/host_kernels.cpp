@@ -636,3 +636,82 @@ void spgemm_numeric_z(int64_t P, const int32_t *pa, const int32_t *pb,
 }
 
 } // extern "C"
+
+// ---------------------------------------------------------------------------
+// Sequential triangular solve over a host CSR triangle (the host engine for
+// latency-bound small solves; see ops/level2/trsv.py KID 2). Serves the
+// same role as the reference's scalar substitution (its TRSV is host
+// sequential by construction, level2/aoclsparse_trsv_kr.hpp); independently
+// written: operates on the planner's EFFECTIVE triangle (diagonal entries
+// always materialized, unit diag folded as constant 1s upstream), direction
+// chosen by the caller, IEEE division on zero pivots (no error protocol —
+// parity with the device forms' behavior).
+// ---------------------------------------------------------------------------
+
+template <typename T>
+static void trsv_seq_impl(int64_t m,
+                          const int64_t *ptr,
+                          const int64_t *ind,
+                          const T *val,
+                          const T *b,
+                          T *x,
+                          int lower)
+{
+    if (lower) {
+        for (int64_t i = 0; i < m; ++i) {
+            T s = T(0);
+            T d = T(0);
+            for (int64_t k = ptr[i]; k < ptr[i + 1]; ++k) {
+                const int64_t j = ind[k];
+                if (j < i)
+                    s += val[k] * x[j];
+                else if (j == i)
+                    d = val[k];
+            }
+            x[i] = (b[i] - s) / d;
+        }
+    } else {
+        for (int64_t i = m - 1; i >= 0; --i) {
+            T s = T(0);
+            T d = T(0);
+            for (int64_t k = ptr[i + 1] - 1; k >= ptr[i]; --k) {
+                const int64_t j = ind[k];
+                if (j > i)
+                    s += val[k] * x[j];
+                else if (j == i)
+                    d = val[k];
+            }
+            x[i] = (b[i] - s) / d;
+        }
+    }
+}
+
+extern "C" {
+
+void trsv_seq_s(int64_t m, const int64_t *ptr, const int64_t *ind,
+                const float *val, const float *b, float *x, int lower)
+{ trsv_seq_impl<float>(m, ptr, ind, val, b, x, lower); }
+
+void trsv_seq_d(int64_t m, const int64_t *ptr, const int64_t *ind,
+                const double *val, const double *b, double *x, int lower)
+{ trsv_seq_impl<double>(m, ptr, ind, val, b, x, lower); }
+
+void trsv_seq_c(int64_t m, const int64_t *ptr, const int64_t *ind,
+                const void *val, const void *b, void *x, int lower)
+{
+    trsv_seq_impl<std::complex<float>>(m, ptr, ind,
+                                       (const std::complex<float> *)val,
+                                       (const std::complex<float> *)b,
+                                       (std::complex<float> *)x, lower);
+}
+
+void trsv_seq_z(int64_t m, const int64_t *ptr, const int64_t *ind,
+                const void *val, const void *b, void *x, int lower)
+{
+    trsv_seq_impl<std::complex<double>>(m, ptr, ind,
+                                        (const std::complex<double> *)val,
+                                        (const std::complex<double> *)b,
+                                        (std::complex<double> *)x, lower);
+}
+
+} // extern "C"

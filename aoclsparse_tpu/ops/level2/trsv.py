@@ -31,6 +31,49 @@ registry.register("sv", KernelEntry(0, "xla_blocked_scan", trsv_blocked, "blocke
 # KID 1: level-scheduled wavefront (opt-in: priority below the blocked scan;
 # wins on shallow dependency DAGs — circuit-class triangles)
 registry.register("sv", KernelEntry(1, "xla_level_wavefront", None, "level", "any", -1))
+# KID 2: sequential host engine (native C++ substitution) for latency-bound
+# small solves — every device solve pays ~1-3 ms tunnel dispatch; never the
+# default, never traced (same policy as the host mv engine, KID 11)
+registry.register("sv", KernelEntry(2, "host_sequential", None, "host", "any", -2))
+
+#: trsv KID of the host engine
+HOST_TRSV_KID = 2
+
+
+def _host_route(A, descr, op, b, kid):
+    """Return the TrsvHostForm when this call should run on the host engine
+    (explicit HOST KID, or an autotune_trsv pin), else None. Traced inputs
+    never route here: a pin falls back to the device form, an explicit KID
+    errors out. Mirrors mv._host_route (ops/level2/mv.py)."""
+    if kid is not None and kid != HOST_TRSV_KID:
+        return None
+    try:
+        op = Operation(op)
+        descr.validate()
+        if MatrixType(descr.type) == MatrixType.general or A.shape[0] != A.shape[1]:
+            return None  # let the main path raise its usual statuses
+    except Exception:
+        return None
+    import jax
+
+    if isinstance(b, jax.core.Tracer):
+        if kid == HOST_TRSV_KID:
+            raise AoclSparseError(
+                Status.not_implemented, "host trsv engine inside a traced program"
+            )
+        return None
+    from ...planner.triangular import trsv_host_form_for
+
+    if kid == HOST_TRSV_KID:
+        return trsv_host_form_for(get_plan(A), descr, op)
+    # autotune pin: only consult an EXISTING plan — never materialize lazy
+    # SpGEMM values or build a plan just to probe for a pin
+    if A.values_pending or A.plan is None:
+        return None
+    eng = getattr(A.plan, "_trsv_engine", None)
+    if eng and eng.get((descr.fill_mode, descr.diag_type, op)) == "host":
+        return trsv_host_form_for(A.plan, descr, op)
+    return None
 
 
 def _solve(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, rhs, kid):
@@ -46,6 +89,11 @@ def _solve(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, rhs, kid):
             Status.invalid_value, "trsv requires a triangular or symmetric/hermitian descriptor"
         )
     entry = registry.select("sv", kid=kid)  # KID validation + engine choice
+    if entry.fmt == "host":
+        # reached only under a trace (the eager entry routes host itself)
+        raise AoclSparseError(
+            Status.not_implemented, "host trsv engine inside a traced program"
+        )
     plan = get_plan(A)
     if kid is None and entry.fmt != "level":
         # autotune_trsv may have pinned the level engine for this key
@@ -83,6 +131,25 @@ def trsv(
     """x = op(tri(A))^{-1} (alpha * b)  (aoclsparse_?trsv)."""
     if A is None or descr is None or b is None:
         raise AoclSparseError(Status.invalid_pointer, "null argument")
+    hform = _host_route(A, descr, op, b, kid)
+    if hform is not None:
+        # whole-call host path: numpy in, numpy out — nothing touches the
+        # device (the engine exists to dodge the tunnel dispatch/fetch cost)
+        from ...core.validate import check_dtype_compat
+
+        bh = np.asarray(b)
+        if bh.ndim != 1 or bh.shape[0] != A.shape[0]:
+            raise AoclSparseError(
+                Status.invalid_size, f"b must be ({A.shape[0]},), got {bh.shape}"
+            )
+        check_dtype_compat(A.dtype, bh.dtype, "b")
+        dtype = np.result_type(np.dtype(A.dtype), bh.dtype)
+        adt = np.dtype(A.dtype)
+        if np.isscalar(alpha) and alpha == 1.0:
+            rhs = bh.astype(adt, copy=False)
+        else:
+            rhs = (np.asarray(alpha, dtype) * bh).astype(adt, copy=False)
+        return hform.solve(rhs).astype(dtype, copy=False)
     b = jnp.asarray(b)
     if b.ndim != 1 or b.shape[0] != A.shape[0]:
         raise AoclSparseError(Status.invalid_size, f"b must be ({A.shape[0]},), got {b.shape}")

@@ -1427,7 +1427,12 @@ class Plan:
         key = (descr.type, descr.fill_mode, descr.diag_type, Operation(op))
         eff = self.effective.get(key)
         if eff is None:
-            eff = build_effective_csr(self.clean, descr, op, dtype)
+            # Form construction is compile-time planner work: the value
+            # gathers must produce CONCRETE arrays even when the caller is
+            # mid-trace (a cold plan inside jit) — without this the plan
+            # cache would capture tracers (UnexpectedTracerError on reuse).
+            with jax.ensure_compile_time_eval():
+                eff = build_effective_csr(self.clean, descr, op, dtype)
             self.effective[key] = eff
         return eff
 
@@ -1438,7 +1443,8 @@ class Plan:
         key = (descr.type, descr.fill_mode, descr.diag_type, Operation(op), kind)
         form = self.exec_forms.get(key)
         if form is None:
-            form = build_exec_form(eff, kind)
+            with jax.ensure_compile_time_eval():  # see effective_for
+                form = build_exec_form(eff, kind)
             self.exec_forms[key] = form
         return form
 

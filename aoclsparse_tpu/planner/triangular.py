@@ -361,32 +361,40 @@ def trsv_form_for(
     key = ("trsv", tri_descr.fill_mode, tri_descr.diag_type, Operation(op), nb)
     form = plan.levels.get(key)
     if form is None:
-        # IMPORTANT: effective CSR is built WITHOUT op (we fold op into the
-        # orientation/reversal instead) except for conjugation, which must
-        # come from the values. conj-transpose == transpose of conj(A).
-        op_ = Operation(op)
-        eff_op = Operation.none if op_ != Operation.conjugate_transpose else op_
-        if op_ == Operation.conjugate_transpose:
-            # build conjugated non-transposed triangle: use transpose of the
-            # conj-transposed structure == conj values with same structure
-            eff = build_effective_csr(plan.clean, tri_descr, Operation.none)
-            eff = EffectiveCSR(
-                eff.ptr, eff.ind, eff.src, True, eff.const_val, eff.shape
-            )
-            eff.materialize(plan.clean.val)
-        else:
-            eff = build_effective_csr(plan.clean, tri_descr, Operation.none)
-        ekey = (tri_descr.type, tri_descr.fill_mode, tri_descr.diag_type, Operation.none)
-        if op_ != Operation.none:
-            # transpose solve: op(T) x = b. T^T's lower/upper flips; instead of
-            # materializing T^T we transpose the structure host-side.
-            eff_t = _transpose_eff(eff)
-            form = build_trsv_form(plan.clean, tri_descr, Operation.transpose, ekey, eff_t, nb)
-            form._eff = eff_t  # keep for refresh
-        else:
-            form = build_trsv_form(plan.clean, tri_descr, Operation.none, ekey, eff, nb)
-            form._eff = eff
+        # Form construction is compile-time planner work: value gathers must
+        # produce CONCRETE arrays even when the caller is mid-trace (a cold
+        # plan inside jit), hence ensure_compile_time_eval.
+        with jax.ensure_compile_time_eval():
+            form = _build_trsv_form_for(plan, tri_descr, op, nb)
         plan.levels[key] = form
+    return form
+
+
+def _build_trsv_form_for(plan, tri_descr, op, nb):
+    # IMPORTANT: effective CSR is built WITHOUT op (we fold op into the
+    # orientation/reversal instead) except for conjugation, which must
+    # come from the values. conj-transpose == transpose of conj(A).
+    op_ = Operation(op)
+    if op_ == Operation.conjugate_transpose:
+        # build conjugated non-transposed triangle: use transpose of the
+        # conj-transposed structure == conj values with same structure
+        eff = build_effective_csr(plan.clean, tri_descr, Operation.none)
+        eff = EffectiveCSR(
+            eff.ptr, eff.ind, eff.src, True, eff.const_val, eff.shape
+        )
+        eff.materialize(plan.clean.val)
+    else:
+        eff = build_effective_csr(plan.clean, tri_descr, Operation.none)
+    ekey = (tri_descr.type, tri_descr.fill_mode, tri_descr.diag_type, Operation.none)
+    if op_ != Operation.none:
+        # transpose solve: op(T) x = b. T^T's lower/upper flips; instead of
+        # materializing T^T we transpose the structure host-side.
+        eff_t = _transpose_eff(eff)
+        form = build_trsv_form(plan.clean, tri_descr, Operation.transpose, ekey, eff_t, nb)
+        form._eff = eff_t  # keep for refresh
+    else:
+        form = build_trsv_form(plan.clean, tri_descr, Operation.none, ekey, eff, nb)
+        form._eff = eff
     return form
 
 
@@ -416,6 +424,86 @@ def _transpose_eff(eff: EffectiveCSR) -> EffectiveCSR:
     return out
 
 
+@dataclasses.dataclass
+class TrsvHostForm:
+    """Host-resident triangle for the sequential host TRSV engine (KID 2,
+    native.trsv_seq). Everything stays numpy — the engine exists to keep
+    sub-ms solves off the ~1-3 ms tunnel dispatch / ~27 ms fetch path, the
+    same role the host mv engine (KID 11) serves for SpMV. Reference role:
+    the scalar substitution kernel (level2/aoclsparse_trsv_kr.hpp) — host
+    sequential by construction. Refreshability: cached under plan.levels,
+    which drops on update_values (same policy as the level form)."""
+
+    m: int
+    ptr: np.ndarray  # (m+1,) int64
+    ind: np.ndarray  # (nnz,) int64
+    val: np.ndarray  # (nnz,) host values, diagonal materialized
+    lower: bool
+
+    def solve(self, b: np.ndarray) -> np.ndarray:
+        from .. import native
+
+        return native.trsv_seq(self.m, self.ptr, self.ind, self.val, b, self.lower)
+
+
+def _host_eff_vals(eff: EffectiveCSR, clean_val) -> np.ndarray:
+    """Materialize an effective triangle's values on the HOST (the device
+    twin is EffectiveCSR.materialize): val[src] with src=-1 entries taking
+    const_val, then the conj flag."""
+    cv = np.asarray(clean_val)
+    src = np.asarray(eff.src, dtype=np.int64)
+    v = np.where(
+        src >= 0, cv[np.maximum(src, 0)], np.asarray(eff.const_val, dtype=cv.dtype)
+    )
+    if eff.conj and np.iscomplexobj(v):
+        v = np.conj(v)
+    return v
+
+
+def trsv_host_form_for(plan: Plan, descr: MatrixDescriptor, op: Operation) -> TrsvHostForm:
+    """Cached host-engine TRSV form — TRSV KID 2. Orientation rules match
+    trsv_form_for (transpose ops solve the host-transposed structure;
+    conj-transpose folds conjugation into the values), but no reversal is
+    needed: the sequential kernel sweeps either direction natively."""
+    tri_descr = MatrixDescriptor(
+        type=MatrixType.triangular,
+        fill_mode=descr.fill_mode,
+        diag_type=descr.diag_type,
+        base=descr.base,
+    )
+    dt = DiagType(tri_descr.diag_type)
+    if dt == DiagType.zero:
+        raise AoclSparseError(Status.invalid_value, "cannot solve with zero diagonal")
+    if plan.levels is None:
+        plan.levels = {}
+    op_ = Operation(op)
+    key = ("trsv_host", tri_descr.fill_mode, tri_descr.diag_type, op_)
+    form = plan.levels.get(key)
+    if form is not None:
+        return form
+    conj = op_ == Operation.conjugate_transpose
+    eff = build_effective_csr(plan.clean, tri_descr, Operation.none)
+    hval = _host_eff_vals(eff, plan.clean.val)
+    if conj and np.iscomplexobj(hval):
+        hval = np.conj(hval)
+    ptr, ind = eff.ptr, eff.ind
+    lower = FillMode(tri_descr.fill_mode) == FillMode.lower
+    if op_ != Operation.none:
+        t = _transpose_eff(eff)
+        ptr, ind = t.ptr, t.ind
+        hval = hval[t._order]
+        lower = not lower
+    form = TrsvHostForm(
+        m=eff.m,
+        ptr=np.ascontiguousarray(ptr, dtype=np.int64),
+        ind=np.ascontiguousarray(ind, dtype=np.int64),
+        val=np.ascontiguousarray(hval),
+        lower=lower,
+    )
+    plan.levels[key] = form
+    return form
+
+
 def trsv_level_form_for(plan: Plan, descr: MatrixDescriptor, op: Operation):
     """Cached level-scheduled (wavefront) TRSV form — TRSV KID 1
     (kernels/xla/trsv_level.py). Same orientation rules as trsv_form_for
@@ -440,6 +528,15 @@ def trsv_level_form_for(plan: Plan, descr: MatrixDescriptor, op: Operation):
     form = plan.levels.get(key)
     if form is not None:
         return form
+    with jax.ensure_compile_time_eval():  # concrete builds mid-trace, see trsv_form_for
+        form = _build_trsv_level_form_for(plan, tri_descr, op_, dt)
+    plan.levels[key] = form
+    return form
+
+
+def _build_trsv_level_form_for(plan: Plan, tri_descr, op_, dt):
+    from ..kernels.xla.trsv_level import build_level_form
+
     if op_ == Operation.conjugate_transpose:
         eff = build_effective_csr(plan.clean, tri_descr, Operation.none)
         eff = EffectiveCSR(eff.ptr, eff.ind, eff.src, True, eff.const_val, eff.shape)
@@ -462,5 +559,4 @@ def trsv_level_form_for(plan: Plan, descr: MatrixDescriptor, op: Operation):
         ptr, ind, src, m, reversed_, dt == DiagType.unit, eff.val
     )
     form._eff = eff
-    plan.levels[key] = form
     return form

@@ -526,8 +526,8 @@ def itsol_solve(
     """Forward interface (aoclsparse_itsol_?_solve, itsol_functions.hpp:543):
     drives the RCI loop internally, wiring mv and the option-selected
     preconditioner (User -> `precond` callable; SGS/ILU0 -> this library's).
-    Returns (x, rinfo). `monitoring(x_or_r, rinfo)` may return nonzero to
-    request user_stop."""
+    Returns (x, rinfo, status). `monitoring(x_or_r, rinfo)` may return
+    nonzero to request user_stop."""
     if A is None or descr is None:
         raise AoclSparseError(Status.invalid_pointer, "null matrix/descriptor")
     if A.shape != (n, n):

@@ -96,10 +96,10 @@ def test_save_load_preserves_autotune_pins(rng):
         save_plan(A, p)
         B = ast.create_csr(m, m, ptr, np.nonzero(mask)[1], dense[mask])
         load_plan(B, p)
-        if winner == "level":
+        if winner in ("level", "host"):
             # engine winners pin _trsv_engine, not a block size
             key = (low.fill_mode, low.diag_type, Operation.none)
-            assert get_plan(B)._trsv_engine.get(key) == "level"
+            assert get_plan(B)._trsv_engine.get(key) == winner
         else:
             form = trsv_form_for(get_plan(B), low, Operation.none)
             assert form.nb == winner
