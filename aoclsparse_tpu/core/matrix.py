@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -457,6 +458,9 @@ def update_values(h: SparseMatrix, values) -> SparseMatrix:
     _require_handle(h)
     if values is None:
         raise AoclSparseError(Status.invalid_pointer, "null values")
+    # keep a host twin when the caller handed numpy: the plan's host engines
+    # (mv KID 11, trsv KID 2) then refresh with zero device traffic
+    values_host = np.asarray(values) if not isinstance(values, jax.Array) else None
     values = jnp.asarray(values)
     if h.values_pending:
         # pending lazy extraction (band-engine SpGEMM product): the old
@@ -470,7 +474,7 @@ def update_values(h: SparseMatrix, values) -> SparseMatrix:
         h.data = CSR(ptr, ind, values, shape=shape)
         h.ilu_state = None
         if h.plan is not None:
-            h.plan.refresh_values(h.data)
+            h.plan.refresh_values(h.data, host_values=values_host)
         return h
     A = h.data
     if isinstance(A, TCSR):
@@ -486,7 +490,7 @@ def update_values(h: SparseMatrix, values) -> SparseMatrix:
     h.ilu_state = None
     # pattern unchanged: plan stays valid except value-derived caches
     if h.plan is not None:
-        h.plan.refresh_values(h.data)
+        h.plan.refresh_values(h.data, host_values=values_host)
     return h
 
 

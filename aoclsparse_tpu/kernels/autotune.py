@@ -361,8 +361,11 @@ def autotune_trsv(
         pass
     # host sequential engine (TRSV KID 2): wins when the whole solve is
     # latency-bound (tiny m) — a device dispatch alone costs ~1-3 ms here.
-    # k>1 probes tune the TRSM path, which has no host engine — skip.
-    if k == 1:
+    # k>1 probes tune the TRSM path, whose host engine (trsm KID 2) is
+    # explicit-KID only (the pin stores a single-RHS verdict); large
+    # triangles can't win on a sequential sweep (same 1<<18 carve-out as
+    # autotune_mv) — skip both rather than time a hopeless candidate.
+    if k == 1 and plan.clean.nnz <= (1 << 18):
         try:
             from ..planner.triangular import trsv_host_form_for
 

@@ -119,6 +119,11 @@ def _load() -> Optional[ctypes.CDLL]:
             fn = getattr(lib, f"trsv_seq_{suf}")
             fn.restype = None
             fn.argtypes = [ctypes.c_int64, i64p, i64p, vt, vt, vt, ctypes.c_int]
+            fn = getattr(lib, f"trsm_seq_{suf}")
+            fn.restype = None
+            fn.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, i64p, i64p, vt, vt, vt, ctypes.c_int,
+            ]
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.blkcsr_count.restype = ctypes.c_int64
         lib.blkcsr_count.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p, i64p, ctypes.c_int64]
@@ -523,6 +528,47 @@ def trsv_seq(m: int, ptr, ind, val, b, lower: bool) -> np.ndarray:
         ctypes.c_int(1 if lower else 0),
     )
     return x
+
+
+def trsm_seq(m: int, ptr, ind, val, B, lower: bool) -> np.ndarray:
+    """Multi-RHS sequential substitution (the host TRSM engine, trsm KID 2).
+    `B` is (m, k); columns solve independently, threaded across RHS in C++
+    like the reference's OpenMP column split (level3/aoclsparse_trsm.hpp:149).
+    Falls back to per-column numpy solves without the native library."""
+    ptr64 = _i64(ptr)
+    ind64 = _i64(ind)
+    v = np.ascontiguousarray(np.asarray(val))
+    Bh = np.asarray(B)
+    k = Bh.shape[1]
+    dt = np.result_type(v.dtype, Bh.dtype)
+    v = v.astype(dt, copy=False)
+    # (k, m) RHS-major: each solve sweeps a contiguous vector
+    bt = np.ascontiguousarray(Bh.T, dtype=dt)
+    lib = _load()
+    suf = _SUFFIX.get(np.dtype(dt))
+    if lib is None or suf is None:
+        out = np.empty((k, m), dtype=dt)
+        for r in range(k):
+            out[r] = _trsv_seq_numpy(m, ptr64, ind64, v, bt[r], lower)
+        return out.T
+    x = np.zeros((k, m), dtype=dt)
+    if suf in ("s", "d"):
+        ct = ctypes.c_float if suf == "s" else ctypes.c_double
+        vp = lambda a: a.ctypes.data_as(ctypes.POINTER(ct))
+    else:
+        vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    getattr(lib, f"trsm_seq_{suf}")(
+        ctypes.c_int64(m),
+        ctypes.c_int64(k),
+        ptr64.ctypes.data_as(i64p),
+        ind64.ctypes.data_as(i64p),
+        vp(v),
+        vp(bt),
+        vp(x),
+        ctypes.c_int(1 if lower else 0),
+    )
+    return x.T
 
 
 def _trsv_seq_numpy(m, ptr, ind, val, b, lower):

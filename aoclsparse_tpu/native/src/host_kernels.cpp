@@ -715,3 +715,71 @@ void trsv_seq_z(int64_t m, const int64_t *ptr, const int64_t *ind,
 }
 
 } // extern "C"
+
+// ---------------------------------------------------------------------------
+// Multi-RHS sequential solve (the host TRSM engine, ops/level3/trsm.py
+// KID 2): k independent substitutions over the same triangle, threaded
+// across RHS columns exactly like the reference's OpenMP column split
+// (level3/aoclsparse_trsm.hpp:149 — parallel for over k). Layout is
+// (k, m) RHS-major so each solve sweeps a contiguous vector.
+// ---------------------------------------------------------------------------
+
+template <typename T>
+static void trsm_seq_impl(int64_t m, int64_t k,
+                          const int64_t *ptr,
+                          const int64_t *ind,
+                          const T *val,
+                          const T *b,
+                          T *x,
+                          int lower)
+{
+    const unsigned hw = std::thread::hardware_concurrency();
+    const int64_t nthr =
+        (k >= 4 && hw > 1) ? std::min<int64_t>(k, (int64_t)hw) : 1;
+    if (nthr <= 1) {
+        for (int64_t r = 0; r < k; ++r)
+            trsv_seq_impl<T>(m, ptr, ind, val, b + r * m, x + r * m, lower);
+        return;
+    }
+    std::vector<std::thread> ts;
+    ts.reserve((size_t)nthr);
+    for (int64_t t = 0; t < nthr; ++t) {
+        const int64_t lo = k * t / nthr, hi = k * (t + 1) / nthr;
+        ts.emplace_back([=]() {
+            for (int64_t r = lo; r < hi; ++r)
+                trsv_seq_impl<T>(m, ptr, ind, val, b + r * m, x + r * m, lower);
+        });
+    }
+    for (auto &t : ts)
+        t.join();
+}
+
+extern "C" {
+
+void trsm_seq_s(int64_t m, int64_t k, const int64_t *ptr, const int64_t *ind,
+                const float *val, const float *b, float *x, int lower)
+{ trsm_seq_impl<float>(m, k, ptr, ind, val, b, x, lower); }
+
+void trsm_seq_d(int64_t m, int64_t k, const int64_t *ptr, const int64_t *ind,
+                const double *val, const double *b, double *x, int lower)
+{ trsm_seq_impl<double>(m, k, ptr, ind, val, b, x, lower); }
+
+void trsm_seq_c(int64_t m, int64_t k, const int64_t *ptr, const int64_t *ind,
+                const void *val, const void *b, void *x, int lower)
+{
+    trsm_seq_impl<std::complex<float>>(m, k, ptr, ind,
+                                       (const std::complex<float> *)val,
+                                       (const std::complex<float> *)b,
+                                       (std::complex<float> *)x, lower);
+}
+
+void trsm_seq_z(int64_t m, int64_t k, const int64_t *ptr, const int64_t *ind,
+                const void *val, const void *b, void *x, int lower)
+{
+    trsm_seq_impl<std::complex<double>>(m, k, ptr, ind,
+                                        (const std::complex<double> *)val,
+                                        (const std::complex<double> *)b,
+                                        (std::complex<double> *)x, lower);
+}
+
+} // extern "C"

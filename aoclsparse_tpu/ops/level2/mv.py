@@ -102,7 +102,7 @@ def _run_exec_form(form, x, kid):
             raise AoclSparseError(
                 Status.not_implemented, "host mv engine inside a traced program"
             )
-        return e.fn(form.host_ptr, form.host_ind, form.host_val, np.asarray(x))
+        return e.fn(form.host_ptr, form.host_ind, form.host_values(), np.asarray(x))
     if form.kind in ("segsum", "sell"):
         return e.fn(form.ind, form.val, form.row_ids, x, form.m)
     if form.kind == "ell":
@@ -321,11 +321,11 @@ def _spmv_core(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, x, kid=N
     return _run_exec_form(form, x, kid)
 
 
-def _host_route(A, descr, op, x, kid):
+def _host_route(A, descr, op, x, kid, alpha=1.0, beta=0.0, y=None):
     """Return the host ExecForm when this call should run on the host engine
     (explicit HOST KID, or an autotune_mv pin), else None. Traced inputs
-    never route here: a pin falls back to the device form, an explicit KID
-    errors out."""
+    (any of x/alpha/beta/y) never route here: a pin falls back to the device
+    form, an explicit KID errors out."""
     from ...kernels.host import HOST_MV_KID
 
     if kid is not None and kid != HOST_MV_KID:
@@ -335,7 +335,7 @@ def _host_route(A, descr, op, x, kid):
         descr.validate()
     except Exception:
         return None  # let the main path raise its usual statuses
-    if isinstance(x, jax.core.Tracer):
+    if any(isinstance(v, jax.core.Tracer) for v in (x, alpha, beta, y)):
         if kid == HOST_MV_KID:
             raise AoclSparseError(
                 Status.not_implemented, "host mv engine inside a traced program"
@@ -395,7 +395,7 @@ def _mv_host(alpha, A, descr, op, x, beta, y, form):
         # empty/alpha-0 quick exit keeps IEEE alpha*0 propagation (mv.cpp:118)
         return ((alpha * 0) * np.zeros(ny, dtype=dtype) + beta * y0).astype(dtype)
     e = registry.select("mv", fmt="host", kid=None)
-    ax = e.fn(form.host_ptr, form.host_ind, form.host_val, xh.astype(dtype, copy=False))
+    ax = e.fn(form.host_ptr, form.host_ind, form.host_values(), xh.astype(dtype, copy=False))
     if yh is None and np.isscalar(beta) and beta == 0:
         # finite-zero beta: skip the accumulate (nan/inf beta falls through)
         if np.isscalar(alpha) and alpha == 1.0:
@@ -417,7 +417,7 @@ def mv(
     """y = alpha * op(descr(A)) @ x + beta * y  (aoclsparse_?mv)."""
     if A is None or descr is None or x is None:
         raise AoclSparseError(Status.invalid_pointer, "null argument to mv")
-    hform = _host_route(A, descr, op, x, kid)
+    hform = _host_route(A, descr, op, x, kid, alpha, beta, y)
     if hform is not None:
         return _mv_host(alpha, A, descr, op, x, beta, y, hform)
     op, x, y, ny = _validate(A, descr, op, x, y)

@@ -40,11 +40,13 @@ registry.register("sv", KernelEntry(2, "host_sequential", None, "host", "any", -
 HOST_TRSV_KID = 2
 
 
-def _host_route(A, descr, op, b, kid):
+def _host_route(A, descr, op, b, kid, alpha=1.0, allow_pin=True):
     """Return the TrsvHostForm when this call should run on the host engine
     (explicit HOST KID, or an autotune_trsv pin), else None. Traced inputs
-    never route here: a pin falls back to the device form, an explicit KID
-    errors out. Mirrors mv._host_route (ops/level2/mv.py)."""
+    (b OR alpha) never route here: a pin falls back to the device form, an
+    explicit KID errors out. Mirrors mv._host_route (ops/level2/mv.py).
+    `allow_pin=False` (trsm) honors only the explicit KID — the trsv pin
+    comes from a single-RHS measurement and must not hijack multi-RHS."""
     if kid is not None and kid != HOST_TRSV_KID:
         return None
     try:
@@ -56,7 +58,7 @@ def _host_route(A, descr, op, b, kid):
         return None
     import jax
 
-    if isinstance(b, jax.core.Tracer):
+    if isinstance(b, jax.core.Tracer) or isinstance(alpha, jax.core.Tracer):
         if kid == HOST_TRSV_KID:
             raise AoclSparseError(
                 Status.not_implemented, "host trsv engine inside a traced program"
@@ -68,7 +70,7 @@ def _host_route(A, descr, op, b, kid):
         return trsv_host_form_for(get_plan(A), descr, op)
     # autotune pin: only consult an EXISTING plan — never materialize lazy
     # SpGEMM values or build a plan just to probe for a pin
-    if A.values_pending or A.plan is None:
+    if not allow_pin or A.values_pending or A.plan is None:
         return None
     eng = getattr(A.plan, "_trsv_engine", None)
     if eng and eng.get((descr.fill_mode, descr.diag_type, op)) == "host":
@@ -90,9 +92,10 @@ def _solve(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, rhs, kid):
         )
     entry = registry.select("sv", kid=kid)  # KID validation + engine choice
     if entry.fmt == "host":
-        # reached only under a trace (the eager entry routes host itself)
+        # only reachable with traced operands: the eager trsv/trsm entries
+        # route the host engine themselves before calling _solve
         raise AoclSparseError(
-            Status.not_implemented, "host trsv engine inside a traced program"
+            Status.not_implemented, "host solve engine inside a traced program"
         )
     plan = get_plan(A)
     if kid is None and entry.fmt != "level":
@@ -131,7 +134,7 @@ def trsv(
     """x = op(tri(A))^{-1} (alpha * b)  (aoclsparse_?trsv)."""
     if A is None or descr is None or b is None:
         raise AoclSparseError(Status.invalid_pointer, "null argument")
-    hform = _host_route(A, descr, op, b, kid)
+    hform = _host_route(A, descr, op, b, kid, alpha)
     if hform is not None:
         # whole-call host path: numpy in, numpy out — nothing touches the
         # device (the engine exists to dodge the tunnel dispatch/fetch cost)

@@ -80,6 +80,8 @@ class CleanCSR:
     #: input entry to its merged slot (values accumulate, matching the dense
     #: oracle's duplicate-summing semantics)
     merge_seg: Optional[np.ndarray] = None
+    #: cached host copy of `val` (see host_val); None = not materialized
+    val_host: Optional[np.ndarray] = None
 
     @property
     def m(self) -> int:
@@ -93,7 +95,28 @@ class CleanCSR:
     def nnz(self) -> int:
         return int(self.ind.size)
 
-    def refresh(self, new_val) -> None:
+    def host_val(self) -> np.ndarray:
+        """Host copy of the sorted values, cached: host engines (mv KID 11,
+        trsv KID 2) must not pay a device->host fetch per form build when
+        one fetch (or a numpy update_values, which fills the cache for
+        free) can serve them all."""
+        if self.val_host is None:
+            self.val_host = np.asarray(self.val)
+        return self.val_host
+
+    def refresh(self, new_val, host_input=None) -> None:
+        self.val_host = None
+        if host_input is None and isinstance(new_val, np.ndarray):
+            host_input = new_val
+        if host_input is not None:
+            # numpy update: keep the host twin current without any device
+            # round-trip (host engines rebuild from it)
+            v_h = np.asarray(host_input).reshape(-1)[self.perm]
+            if self.merge_seg is not None:
+                u = np.zeros(self.nnz, dtype=v_h.dtype)
+                np.add.at(u, self.merge_seg, v_h)
+                v_h = u
+            self.val_host = v_h
         v = jnp.asarray(new_val)[jnp.asarray(self.perm)]
         if self.merge_seg is not None:
             v = jnp.zeros((self.nnz,), dtype=v.dtype).at[jnp.asarray(self.merge_seg)].add(v)
@@ -476,10 +499,21 @@ class ExecForm:
     host_ind: Optional[np.ndarray] = None
     host_val: Optional[np.ndarray] = None
 
+    def host_values(self) -> np.ndarray:
+        """Lazy host value vector: refresh must not pay a device->host fetch
+        for a form that may never run again (update_values in a serving loop
+        would eat ~27 ms/update through the tunnel); the fetch lands on the
+        first host-engine call after the refresh instead."""
+        if self.host_val is None:
+            self.host_val = np.asarray(self._host_pending)
+            self._host_pending = None
+        return self.host_val
+
     def refresh(self, eff_val: jax.Array) -> None:
         self._bwd_val_bf16 = None  # derived bf16 operand (mixed-precision path)
         if self.kind == "host":
-            self.host_val = np.asarray(eff_val)
+            self.host_val = None  # materialized lazily, see host_values
+            self._host_pending = eff_val
         elif self.kind == "segsum":
             self.val = eff_val
         elif self.kind == "sell":
@@ -1468,10 +1502,17 @@ class Plan:
         )
         self.exec_forms[key] = form
 
-    def refresh_values(self, data) -> None:
-        """After update_values: re-run every value gather (structure reused)."""
-        new_val = data.val if hasattr(data, "val") else jnp.asarray(data)
-        self.clean.refresh(new_val)
+    def refresh_values(self, data, host_values=None) -> None:
+        """After update_values: re-run every value gather (structure reused).
+        `host_values` is the caller's numpy copy when one exists — CleanCSR
+        fills its host twin from it, so host engines refresh with zero
+        device traffic."""
+        new_val = data.val if hasattr(data, "val") else data
+        if not isinstance(new_val, (np.ndarray, jax.Array)):
+            new_val = np.asarray(new_val)
+        if host_values is None and isinstance(new_val, np.ndarray):
+            host_values = new_val
+        self.clean.refresh(new_val, host_input=host_values)
         for eff in self.effective.values():
             v = _gather_vals_jit(self.clean.val, jnp.asarray(eff.src), eff.const_val)
             eff.val = _apply_conj_pattern(eff, v)

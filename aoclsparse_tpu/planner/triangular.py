@@ -445,12 +445,20 @@ class TrsvHostForm:
 
         return native.trsv_seq(self.m, self.ptr, self.ind, self.val, b, self.lower)
 
+    def solve_mat(self, B: np.ndarray) -> np.ndarray:
+        """Multi-RHS twin (trsm KID 2): columns threaded in C++ like the
+        reference's OpenMP RHS split (level3/aoclsparse_trsm.hpp:149)."""
+        from .. import native
 
-def _host_eff_vals(eff: EffectiveCSR, clean_val) -> np.ndarray:
+        return native.trsm_seq(self.m, self.ptr, self.ind, self.val, B, self.lower)
+
+
+def _host_eff_vals(eff: EffectiveCSR, clean: CleanCSR) -> np.ndarray:
     """Materialize an effective triangle's values on the HOST (the device
     twin is EffectiveCSR.materialize): val[src] with src=-1 entries taking
-    const_val, then the conj flag."""
-    cv = np.asarray(clean_val)
+    const_val, then the conj flag. Values come from the clean CSR's cached
+    host copy (zero device traffic after a numpy update_values)."""
+    cv = clean.host_val()
     src = np.asarray(eff.src, dtype=np.int64)
     v = np.where(
         src >= 0, cv[np.maximum(src, 0)], np.asarray(eff.const_val, dtype=cv.dtype)
@@ -483,7 +491,7 @@ def trsv_host_form_for(plan: Plan, descr: MatrixDescriptor, op: Operation) -> Tr
         return form
     conj = op_ == Operation.conjugate_transpose
     eff = build_effective_csr(plan.clean, tri_descr, Operation.none)
-    hval = _host_eff_vals(eff, plan.clean.val)
+    hval = _host_eff_vals(eff, plan.clean)
     if conj and np.iscomplexobj(hval):
         hval = np.conj(hval)
     ptr, ind = eff.ptr, eff.ind

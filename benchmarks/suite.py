@@ -405,6 +405,73 @@ def main():
     except Exception as e:
         results.append({"metric": "trsv_level_circuit", "error": repr(e)[:200]})
 
+    # ---- host latency engines (mv KID 11, trsv/trsm KID 2): the whole-call
+    # numpy paths that exist to dodge the ~1-3 ms tunnel dispatch on tiny
+    # operands; reported as host-vs-device time so the crossover is visible
+    try:
+        import time as _time
+
+        mh_ = 48
+        ptr_h, ind_h, val_h, dense_hs = 0, 0, 0, None
+        dense_hs = np.tril(
+            rng.standard_normal((mh_, mh_)) * (rng.random((mh_, mh_)) < 0.2), -1
+        ).astype(np.float64) + np.diag(3 + rng.random(mh_))
+        mask_h = dense_hs != 0
+        ptr_h = np.concatenate([[0], np.cumsum(mask_h.sum(1))])
+        Ahost = ast.create_csr(mh_, mh_, ptr_h, np.nonzero(mask_h)[1], dense_hs[mask_h])
+        bh_ = rng.standard_normal(mh_)
+        Bh_ = rng.standard_normal((mh_, 8))
+        descr_g = MatrixDescriptor()
+
+        def _host_best(fn, iters=50, chunks=3):
+            best = float("inf")
+            fn()
+            for _ in range(chunks):
+                t0 = _time.perf_counter()
+                for _ in range(iters):
+                    fn()
+                best = min(best, (_time.perf_counter() - t0) / iters)
+            return best
+
+        t_mv_h = _host_best(lambda: ast.mv(1.0, Ahost, descr_g, Operation.none, bh_, 0.0, kid=11))
+        t_mv_d = chain_min(
+            lambda: ast.mv(1.0, Ahost, descr_g, Operation.none, bh_, 0.0),
+            iters_per=20,
+            chunks=3,
+        )
+        t_sv_h = _host_best(lambda: ast.trsv(1.0, Ahost, descr_t, Operation.none, bh_, kid=2))
+        t_sv_d = chain_min(
+            lambda: ast.trsv(1.0, Ahost, descr_t, Operation.none, bh_),
+            iters_per=20,
+            chunks=3,
+        )
+        t_sm_h = _host_best(
+            lambda: ast.trsm(1.0, Ahost, descr_t, Operation.none, Bh_, kid=2), iters=20
+        )
+        t_sm_d = chain_min(
+            lambda: ast.trsm(1.0, Ahost, descr_t, Operation.none, Bh_),
+            iters_per=10,
+            chunks=3,
+        )
+        results.append(
+            {
+                "metric": "host_latency_engines",
+                "value": round(t_sv_d / t_sv_h, 2),
+                "unit": "x (trsv device/host)",
+                "extra": {
+                    "m": mh_,
+                    "mv_host_us": round(t_mv_h * 1e6, 1),
+                    "mv_device_us": round(t_mv_d * 1e6, 1),
+                    "trsv_host_us": round(t_sv_h * 1e6, 1),
+                    "trsv_device_us": round(t_sv_d * 1e6, 1),
+                    "trsm_k8_host_us": round(t_sm_h * 1e6, 1),
+                    "trsm_k8_device_us": round(t_sm_d * 1e6, 1),
+                },
+            }
+        )
+    except Exception as e:
+        results.append({"metric": "host_latency_engines", "error": repr(e)[:200]})
+
     # ---- SpGEMM band x band numeric (scan-of-matmuls engine) ----
     try:
         from aoclsparse_tpu.kernels.xla.spgemm_band import (

@@ -188,3 +188,43 @@ def test_host_pin_snapshot_roundtrip(rng, tmp_path):
     y = ast.mv(1.0, B, GEN, Operation.none, x, 0.0)
     assert isinstance(y, np.ndarray)
     np.testing.assert_allclose(y, dense @ x, rtol=1e-12)
+
+
+def test_host_pin_traced_beta_y_falls_back(rng):
+    # a host pin must not crash a jitted caller whose y (or beta) is traced
+    A, dense = _random_csr(rng, 20, 20, dtype=np.float64)
+    x = rng.standard_normal(20)
+    y0 = rng.standard_normal(20)
+    from aoclsparse_tpu import optimize
+
+    optimize(A)
+    plan = get_plan(A)
+    from aoclsparse_tpu.core.types import Operation as Op
+
+    plan._mv_engine = {
+        (GEN.type, GEN.fill_mode, GEN.diag_type, Op.none): "host"
+    }
+    got = jax.jit(lambda yy: ast.mv(1.0, A, GEN, Op.none, x, 0.5, yy))(y0)
+    np.testing.assert_allclose(np.asarray(got), dense @ x + 0.5 * y0, rtol=1e-12)
+    got2 = jax.jit(lambda bb: ast.mv(1.0, A, GEN, Op.none, x, bb))(0.25)
+    np.testing.assert_allclose(np.asarray(got2), dense @ x, rtol=1e-12)
+    # the pin still routes host for a fully-concrete call
+    got3 = ast.mv(1.0, A, GEN, Op.none, x, 0.0)
+    assert isinstance(got3, np.ndarray)
+
+
+def test_host_mv_lazy_refresh_after_numpy_update(rng):
+    A, dense = _random_csr(rng, 16, 16, dtype=np.float64)
+    x = rng.standard_normal(16)
+    from aoclsparse_tpu.kernels.host import HOST_MV_KID
+
+    y0 = ast.mv(1.0, A, GEN, Operation.none, x, 0.0, kid=HOST_MV_KID)
+    new_dense = dense * 3.0
+    ast.update_values(A, new_dense[new_dense != 0])
+    form = get_plan(A).exec_forms.get(
+        (GEN.type, GEN.fill_mode, GEN.diag_type, Operation.none, "host")
+    )
+    assert form is not None and form.host_val is None  # lazy until next use
+    y1 = ast.mv(1.0, A, GEN, Operation.none, x, 0.0, kid=HOST_MV_KID)
+    np.testing.assert_allclose(y1, new_dense @ x, rtol=1e-12)
+    np.testing.assert_allclose(y1, 3.0 * y0, rtol=1e-12)

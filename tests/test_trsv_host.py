@@ -155,3 +155,86 @@ def test_autotune_trsv_times_host_engine(rng):
     A, _ = _mk(rng, 24, np.float64, ensure_diag=True)
     res = autotune_trsv(A, iters=2, chunks=1)
     assert "host" in res  # the host candidate was measured
+
+
+def test_host_pin_traced_alpha_falls_back(rng):
+    # a host pin must not crash a jitted caller that traces only alpha
+    m = 14
+    A, (ptr, ind, val, dense) = _mk(rng, m, np.float64, ensure_diag=True)
+    descr = MatrixDescriptor(type=MatrixType.triangular)
+    b = np.linspace(1.0, 2.0, m)
+    from aoclsparse_tpu import optimize
+
+    optimize(A)
+    get_plan(A)._trsv_engine = {
+        (descr.fill_mode, descr.diag_type, Operation.none): "host"
+    }
+    x = jax.jit(lambda a: ast.trsv(a, A, descr, Operation.none, b))(1.5)
+    want = ref_trsv(1.5, m, ptr, ind, val, descr, Operation.none, b)
+    assert_allclose_spec(np.asarray(x), want, dtype=np.float64, scale=30)
+    # explicit kid=2 with a traced alpha raises (cannot run host on tracers)
+    with pytest.raises(AoclSparseError) as e:
+        jax.jit(lambda a: ast.trsv(a, A, descr, Operation.none, b, kid=2))(1.5)
+    assert e.value.status == Status.not_implemented
+
+
+def test_trsm_host_kid(rng):
+    # trsm KID 2: the multi-RHS host engine (columns threaded in C++)
+    m = 18
+    A, (ptr, ind, val, dense) = _mk(rng, m, np.float64, ensure_diag=True)
+    descr = MatrixDescriptor(type=MatrixType.triangular)
+    B = rng.standard_normal((m, 5))
+    X = ast.trsm(1.3, A, descr, Operation.none, B, kid=2)
+    assert isinstance(X, np.ndarray)  # nothing touches the device
+    L = np.tril(dense)
+    np.testing.assert_allclose(X, np.linalg.solve(L, 1.3 * B), rtol=1e-9)
+    # device parity + column order + transpose op
+    Xd = ast.trsm(1.3, A, descr, Operation.none, B)
+    np.testing.assert_allclose(X, np.asarray(Xd), rtol=1e-9)
+    from aoclsparse_tpu import Order
+
+    Xc = ast.trsm(1.0, A, descr, Operation.transpose, B.T, order=Order.column, kid=2)
+    np.testing.assert_allclose(np.asarray(Xc).T, np.linalg.solve(L.T, B), rtol=1e-9)
+    # the host engine never runs under a trace: explicit kid raises
+    with pytest.raises(AoclSparseError) as e:
+        jax.jit(lambda bb: ast.trsm(1.0, A, descr, Operation.none, bb, kid=2))(B)
+    assert e.value.status == Status.not_implemented
+    # a trsv host pin must NOT hijack trsm (single-RHS measurement only)
+    from aoclsparse_tpu import optimize
+
+    optimize(A)
+    get_plan(A)._trsv_engine = {
+        (descr.fill_mode, descr.diag_type, Operation.none): "host"
+    }
+    Xp = ast.trsm(1.0, A, descr, Operation.none, B)
+    assert not isinstance(Xp, np.ndarray)  # stayed on the device form
+
+
+def test_trsm_seq_threaded_matches_single(rng):
+    from aoclsparse_tpu.native import trsm_seq
+
+    m, k = 40, 9  # k >= 4 triggers the threaded column split
+    _, (ptr, ind, val, dense) = _mk(rng, m, np.float64, ensure_diag=True)
+    L = np.tril(dense)
+    mask = L != 0
+    tptr = np.concatenate([[0], np.cumsum(mask.sum(1))]).astype(np.int64)
+    tind = np.nonzero(mask)[1].astype(np.int64)
+    B = rng.standard_normal((m, k))
+    X = trsm_seq(m, tptr, tind, L[mask], B, True)
+    np.testing.assert_allclose(X, np.linalg.solve(L, B), rtol=1e-9)
+
+
+def test_host_refresh_is_lazy_and_numpy_update_free(rng):
+    # CleanCSR keeps a host value twin after a numpy update_values, so the
+    # host engine rebuild does not touch the device at all
+    m = 12
+    A, (ptr, ind, val, dense) = _mk(rng, m, np.float64, ensure_diag=True)
+    descr = MatrixDescriptor(type=MatrixType.triangular)
+    b = rng.standard_normal(m)
+    ast.trsv(1.0, A, descr, Operation.none, b, kid=2)
+    new_val = np.asarray(val) * 0.5
+    ast.update_values(A, new_val)
+    assert get_plan(A).clean.val_host is not None  # numpy update filled it
+    x = ast.trsv(1.0, A, descr, Operation.none, b, kid=2)
+    want = ref_trsv(1.0, m, ptr, ind, new_val, descr, Operation.none, b)
+    assert_allclose_spec(x, want, dtype=np.float64, scale=30)
