@@ -95,17 +95,19 @@ def main():
     rng = np.random.default_rng(7)
     results = []
 
-    # same-window achievable-bandwidth calibration (see bench.py): a plain
-    # fused stream over 128 MB; rerun alongside every family
+    # same-window achievable-bandwidth calibration (see bench.py): a dense
+    # READ stream over 128 MB (SpMV traffic is read-dominant; the old
+    # read+write kernel paid a 128 MB allocation per call and understated
+    # achievable in traffic-metered windows); rerun alongside every family
     stream_buf = jnp.asarray(rng.standard_normal(32 * 1024 * 1024).astype(np.float32))
 
     @jax.jit
     def _stream(b):
-        return b * 2.0 + 1.0
+        return jnp.sum(b)
 
     def window_gbps():
         t = chain_min(lambda: _stream(stream_buf), iters_per=6, chunks=2)
-        return round(2 * stream_buf.size * 4 / t / 1e9, 1)
+        return round(stream_buf.size * 4 / t / 1e9, 1)
 
     m = n = 262144
     row_nnz, half_bw = 64, 64
@@ -415,12 +417,14 @@ def main():
         ptr_h, ind_h, val_h, dense_hs = 0, 0, 0, None
         dense_hs = np.tril(
             rng.standard_normal((mh_, mh_)) * (rng.random((mh_, mh_)) < 0.2), -1
-        ).astype(np.float64) + np.diag(3 + rng.random(mh_))
+        ).astype(np.float32) + np.diag(3 + rng.random(mh_)).astype(np.float32)
         mask_h = dense_hs != 0
         ptr_h = np.concatenate([[0], np.cumsum(mask_h.sum(1))])
+        # f32 throughout: under jit-default-f32 the handle values land f32,
+        # and f64 operands would (correctly) trip the narrowing check
         Ahost = ast.create_csr(mh_, mh_, ptr_h, np.nonzero(mask_h)[1], dense_hs[mask_h])
-        bh_ = rng.standard_normal(mh_)
-        Bh_ = rng.standard_normal((mh_, 8))
+        bh_ = rng.standard_normal(mh_).astype(np.float32)
+        Bh_ = rng.standard_normal((mh_, 8)).astype(np.float32)
         descr_g = MatrixDescriptor()
 
         def _host_best(fn, iters=50, chunks=3):
