@@ -89,6 +89,10 @@ def _emit(t, window_gbps, t_bf16, meta, stalled=False):
                 "f32_t_us": round(t * 1e6, 2),
                 "bf16mul_gbs_eff": None if t_bf16 is None else round(gbytes / t_bf16, 1),
                 "bf16mul_t_us": None if t_bf16 is None else round(t_bf16 * 1e6, 1),
+                # the bf16 variant's execution form (the f32 headline form can
+                # differ, e.g. Pallas bandt) so a bf16 "win" is attributable
+                # to precision vs form
+                "bf16_exec_form": None if t_bf16 is None else _progress.get("bf16_form"),
                 "W": bwd_W,
                 "m": m,
                 "nnz": nnz,
@@ -120,7 +124,7 @@ def _watchdog(wall_s):
                 print(
                     json.dumps(
                         {
-                            "metric": "spmv_csr_f32_gbs",
+                            "metric": "spmv_csr_gbs_eff",
                             "value": 0.0,
                             "unit": "GB/s",
                             "vs_baseline": 0.0,
@@ -207,6 +211,7 @@ def main():
         def run16():
             return spmv_bwd(wv16, xp_b, form_b.bwd_W, form_b.bwd_base8, form_b.bwd_n_pad, True)
 
+        _progress["bf16_form"] = "bwd"
     except Exception:
         run16 = None
 

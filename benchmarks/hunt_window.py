@@ -21,8 +21,14 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "HUNT.jsonl")
 
+# Session id stamped on every record: appended hunts restart their round
+# counter, so downstream analysis needs (session, round) as the key, not
+# round alone (ADVICE r2).
+SESSION = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+
 
 def emit(rec):
+    rec.setdefault("session", SESSION)
     line = json.dumps(rec)
     print(line, flush=True)
     with open(OUT, "a") as f:
@@ -246,6 +252,7 @@ def main():
     deadline = time.time() + hours * 3600
     stop_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "HUNT_STOP")
     rnd, good = 0, 0
+    emit({"probe": "hunt_session_start", "good_target": good_target, "hours": hours})
     # opportunistic tier: when the pool never clears good_target (whole days
     # have measured 0.1-0.4 GB/s), still record the A/B set in the best
     # window seen so far — within one window relative comparisons hold
