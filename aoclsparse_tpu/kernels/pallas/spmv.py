@@ -19,10 +19,19 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_spmv_bwd", "pallas_spmv_band_t", "spmv_bandt"]
+__all__ = [
+    "pallas_spmv_bwd",
+    "pallas_spmv_band_t",
+    "pallas_spmv_band_v",
+    "band_vert_layout",
+    "pallas_spmv_band_mxu",
+    "band_mxu_blocks",
+    "spmv_bandt",
+]
 
 
 @partial(
@@ -217,6 +226,173 @@ def pallas_spmv_band_t(vt, xe, W: int, start: int, TM: int = 1024, interpret: bo
         interpret=interpret,
     )(vt, x2, x2)
     return out.reshape(-1)[:m]
+
+
+def _kernel_t_v(vt4_ref, x0_ref, x1_ref, out_ref, *, TM: int, W: int):
+    """Vertical-layout band SpMV tile: y[i] = sum_j vt[j, i] * xwin[i + j].
+
+    The v2 kernel's (1, TM) FMA chain uses one sublane of each VPU tile
+    (1/8 of the ALUs). Here the band arrives PRE-TRANSFORMED to the
+    output's natural (8, TM/8) sublane distribution (band_vert_layout):
+    row (j*8 + s) of the block holds vt[j, ...] for output sublane s, so
+    each j is one full-tile (8, TM/8) FMA straight into the accumulator —
+    no reduction, no relayout, all 8 sublanes live. The SUB shifted x
+    copies come from ONE strided roll (a sublane-concat of
+    differently-offset lane slices is not lowerable: mixed vpad offsets).
+    A bf16 band upcasts per PAIR of j's (one full 16-sublane bf16 tile;
+    the round-2 per-slice astype relayout disappears)."""
+    TMd8 = TM // 8
+    x0 = x0_ref[:].reshape(1, TM)
+    x1 = x1_ref[:].reshape(1, TM)
+    xwin = jnp.concatenate([x0, x1], axis=1)  # (1, 2*TM) f32
+    # base[s, i] = xwin[0, i + s*TM/8]  (stride 2*TM - TM/8 == -TM/8 mod 2*TM)
+    xrep = jnp.broadcast_to(xwin, (8, 2 * TM))
+    base = pltpu.roll(xrep, 0, 1, stride=2 * TM - TMd8, stride_axis=0)
+    acc = jnp.zeros((8, TMd8), dtype=out_ref.dtype)
+    if vt4_ref.dtype == jnp.bfloat16:
+        for j0 in range(0, W, 2):
+            pair = vt4_ref[j0 * 8 : j0 * 8 + 16, :].astype(out_ref.dtype)
+            acc = acc + pair[0:8] * base[:, j0 : j0 + TMd8]
+            acc = acc + pair[8:16] * base[:, j0 + 1 : j0 + 1 + TMd8]
+    else:
+        for j in range(W):
+            acc = acc + vt4_ref[j * 8 : j * 8 + 8, :] * base[:, j : j + TMd8]
+    out_ref[:] = acc
+
+
+def band_vert_layout(vt, TM: int):
+    """Pre-transform a (W, m) transposed band for pallas_spmv_band_v:
+    returns (W*8, ntile*TM/8) with row (j*8 + s), column (t*TM/8 + c)
+    holding vt[j, t*TM + s*TM/8 + c]. Accepts numpy or jax arrays (done
+    once at plan/cache build, not per dispatch)."""
+    xp = np if isinstance(vt, np.ndarray) else jnp
+    W, m = vt.shape
+    ntile = -(-m // TM)
+    if ntile * TM != m:
+        vt = xp.pad(vt, ((0, 0), (0, ntile * TM - m)))
+    v = vt.reshape(W, ntile, 8, TM // 8).transpose(0, 2, 1, 3)
+    return v.reshape(W * 8, ntile * (TM // 8))
+
+
+@partial(jax.jit, static_argnames=("W", "start", "TM", "interpret"))
+def pallas_spmv_band_v(vt4, xe, W: int, start: int, TM: int = 2048, interpret: bool = False):
+    """Vertical-layout row-aligned band SpMV (same math contract as
+    pallas_spmv_band_t, but the band must be pre-transformed with
+    band_vert_layout(vt, TM)). vt4 may be bf16 (W even; per-pair
+    whole-tile upcast, f32 accumulate) or f32. Requires W <= TM."""
+    W8, mcols = vt4.shape
+    assert W8 == W * 8 and W <= TM
+    if vt4.dtype == jnp.bfloat16:
+        assert W % 2 == 0, "bf16 vertical band needs even W (pad a zero row)"
+    TMd8 = TM // 8
+    ntile = mcols // TMd8
+    m = ntile * TM
+    coarse, rem = divmod(start, TM)
+    need = (ntile + coarse + 2) * TM + rem
+    if xe.shape[0] < need:
+        xe = jnp.pad(xe, (0, need - xe.shape[0]))
+    if rem:
+        xe = jnp.roll(xe, -rem)
+    nchunk = xe.shape[0] // TM
+    x2 = xe[: nchunk * TM].reshape(nchunk * 8, TMd8)
+    odt = jnp.float32 if vt4.dtype == jnp.bfloat16 else vt4.dtype
+
+    out = pl.pallas_call(
+        partial(_kernel_t_v, TM=TM, W=W),
+        out_shape=jax.ShapeDtypeStruct((ntile * 8, TMd8), odt),
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((W * 8, TMd8), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TMd8), lambda t: (t + coarse, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TMd8), lambda t: (t + coarse + 1, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TMd8), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(vt4, x2, x2)
+    return out.reshape(-1)[:m]
+
+
+def _kernel_mxu(dt_ref, x0_ref, x1_ref, out_ref, *, TM: int, NB: int):
+    """MXU block-window band SpMV tile: NB row-blocks of 128, each a
+    (1, 256) x-window slice times a pre-transposed (256, 128) dense window
+    block — lane-major in and out, so the only non-MXU work is the final
+    (NB, 128) concat. Trades 2x band bytes for MXU execution (the VPU
+    FMA-chain kernels top out near ~190 GB/s effective)."""
+    xwin = jnp.concatenate(
+        [x0_ref[:].reshape(1, TM), x1_ref[:].reshape(1, TM)], axis=1
+    )  # (1, 2*TM) f32
+    # f32 blocks need full-precision dots: the TPU matmul default rounds
+    # operands to bf16 passes (measured relerr ~2.5e-3 on the f32 form)
+    prec = None if dt_ref.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    ys = []
+    for q in range(NB):
+        xq = xwin[:, 128 * q : 128 * q + 256].astype(dt_ref.dtype)  # (1, 256)
+        ys.append(
+            jnp.dot(
+                xq, dt_ref[q], preferred_element_type=out_ref.dtype, precision=prec
+            )
+        )  # (1, 128)
+    out_ref[:] = jnp.concatenate(ys, axis=0)  # (NB, 128)
+
+
+@partial(jax.jit, static_argnames=("start", "TM", "interpret"))
+def pallas_spmv_band_mxu(dt, xe, start: int, TM: int = 1024, interpret: bool = False):
+    """Block-window band SpMV: y[128k+s] = sum_c dt[k, c, s] * xe[start+128k+c].
+
+    dt: (nblk, 256, 128) pre-transposed dense window blocks built by the
+    planner from the row-aligned band (dt[k, c, s] = A[128k+s, ...] with the
+    window of block k starting at xe[start + 128k]); supports W <= 129.
+    dt may be bf16 (x slices cast to bf16, f32 accumulate via the MXU's
+    native mixed precision). TM must be a multiple of 128."""
+    nblk = dt.shape[0]
+    m = nblk * 128
+    assert TM % 128 == 0
+    NB = TM // 128
+    ntile = -(-nblk // NB)
+    if ntile * NB != nblk:
+        dt = jnp.pad(dt, ((0, ntile * NB - nblk), (0, 0), (0, 0)))
+    coarse, rem = divmod(start, TM)
+    need = (ntile + coarse + 2) * TM + rem
+    if xe.shape[0] < need:
+        xe = jnp.pad(xe, (0, need - xe.shape[0]))
+    if rem:
+        xe = jnp.roll(xe, -rem)
+    nchunk = xe.shape[0] // TM
+    x2 = xe[: nchunk * TM].reshape(nchunk * 8, TM // 8)
+    odt = jnp.float32 if dt.dtype == jnp.bfloat16 else dt.dtype
+
+    out = pl.pallas_call(
+        partial(_kernel_mxu, TM=TM, NB=NB),
+        out_shape=jax.ShapeDtypeStruct((ntile * NB, 128), odt),
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((NB, 256, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TM // 8), lambda t: (t + coarse, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TM // 8), lambda t: (t + coarse + 1, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((NB, 128), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(dt, x2, x2)
+    return out.reshape(-1)[:m]
+
+
+def band_mxu_blocks(vt: np.ndarray, W: int) -> np.ndarray:
+    """Host-side: build the (nblk, 256, 128) pre-transposed window blocks for
+    pallas_spmv_band_mxu from a (W, m) transposed row-aligned band
+    (vt[j, i] = A-band entry j of row i; W <= 129). Window of block k covers
+    xe offsets [start + 128k, start + 128k + 256): row i = 128k+s reads
+    offsets s+j, so D[k, s, s+j] = vt[j, i]."""
+    Wm, m = vt.shape
+    assert Wm == W and W <= 129
+    nblk = -(-m // 128)
+    m_pad = nblk * 128
+    if m_pad != m:
+        vt = np.pad(vt, ((0, 0), (0, m_pad - m)))
+    D = np.zeros((m_pad, 256), dtype=vt.dtype)
+    rows = np.arange(m_pad)
+    s = rows % 128
+    D[rows[:, None], s[:, None] + np.arange(W)[None, :]] = vt.T
+    return np.ascontiguousarray(D.reshape(nblk, 128, 256).transpose(0, 2, 1))
 
 
 def _kernel(val_ref, x0_ref, x1_ref, out_ref, *, TM: int, W: int):

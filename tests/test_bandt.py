@@ -225,6 +225,79 @@ def test_bandtm_wide_rhs_falls_back_to_bwdg(rng, monkeypatch):
         reset_context()
 
 
+def _band_ref_y(vt, x, lo):
+    """y[i] = sum_j vt[j, i] * x[i + lo + j] (entries out of range skipped)."""
+    W, m = vt.shape
+    y = np.zeros(m, np.float64)
+    for j in range(W):
+        idx = np.arange(m) + lo + j
+        ok = (idx >= 0) & (idx < x.size)
+        y[ok] += vt[j, ok].astype(np.float64) * x[idx[ok]]
+    return y
+
+
+def test_pallas_band_v_variants(rng):
+    """Vertical-layout band kernel (round-3): the band is pre-transformed
+    to the output's (8, TM/8) sublane distribution so every j is a
+    full-tile FMA (no reduction/relayout; the v2 kernel's (1, TM) chain
+    uses 1/8 of the VPU). f32 matches the v2 kernel; bf16 (per-pair
+    whole-tile upcast) matches to bf16 precision; the start-remainder
+    roll path and ragged m are exercised."""
+    import jax.numpy as jnp
+
+    from aoclsparse_tpu.kernels.pallas.spmv import (
+        band_vert_layout,
+        pallas_spmv_band_t,
+        pallas_spmv_band_v,
+    )
+
+    m, W, lo, TM = 700, 32, -16, 128
+    vt = rng.standard_normal((W, m)).astype(np.float32)
+    x = rng.standard_normal(m).astype(np.float32)
+    y_ref = _band_ref_y(vt, x, lo)
+    xe = jnp.asarray(np.pad(x, (-lo, 0)))
+    vt4 = jnp.asarray(band_vert_layout(vt, TM))
+    y8 = np.asarray(pallas_spmv_band_v(vt4, xe, W, 0, TM=TM, interpret=True))[:m]
+    np.testing.assert_allclose(y8, y_ref, atol=1e-4)
+    vt4b = jnp.asarray(band_vert_layout(vt.astype(jnp.bfloat16), TM))
+    y16 = np.asarray(pallas_spmv_band_v(vt4b, xe, W, 0, TM=TM, interpret=True))[:m]
+    assert np.max(np.abs(y16 - y_ref)) / np.max(np.abs(y_ref)) < 2e-2
+    # start remainder (rolls xe): parity vs the v2 kernel on the same inputs
+    start = 24
+    xe2 = jnp.asarray(np.pad(x, (0, W + start)))
+    ya = np.asarray(pallas_spmv_band_t(jnp.asarray(vt), xe2, W, start, TM=TM, interpret=True))
+    yb = np.asarray(pallas_spmv_band_v(vt4, xe2, W, start, TM=TM, interpret=True))[:m]
+    np.testing.assert_allclose(yb, ya, atol=1e-4)
+
+
+def test_pallas_band_mxu(rng):
+    """MXU block-window band kernel (round-3): host block builder +
+    kernel parity vs the band oracle, f32 and bf16, W up to 129."""
+    import jax.numpy as jnp
+
+    from aoclsparse_tpu.kernels.pallas.spmv import (
+        band_mxu_blocks,
+        pallas_spmv_band_mxu,
+    )
+
+    m, lo = 640, -16
+    x = rng.standard_normal(m).astype(np.float32)
+    for W in (32, 129):
+        vt = rng.standard_normal((W, m)).astype(np.float32)
+        y_ref = _band_ref_y(vt, x, lo)
+        xe = jnp.asarray(np.pad(x, (-lo, 0)))
+        dt = band_mxu_blocks(vt, W)
+        assert dt.shape == (m // 128, 256, 128)
+        y = np.asarray(pallas_spmv_band_mxu(jnp.asarray(dt), xe, 0, TM=256, interpret=True))
+        np.testing.assert_allclose(y, y_ref, atol=1e-3)
+        y16 = np.asarray(
+            pallas_spmv_band_mxu(
+                jnp.asarray(dt, jnp.bfloat16), xe, 0, TM=256, interpret=True
+            )
+        )
+        assert np.max(np.abs(y16 - y_ref)) / np.max(np.abs(y_ref)) < 2e-2
+
+
 def test_pallas_trsm_multi_rhs(rng, monkeypatch):
     """Multi-RHS sequential-grid solve (pallas_trsm_win_inv): trsm routes
     through it under Pallas, matches the solve oracle, keeps values
