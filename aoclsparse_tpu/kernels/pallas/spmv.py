@@ -31,6 +31,7 @@ __all__ = [
     "pallas_spmv_band_mxu",
     "band_mxu_blocks",
     "spmv_bandt",
+    "spmv_bandv",
 ]
 
 
@@ -57,6 +58,38 @@ def spmv_bandt(
     m = vt.shape[1]
     xe = jnp.pad(x, (padL, 0))
     y = pallas_spmv_band_t(vt, xe, W, start, TM=TM, interpret=interpret)
+    if has_spill:
+        y = y + jax.ops.segment_sum(
+            sp_val * x[sp_ind], sp_rows, num_segments=m, indices_are_sorted=True
+        )
+    return y
+
+
+@partial(
+    jax.jit,
+    static_argnames=("m", "W", "padL", "start", "TM", "interpret", "has_spill"),
+)
+def spmv_bandv(
+    vt4,
+    x,
+    sp_val,
+    sp_ind,
+    sp_rows,
+    m: int,
+    W: int,
+    padL: int,
+    start: int,
+    TM: int = 2048,
+    interpret: bool = False,
+    has_spill: bool = False,
+):
+    """Full bandv dispatch (mv KID 12): pad x, run the vertical-layout
+    Pallas kernel (pallas_spmv_band_v) on the pre-transformed band
+    (ExecForm.bandt_vertical), add the planner's peel spill — one compiled
+    program. Same math contract as spmv_bandt; vt4 may be bf16 under the
+    docs/precision.md policy (f32 accumulate)."""
+    xe = jnp.pad(x, (padL, 0))
+    y = pallas_spmv_band_v(vt4, xe, W, start, TM=TM, interpret=interpret)[:m]
     if has_spill:
         y = y + jax.ops.segment_sum(
             sp_val * x[sp_ind], sp_rows, num_segments=m, indices_are_sorted=True
@@ -242,12 +275,19 @@ def _kernel_t_v(vt4_ref, x0_ref, x1_ref, out_ref, *, TM: int, W: int):
     A bf16 band upcasts per PAIR of j's (one full 16-sublane bf16 tile;
     the round-2 per-slice astype relayout disappears)."""
     TMd8 = TM // 8
-    x0 = x0_ref[:].reshape(1, TM)
-    x1 = x1_ref[:].reshape(1, TM)
-    xwin = jnp.concatenate([x0, x1], axis=1)  # (1, 2*TM) f32
-    # base[s, i] = xwin[0, i + s*TM/8]  (stride 2*TM - TM/8 == -TM/8 mod 2*TM)
-    xrep = jnp.broadcast_to(xwin, (8, 2 * TM))
-    base = pltpu.roll(xrep, 0, 1, stride=2 * TM - TMd8, stride_axis=0)
+    # The x chunks are (8, TM/8) tiles whose sublane s holds
+    # xe[chunk*TM + s*TM/8 + c] — already the output tile's sublane
+    # distribution. Build base[s, i] = xwin[s*TM/8 + i] for
+    # i < nslab*TM/8 by lane-concatenating sublane-rolled copies of the
+    # 16-row chunk pair (PLAIN rolls only: pltpu.roll's strided form
+    # miscompiles when row*stride exceeds the axis size — compiled
+    # results diverge from interpret mode, measured on v5e).
+    xcat = jnp.concatenate([x0_ref[:], x1_ref[:]], axis=0)  # (16, TM/8)
+    nslab = 1 + -(-(W - 1) // TMd8)  # covers lane index j + c <= W-1 + TM/8-1
+    slabs = [xcat[0:8]]
+    for k in range(1, nslab):
+        slabs.append(pltpu.roll(xcat, 16 - k, 0)[0:8])  # rows k..k+7
+    base = jnp.concatenate(slabs, axis=1)  # (8, nslab*TM/8)
     acc = jnp.zeros((8, TMd8), dtype=out_ref.dtype)
     if vt4_ref.dtype == jnp.bfloat16:
         for j0 in range(0, W, 2):
@@ -279,7 +319,10 @@ def pallas_spmv_band_v(vt4, xe, W: int, start: int, TM: int = 2048, interpret: b
     """Vertical-layout row-aligned band SpMV (same math contract as
     pallas_spmv_band_t, but the band must be pre-transformed with
     band_vert_layout(vt, TM)). vt4 may be bf16 (W even; per-pair
-    whole-tile upcast, f32 accumulate) or f32. Requires W <= TM."""
+    whole-tile upcast, f32 accumulate) or f32. Requires W <= TM, and
+    TM >= 1024 for compiled runs (the band block's lane dim is TM/8,
+    which Mosaic requires to be a 128-multiple; interpret-mode tests may
+    use smaller tiles)."""
     W8, mcols = vt4.shape
     assert W8 == W * 8 and W <= TM
     if vt4.dtype == jnp.bfloat16:

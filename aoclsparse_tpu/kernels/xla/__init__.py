@@ -21,9 +21,13 @@ registry.register("mv", KernelEntry(7, "xla_gen", spmv.spmv_gen, "gen", "any", 1
 registry.register("mv", KernelEntry(9, "xla_bwdg", spmv.spmv_bwdg, "bwdg", "any", 1))
 registry.register("mv", KernelEntry(10, "xla_sell", spmv.spmv_sell, "sell", "any", 0))
 
-from ..pallas.spmv import spmv_bandt  # noqa: E402
+from ..pallas.spmv import spmv_bandt, spmv_bandv  # noqa: E402
 
 registry.register("mv", KernelEntry(8, "pallas_bandt", spmv_bandt, "bandt", "any", 2))
+# vertical-layout twin (full 8-sublane VPU tiles, pre-transformed band):
+# explicit-KID row until the good-window A/B (benchmarks/hunt_r3.py) proves
+# it beats the v2 kernel — then its priority flips above KID 8
+registry.register("mv", KernelEntry(12, "pallas_bandv", spmv_bandv, "bandt", "any", 1))
 
 # Host engine for latency-bound tiny operands (kernels/host.py): negative
 # priority keeps it out of Oracle auto-selection — it runs only via an

@@ -158,6 +158,8 @@ def _run_exec_form(form, x, kid):
             offs_static=form.dia_offs_static,
         )
     if form.kind == "bandt":
+        import os
+
         from ...core.context import get_context
 
         has_spill = form.sp_ind is not None and bool(form.sp_ind.shape[0])
@@ -165,6 +167,29 @@ def _run_exec_form(form, x, kid):
         # tunnel dispatch each (~1-3 ms) — measured as a ~950us/call gap
         # between the raw kernel and this dispatch path (HUNT.jsonl)
         zero_i, zero_v = _zero_operands(x.dtype)
+        TM = 2048 if get_context().is_tpu else max(128, -(-form.bwd_W // 8) * 8)
+        if e.name == "pallas_bandv":
+            # vertical-layout kernel (KID 12): pre-transformed band, full
+            # 8-sublane VPU tiles; bf16 band under the precision policy
+            mixed = (
+                os.environ.get("AOCLSPARSE_TPU_MIXED_PRECISION", "0") in ("1", "true")
+                and x.dtype == jnp.float32
+            )
+            vt4 = form.bandt_vertical(TM=TM, bf16=mixed)
+            return e.fn(
+                vt4,
+                x,
+                form.sp_val if has_spill else zero_v,
+                form.sp_ind if has_spill else zero_i,
+                form.sp_rows if has_spill else zero_i,
+                m=form.m,
+                W=vt4.shape[0] // 8,
+                padL=form.bwd_padL,
+                start=form.bandt_start,
+                TM=TM,
+                interpret=not get_context().is_tpu,
+                has_spill=has_spill,
+            )
         return e.fn(
             form.bwd_val,
             x,
@@ -174,7 +199,7 @@ def _run_exec_form(form, x, kid):
             W=form.bwd_W,
             padL=form.bwd_padL,
             start=form.bandt_start,
-            TM=2048 if get_context().is_tpu else max(128, -(-form.bwd_W // 8) * 8),
+            TM=TM,
             interpret=not get_context().is_tpu,
             has_spill=has_spill,
         )

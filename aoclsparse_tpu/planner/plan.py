@@ -509,8 +509,36 @@ class ExecForm:
             self._host_pending = None
         return self.host_val
 
+    def bandt_vertical(self, TM: int = 2048, bf16: bool = False) -> jax.Array:
+        """Lazy vertical-layout band for the bandv kernel (mv KID 12,
+        kernels/pallas/spmv.py pallas_spmv_band_v): the (W, m) bandt slab
+        pre-transformed to the output tile's (8, TM/8) sublane distribution.
+        Built once on device (reshape/transpose), cached per (TM, dtype),
+        dropped on refresh() so update_values flows through."""
+        key = ("_bandt_v4_bf16" if bf16 else "_bandt_v4", TM)
+        cache = getattr(self, "_bandt_v4_cache", None)
+        if cache is None:
+            cache = self._bandt_v4_cache = {}
+        v4 = cache.get(key)
+        if v4 is None:
+            from ..kernels.pallas.spmv import band_vert_layout
+
+            src = self.bwd_val
+            W = self.bwd_W
+            if bf16:
+                src = src.astype(jnp.bfloat16)
+                if W % 2:  # bandv bf16 pairs j's: pad a zero band row
+                    src = jnp.pad(src, ((0, 1), (0, 0)))
+                    W += 1
+            # concrete even when the caller is tracing (bwd_val is a real
+            # array): never cache a tracer on the plan
+            with jax.ensure_compile_time_eval():
+                v4 = cache[key] = band_vert_layout(src, TM)
+        return v4
+
     def refresh(self, eff_val: jax.Array) -> None:
         self._bwd_val_bf16 = None  # derived bf16 operand (mixed-precision path)
+        self._bandt_v4_cache = None  # derived vertical-layout bands (KID 12)
         if self.kind == "host":
             self.host_val = None  # materialized lazily, see host_values
             self._host_pending = eff_val

@@ -200,20 +200,44 @@ def main():
     # policy (docs/precision.md) — pre-cast operand, f32 accumulate. Timed
     # inside the SAME adaptive windows as the headline (best-of-chunks; a
     # single-window sample would be meaningless under pool contention).
+    # Preferred bf16 form: the vertical-layout Pallas kernel (mv KID 12 —
+    # whole-tile band upcast, no per-slice relayout); falls back to the
+    # XLA bwd form if the Mosaic compile fails.
     run16 = None
     try:
-        from aoclsparse_tpu.kernels.xla.spmv import spmv_bwd
-
-        form_b = plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="bwd")
-        xp_b = jnp.pad(x_d, (form_b.bwd_padL, form_b.bwd_n_pad - form_b.bwd_padL - n))
-        wv16 = jnp.asarray(form_b.bwd_val, dtype=jnp.bfloat16)
+        if form.kind != "bandt":
+            raise RuntimeError("bandv needs the bandt form")
 
         def run16():
-            return spmv_bwd(wv16, xp_b, form_b.bwd_W, form_b.bwd_base8, form_b.bwd_n_pad, True)
+            # the library's KID 12 dispatch (vertical-layout Pallas kernel)
+            # with the bf16 band under the precision policy env flag
+            os.environ["AOCLSPARSE_TPU_MIXED_PRECISION"] = "1"
+            try:
+                return _run_exec_form(form, x_d, 12)
+            finally:
+                os.environ["AOCLSPARSE_TPU_MIXED_PRECISION"] = "0"
 
-        _progress["bf16_form"] = "bwd"
+        y = run16()
+        np.asarray(y[:1])
+        _progress["bf16_form"] = "bandv"
     except Exception:
         run16 = None
+    if run16 is None:
+        try:
+            from aoclsparse_tpu.kernels.xla.spmv import spmv_bwd
+
+            form_b = plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="bwd")
+            xp_b = jnp.pad(x_d, (form_b.bwd_padL, form_b.bwd_n_pad - form_b.bwd_padL - n))
+            wv16 = jnp.asarray(form_b.bwd_val, dtype=jnp.bfloat16)
+
+            def run16():
+                return spmv_bwd(
+                    wv16, xp_b, form_b.bwd_W, form_b.bwd_base8, form_b.bwd_n_pad, True
+                )
+
+            _progress["bf16_form"] = "bwd"
+        except Exception:
+            run16 = None
 
     # warmup / compile — if the Pallas path fails to compile (the remote
     # Mosaic service has been flaky), fall back to the XLA band form so the

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Round-3 good-window kernel hunter.
+
+Compiles the band-SpMV kernel quartet up-front (bandt f32 / bandv f32 /
+bandv bf16 / mxu bf16) on the headline cant-class operand, then loops:
+sample the pool's read-stream rate; when it exceeds HUNT3_GOOD_GBPS
+(default 200 — the VPU-chain kernel tops out ~190 GB/s effective, so only
+faster windows can discriminate the designs), time all four back-to-back
+plus the stream, and append to benchmarks/HUNT_r3.jsonl. Exits after
+HUNT3_GOOD_ROUNDS good rounds (default 3) or HUNT3_HOURS (default 4).
+
+Run as the ONLY TPU process.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "HUNT_r3.jsonl")
+SESSION = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+
+
+def emit(rec):
+    rec.setdefault("session", SESSION)
+    rec.setdefault("t", round(time.time()))
+    line = json.dumps(rec)
+    print(line, flush=True)
+    with open(OUT, "a") as f:
+        f.write(line + "\n")
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    import jax.numpy as jnp
+
+    import aoclsparse_tpu as ast
+    from aoclsparse_tpu import MatrixDescriptor, Operation
+    from aoclsparse_tpu.kernels.pallas.spmv import (
+        band_mxu_blocks,
+        band_vert_layout,
+        pallas_spmv_band_mxu,
+        pallas_spmv_band_t,
+        pallas_spmv_band_v,
+    )
+    from aoclsparse_tpu.planner.plan import get_plan
+
+    good_gbps = float(os.environ.get("HUNT3_GOOD_GBPS", "200"))
+    good_rounds = int(os.environ.get("HUNT3_GOOD_ROUNDS", "3"))
+    hours = float(os.environ.get("HUNT3_HOURS", "4"))
+    deadline = time.time() + hours * 3600
+
+    rng = np.random.default_rng(7)
+    m = n = 262144
+    row_nnz, half_bw = 64, 64
+    win = 2 * half_bw
+    base = np.clip(np.arange(m) - half_bw, 0, n - win)
+    pick = np.argsort(rng.random((m, win)), axis=1)[:, :row_nnz]
+    cols = np.sort(base[:, None] + pick, axis=1)
+    ptr = np.arange(m + 1, dtype=np.int64) * row_nnz
+    val = rng.standard_normal(m * row_nnz).astype(np.float32)
+    nnz = m * row_nnz
+    x = rng.standard_normal(n).astype(np.float32)
+
+    A = ast.create_csr(m, n, ptr, cols.reshape(-1).astype(np.int32), val)
+    ast.set_mv_hint(A, Operation.none, MatrixDescriptor(), nop=1000)
+    plan = get_plan(A)
+    form = plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="bandt")
+    W, padL, start = form.bwd_W, form.bwd_padL, form.bandt_start
+    vt = form.bwd_val
+    vt_np = np.asarray(vt)
+    xe = jnp.pad(jnp.asarray(x), (padL, 0))
+    gbytes_eff = ((m + 1 + nnz) * 4 + (nnz + n + m) * 4) / 1e9
+
+    vt4 = jnp.asarray(band_vert_layout(vt_np, 2048))
+    vt4b = jnp.asarray(band_vert_layout(vt_np, 2048), dtype=jnp.bfloat16)
+    dt16 = jnp.asarray(band_mxu_blocks(vt_np, W), dtype=jnp.bfloat16)
+
+    kernels = {
+        "bandt_f32": lambda: pallas_spmv_band_t(vt, xe, W, start, TM=2048),
+        "bandv_f32": lambda: pallas_spmv_band_v(vt4, xe, W, start, TM=2048),
+        "bandv_bf16": lambda: pallas_spmv_band_v(vt4b, xe, W, start, TM=2048),
+        "mxu_bf16": lambda: pallas_spmv_band_mxu(dt16, xe, start, TM=2048),
+    }
+
+    stream_buf = jnp.asarray(rng.standard_normal(32 * 1024 * 1024, dtype=np.float32))
+    ssum = jax.jit(jnp.sum)
+
+    # compile everything now (window time is for timing only)
+    for name, fn in kernels.items():
+        yv = np.asarray(fn())
+        emit({"event": "compiled", "kernel": name, "y0": float(yv[0])})
+    float(ssum(stream_buf))
+
+    def stream_gbps(iters=6):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            z = ssum(stream_buf)
+        float(z)
+        return stream_buf.size * 4 / ((time.perf_counter() - t0) / iters) / 1e9
+
+    def time_kernel(fn, iters=30):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = fn()
+        np.asarray(y[:1])
+        return (time.perf_counter() - t0) / iters
+
+    good = 0
+    rnd = 0
+    while time.time() < deadline and good < good_rounds:
+        rnd += 1
+        s = stream_gbps()
+        if s < good_gbps:
+            emit({"round": rnd, "stream_gbps": round(s, 1), "good": False})
+            time.sleep(45)
+            continue
+        rec = {"round": rnd, "stream_gbps": round(s, 1), "good": True}
+        for name, fn in kernels.items():
+            t = min(time_kernel(fn), time_kernel(fn))
+            rec[name + "_us"] = round(t * 1e6, 1)
+            rec[name + "_gbs_eff"] = round(gbytes_eff / t, 1)
+        rec["stream_gbps_post"] = round(stream_gbps(), 1)
+        emit(rec)
+        good += 1
+    emit({"event": "done", "good_rounds": good})
+
+
+if __name__ == "__main__":
+    main()

@@ -270,6 +270,31 @@ def test_pallas_band_v_variants(rng):
     np.testing.assert_allclose(yb, ya, atol=1e-4)
 
 
+def test_bandv_kid12_dispatch(rng, monkeypatch):
+    """mv KID 12 (vertical-layout band kernel) through the full library
+    dispatch: parity with KID 8, peel spill, mixed-precision band, and
+    update_values refresh (the cached vertical layout must drop)."""
+    m = 8192
+    A, dense = _band(rng, m, 5, per_row=3, outliers=40)
+    x = rng.standard_normal(m)
+    y8 = np.asarray(ast.mv(1.0, A, GEN, Operation.none, x, 0.0, kid=8))
+    y12 = np.asarray(ast.mv(1.0, A, GEN, Operation.none, x, 0.0, kid=12))
+    np.testing.assert_allclose(y12, y8, atol=1e-10)
+    np.testing.assert_allclose(y12, dense @ x, atol=1e-10)
+    # mixed precision: bf16 band multiply under the documented policy
+    monkeypatch.setenv("AOCLSPARSE_TPU_MIXED_PRECISION", "1")
+    xf = x.astype(np.float32)
+    y12m = np.asarray(ast.mv(1.0, A, GEN, Operation.none, xf, 0.0, kid=12))
+    ref = dense @ x
+    assert np.max(np.abs(y12m - ref)) / np.max(np.abs(ref)) < 2e-2
+    monkeypatch.delenv("AOCLSPARSE_TPU_MIXED_PRECISION")
+    # refresh: scaled values must invalidate the cached vertical band
+    _, _, _, ptr_e, ind_e, val_e = ast.export_csr(A)
+    ast.update_values(A, np.asarray(val_e) * 2.0)
+    y12r = np.asarray(ast.mv(1.0, A, GEN, Operation.none, x, 0.0, kid=12))
+    np.testing.assert_allclose(y12r, 2.0 * ref, atol=1e-9)
+
+
 def test_pallas_band_mxu(rng):
     """MXU block-window band kernel (round-3): host block builder +
     kernel parity vs the band oracle, f32 and bf16, W up to 129."""
