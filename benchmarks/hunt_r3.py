@@ -52,7 +52,7 @@ def main():
     )
     from aoclsparse_tpu.planner.plan import get_plan
 
-    good_gbps = float(os.environ.get("HUNT3_GOOD_GBPS", "200"))
+    good_gbps = float(os.environ.get("HUNT3_GOOD_GBPS", "170"))
     good_rounds = int(os.environ.get("HUNT3_GOOD_ROUNDS", "3"))
     hours = float(os.environ.get("HUNT3_HOURS", "4"))
     deadline = time.time() + hours * 3600
@@ -83,20 +83,64 @@ def main():
     vt4b = jnp.asarray(band_vert_layout(vt_np, 2048), dtype=jnp.bfloat16)
     dt16 = jnp.asarray(band_mxu_blocks(vt_np, W), dtype=jnp.bfloat16)
 
+    # diagnostic: the same read-reduce as the XLA stream but as a Pallas
+    # grid kernel — if its rate tracks the XLA stream the pool treats
+    # custom calls like any program; if it pins at the band kernels' ~190
+    # GB/s ceiling, Pallas programs are throttled differently
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+    from functools import partial as _part
+
+    def _psum_kernel(x_ref, o_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        o_ref[:] += jnp.sum(x_ref[:], axis=0, keepdims=True)
+
+    def pallas_stream(buf2d, TMS=512):
+        nt = buf2d.shape[0] // TMS
+        return pl.pallas_call(
+            _psum_kernel,
+            out_shape=jax.ShapeDtypeStruct((1, buf2d.shape[1]), jnp.float32),
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec((TMS, buf2d.shape[1]), lambda t: (t, 0), memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec((1, buf2d.shape[1]), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        )(buf2d)
+
+    stream2d = jnp.asarray(
+        rng.standard_normal(32 * 1024 * 1024, dtype=np.float32).reshape(-1, 512)
+    )
+    pstream = jax.jit(_part(pallas_stream))
+
     kernels = {
         "bandt_f32": lambda: pallas_spmv_band_t(vt, xe, W, start, TM=2048),
+        "bandt_f32_tm8192": lambda: pallas_spmv_band_t(vt, xe, W, start, TM=8192),
         "bandv_f32": lambda: pallas_spmv_band_v(vt4, xe, W, start, TM=2048),
         "bandv_bf16": lambda: pallas_spmv_band_v(vt4b, xe, W, start, TM=2048),
         "mxu_bf16": lambda: pallas_spmv_band_mxu(dt16, xe, start, TM=2048),
+        "pallas_stream128mb": lambda: pstream(stream2d),
     }
 
     stream_buf = jnp.asarray(rng.standard_normal(32 * 1024 * 1024, dtype=np.float32))
     ssum = jax.jit(jnp.sum)
 
-    # compile everything now (window time is for timing only)
-    for name, fn in kernels.items():
-        yv = np.asarray(fn())
-        emit({"event": "compiled", "kernel": name, "y0": float(yv[0])})
+    kbytes = {name: gbytes_eff for name in kernels}
+    kbytes["pallas_stream128mb"] = 128 * 1024 * 1024 / 1e9  # raw bytes read
+
+    # compile everything now (window time is for timing only); drop any
+    # kernel whose Mosaic compile fails rather than losing the whole hunt
+    for name, fn in list(kernels.items()):
+        try:
+            yv = np.asarray(fn())
+            emit({"event": "compiled", "kernel": name, "y0": float(yv.ravel()[0])})
+        except Exception as e:
+            emit({"event": "compile_failed", "kernel": name, "error": repr(e)[:200]})
+            del kernels[name]
     float(ssum(stream_buf))
 
     def stream_gbps(iters=6):
@@ -118,18 +162,22 @@ def main():
     while time.time() < deadline and good < good_rounds:
         rnd += 1
         s = stream_gbps()
-        if s < good_gbps:
+        if s < good_gbps and rnd % 12 != 0:
             emit({"round": rnd, "stream_gbps": round(s, 1), "good": False})
             time.sleep(45)
             continue
-        rec = {"round": rnd, "stream_gbps": round(s, 1), "good": True}
+        # every 12th round also time the quartet in a mediocre window: the
+        # kernels' relative order is informative even when the absolute
+        # rate is window-capped
+        rec = {"round": rnd, "stream_gbps": round(s, 1), "good": s >= good_gbps}
         for name, fn in kernels.items():
             t = min(time_kernel(fn), time_kernel(fn))
             rec[name + "_us"] = round(t * 1e6, 1)
-            rec[name + "_gbs_eff"] = round(gbytes_eff / t, 1)
+            rec[name + "_gbs_eff"] = round(kbytes[name] / t, 1)
         rec["stream_gbps_post"] = round(stream_gbps(), 1)
         emit(rec)
-        good += 1
+        if rec["good"]:
+            good += 1
     emit({"event": "done", "good_rounds": good})
 
 
