@@ -136,7 +136,7 @@ def autotune_mv(
     return results
 
 
-_MM_KINDS = ("bandtm", "bwdg", "ell", "ellhyb", "segsum")
+_MM_KINDS = ("bandtm", "bandmxu", "bwdg", "ell", "ellhyb", "segsum")
 
 
 def autotune_mm(
@@ -174,7 +174,13 @@ def autotune_mm(
     else:
         B = jnp.asarray(B).astype(A.dtype)
         k = int(B.shape[1])
-    kid_of = {e.fmt: e.kid for e in registry.table("mm")}
+    # first entry per fmt wins (KID 4/5 share fmt "bandtm"); the MXU twin
+    # gets its own label resolved by name
+    kid_of: Dict[str, int] = {}
+    for e in registry.table("mm"):
+        kid_of.setdefault(e.fmt, e.kid)
+        if e.name == "pallas_bandmxu":
+            kid_of["bandmxu"] = e.kid
     results: Dict[str, float] = {}
     for kind in kinds or _MM_KINDS:
         kid = kid_of.get(kind)

@@ -29,6 +29,7 @@ __all__ = [
     "pallas_spmv_band_v",
     "band_vert_layout",
     "pallas_spmv_band_mxu",
+    "pallas_spmm_band_mxu",
     "band_mxu_blocks",
     "spmv_bandt",
     "spmv_bandv",
@@ -194,6 +195,103 @@ def spmm_bandtm(
             contrib, sp_rows, num_segments=m, indices_are_sorted=True
         )
     return C
+
+
+@partial(
+    jax.jit,
+    static_argnames=("m", "padL", "start", "TM", "interpret", "has_spill"),
+)
+def spmm_bandmxu(
+    dt,
+    B,
+    sp_val,
+    sp_ind,
+    sp_rows,
+    m: int,
+    padL: int,
+    start: int,
+    TM: int = 1024,
+    interpret: bool = False,
+    has_spill: bool = False,
+):
+    """Full MXU band-SpMM dispatch (mm KID 5): pad B rows (and its width to
+    a lane multiple), run pallas_spmm_band_mxu on the pre-transposed window
+    blocks (ExecForm.band_mxu_dt), add the peel spill — one compiled
+    program. dt may be bf16 under the docs/precision.md policy."""
+    K = B.shape[1]
+    K_pad = -(-K // 128) * 128
+    Be = jnp.pad(B, ((padL, 0), (0, K_pad - K)))
+    C = pallas_spmm_band_mxu(dt, Be, start, TM=TM, interpret=interpret)[:m, :K]
+    if has_spill:
+        contrib = sp_val[:, None] * B[sp_ind]
+        C = C + jax.ops.segment_sum(
+            contrib, sp_rows, num_segments=m, indices_are_sorted=True
+        )
+    return C
+
+
+def _kernel_mm_mxu(dt_ref, b0_ref, b1_ref, out_ref, *, NB: int, K: int):
+    """MXU block-window band SpMM tile: NB row-blocks of 128, each a
+    (256, 128)^T x (256, K) MXU matmul over an ALIGNED 256-row sublane
+    slice of the B window — the per-column VPU FMA chain of _kernel_mm
+    disappears entirely; compute rides the MXU and the kernel's floor is
+    the dt + B streaming."""
+    Bcat = jnp.concatenate([b0_ref[:], b1_ref[:]], axis=0)  # (2*TM, K)
+    prec = None if dt_ref.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    outs = []
+    for q in range(NB):
+        Bwin = Bcat[128 * q : 128 * q + 256, :].astype(dt_ref.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                dt_ref[q],
+                Bwin,
+                (((0,), (0,)), ((), ())),
+                precision=prec,
+                preferred_element_type=out_ref.dtype,
+            )
+        )  # (128, K)
+    out_ref[:] = jnp.concatenate(outs, axis=0)  # (TM, K)
+
+
+@partial(jax.jit, static_argnames=("start", "TM", "interpret"))
+def pallas_spmm_band_mxu(dt, Be, start: int, TM: int = 1024, interpret: bool = False):
+    """Block-window band SpMM: C[128k+s, :] = sum_c dt[k, c, s] * Be[start+128k+c, :].
+
+    dt: the same (nblk, 256, 128) pre-transposed window blocks as
+    pallas_spmv_band_mxu (band_mxu_blocks); Be: padded (ne, K) dense RHS.
+    K must be a multiple of 128; TM a multiple of 128. dt may be bf16
+    (B window cast to bf16, f32 accumulate on the MXU)."""
+    nblk = dt.shape[0]
+    m = nblk * 128
+    K = Be.shape[1]
+    assert TM % 128 == 0 and K % 128 == 0
+    NB = TM // 128
+    ntile = -(-nblk // NB)
+    if ntile * NB != nblk:
+        dt = jnp.pad(dt, ((0, ntile * NB - nblk), (0, 0), (0, 0)))
+    coarse, rem = divmod(start, TM)
+    need = (ntile + coarse + 2) * TM + rem
+    if Be.shape[0] < need:
+        Be = jnp.pad(Be, ((0, need - Be.shape[0]), (0, 0)))
+    if rem:
+        Be = jnp.roll(Be, -rem, axis=0)
+    nchunk = Be.shape[0] // TM
+    B3 = Be[: nchunk * TM]
+    odt = jnp.float32 if dt.dtype == jnp.bfloat16 else dt.dtype
+
+    out = pl.pallas_call(
+        partial(_kernel_mm_mxu, NB=NB, K=K),
+        out_shape=jax.ShapeDtypeStruct((ntile * TM, K), odt),
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((NB, 256, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, K), lambda t: (t + coarse, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, K), lambda t: (t + coarse + 1, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(dt, B3, B3)
+    return out[:m]
 
 
 # ---------------------------------------------------------------------------

@@ -41,8 +41,14 @@ registry.register("mm", KernelEntry(2, "xla_ellhyb", K.spmm_ellhyb, "ellhyb", "a
 registry.register("mm", KernelEntry(3, "xla_bwdg", K.spmm_bwd, "bwdg", "any", 1))
 
 from ...kernels.pallas.spmv import spmm_bandtm as _spmm_bandtm  # noqa: E402
+from ...kernels.pallas.spmv import spmm_bandmxu as _spmm_bandmxu  # noqa: E402
 
 registry.register("mm", KernelEntry(4, "pallas_bandtm", _spmm_bandtm, "bandtm", "any", 2))
+# MXU block-window twin (mm KID 5): 2x band bytes but the per-column VPU
+# FMA chain becomes real (256, 128) x (256, K) MXU matmuls, and no RHS
+# width cap (bandtm is VMEM-capped at BANDTM_MAX_K). Explicit-KID /
+# autotune row until measured ahead on the real chip; requires W <= 129.
+registry.register("mm", KernelEntry(5, "pallas_bandmxu", _spmm_bandmxu, "bandtm", "any", 1))
 
 
 @jax.jit
@@ -115,6 +121,12 @@ def mm(
         tuned = getattr(plan, "_mm_tuned", None)
         if tuned is not None:
             kind = tuned.get((descr.type, descr.fill_mode, descr.diag_type, op, k))
+            if kind == "bandmxu":  # autotune label for the KID-5 MXU twin
+                for e2 in registry.table("mm"):
+                    if e2.name == "pallas_bandmxu":
+                        kid = e2.kid
+                        break
+                kind = "bandtm"
     if kind is None:
         # TPU: group-banded MXU form when the band blowup is acceptable
         # (gathers are ~400x off the stream rate there; see planner notes)
@@ -161,7 +173,33 @@ def mm(
         form = plan.exec_form_for(descr, op, kind=gather_fallback_kind(eff), dtype=A.dtype)
     e = registry.select("mm", fmt=form.kind, kid=kid)
     Bc = B.astype(A.dtype)
-    if form.kind == "bandtm":
+    if form.kind == "bandtm" and e.name == "pallas_bandmxu":
+        import os
+
+        from ...core.context import get_context
+
+        has_spill = form.sp_ind is not None and bool(form.sp_ind.shape[0])
+        from ..level2.mv import _zero_operands
+
+        zero_i, zero_v = _zero_operands(Bc.dtype)
+        mixed = (
+            os.environ.get("AOCLSPARSE_TPU_MIXED_PRECISION", "0") in ("1", "true")
+            and Bc.dtype == jnp.float32
+        )
+        c_new = e.fn(
+            form.band_mxu_dt(bf16=mixed),
+            Bc,
+            form.sp_val if has_spill else zero_v,
+            form.sp_ind if has_spill else zero_i,
+            form.sp_rows if has_spill else zero_i,
+            m=form.m,
+            padL=form.bwd_padL,
+            start=form.bandt_start,
+            TM=1024 if get_context().is_tpu else 256,
+            interpret=not get_context().is_tpu,
+            has_spill=has_spill,
+        )
+    elif form.kind == "bandtm":
         from ...core.context import get_context
 
         has_spill = form.sp_ind is not None and bool(form.sp_ind.shape[0])

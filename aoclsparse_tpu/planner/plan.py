@@ -536,9 +536,37 @@ class ExecForm:
                 v4 = cache[key] = band_vert_layout(src, TM)
         return v4
 
+    def band_mxu_dt(self, bf16: bool = False) -> jax.Array:
+        """Lazy (nblk, 256, 128) pre-transposed window blocks for the MXU
+        band kernels (mv probe / mm KID 5, kernels/pallas/spmv.py
+        pallas_sp{mv,mm}_band_mxu). Requires the bandt window W <= 129
+        (one 256-wide block covers 128 rows + the window). Built host-side
+        once (the block scatter is irregular), cached, dropped on
+        refresh()."""
+        if self.bwd_W > 129:
+            raise AoclSparseError(
+                Status.invalid_kid,
+                f"MXU band form needs window W <= 129, got {self.bwd_W}",
+            )
+        key = ("_band_mxu_bf16" if bf16 else "_band_mxu",)
+        cache = getattr(self, "_bandt_v4_cache", None)
+        if cache is None:
+            cache = self._bandt_v4_cache = {}
+        dt = cache.get(key)
+        if dt is None:
+            from ..kernels.pallas.spmv import band_mxu_blocks
+
+            vt = np.asarray(self.bwd_val)
+            if vt.shape[0] != self.bwd_W:  # bandtm stores (m, W); need (W, m)
+                vt = np.ascontiguousarray(vt.T)
+            host = band_mxu_blocks(vt, self.bwd_W)
+            dt = jnp.asarray(host, dtype=jnp.bfloat16 if bf16 else host.dtype)
+            cache[key] = dt
+        return dt
+
     def refresh(self, eff_val: jax.Array) -> None:
         self._bwd_val_bf16 = None  # derived bf16 operand (mixed-precision path)
-        self._bandt_v4_cache = None  # derived vertical-layout bands (KID 12)
+        self._bandt_v4_cache = None  # derived vertical/MXU band layouts (KID 12 / mm KID 5)
         if self.kind == "host":
             self.host_val = None  # materialized lazily, see host_values
             self._host_pending = eff_val

@@ -120,6 +120,76 @@ def test_bandtm_mm_dispatch(rng, monkeypatch):
         reset_context()
 
 
+def test_bandmxu_kid5_dispatch(rng, monkeypatch):
+    """mm KID 5 (MXU block-window band SpMM) through the full dispatch:
+    parity with the bandtm default (incl. spill), non-128-multiple RHS
+    width, mixed-precision blocks, refresh, and the W <= 129 gate."""
+    monkeypatch.setenv("AOCLSPARSE_TPU_FORCE_PALLAS", "1")
+    from aoclsparse_tpu.core.context import reset_context
+
+    reset_context()
+    try:
+        m = 4096
+        A, dense = _band(rng, m, 5, per_row=3, outliers=20)
+        for K in (128, 72):
+            B = rng.standard_normal((m, K)).astype(np.float32)
+            C5 = np.asarray(ast.mm(1.0, A, GEN, Operation.none, B, 0.0, kid=5))
+            np.testing.assert_allclose(C5, dense @ B, atol=1e-3)
+        # mixed precision blocks
+        monkeypatch.setenv("AOCLSPARSE_TPU_MIXED_PRECISION", "1")
+        B = rng.standard_normal((m, 128)).astype(np.float32)
+        C5m = np.asarray(ast.mm(1.0, A, GEN, Operation.none, B, 0.0, kid=5))
+        ref = dense @ B
+        assert np.max(np.abs(C5m - ref)) / np.max(np.abs(ref)) < 2e-2
+        monkeypatch.delenv("AOCLSPARSE_TPU_MIXED_PRECISION")
+        # refresh flows into the cached window blocks
+        _, _, _, ptr_e, ind_e, val_e = ast.export_csr(A)
+        ast.update_values(A, np.asarray(val_e) * 3.0)
+        C5r = np.asarray(ast.mm(1.0, A, GEN, Operation.none, B, 0.0, kid=5))
+        np.testing.assert_allclose(C5r, 3.0 * ref, atol=1e-2)
+        # W > 129 must surface invalid_kid (the 256-wide block can't cover it)
+        from aoclsparse_tpu import AoclSparseError, Status
+
+        Aw, _ = _band(rng, 2048, 120, per_row=8)
+        form = get_plan(Aw).exec_form_for(GEN, Operation.none, kind="bandtm")
+        if form.bwd_W > 129:
+            B2 = rng.standard_normal((2048, 128)).astype(np.float32)
+            try:
+                ast.mm(1.0, Aw, GEN, Operation.none, B2, 0.0, kid=5)
+                raise AssertionError("expected invalid_kid for W > 129")
+            except AoclSparseError as e:
+                assert e.status == Status.invalid_kid
+    finally:
+        monkeypatch.delenv("AOCLSPARSE_TPU_FORCE_PALLAS", raising=False)
+        reset_context()
+
+
+def test_autotune_mm_includes_bandmxu(rng, monkeypatch):
+    """autotune_mm times the KID-5 MXU twin as its own label and mm honors
+    a 'bandmxu' pin."""
+    monkeypatch.setenv("AOCLSPARSE_TPU_FORCE_PALLAS", "1")
+    from aoclsparse_tpu.core.context import reset_context
+
+    reset_context()
+    try:
+        from aoclsparse_tpu.kernels.autotune import autotune_mm
+
+        m = 2048
+        A, dense = _band(rng, m, 4, per_row=3)
+        res = autotune_mm(A, k=128, iters=1, chunks=1)
+        assert "bandmxu" in res and "bandtm" in res
+        # force the pin to bandmxu and check mm still matches the oracle
+        plan = get_plan(A)
+        key = next(iter(plan._mm_tuned))
+        plan._mm_tuned[key] = "bandmxu"
+        B = rng.standard_normal((m, 128)).astype(np.float32)
+        C = np.asarray(ast.mm(1.0, A, GEN, Operation.none, B, 0.0))
+        np.testing.assert_allclose(C, dense @ B, atol=1e-3)
+    finally:
+        monkeypatch.delenv("AOCLSPARSE_TPU_FORCE_PALLAS", raising=False)
+        reset_context()
+
+
 def test_pallas_trsv_routing(rng, monkeypatch):
     # single-RHS trsv routes through the Pallas sequential-grid solve when
     # Pallas is available (interpret on CPU): parity on both triangles and
