@@ -126,11 +126,60 @@ def main():
         "pallas_stream128mb": lambda: pstream(stream2d),
     }
 
+    # ---- loop-amortized variants: round-12 baseline showed every Pallas
+    # call lands at ~0.9-1.0 ms in a throttled window REGARDLESS of bytes
+    # (64 vs 128 MB) or compute — a per-DISPATCH floor (tunnel RPC/pool
+    # queuing), not bandwidth. R chained applications inside one program
+    # (genuine dependency chain, runtime eps defeats CSE) measure the true
+    # on-chip per-iteration time.
+    R_LOOP = 50
+
+    def _mk_loop(kernel_fn):
+        @jax.jit
+        def looped(eps):
+            def body(i, carry):
+                xe_c, acc = carry
+                y = kernel_fn(xe_c)
+                xe_c = xe_c.at[: y.shape[0]].add(eps * y)
+                return (xe_c, acc + y[0])
+
+            _, acc = jax.lax.fori_loop(0, R_LOOP, body, (xe, jnp.float32(0.0)))
+            return acc
+
+        return looped
+
+    loop_bandt = _mk_loop(lambda xe_c: pallas_spmv_band_t(vt, xe_c, W, start, TM=2048))
+    loop_bandv16 = _mk_loop(
+        lambda xe_c: pallas_spmv_band_v(vt4b, xe_c, W, start, TM=2048)
+    )
+    loop_mxu16 = _mk_loop(lambda xe_c: pallas_spmv_band_mxu(dt16, xe_c, start, TM=2048))
+    eps_v = jnp.float32(1e-7)
+
+    # per-dispatch floor probe: a near-noop Pallas kernel (one (8, 128) tile)
+    def _tiny_kernel(x_ref, o_ref):
+        o_ref[:] = x_ref[:] * 2.0
+
+    tiny_in = jnp.ones((8, 128), jnp.float32)
+    tiny = jax.jit(
+        lambda v: pl.pallas_call(
+            _tiny_kernel,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        )(v)
+    )
+
     stream_buf = jnp.asarray(rng.standard_normal(32 * 1024 * 1024, dtype=np.float32))
     ssum = jax.jit(jnp.sum)
 
+    kernels["noop_floor"] = lambda: tiny(tiny_in)
+    kernels["loop50_bandt_f32"] = lambda: loop_bandt(eps_v)
+    kernels["loop50_bandv_bf16"] = lambda: loop_bandv16(eps_v)
+    kernels["loop50_mxu_bf16"] = lambda: loop_mxu16(eps_v)
+
     kbytes = {name: gbytes_eff for name in kernels}
     kbytes["pallas_stream128mb"] = 128 * 1024 * 1024 / 1e9  # raw bytes read
+    kbytes["noop_floor"] = 0.0
+    for _n in ("loop50_bandt_f32", "loop50_bandv_bf16", "loop50_mxu_bf16"):
+        kbytes[_n] = gbytes_eff * R_LOOP  # per-call = R_LOOP SpMV applications
 
     # compile everything now (window time is for timing only); drop any
     # kernel whose Mosaic compile fails rather than losing the whole hunt
@@ -154,7 +203,9 @@ def main():
         t0 = time.perf_counter()
         for _ in range(iters):
             y = fn()
-        np.asarray(y[:1])
+        # fetch a single element, never the whole array (the tunnel bills
+        # transfers; block_until_ready is a no-op through it)
+        np.asarray(y if getattr(y, "ndim", 0) == 0 else y.reshape(-1)[:1])
         return (time.perf_counter() - t0) / iters
 
     good = 0
@@ -171,7 +222,10 @@ def main():
         # rate is window-capped
         rec = {"round": rnd, "stream_gbps": round(s, 1), "good": s >= good_gbps}
         for name, fn in kernels.items():
-            t = min(time_kernel(fn), time_kernel(fn))
+            it = 3 if name.startswith("loop50") else 30
+            t = min(time_kernel(fn, it), time_kernel(fn, it))
+            if name.startswith("loop50"):
+                rec[name + "_periter_us"] = round(t * 1e6 / 50, 1)
             rec[name + "_us"] = round(t * 1e6, 1)
             rec[name + "_gbs_eff"] = round(kbytes[name] / t, 1)
         rec["stream_gbps_post"] = round(stream_gbps(), 1)
