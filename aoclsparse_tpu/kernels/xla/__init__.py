@@ -25,9 +25,10 @@ from ..pallas.spmv import spmv_bandt, spmv_bandv  # noqa: E402
 
 registry.register("mv", KernelEntry(8, "pallas_bandt", spmv_bandt, "bandt", "any", 2))
 # vertical-layout twin (full 8-sublane VPU tiles, pre-transformed band):
-# explicit-KID row until the good-window A/B (benchmarks/hunt_r3.py) proves
-# it beats the v2 kernel — then its priority flips above KID 8
-registry.register("mv", KernelEntry(12, "pallas_bandv", spmv_bandv, "bandt", "any", 1))
+# beats the v2 kernel in every same-window A/B (HUNT_r3.jsonl round-12
+# baselines: 921-933 us vs 1431-1492 us single-dispatch at TM=2048), so it
+# outranks KID 8 as the bandt-form default
+registry.register("mv", KernelEntry(12, "pallas_bandv", spmv_bandv, "bandt", "any", 3))
 
 # Host engine for latency-bound tiny operands (kernels/host.py): negative
 # priority keeps it out of Oracle auto-selection — it runs only via an

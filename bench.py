@@ -15,6 +15,17 @@ paired with the SAME WINDOW's achievable read bandwidth;
 `vs_achievable` reports achieved/achievable for the best chunk, which is the
 contention-free roofline fraction (VERDICT r1 item #2).
 
+DISPATCH-FLOOR AMORTIZATION (round 3): a near-noop Pallas call through the
+axon tunnel costs ~0.9 ms in throttled windows (benchmarks/HUNT_r3.jsonl
+noop_floor) — per-dispatch RPC/queuing, not kernel time; it capped every
+previous headline at ~190 GB/s. The headline is therefore the AMORTIZED
+per-iteration time of 50 chained SpMV applications inside ONE compiled
+program (fori_loop with a real x <- x + eps*y dependency chain): that is
+what the reference's own timing loop measures (testing_csrmv.hpp:79-92
+pays ~ns of call overhead per iteration, not a remote RPC) and what any
+real solver loop (our fused CG) actually executes. The single-dispatch
+time is still reported in extra.
+
 Timing: N chained dispatches + ONE element fetch (block_until_ready is a
 no-op through the tunnel), best-of-chunks.
 
@@ -81,6 +92,12 @@ def _emit(t, window_gbps, t_bf16, meta, stalled=False):
                 "gflops": round(gflops, 3),
                 "gnnz_per_s": round(nnz / t_head / 1e9, 3),
                 "t_iter_us": round(t_head * 1e6, 2),
+                "timing": "amortized per-iteration of 50 chained in-program"
+                " applications (reference tight-loop methodology;"
+                " single-dispatch pays a ~0.9-4 ms tunnel RPC floor, see"
+                " extra.t_single_us / HUNT_r3.jsonl noop_floor)",
+                "t_single_us": _progress.get("t_single_us"),
+                "noop_floor_us": _progress.get("noop_floor_us"),
                 "precision": precision,
                 "window_stream_gbps": round(window_gbps, 1),
                 "vs_achievable": round(gbs / max(window_gbps, 1e-9), 4),
@@ -99,11 +116,12 @@ def _emit(t, window_gbps, t_bf16, meta, stalled=False):
                 "device": ctx.device_kind,
                 "hbm_peak_gbps": ctx.hbm_gbps,
                 "target": "0.80*HBM roofline (BASELINE.md). vs_achievable"
-                " calibrates the shared-pool window with a 128MB read"
-                " stream; the pool throttles fresh streams harder than"
-                " hot operands, so >1 means the window cap, not the"
-                " kernel, was binding — vs_baseline (vs peak) is the"
-                " conservative number",
+                " calibrates the shared-pool window with a single-dispatch"
+                " 128MB read stream; that stream itself pays the tunnel's"
+                " per-dispatch floor, so against the amortized headline"
+                " vs_achievable >> 1 simply means the floor dominated the"
+                " calibration — vs_baseline (vs peak HBM) is the honest"
+                " roofline fraction",
             },
         }
         if stalled:
@@ -185,6 +203,35 @@ def main():
         # the library's actual dispatch path for the chosen form
         return _run_exec_form(form, x_d, None)
 
+    # amortized runners: 50 chained applications of the SAME dispatch path
+    # inside one program (x <- x + eps*y dependency defeats CSE; square
+    # operand so shapes line up). kid=None -> default form; kid=12 + env ->
+    # bf16 vertical-layout band under the precision policy.
+    R_AMORT = 50
+
+    def _make_loop(kid_v, mixed):
+        """Build + WARM UP (trace happens at first call, so the env flag
+        must be set around the warmup, not the construction)."""
+        if mixed:
+            os.environ["AOCLSPARSE_TPU_MIXED_PRECISION"] = "1"
+        try:
+
+            @jax.jit
+            def loop(eps, x0):
+                def body(i, carry):
+                    xc, acc = carry
+                    y = _run_exec_form(form, xc, kid_v)
+                    return (xc + eps * y, acc + y[0])
+
+                _, acc = jax.lax.fori_loop(0, R_AMORT, body, (x0, jnp.float32(0.0)))
+                return acc
+
+            float(loop(jnp.float32(1e-7), x_d))  # compile + one real run
+            return loop
+        finally:
+            if mixed:
+                os.environ["AOCLSPARSE_TPU_MIXED_PRECISION"] = "0"
+
     # same-window achievable-bandwidth calibration kernel: a READ stream
     # (reduce over 128 MB -> scalar). Band SpMV traffic is ~96% reads, so a
     # read stream is the honest comparator; the earlier read+write kernel
@@ -259,6 +306,17 @@ def main():
     z = stream(stream_buf)
     float(z)
 
+    # amortized runners (headline): loop_f32 always; loop_bf16 when the
+    # bandt form is available (KID 12 + precision-policy env)
+    loop_f32 = _make_loop(None, False)
+    loop_bf16 = None
+    if run16 is not None and form.kind == "bandt":
+        try:
+            loop_bf16 = _make_loop(12, True)
+        except Exception:
+            loop_bf16 = None
+    eps_v = jnp.float32(1e-7)
+
     # Adaptive sampling: the base budget is 150 s, but when every window seen
     # so far is badly throttled (stream < GOOD_GBPS) keep sampling — sleeping
     # between chunks — up to HARD_CAP, because one decent window changes the
@@ -268,9 +326,9 @@ def main():
         os.environ.get("AOCLSPARSE_TPU_BENCH_BASE_S", "150")
     )
     hard_cap = time.perf_counter() + float(os.environ.get("AOCLSPARSE_TPU_BENCH_CAP_S", "600"))
-    iters_per = 40
+    loop_iters = 2  # x R_AMORT applications each
     stream_iters = 6
-    best = None  # (t_kernel, stream_gbps_same_window)
+    best = None  # (t_periter, stream_gbps_same_window)
     t_bf16 = None
     c = 0
     def stream_gbps():
@@ -281,6 +339,13 @@ def main():
         t_s = (time.perf_counter() - t0) / stream_iters
         return stream_buf.size * 4 / t_s / 1e9
 
+    def time_loop(loop):
+        t0 = time.perf_counter()
+        for _ in range(loop_iters):
+            acc = loop(eps_v, x_d)
+        float(acc)
+        return (time.perf_counter() - t0) / (loop_iters * R_AMORT)
+
     while True:
         c += 1
         # calibrate BEFORE and AFTER the kernel chunk and keep the better
@@ -288,19 +353,21 @@ def main():
         # a single post-kernel stream sample understates achievable and
         # inflates vs_achievable
         s_pre = stream_gbps()
-        t0 = time.perf_counter()
-        for _ in range(iters_per):
-            y = run()
-        np.asarray(y[:1])
-        t_k = (time.perf_counter() - t0) / iters_per
-        if run16 is not None:
-            t0 = time.perf_counter()
-            for _ in range(iters_per):
-                y = run16()
-            np.asarray(y[:1])
-            t16 = (time.perf_counter() - t0) / iters_per
+        t_k = time_loop(loop_f32)
+        if loop_bf16 is not None:
+            t16 = time_loop(loop_bf16)
             t_bf16 = t16 if t_bf16 is None else min(t_bf16, t16)
             _progress["t_bf16"] = t_bf16
+        # single-dispatch reference sample (cheap): shows the tunnel RPC
+        # floor the amortized methodology removes
+        t0 = time.perf_counter()
+        for _ in range(10):
+            y = run()
+        np.asarray(y[:1])
+        t_single = (time.perf_counter() - t0) / 10
+        prev = _progress.get("t_single_us")
+        if prev is None or t_single * 1e6 < prev:
+            _progress["t_single_us"] = round(t_single * 1e6, 1)
         s_gbps = max(s_pre, stream_gbps())
         if best is None or t_k < best[0]:
             best = (t_k, s_gbps)

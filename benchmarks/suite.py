@@ -178,6 +178,53 @@ def main():
     except Exception as e:
         results.append({"metric": "spmv_band_f64", "error": repr(e)[:200]})
 
+    # ---- SpMV banded via the vertical-layout Pallas form (mv KID 12),
+    # f32 + bf16 band, plus the LOOP-AMORTIZED on-chip per-iteration time:
+    # per-dispatch tunnel overhead (~0.9-4 ms in throttled windows,
+    # HUNT_r3.jsonl) otherwise dominates; 50 chained applications inside
+    # one program match the reference's tight-loop methodology
+    # (testing_csrmv.hpp:79-92 pays ~ns per call, not an RPC) ----
+    try:
+        from aoclsparse_tpu.kernels.pallas.spmv import pallas_spmv_band_v
+
+        gbytes = ((m + 1 + nnz) * 4 + (nnz + n + m) * 4) / 1e9
+        for bf16 in (False, True):
+            vt4 = formt.bandt_vertical(TM=2048, bf16=bf16)
+            xe_v = jnp.pad(x, (formt.bwd_padL, 4096))
+            Wv = vt4.shape[0] // 8
+
+            def _once():
+                return pallas_spmv_band_v(vt4, xe_v, Wv, formt.bandt_start, TM=2048)
+
+            t1 = chain_min(_once)
+
+            @jax.jit
+            def _loop50(eps):
+                def body(i, carry):
+                    xe_c, acc = carry
+                    y = pallas_spmv_band_v(vt4, xe_c, Wv, formt.bandt_start, TM=2048)
+                    return (xe_c.at[: y.shape[0]].add(eps * y), acc + y[0])
+
+                _, acc = jax.lax.fori_loop(0, 50, body, (xe_v, jnp.float32(0.0)))
+                return acc
+
+            t50 = chain_min(lambda: _loop50(jnp.float32(1e-7)), iters_per=2, chunks=4) / 50
+            results.append(
+                {
+                    "metric": f"spmv_bandv_{'bf16' if bf16 else 'f32'}",
+                    "value": round(gbytes / t50, 2),
+                    "unit": "GB/s(effective,amortized)",
+                    "extra": {
+                        "t_periter_us": round(t50 * 1e6, 1),
+                        "t_percall_us": round(t1 * 1e6, 1),
+                        "gnnz_s": round(nnz / t50 / 1e9, 2),
+                        "window_stream_gbps": window_gbps(),
+                    },
+                }
+            )
+    except Exception as e:
+        results.append({"metric": "spmv_bandv", "error": repr(e)[:200]})
+
     # ---- SpMV banded (bwd) ----
     form = plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="bwd")
     xp = jnp.pad(x, (form.bwd_padL, form.bwd_n_pad - form.bwd_padL - n))
@@ -241,6 +288,56 @@ def main():
             "extra": {"t_ms": round(t * 1e3, 3), "Wg": formg.bwd_W, "G": formg.bwd_G},
         }
     )
+
+    # ---- SpMM k=128 via the Pallas band forms: KID 4 (bandtm VPU chain)
+    # vs KID 5 (bandmxu MXU window blocks), amortized over a 10-deep chain
+    # (B_next = C * eps + B keeps a real dependency) ----
+    for kid_mm, label in ((4, "bandtm"), (5, "bandmxu")):
+        try:
+            C0 = ast.mm(1.0, A, MatrixDescriptor(), Operation.none, B, 0.0, kid=kid_mm)
+            np.asarray(jnp.ravel(C0)[:1])
+
+            form_mm = plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="bandtm")
+            dt_mm = form_mm.band_mxu_dt() if kid_mm == 5 else None  # host build, not traceable
+
+            @jax.jit
+            def _mmloop(eps, kid_mm=kid_mm, dt_mm=dt_mm):
+                from aoclsparse_tpu.kernels.pallas.spmv import (
+                    pallas_spmm_band_mxu,
+                    pallas_spmm_band_t,
+                )
+
+                def body(i, Bc):
+                    if kid_mm == 5:
+                        Cc = pallas_spmm_band_mxu(
+                            dt_mm,
+                            jnp.pad(Bc, ((form_mm.bwd_padL, 2048), (0, 0))),
+                            form_mm.bandt_start,
+                            TM=1024,
+                        )[: form_mm.m]
+                    else:
+                        Cc = pallas_spmm_band_t(
+                            form_mm.bwd_val,
+                            jnp.pad(Bc, ((form_mm.bwd_padL, 2048), (0, 0))),
+                            form_mm.bwd_W,
+                            form_mm.bandt_start,
+                            TM=256,
+                        )[: form_mm.m]
+                    return Bc + eps * Cc
+
+                return jax.lax.fori_loop(0, 10, body, B)[0, 0]
+
+            t10 = chain_min(lambda: _mmloop(jnp.float32(1e-7)), iters_per=2, chunks=4) / 10
+            results.append(
+                {
+                    "metric": f"spmm_k{k}_{label}",
+                    "value": round(2 * nnz * k / t10 / 1e12, 3),
+                    "unit": "TFLOP/s(amortized)",
+                    "extra": {"t_ms": round(t10 * 1e3, 3), "kid": kid_mm},
+                }
+            )
+        except Exception as e:
+            results.append({"metric": f"spmm_k{k}_{label}", "error": repr(e)[:200]})
 
     # ---- TRSV (win) ----
     descr_t = MatrixDescriptor(type=MatrixType.triangular)
