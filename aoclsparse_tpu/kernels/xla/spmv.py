@@ -281,6 +281,79 @@ def spmv_gen(
         "has_flip",
     ),
 )
+def spmv_gen_bandv(
+    vt4,
+    x,
+    bperm,
+    bout,
+    flip,
+    hub_slab,
+    hub_cols,
+    hubr_slab,
+    hubr_rows,
+    sp_val,
+    sp_ind,
+    sp_rows,
+    B: int,
+    W: int,
+    padL: int,
+    start: int,
+    TM: int,
+    m: int,
+    m_pad: int,
+    interpret: bool = False,
+    has_hub: bool = False,
+    has_hubrow: bool = False,
+    has_spill: bool = False,
+    has_flip: bool = False,
+):
+    """spmv_gen_bandt with the band part on the vertical-layout kernel
+    (kernels/pallas/spmv.py pallas_spmv_band_v — full 8-sublane tiles,
+    beats the v2 kernel in every same-window A/B): vt4 is the
+    pre-transformed band (ExecForm.bandt_vertical), possibly bf16 under
+    the precision policy (the web-profile lever: the band is the dominant
+    traffic of the gen composite). One compiled program."""
+    from ..pallas.spmv import pallas_spmv_band_v
+
+    nblk = m_pad // B
+    xb = jnp.pad(x, (0, m_pad - x.shape[0])).reshape(nblk, B)
+    xpb = xb[bperm]  # (nblk, B) block-permuted x
+    if has_flip:
+        xpb = jnp.where(flip[:, None], xpb[:, ::-1], xpb)
+    xp = xpb.reshape(-1)  # (m_pad,)
+    xe = jnp.pad(xp, (padL, 0))
+    yp = pallas_spmv_band_v(vt4, xe, W, start, TM=TM, interpret=interpret)[:m_pad]
+    if has_spill:
+        yp = yp + jax.ops.segment_sum(
+            sp_val * xp[sp_ind], sp_rows, num_segments=m_pad, indices_are_sorted=True
+        )
+    if has_hub:
+        yp = yp + hub_slab @ x[hub_cols]
+    if has_hubrow:
+        yp = yp.at[hubr_rows].add(hubr_slab @ xp)
+    ypb = yp.reshape(nblk, B)
+    if has_flip:
+        ypb = jnp.where(flip[:, None], ypb[:, ::-1], ypb)
+    return ypb[bout].reshape(-1)[:m]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "B",
+        "W",
+        "padL",
+        "start",
+        "TM",
+        "m",
+        "m_pad",
+        "interpret",
+        "has_hub",
+        "has_hubrow",
+        "has_spill",
+        "has_flip",
+    ),
+)
 def spmv_gen_bandt(
     vt,
     x,

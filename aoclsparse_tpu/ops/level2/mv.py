@@ -224,9 +224,42 @@ def _run_exec_form(form, x, kid):
         flip = form.gen_flip if has_flip else zero_b
         if form.gen_bandt:
             from ...core.context import get_context
-            from ...kernels.xla.spmv import spmv_gen_bandt
+            from ...kernels.xla.spmv import spmv_gen_bandt, spmv_gen_bandv
 
             is_tpu = get_context().is_tpu
+            TMg = 2048 if is_tpu else max(128, -(-form.bwd_W // 8) * 8)
+            # vertical-layout band (bandv — beats the v2 kernel in every
+            # same-window A/B); mixed precision rides the bf16 vt4: the
+            # band is the gen composite's dominant traffic (web profile).
+            # Env escape hatch to the v2 kernel kept for A/Bs.
+            if os.environ.get("AOCLSPARSE_TPU_GEN_BAND_V2", "0") not in ("1", "true"):
+                vt4 = form.bandt_vertical(TM=TMg, bf16=mixed)
+                return spmv_gen_bandv(
+                    vt4,
+                    x,
+                    form.gen_perm,
+                    form.gen_out,
+                    flip,
+                    form.hub_slab if has_hub else zero_m,
+                    form.hub_cols if has_hub else zero_i,
+                    form.hubr_slab if has_hubrow else zero_m,
+                    form.hubr_rows if has_hubrow else zero_i,
+                    form.sp_val if has_spill else zero_v,
+                    form.sp_ind if has_spill else zero_i,
+                    form.sp_rows if has_spill else zero_i,
+                    B=form.gen_B,
+                    W=vt4.shape[0] // 8,
+                    padL=form.bwd_padL,
+                    start=form.bandt_start,
+                    TM=TMg,
+                    m=form.m,
+                    m_pad=form.gen_m_pad,
+                    interpret=not is_tpu,
+                    has_hub=has_hub,
+                    has_hubrow=has_hubrow,
+                    has_spill=has_spill,
+                    has_flip=has_flip,
+                )
             return spmv_gen_bandt(
                 form.bwd_val,
                 x,

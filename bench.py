@@ -92,10 +92,15 @@ def _emit(t, window_gbps, t_bf16, meta, stalled=False):
                 "gflops": round(gflops, 3),
                 "gnnz_per_s": round(nnz / t_head / 1e9, 3),
                 "t_iter_us": round(t_head * 1e6, 2),
-                "timing": "amortized per-iteration of 50 chained in-program"
-                " applications (reference tight-loop methodology;"
-                " single-dispatch pays a ~0.9-4 ms tunnel RPC floor, see"
-                " extra.t_single_us / HUNT_r3.jsonl noop_floor)",
+                "timing": (
+                    "amortized per-iteration of 50 chained in-program"
+                    " applications (reference tight-loop methodology;"
+                    " single-dispatch pays a ~0.9-4 ms tunnel RPC floor, see"
+                    " extra.t_single_us / HUNT_r3.jsonl noop_floor)"
+                    if _progress.get("amortized", True)
+                    else "single-dispatch chained (amortized program failed"
+                    " to build this run)"
+                ),
                 "t_single_us": _progress.get("t_single_us"),
                 "noop_floor_us": _progress.get("noop_floor_us"),
                 "precision": precision,
@@ -307,10 +312,24 @@ def main():
     float(z)
 
     # amortized runners (headline): loop_f32 always; loop_bf16 when the
-    # bandt form is available (KID 12 + precision-policy env)
-    loop_f32 = _make_loop(None, False)
+    # bandt form is available (KID 12 + precision-policy env). If the
+    # amortized program can't build (e.g. the compile request exceeds the
+    # tunnel's body limit with the band baked in), fall back to
+    # single-dispatch so the bench still reports a real number.
+    amortized = True
+    try:
+        loop_f32 = _make_loop(None, False)
+    except Exception:
+        amortized = False
+        _progress["amortized"] = False
+
+        def loop_f32(eps, x0):  # single-dispatch stand-in (R_AMORT=1 scale)
+            for _ in range(R_AMORT):
+                y = run()
+            return y[0]
+
     loop_bf16 = None
-    if run16 is not None and form.kind == "bandt":
+    if run16 is not None and form.kind == "bandt" and amortized:
         try:
             loop_bf16 = _make_loop(12, True)
         except Exception:

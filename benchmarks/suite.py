@@ -199,16 +199,18 @@ def main():
             t1 = chain_min(_once)
 
             @jax.jit
-            def _loop50(eps):
+            def _loop50(eps, vt4a, xe0, Wv=Wv):
                 def body(i, carry):
                     xe_c, acc = carry
-                    y = pallas_spmv_band_v(vt4, xe_c, Wv, formt.bandt_start, TM=2048)
+                    y = pallas_spmv_band_v(vt4a, xe_c, Wv, formt.bandt_start, TM=2048)
                     return (xe_c.at[: y.shape[0]].add(eps * y), acc + y[0])
 
-                _, acc = jax.lax.fori_loop(0, 50, body, (xe_v, jnp.float32(0.0)))
+                _, acc = jax.lax.fori_loop(0, 50, body, (xe0, jnp.float32(0.0)))
                 return acc
 
-            t50 = chain_min(lambda: _loop50(jnp.float32(1e-7)), iters_per=2, chunks=4) / 50
+            t50 = chain_min(
+                lambda: _loop50(jnp.float32(1e-7), vt4, xe_v), iters_per=2, chunks=4
+            ) / 50
             results.append(
                 {
                     "metric": f"spmv_bandv_{'bf16' if bf16 else 'f32'}",
@@ -298,10 +300,13 @@ def main():
             np.asarray(jnp.ravel(C0)[:1])
 
             form_mm = plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="bandtm")
-            dt_mm = form_mm.band_mxu_dt() if kid_mm == 5 else None  # host build, not traceable
+            # band operands must be jit ARGUMENTS: a closure becomes an HLO
+            # constant and the remote compile request ships the whole band
+            # (HTTP 413 length limit at 256 MB)
+            band_arg = form_mm.band_mxu_dt() if kid_mm == 5 else form_mm.bwd_val
 
             @jax.jit
-            def _mmloop(eps, kid_mm=kid_mm, dt_mm=dt_mm):
+            def _mmloop(eps, band, B0, kid_mm=kid_mm):
                 from aoclsparse_tpu.kernels.pallas.spmv import (
                     pallas_spmm_band_mxu,
                     pallas_spmm_band_t,
@@ -310,14 +315,14 @@ def main():
                 def body(i, Bc):
                     if kid_mm == 5:
                         Cc = pallas_spmm_band_mxu(
-                            dt_mm,
+                            band,
                             jnp.pad(Bc, ((form_mm.bwd_padL, 2048), (0, 0))),
                             form_mm.bandt_start,
                             TM=1024,
                         )[: form_mm.m]
                     else:
                         Cc = pallas_spmm_band_t(
-                            form_mm.bwd_val,
+                            band,
                             jnp.pad(Bc, ((form_mm.bwd_padL, 2048), (0, 0))),
                             form_mm.bwd_W,
                             form_mm.bandt_start,
@@ -325,9 +330,11 @@ def main():
                         )[: form_mm.m]
                     return Bc + eps * Cc
 
-                return jax.lax.fori_loop(0, 10, body, B)[0, 0]
+                return jax.lax.fori_loop(0, 10, body, B0)[0, 0]
 
-            t10 = chain_min(lambda: _mmloop(jnp.float32(1e-7)), iters_per=2, chunks=4) / 10
+            t10 = chain_min(
+                lambda: _mmloop(jnp.float32(1e-7), band_arg, B), iters_per=2, chunks=4
+            ) / 10
             results.append(
                 {
                     "metric": f"spmm_k{k}_{label}",

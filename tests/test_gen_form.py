@@ -154,6 +154,18 @@ def test_gen_bandt_core_parity(rng, monkeypatch):
         d2[np.repeat(np.arange(m), np.diff(ptr)), ind] = v2
         y2 = np.asarray(ast.mv(1.0, A, GEN, Operation.none, x, 0.0, kid=7))
         np.testing.assert_allclose(y2, d2 @ x, atol=1e-3)
+        # env escape hatch pins the v2 transposed-band kernel: same result
+        monkeypatch.setenv("AOCLSPARSE_TPU_GEN_BAND_V2", "1")
+        y8 = np.asarray(ast.mv(1.0, A, GEN, Operation.none, x, 0.0, kid=7))
+        monkeypatch.delenv("AOCLSPARSE_TPU_GEN_BAND_V2")
+        np.testing.assert_allclose(y8, y2, atol=1e-5)
+        # mixed precision rides the bf16 vertical band (web-profile lever)
+        monkeypatch.setenv("AOCLSPARSE_TPU_MIXED_PRECISION", "1")
+        ym = np.asarray(ast.mv(1.0, A, GEN, Operation.none, x, 0.0, kid=7))
+        monkeypatch.delenv("AOCLSPARSE_TPU_MIXED_PRECISION")
+        ref2 = d2 @ x
+        scale = max(1e-9, float(np.max(np.abs(ref2))))
+        assert np.max(np.abs(ym - ref2)) / scale < 2e-2
     finally:
         # drop the env BEFORE resetting so later tests re-detect a clean
         # (pallas-off) CPU context
