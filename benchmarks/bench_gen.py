@@ -137,14 +137,33 @@ def main():
         ref = np.zeros(m)
         np.add.at(ref, rows_h, val.astype(np.float64) * xs[ind])
         err = np.max(np.abs(yh - ref)) / max(1.0, np.max(np.abs(ref)))
-        t = float("inf")
-        iters, chunks = 30, 8
+
+        # AMORTIZED timing (round 3): the tunnel's ~0.9-4 ms per-dispatch
+        # floor dominates single calls; 50 chained in-program applications
+        # with a real dependency measure the on-chip per-iteration time
+        @jax.jit
+        def _loop50(eps, x0):
+            def body(i, carry):
+                xc, acc = carry
+                yv = _run_exec_form(form, xc, None)
+                return (xc + eps * yv, acc + yv[0])
+
+            _, acc = jax.lax.fori_loop(0, 50, body, (x0, jnp.float32(0.0)))
+            return acc
+
+        t = t_single = float("inf")
+        iters, chunks = 2, 6
         for cix in range(chunks):
             t1 = time.perf_counter()
             for _ in range(iters):
+                acc = _loop50(jnp.float32(1e-7), x)
+            float(acc)
+            t = min(t, (time.perf_counter() - t1) / (iters * 50))
+            t1 = time.perf_counter()
+            for _ in range(10):
                 y = run()
             np.asarray(y[:1])
-            t = min(t, (time.perf_counter() - t1) / iters)
+            t_single = min(t_single, (time.perf_counter() - t1) / 10)
             if cix % 3 == 2:
                 time.sleep(1.5)
         emit(
@@ -161,6 +180,8 @@ def main():
                 "m": m,
                 "nnz": nnz,
                 "t_us": round(t * 1e6, 1),
+                "t_single_us": round(t_single * 1e6, 1),
+                "timing": "amortized(50)",
                 "gnnz_s": round(nnz / t / 1e9, 3),
                 "plan_s": round(t_plan, 2),
                 "rel_err": float(err),
