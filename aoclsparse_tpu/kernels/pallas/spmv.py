@@ -27,12 +27,14 @@ __all__ = [
     "pallas_spmv_bwd",
     "pallas_spmv_band_t",
     "pallas_spmv_band_v",
+    "pallas_spmv_band_v_df",
     "band_vert_layout",
     "pallas_spmv_band_mxu",
     "pallas_spmm_band_mxu",
     "band_mxu_blocks",
     "spmv_bandt",
     "spmv_bandv",
+    "spmv_bandv_df",
 ]
 
 
@@ -451,6 +453,171 @@ def pallas_spmv_band_v(vt4, xe, W: int, start: int, TM: int = 2048, interpret: b
         interpret=interpret,
     )(vt4, x2, x2)
     return out.reshape(-1)[:m]
+
+
+# ---------------------------------------------------------------------------
+# double-float (two-f32) band SpMV: f64-class accuracy at VPU f32 rates
+# ---------------------------------------------------------------------------
+
+
+def _df_split(a):
+    """Dekker split of an f32 vector into 12+12-bit halves (factor 2^12+1):
+    products of halves are then EXACT in f32, which is what makes the
+    two_prod error term below error-free without hardware FMA semantics.
+    Valid for |a| < 2^115 (the 4097*a intermediate must not overflow)."""
+    c = a * 4097.0
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _kernel_t_v_df(
+    vh_ref, vl_ref, x0h_ref, x1h_ref, x0l_ref, x1l_ref, oh_ref, ol_ref, *, TM: int, W: int
+):
+    """Vertical-layout band SpMV tile in DOUBLE-FLOAT arithmetic.
+
+    Operands arrive as (hi, lo) f32 pairs (value = hi + lo, built by
+    ExecForm.bandt_vertical_df / the x split in spmv_bandv_df); the
+    accumulator is a double-float pair carrying ~49 mantissa bits. Per band
+    row j: an error-free two-product of the hi parts (Dekker split — every
+    half-product is exact in f32, no FMA contract assumed), the first-order
+    cross terms vh*xl + vl*xh (the dropped vl*xl term is O(2^-48) relative),
+    then a sloppy two-sum accumulate. ~25 VPU ops per element vs 2 for f32:
+    still far under this kernel's HBM-bound ratio, so the cost over f32 is
+    ~2x (the doubled band bytes), not ~16x like XLA's emulated f64
+    (benchmarks/RESULTS_r2.md measured 3.4 vs 42.7 GB/s eff same-window).
+
+    Reference parity: serves aoclsparse_dmv's double-precision semantics
+    within the reference's own f64 test tolerance (expected_precision ~
+    2.1e-8 scale, aoclsparse_utils.hpp:493-498) with ~5 decimal digits of
+    headroom; docs/precision.md documents the 2^-48 error model.
+    """
+    TMd8 = TM // 8
+
+    def window(x0, x1):
+        xcat = jnp.concatenate([x0[:], x1[:]], axis=0)  # (16, TM/8)
+        nslab = 1 + -(-(W - 1) // TMd8)
+        slabs = [xcat[0:8]]
+        for k in range(1, nslab):
+            slabs.append(pltpu.roll(xcat, 16 - k, 0)[0:8])
+        return jnp.concatenate(slabs, axis=1)  # (8, nslab*TM/8)
+
+    baseh = window(x0h_ref, x1h_ref)
+    basel = window(x0l_ref, x1l_ref)
+    bhh, bhl = _df_split(baseh)  # split the x hi-part once, reused for all j
+    acch = jnp.zeros((8, TMd8), jnp.float32)
+    accl = jnp.zeros((8, TMd8), jnp.float32)
+    for j in range(W):
+        vh = vh_ref[j * 8 : j * 8 + 8, :]
+        vl = vl_ref[j * 8 : j * 8 + 8, :]
+        xh = baseh[:, j : j + TMd8]
+        xl = basel[:, j : j + TMd8]
+        xhh = bhh[:, j : j + TMd8]
+        xhl = bhl[:, j : j + TMd8]
+        ah, al = _df_split(vh)
+        p = vh * xh
+        # exact f32 error of p (Dekker two-product via split halves)
+        e = ((ah * xhh - p) + ah * xhl + al * xhh) + al * xhl
+        # first-order cross terms of (vh+vl)(xh+xl)
+        e = e + vh * xl + vl * xh
+        # sloppy double-float accumulate: (acch, accl) += (p, e)
+        s = acch + p
+        d = s - acch
+        err = (acch - (s - d)) + (p - d)
+        err = err + accl + e
+        acch = s + err
+        accl = err - (acch - s)
+    oh_ref[:] = acch
+    ol_ref[:] = accl
+
+
+@partial(jax.jit, static_argnames=("W", "start", "TM", "interpret"))
+def pallas_spmv_band_v_df(
+    vt4h, vt4l, xeh, xel, W: int, start: int, TM: int = 2048, interpret: bool = False
+):
+    """Double-float vertical-layout band SpMV: same contract/layout as
+    pallas_spmv_band_v but operands are (hi, lo) f32 pairs and the result is
+    the (yh, yl) pair (caller combines in f64). vt4h/vt4l built by
+    band_vert_layout from the split f64 band."""
+    W8, mcols = vt4h.shape
+    assert W8 == W * 8 and W <= TM and vt4l.shape == vt4h.shape
+    TMd8 = TM // 8
+    ntile = mcols // TMd8
+    m = ntile * TM
+    coarse, rem = divmod(start, TM)
+    need = (ntile + coarse + 2) * TM + rem
+    if xeh.shape[0] < need:
+        xeh = jnp.pad(xeh, (0, need - xeh.shape[0]))
+        xel = jnp.pad(xel, (0, need - xel.shape[0]))
+    if rem:
+        xeh = jnp.roll(xeh, -rem)
+        xel = jnp.roll(xel, -rem)
+    nchunk = xeh.shape[0] // TM
+    x2h = xeh[: nchunk * TM].reshape(nchunk * 8, TMd8)
+    x2l = xel[: nchunk * TM].reshape(nchunk * 8, TMd8)
+
+    xspec = lambda off: pl.BlockSpec(  # noqa: E731
+        (8, TMd8), lambda t, off=off: (t + coarse + off, 0), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        partial(_kernel_t_v_df, TM=TM, W=W),
+        out_shape=(
+            jax.ShapeDtypeStruct((ntile * 8, TMd8), jnp.float32),
+            jax.ShapeDtypeStruct((ntile * 8, TMd8), jnp.float32),
+        ),
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((W * 8, TMd8), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W * 8, TMd8), lambda t: (0, t), memory_space=pltpu.VMEM),
+            xspec(0),
+            xspec(1),
+            xspec(0),
+            xspec(1),
+        ],
+        out_specs=(
+            pl.BlockSpec((8, TMd8), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TMd8), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(vt4h, vt4l, x2h, x2h, x2l, x2l)
+    yh, yl = outs
+    return yh.reshape(-1)[:m], yl.reshape(-1)[:m]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("m", "W", "padL", "start", "TM", "interpret", "has_spill"),
+)
+def spmv_bandv_df(
+    vt4h,
+    vt4l,
+    x,
+    sp_val,
+    sp_ind,
+    sp_rows,
+    m: int,
+    W: int,
+    padL: int,
+    start: int,
+    TM: int = 2048,
+    interpret: bool = False,
+    has_spill: bool = False,
+):
+    """Full double-float band dispatch (mv KID 13): split the f64 x into an
+    (hi, lo) f32 pair, run the df64 vertical-layout kernel on the pre-split
+    band, recombine in f64, add the planner's peel spill (native f64 — the
+    spill is O(nnz/100)) — one compiled program. Same math contract as
+    spmv_bandv at ~2^-48 relative accuracy (docs/precision.md)."""
+    xh = x.astype(jnp.float32)
+    xl = (x - xh.astype(x.dtype)).astype(jnp.float32)
+    xeh = jnp.pad(xh, (padL, 0))
+    xel = jnp.pad(xl, (padL, 0))
+    yh, yl = pallas_spmv_band_v_df(vt4h, vt4l, xeh, xel, W, start, TM=TM, interpret=interpret)
+    y = yh[:m].astype(x.dtype) + yl[:m].astype(x.dtype)
+    if has_spill:
+        y = y + jax.ops.segment_sum(
+            sp_val * x[sp_ind], sp_rows, num_segments=m, indices_are_sorted=True
+        )
+    return y
 
 
 def _kernel_mxu(dt_ref, x0_ref, x1_ref, out_ref, *, TM: int, NB: int):

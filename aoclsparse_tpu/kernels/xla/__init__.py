@@ -21,7 +21,7 @@ registry.register("mv", KernelEntry(7, "xla_gen", spmv.spmv_gen, "gen", "any", 1
 registry.register("mv", KernelEntry(9, "xla_bwdg", spmv.spmv_bwdg, "bwdg", "any", 1))
 registry.register("mv", KernelEntry(10, "xla_sell", spmv.spmv_sell, "sell", "any", 0))
 
-from ..pallas.spmv import spmv_bandt, spmv_bandv  # noqa: E402
+from ..pallas.spmv import spmv_bandt, spmv_bandv, spmv_bandv_df  # noqa: E402
 
 registry.register("mv", KernelEntry(8, "pallas_bandt", spmv_bandt, "bandt", "any", 2))
 # vertical-layout twin (full 8-sublane VPU tiles, pre-transformed band):
@@ -29,6 +29,12 @@ registry.register("mv", KernelEntry(8, "pallas_bandt", spmv_bandt, "bandt", "any
 # baselines: 921-933 us vs 1431-1492 us single-dispatch at TM=2048), so it
 # outranks KID 8 as the bandt-form default
 registry.register("mv", KernelEntry(12, "pallas_bandv", spmv_bandv, "bandt", "any", 3))
+# double-float (two-f32) band kernel for float64 operands: f64-class
+# accuracy (~2^-48 relative, docs/precision.md) at roughly 2x the f32
+# kernel's cost instead of XLA's ~16x emulated-f64 penalty. Negative
+# priority: explicit KID / autotune pin only (the default f64 path stays
+# the exact XLA bwd form — CLAUDE.md non-default carve-out)
+registry.register("mv", KernelEntry(13, "pallas_bandv_df", spmv_bandv_df, "bandt", "any", -1))
 
 # Host engine for latency-bound tiny operands (kernels/host.py): negative
 # priority keeps it out of Oracle auto-selection — it runs only via an

@@ -168,6 +168,38 @@ def _run_exec_form(form, x, kid):
         # between the raw kernel and this dispatch path (HUNT.jsonl)
         zero_i, zero_v = _zero_operands(x.dtype)
         TM = 2048 if get_context().is_tpu else max(128, -(-form.bwd_W // 8) * 8)
+        if kid is None and x.dtype == jnp.float64:
+            # a bandt form carrying f64 data can only be served by the
+            # double-float kernel (Mosaic rejects 64-bit kernels; the f32
+            # kernels would silently drop mantissa bits). The default f64
+            # format choice never picks bandt (_pallas_dtype_ok) — this
+            # route exists for explicit kind requests and autotune_mv pins,
+            # under the documented 2^-48 error model (docs/precision.md).
+            e = registry.select("mv", fmt=form.kind, kid=13)
+        if e.name == "pallas_bandv_df":
+            # double-float kernel (KID 13): f64 operands as (hi, lo) f32
+            # pairs — f64-class accuracy at f32 VPU rates (docs/precision.md)
+            if x.dtype != jnp.float64:
+                raise AoclSparseError(
+                    Status.invalid_kid,
+                    f"kid 13 (double-float band) serves float64 operands, got {x.dtype}",
+                )
+            vt4h, vt4l = form.bandt_vertical_df(TM=TM)
+            return e.fn(
+                vt4h,
+                vt4l,
+                x,
+                form.sp_val if has_spill else zero_v,
+                form.sp_ind if has_spill else zero_i,
+                form.sp_rows if has_spill else zero_i,
+                m=form.m,
+                W=vt4h.shape[0] // 8,
+                padL=form.bwd_padL,
+                start=form.bandt_start,
+                TM=TM,
+                interpret=not get_context().is_tpu,
+                has_spill=has_spill,
+            )
         if e.name == "pallas_bandv":
             # vertical-layout kernel (KID 12): pre-transformed band, full
             # 8-sublane VPU tiles; bf16 band under the precision policy

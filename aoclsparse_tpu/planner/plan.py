@@ -536,6 +536,31 @@ class ExecForm:
                 v4 = cache[key] = band_vert_layout(src, TM)
         return v4
 
+    def bandt_vertical_df(self, TM: int = 2048):
+        """Lazy double-float vertical-layout band pair for the df64 kernel
+        (mv KID 13, kernels/pallas/spmv.py spmv_bandv_df): the f64 (W, m)
+        bandt slab split into (hi, lo) f32 halves (value = hi + lo exactly,
+        lo = f32(v - f64(hi))), each pre-transformed to the output tile's
+        (8, TM/8) sublane distribution. Cached per TM; dropped on refresh()
+        so update_values flows through."""
+        key = ("_bandt_v4_df", TM)
+        cache = getattr(self, "_bandt_v4_cache", None)
+        if cache is None:
+            cache = self._bandt_v4_cache = {}
+        pair = cache.get(key)
+        if pair is None:
+            from ..kernels.pallas.spmv import band_vert_layout
+
+            with jax.ensure_compile_time_eval():
+                src = self.bwd_val
+                vh = src.astype(jnp.float32)
+                vl = (src - vh.astype(src.dtype)).astype(jnp.float32)
+                pair = cache[key] = (
+                    band_vert_layout(vh, TM),
+                    band_vert_layout(vl, TM),
+                )
+        return pair
+
     def band_mxu_dt(self, bf16: bool = False) -> jax.Array:
         """Lazy (nblk, 256, 128) pre-transposed window blocks for the MXU
         band kernels (mv probe / mm KID 5, kernels/pallas/spmv.py
