@@ -349,7 +349,10 @@ def csr_to_sell(A: CSR, slice_rows: int = 8, lane: int = 128) -> SELL:
 
 
 def csr_to_dense(A: CSR, order: str = "row") -> jnp.ndarray:
-    """csr2dense (convert.cpp:933) as a jittable scatter."""
+    """csr2dense (convert.cpp:933) as a jittable scatter. Accepts the CSR
+    struct or a CSR-format matrix handle (unwrapped to its struct)."""
+    if not hasattr(A, "ptr") and hasattr(A, "data") and hasattr(A.data, "ptr"):
+        A = A.data  # SparseMatrix handle in CSR format
     m, n = A.shape
     ptr = _np(A.ptr)
     rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(ptr))

@@ -178,6 +178,66 @@ def main():
     except Exception as e:
         results.append({"metric": "spmv_band_f64", "error": repr(e)[:200]})
 
+    # ---- SpMV f64 via the double-float band kernel (mv KID 13,
+    # kernels/pallas/spmv.py spmv_bandv_df): (hi, lo) f32 pairs at VPU f32
+    # rates, ~2^-48 relative accuracy (docs/precision.md) — the fast-path
+    # counterpart of the emulated-f64 row above. Band pair passed as jit
+    # ARGUMENTS (a closure constant would ship ~268 MB in the compile
+    # request). Loop-amortized like the bandv rows. ----
+    try:
+        from aoclsparse_tpu.kernels.pallas.spmv import spmv_bandv_df
+
+        jax.config.update("jax_enable_x64", True)
+        try:
+            A64df = ast.create_csr(m, n, ptr, ind, val.astype(np.float64))
+            fdf = get_plan(A64df).exec_form_for(
+                MatrixDescriptor(), Operation.none, kind="bandt", dtype=np.float64
+            )
+            vt4h, vt4l = fdf.bandt_vertical_df(TM=2048)
+            Wdf = vt4h.shape[0] // 8
+            x64df = jnp.asarray(np.asarray(x), dtype=jnp.float64)
+            zi_df = jnp.zeros((0,), jnp.int32)
+            zv_df = jnp.zeros((0,), jnp.float64)
+
+            @jax.jit
+            def _dfloop(eps, vh, vl, x0):
+                def body(i, carry):
+                    xc, acc = carry
+                    y = spmv_bandv_df(
+                        vh, vl, xc, zv_df, zi_df, zi_df,
+                        m=fdf.m, W=Wdf, padL=fdf.bwd_padL,
+                        start=fdf.bandt_start, TM=2048,
+                    )
+                    return (xc + eps * y, acc + y[0])
+
+                _, acc = jax.lax.fori_loop(0, 20, body, (x0, jnp.float64(0.0)))
+                return acc
+
+            t = chain_min(
+                lambda: _dfloop(jnp.float64(1e-9), vt4h, vt4l, x64df),
+                iters_per=2,
+                chunks=4,
+            ) / 20
+        finally:
+            jax.config.update("jax_enable_x64", False)
+        gbytes64 = ((m + 1 + nnz) * 4 + (nnz + n + m) * 8) / 1e9
+        results.append(
+            {
+                "metric": "spmv_band_df64",
+                "value": round(gbytes64 / t, 2),
+                "unit": "GB/s(effective,amortized)",
+                "extra": {
+                    "gnnz_s": round(nnz / t / 1e9, 2),
+                    "t_us": round(t * 1e6, 1),
+                    "note": "double-float (two-f32) band kernel, mv KID 13;"
+                    " ~2^-48 rel err (docs/precision.md)",
+                    "window_stream_gbps": window_gbps(),
+                },
+            }
+        )
+    except Exception as e:
+        results.append({"metric": "spmv_band_df64", "error": repr(e)[:200]})
+
     # ---- SpMV banded via the vertical-layout Pallas form (mv KID 12),
     # f32 + bf16 band, plus the LOOP-AMORTIZED on-chip per-iteration time:
     # per-dispatch tunnel overhead (~0.9-4 ms in throttled windows,
@@ -661,6 +721,84 @@ def main():
         )
     except Exception as e:
         results.append({"metric": "pcg_ilu0_solve", "error": repr(e)[:200]})
+
+    # ---- ILU0: host factor time + device apply bandwidth (reference
+    # methodology: csrilu0_gbyte_count(M, nnz) = ((M+1+nnz)*int + 2*nnz*T)/1e9,
+    # tests/include/aoclsparse_gbyte.hpp:121-124). Factor = native C++ IKJ
+    # sweep (host_kernels.cpp); apply = L/U blocked-scan solves, amortized
+    # over a 20-deep in-program chain like the TRSV row. ----
+    try:
+        from aoclsparse_tpu.solvers.ilu import _apply_form, ilu0_factorize
+
+        A_f = ast.create_csr(m, n, ptr, ind, val)  # fresh handle: time the factor
+        t0 = time.perf_counter()
+        stI = ilu0_factorize(A_f)
+        t_factor = time.perf_counter() - t0
+        bI = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+
+        @jax.jit
+        def _iluloop(eps, b0):
+            def body(i, carry):
+                bc, acc = carry
+                y_ = _apply_form(stI.l_form, bc)
+                x_ = _apply_form(stI.u_form, y_)
+                return (b0 + eps * x_, acc + x_[0])
+
+            _, acc = jax.lax.fori_loop(0, 20, body, (b0, jnp.float32(0.0)))
+            return acc
+
+        t = chain_min(
+            lambda: _iluloop(jnp.float32(1e-7), bI), iters_per=2, chunks=4
+        ) / 20
+        gb_ilu = ((m + 1 + nnz) * 4 + 2.0 * nnz * 4) / 1e9
+        results.append(
+            {
+                "metric": "ilu0_apply",
+                "value": round(gb_ilu / t, 2),
+                "unit": "GB/s(csrilu0_gbyte,amortized)",
+                "extra": {
+                    "t_apply_us": round(t * 1e6, 1),
+                    "factor_host_ms": round(t_factor * 1e3, 1),
+                    "m": m,
+                    "nnz": nnz,
+                },
+            }
+        )
+    except Exception as e:
+        results.append({"metric": "ilu0_apply", "error": repr(e)[:200]})
+
+    # ---- fused preconditioned GMRES (one dispatch per restart cycle set) ----
+    try:
+        from aoclsparse_tpu.solvers.fused import pgmres_solve
+
+        mG = 65536
+        pG, iG, vG = banded(rng, mG, mG, 16, 9, diag_boost=32.0)
+        AG = ast.create_csr(mG, mG, pG, iG, vG)
+        bG = rng.standard_normal(mG).astype(np.float32)
+        xG, itG, rnG = pgmres_solve(AG, bG, rtol=1e-5, maxit=100, restart=20, precond="ilu0")
+
+        def run_pg():
+            xr, it, rn = pgmres_solve(
+                AG, bG, rtol=1e-5, maxit=100, restart=20, precond="ilu0"
+            )
+            return xr
+
+        t = chain_min(run_pg, iters_per=1, chunks=3)
+        results.append(
+            {
+                "metric": "pgmres_ilu0_solve",
+                "value": round(t * 1e3 / max(itG, 1), 3),
+                "unit": "ms/iter",
+                "extra": {
+                    "iters": itG,
+                    "t_solve_ms": round(t * 1e3, 1),
+                    "resid": float(rnG),
+                    "m": mG,
+                },
+            }
+        )
+    except Exception as e:
+        results.append({"metric": "pgmres_ilu0_solve", "error": repr(e)[:200]})
 
     for r in results:
         r["device"] = ctx.device_kind
