@@ -93,8 +93,8 @@ def _emit(t, window_gbps, t_bf16, meta, stalled=False):
                 "gnnz_per_s": round(nnz / t_head / 1e9, 3),
                 "t_iter_us": round(t_head * 1e6, 2),
                 "timing": (
-                    "amortized per-iteration of 50 chained in-program"
-                    " applications (reference tight-loop methodology;"
+                    f"amortized per-iteration of {_progress.get('R', 100)} chained"
+                    " in-program applications (reference tight-loop methodology;"
                     " single-dispatch pays a ~0.9-4 ms tunnel RPC floor, see"
                     " extra.t_single_us / HUNT_r3.jsonl noop_floor)"
                     if _progress.get("amortized", True)
@@ -102,7 +102,6 @@ def _emit(t, window_gbps, t_bf16, meta, stalled=False):
                     " to build this run)"
                 ),
                 "t_single_us": _progress.get("t_single_us"),
-                "noop_floor_us": _progress.get("noop_floor_us"),
                 "precision": precision,
                 "window_stream_gbps": round(window_gbps, 1),
                 "vs_achievable": round(gbs / max(window_gbps, 1e-9), 4),
@@ -215,6 +214,7 @@ def main():
     # ~1 ms tunnel floor below ~4% of the chunk even in throttled windows
     # (HUNT_r3.jsonl noop_floor ~1.1 ms; 100 x ~0.3 ms/iter = ~30 ms chunks).
     R_AMORT = int(os.environ.get("AOCLSPARSE_TPU_BENCH_R", "100"))
+    _progress["R"] = R_AMORT
 
     def _make_loop(kid_v, mixed):
         """Build + WARM UP (trace happens at first call, so the env flag
