@@ -5,9 +5,13 @@ One forward sweep of successive over-relaxation:
     (D + omega*L) x1 = omega*b - (omega*U + (omega-1)*D) x0,
     x0 = alpha*x  (or 0 when alpha == 0)
 
-Reference supports forward sweep on general matrices, s/d dtypes, and needs
-a full nonzero diagonal (aoclsparse_csr_check_full_diag, sorv.hpp:36-79);
-backward/symmetric return not_implemented (mirrored here).
+Reference supports forward sweep on general matrices and needs a full
+nonzero diagonal (aoclsparse_csr_check_full_diag, sorv.hpp:36-79);
+backward/symmetric return not_implemented (mirrored here). The reference
+declares csorv/zsorv wrappers (aoclsparse_sorv.cpp:54-81) but its template
+stubs complex with not_implemented (aoclsparse_sorv.hpp:130-133); here the
+complex sweep is implemented (a strict superset of the reference surface,
+complex omega/alpha included).
 
 TPU form: the (D + omega*L) solve is a blocked triangular solve over a
 value-scaled copy of the lower triangle (off-diagonal entries scaled by
@@ -54,8 +58,6 @@ def sorv(
         raise AoclSparseError(Status.not_implemented, "only forward SOR (parity)")
     if MatrixType(descr.type) != MatrixType.general:
         raise AoclSparseError(Status.not_implemented, "only general matrices (parity)")
-    if is_complex_dtype(A.dtype):
-        raise AoclSparseError(Status.not_implemented, "sorv is real-only (s/d) like reference")
     m, n = A.shape
     if m != n:
         raise AoclSparseError(Status.invalid_size, "sorv requires square A")
@@ -67,7 +69,9 @@ def sorv(
     plan = get_plan(A)
     if not plan.clean.fulldiag:
         raise AoclSparseError(Status.invalid_value, "sorv requires a full nonzero diagonal")
-    omega = float(omega)
+    # complex omega/alpha are first-class like the reference's csorv/zsorv
+    # wrappers (aoclsparse_sorv.cpp:54-81)
+    omega = complex(omega) if is_complex_dtype(A.dtype) else float(omega)
     dtype = A.dtype
     x0 = jnp.zeros((m,), dtype) if (np.isscalar(alpha) and alpha == 0) else (
         jnp.asarray(alpha, dtype) * x

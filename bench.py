@@ -350,7 +350,7 @@ def main():
     base_deadline = time.perf_counter() + float(
         os.environ.get("AOCLSPARSE_TPU_BENCH_BASE_S", "150")
     )
-    hard_cap = time.perf_counter() + float(os.environ.get("AOCLSPARSE_TPU_BENCH_CAP_S", "900"))
+    hard_cap = time.perf_counter() + float(os.environ.get("AOCLSPARSE_TPU_BENCH_CAP_S", "1200"))
     loop_iters = 2  # x R_AMORT applications each
     stream_iters = 6
     best = None  # (t_periter, stream_gbps_same_window)

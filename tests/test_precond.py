@@ -194,6 +194,22 @@ def test_sorv_forward(rng):
     assert_allclose_spec(got, want, dtype=np.float64, scale=100)
 
 
+@pytest.mark.parametrize("dtype", [np.complex64, np.complex128])
+def test_sorv_complex(rng, dtype):
+    """csorv/zsorv surface: the reference declares the c/z wrappers
+    (aoclsparse_sorv.cpp:54-81) but stubs complex with not_implemented
+    (aoclsparse_sorv.hpp:130-133); here the sweep is implemented — a
+    superset of the reference surface, complex omega included."""
+    m = 12
+    A, (ptr, ind, val, dense) = _mk(rng, m, dtype)
+    b = (rng.standard_normal(m) + 1j * rng.standard_normal(m)).astype(dtype)
+    x0 = (rng.standard_normal(m) + 1j * rng.standard_normal(m)).astype(dtype)
+    omega = 1.2 + 0.1j
+    got = ast.sorv(SorType.forward, GEN, A, omega, 1.0, x0, b)
+    want = ref_sor(omega, m, ptr, ind, val, x0, b, sweeps=1)
+    assert_allclose_spec(got, want, dtype=dtype, scale=100)
+
+
 def test_sorv_alpha_zero_starts_from_zero(rng):
     m = 8
     A, (ptr, ind, val, dense) = _mk(rng, m)
