@@ -129,7 +129,13 @@ class TrsvForm:
             ctx = get_context()
             if (ctx.is_tpu or ctx.pallas_ok) and not exact:
                 if getattr(self, "_Dinv", None) is None:
-                    self._Dinv = invert_diag_blocks(self.D)
+                    # the lazy caches must stay CONCRETE even when solve() is
+                    # first called inside a user jit trace: without the
+                    # compile-time-eval scope the derived arrays would be
+                    # tracers, poisoning the cache for every later call
+                    # (measured: UnexpectedTracerError on the second solve)
+                    with jax.ensure_compile_time_eval():
+                        self._Dinv = invert_diag_blocks(self.D)
                 # Pallas sequential-grid solve for single RHS: carries the
                 # window in VMEM scratch (~15% over the XLA scan and 4x less
                 # Dinv traffic at small nb; kernels/pallas/trsv.py)
@@ -144,19 +150,26 @@ class TrsvForm:
                     from ..kernels.pallas.trsv import pallas_trsv_win_inv8
 
                     if getattr(self, "_pallas", None) is None:
-                        nblk_pad = -(-self.nblk // 8) * 8
-                        dinvT = jnp.swapaxes(self._Dinv, 1, 2)
-                        lwT = jnp.swapaxes(self.Lval, 1, 2)
-                        if nblk_pad != self.nblk:
-                            eye = jnp.broadcast_to(
-                                jnp.eye(self.nb, dtype=dinvT.dtype),
-                                (nblk_pad - self.nblk, self.nb, self.nb),
-                            )
-                            dinvT = jnp.concatenate([dinvT, eye])
-                            lwT = jnp.concatenate(
-                                [lwT, jnp.zeros((nblk_pad - self.nblk, self.WL, self.nb), lwT.dtype)]
-                            )
-                        self._pallas = (dinvT, lwT, nblk_pad)
+                        with jax.ensure_compile_time_eval():
+                            nblk_pad = -(-self.nblk // 8) * 8
+                            dinvT = jnp.swapaxes(self._Dinv, 1, 2)
+                            lwT = jnp.swapaxes(self.Lval, 1, 2)
+                            if nblk_pad != self.nblk:
+                                eye = jnp.broadcast_to(
+                                    jnp.eye(self.nb, dtype=dinvT.dtype),
+                                    (nblk_pad - self.nblk, self.nb, self.nb),
+                                )
+                                dinvT = jnp.concatenate([dinvT, eye])
+                                lwT = jnp.concatenate(
+                                    [
+                                        lwT,
+                                        jnp.zeros(
+                                            (nblk_pad - self.nblk, self.WL, self.nb),
+                                            lwT.dtype,
+                                        ),
+                                    ]
+                                )
+                            self._pallas = (dinvT, lwT, nblk_pad)
                     dinvT, lwT, nblk_pad = self._pallas
                     bflat = jnp.pad(r2[:, 0], (0, nblk_pad * self.nb - m_pad))
                     x = pallas_trsv_win_inv8(
@@ -177,9 +190,10 @@ class TrsvForm:
                     from ..kernels.pallas.trsv import pallas_trsm_win_inv
 
                     if getattr(self, "_pallas_m", None) is None:
-                        dinvT = jnp.swapaxes(self._Dinv, 1, 2)
-                        lwT = jnp.swapaxes(self.Lval, 1, 2)
-                        self._pallas_m = (dinvT, lwT)
+                        with jax.ensure_compile_time_eval():
+                            dinvT = jnp.swapaxes(self._Dinv, 1, 2)
+                            lwT = jnp.swapaxes(self.Lval, 1, 2)
+                            self._pallas_m = (dinvT, lwT)
                     dinvT, lwT = self._pallas_m
                     k = r2.shape[1]
                     k_pad = -(-k // 8) * 8

@@ -93,7 +93,17 @@ def main():
 
     ctx = get_context()
     rng = np.random.default_rng(7)
-    results = []
+
+    class _Emit(list):
+        # print each metric the moment it lands so a mid-suite crash or
+        # timeout doesn't lose the completed rows (an early SUITE_r3 run
+        # lost everything to a late TRSV error)
+        def append(self, r):
+            r["device"] = ctx.device_kind
+            print(json.dumps(r), flush=True)
+            super().append(r)
+
+    results = _Emit()
 
     # same-window achievable-bandwidth calibration (see bench.py): a dense
     # READ stream over 128 MB (SpMV traffic is read-dominant; the old
@@ -415,39 +425,55 @@ def main():
         except Exception as e:
             results.append({"metric": f"spmm_k{k}_{label}", "error": repr(e)[:200]})
 
-    # ---- TRSV (win) ----
+    # ---- TRSV (win): the form's D/Dinv/Lval arrays are passed as jit
+    # ARGUMENTS — closed over they become HLO constants and the remote
+    # compile request ships ~270 MB (HTTP 413; killed SUITE_r3a) ----
     descr_t = MatrixDescriptor(type=MatrixType.triangular)
     tform = trsv_form_for(plan, descr_t, Operation.none)
     b = jnp.asarray(rng.standard_normal(m).astype(np.float32))
     m_pad = tform.nblk * tform.nb
     b2 = jnp.pad(b[:, None], ((0, m_pad - m), (0, 0)))
-
-    @jax.jit
-    def _svloop(eps, b0):
-        def body(i, carry):
-            bc, acc = carry
-            xs_ = tform.solve(bc)
-            return (b0 + eps * xs_, acc + xs_[0, 0])
-
-        _, acc = jax.lax.fori_loop(0, 20, body, (b0, jnp.float32(0.0)))
-        return acc
-
-    try:
-        t = chain_min(lambda: _svloop(jnp.float32(1e-7), b2), iters_per=2, chunks=4) / 20
-        amort = True
-    except Exception:
-        t = chain_min(lambda: tform.solve(b2), iters_per=5, chunks=4)
-        amort = False
     tri_nnz = int(np.sum(ind <= np.repeat(np.arange(m), ind.size // m)))
-    results.append(
-        {
-            "metric": "trsv_f32",
-            "value": round((2 * tri_nnz - m) / t / 1e9, 2),
-            "unit": "GFLOP/s" + ("(amortized)" if amort else ""),
-            "extra": {"t_ms": round(t * 1e3, 3), "kind": tform.kind, "WL": tform.WL,
-                      "nblk": tform.nblk, "nb": tform.nb},
-        }
-    )
+    try:
+        from aoclsparse_tpu.kernels.xla.trsv import (
+            invert_diag_blocks,
+            trsv_blocked_win_inv,
+        )
+
+        assert tform.kind == "win"
+        Dinv = invert_diag_blocks(tform.D)
+
+        @jax.jit
+        def _svloop(eps, Dinv_a, Lval_a, b0):
+            def body(i, carry):
+                bc, acc = carry
+                xs_ = trsv_blocked_win_inv(Dinv_a, Lval_a, bc, tform.nb, m_pad, tform.WL)
+                return (b0 + eps * xs_, acc + xs_[0, 0])
+
+            _, acc = jax.lax.fori_loop(0, 20, body, (b0, jnp.float32(0.0)))
+            return acc
+
+        try:
+            t = chain_min(
+                lambda: _svloop(jnp.float32(1e-7), Dinv, tform.Lval, b2),
+                iters_per=2,
+                chunks=4,
+            ) / 20
+            amort = True
+        except Exception:
+            t = chain_min(lambda: tform.solve(b2), iters_per=5, chunks=4)
+            amort = False
+        results.append(
+            {
+                "metric": "trsv_f32",
+                "value": round((2 * tri_nnz - m) / t / 1e9, 2),
+                "unit": "GFLOP/s" + ("(amortized)" if amort else ""),
+                "extra": {"t_ms": round(t * 1e3, 3), "kind": tform.kind, "WL": tform.WL,
+                          "nblk": tform.nblk, "nb": tform.nb},
+            }
+        )
+    except Exception as e:
+        results.append({"metric": "trsv_f32", "error": repr(e)[:200]})
 
     # ---- TRSM multi-RHS (Pallas sequential-grid when available) ----
     try:
@@ -728,27 +754,43 @@ def main():
     # sweep (host_kernels.cpp); apply = L/U blocked-scan solves, amortized
     # over a 20-deep in-program chain like the TRSV row. ----
     try:
-        from aoclsparse_tpu.solvers.ilu import _apply_form, ilu0_factorize
+        from aoclsparse_tpu.kernels.xla.trsv import (
+            invert_diag_blocks as _inv_blocks,
+            trsv_blocked_win_inv as _win_inv,
+        )
+        from aoclsparse_tpu.solvers.ilu import ilu0_factorize
 
         A_f = ast.create_csr(m, n, ptr, ind, val)  # fresh handle: time the factor
         t0 = time.perf_counter()
         stI = ilu0_factorize(A_f)
         t_factor = time.perf_counter() - t0
         bI = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+        lF, uF = stI.l_form, stI.u_form
+        assert lF.kind == "win" and uF.kind == "win"
+        DinvL, DinvU = _inv_blocks(lF.D), _inv_blocks(uF.D)
+        padL_ = lF.nblk * lF.nb - m
+        padU_ = uF.nblk * uF.nb - m
 
+        # L/U solve pair with the form arrays as jit ARGUMENTS (constants
+        # would ship ~0.5 GB in the remote compile request -> HTTP 413);
+        # mirrors solvers/ilu.py _apply_form incl. the U-form reversal
         @jax.jit
-        def _iluloop(eps, b0):
+        def _iluloop(eps, DL, LL, DU, LU, b0):
             def body(i, carry):
                 bc, acc = carry
-                y_ = _apply_form(stI.l_form, bc)
-                x_ = _apply_form(stI.u_form, y_)
+                r = jnp.pad(bc[:, None], ((0, padL_), (0, 0)))
+                y_ = _win_inv(DL, LL, r, lF.nb, lF.nblk * lF.nb, lF.WL)[: lF.m, 0]
+                r2 = jnp.pad(y_[::-1][:, None], ((0, padU_), (0, 0)))
+                x_ = _win_inv(DU, LU, r2, uF.nb, uF.nblk * uF.nb, uF.WL)[: uF.m, 0][::-1]
                 return (b0 + eps * x_, acc + x_[0])
 
             _, acc = jax.lax.fori_loop(0, 20, body, (b0, jnp.float32(0.0)))
             return acc
 
         t = chain_min(
-            lambda: _iluloop(jnp.float32(1e-7), bI), iters_per=2, chunks=4
+            lambda: _iluloop(jnp.float32(1e-7), DinvL, lF.Lval, DinvU, uF.Lval, bI),
+            iters_per=2,
+            chunks=4,
         ) / 20
         gb_ilu = ((m + 1 + nnz) * 4 + 2.0 * nnz * 4) / 1e9
         results.append(
@@ -800,9 +842,7 @@ def main():
     except Exception as e:
         results.append({"metric": "pgmres_ilu0_solve", "error": repr(e)[:200]})
 
-    for r in results:
-        r["device"] = ctx.device_kind
-        print(json.dumps(r), flush=True)
+    # every row already printed on append (incremental emission)
 
 
 if __name__ == "__main__":

@@ -65,3 +65,30 @@ def test_cold_jit_trsv_level_kid(rng):
     b = rng.standard_normal(L.shape[0])
     x = jax.jit(lambda v: ast.trsv(1.0, A, descr, Operation.none, v, kid=1))(b)
     np.testing.assert_allclose(np.asarray(x), np.linalg.solve(L, b), rtol=1e-9)
+
+
+def test_jit_first_solve_caches_stay_concrete(rng):
+    """TrsvForm.solve lazily derives _Dinv/_pallas operands; when the FIRST
+    call happens inside a user jit trace those caches must stay concrete
+    (ensure_compile_time_eval) — without it the cached tracers poisoned
+    every later call (UnexpectedTracerError; found by the r3 suite run)."""
+    from aoclsparse_tpu.planner.plan import get_plan
+    from aoclsparse_tpu.planner.triangular import trsv_form_for
+
+    A, L = _lower(rng)
+    m = L.shape[0]
+    tform = trsv_form_for(get_plan(A), MatrixDescriptor(type=MatrixType.triangular), Operation.none)
+    m_pad = tform.nblk * tform.nb
+    import jax.numpy as jnp
+
+    b = jnp.pad(jnp.asarray(rng.standard_normal(m))[:, None], ((0, m_pad - m), (0, 0)))
+    x1 = np.asarray(jax.jit(tform.solve)(b))[:m, 0]  # first call under trace
+    for cache in ("_Dinv", "_pallas", "_pallas_m"):
+        v = getattr(tform, cache, None)
+        if v is not None:
+            leaves = jax.tree_util.tree_leaves(v)
+            assert all(isinstance(l, jax.Array) or np.isscalar(l) for l in leaves)
+    x2 = np.asarray(tform.solve(b))[:m, 0]  # second call eager
+    want = np.linalg.solve(L, np.asarray(b)[:m, 0])
+    np.testing.assert_allclose(x1, want, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(x2, want, rtol=1e-8, atol=1e-10)
