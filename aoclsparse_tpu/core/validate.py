@@ -8,7 +8,24 @@ import numpy as np
 
 from .types import AoclSparseError, IndexBase, Status
 
-__all__ = ["check_csr_arrays", "check_dtype_compat", "check_sizes", "require"]
+__all__ = [
+    "check_base_match",
+    "check_csr_arrays",
+    "check_dtype_compat",
+    "check_sizes",
+    "require",
+]
+
+
+def check_base_match(A, descr):
+    """The descriptor's index base must agree with the matrix handle's
+    (reference: aoclsparse_mv.cpp:71-73, aoclsparse_symgs.hpp:311-314,
+    aoclsparse_sorv.hpp:171+, aoclsparse_set_hint analysis.cpp:612-619 —
+    all return invalid_value on mismatch)."""
+    if int(descr.base) != int(A.base):
+        raise AoclSparseError(
+            Status.invalid_value, "descriptor/matrix index-base mismatch"
+        )
 
 
 def require(cond: bool, status: Status, msg: str = ""):

@@ -116,7 +116,7 @@ def _kernel_mm(v_ref, b0_ref, b1_ref, out_ref, *, TM: int, W: int, K: int):
     # 8 pre-rotated copies: window j = j0 + r reads rot[r][j0 : j0+TM] with
     # j0 a multiple of 8 — all sublane slices 8-aligned (unaligned sublane
     # slices crash Mosaic; lane slices may be unaligned)
-    rots = [R0] + [pltpu.roll(R0, 2 * TM - r, axis=0) for r in range(1, 8)]
+    rots = [R0] + [pltpu.roll(R0, np.int32(2 * TM - r), axis=0) for r in range(1, 8)]
     acc = jnp.zeros((TM, K), dtype=out_ref.dtype)
     for j in range(W):
         j0, r = (j // 8) * 8, j % 8
@@ -386,7 +386,9 @@ def _kernel_t_v(vt4_ref, x0_ref, x1_ref, out_ref, *, TM: int, W: int):
     nslab = 1 + -(-(W - 1) // TMd8)  # covers lane index j + c <= W-1 + TM/8-1
     slabs = [xcat[0:8]]
     for k in range(1, nslab):
-        slabs.append(pltpu.roll(xcat, 16 - k, 0)[0:8])  # rows k..k+7
+        # shift must be i32: under jax_enable_x64 a Python int traces as an
+        # i64 scalar and tpu.dynamic_rotate rejects 64-bit operands
+        slabs.append(pltpu.roll(xcat, np.int32(16 - k), 0)[0:8])  # rows k..k+7
     base = jnp.concatenate(slabs, axis=1)  # (8, nslab*TM/8)
     acc = jnp.zeros((8, TMd8), dtype=out_ref.dtype)
     if vt4_ref.dtype == jnp.bfloat16:
@@ -498,7 +500,9 @@ def _kernel_t_v_df(
         nslab = 1 + -(-(W - 1) // TMd8)
         slabs = [xcat[0:8]]
         for k in range(1, nslab):
-            slabs.append(pltpu.roll(xcat, 16 - k, 0)[0:8])
+            # i32 shift: x64 tracing makes a Python int an i64 scalar, which
+            # tpu.dynamic_rotate rejects (measured on v5e; SUITE_r3a df64 row)
+            slabs.append(pltpu.roll(xcat, np.int32(16 - k), 0)[0:8])
         return jnp.concatenate(slabs, axis=1)  # (8, nslab*TM/8)
 
     baseh = window(x0h_ref, x1h_ref)

@@ -19,6 +19,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -39,7 +40,7 @@ def _kernel8(dinvT_ref, lwT_ref, b_ref, out_ref, w_scr, *, nb: int, WL: int):
     rows = []
     w = w_scr[:]
     for r in range(8):
-        br = b_blk[0:1, :] if r == 0 else pltpu.roll(b_blk, 8 - r, axis=0)[0:1, :]
+        br = b_blk[0:1, :] if r == 0 else pltpu.roll(b_blk, np.int32(8 - r), axis=0)[0:1, :]
         dT = dinvT_ref[0][r * nb : (r + 1) * nb, :]  # (nb, nb), aligned
         lT = lwT_ref[0][r * WL : (r + 1) * WL, :]  # (WL, nb), aligned
         s = jnp.dot(w, lT, preferred_element_type=w.dtype)

@@ -24,6 +24,7 @@ import numpy as np
 from ...core.descr import MatrixDescriptor
 from ...core.formats import BSR, DIA, ELL
 from ...core.matrix import SparseMatrix
+from ...core.validate import check_base_match
 from ...core.types import (
     AoclSparseError,
     MatrixType,
@@ -41,6 +42,7 @@ def _validate(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, x, y):
     if A is None or descr is None or x is None:
         raise AoclSparseError(Status.invalid_pointer, "null argument to mv")
     descr.validate()
+    check_base_match(A, descr)
     op = Operation(op)
     m, n = A.shape
     nx, ny = (n, m) if op == Operation.none else (m, n)

@@ -82,6 +82,9 @@ def _solve(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, rhs, kid):
     if A is None or descr is None or rhs is None:
         raise AoclSparseError(Status.invalid_pointer, "null argument to trsv")
     descr.validate()
+    from ...core.validate import check_base_match
+
+    check_base_match(A, descr)
     op = Operation(op)
     m, n = A.shape
     if m != n:

@@ -74,6 +74,9 @@ def mm(
     if A is None or descr is None or B is None:
         raise AoclSparseError(Status.invalid_pointer, "null argument to mm")
     descr.validate()
+    from ...core.validate import check_base_match
+
+    check_base_match(A, descr)
     op = Operation(op)
     order = Order(order)
     B = jnp.asarray(B)

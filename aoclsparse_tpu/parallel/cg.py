@@ -27,6 +27,7 @@ from .placement import put
 
 __all__ = [
     "cg_ell_jit",
+    "cg_bandv_jit",
     "cg_bwd_jit",
     "dist_cg",
     "dist_cg_bwd",
@@ -131,6 +132,68 @@ def cg_bwd_jit(
             axis=1,
         )
         y = jnp.einsum("brw,bw->br", win_val, pats).reshape(-1)[: v.shape[0]]
+        if sp_ind is not None and sp_ind.shape[0]:
+            y = y + jax.ops.segment_sum(
+                sp_val * v[sp_ind], sp_rows, num_segments=v.shape[0], indices_are_sorted=True
+            )
+        return y
+
+    bnorm = jnp.sqrt(jnp.sum(b * b))
+    brtol = rtol * bnorm
+    r0 = matvec(x0) - b
+    rn0 = jnp.sqrt(jnp.sum(r0 * r0))
+
+    def cond(state):
+        x, r, p, rz, k, rnorm = state
+        not_conv = jnp.logical_and(rnorm > atol, rnorm > brtol)
+        return jnp.logical_and(not_conv, k < maxit)
+
+    def body(state):
+        x, r, p, rz, k, rnorm = state
+        rz_new = jnp.sum(r * r)
+        beta = jnp.where(k == 0, jnp.zeros_like(rz), rz_new / rz)
+        p = beta * p - r
+        q = matvec(p)
+        alpha = rz_new / jnp.sum(p * q)
+        x = x + alpha * p
+        r = r + alpha * q
+        return (x, r, p, rz_new, k + 1, jnp.sqrt(jnp.sum(r * r)))
+
+    state = (x0, r0, jnp.zeros_like(x0), jnp.ones((), b.dtype), jnp.zeros((), jnp.int32), rn0)
+    x, r, p, rz, k, rnorm = jax.lax.while_loop(cond, body, state)
+    return x, k, rnorm
+
+
+@partial(jax.jit, static_argnames=("maxit", "W", "padL", "start", "TM", "interpret"))
+def cg_bandv_jit(
+    vt4,
+    b,
+    x0,
+    rtol,
+    atol,
+    maxit: int,
+    W: int,
+    padL: int,
+    start: int,
+    TM: int = 2048,
+    sp_ind=None,
+    sp_rows=None,
+    sp_val=None,
+    interpret: bool = False,
+):
+    """CG whose matvec is the vertical-layout Pallas band kernel (mv KID 12,
+    kernels/pallas/spmv.py pallas_spmv_band_v) — the same kernel as the
+    headline SpMV, ~2-3x the XLA bwd einsum per iteration on v5e. The band
+    `vt4` (f32 or bf16 under the precision policy) is an ARGUMENT, so the
+    compiled program stays small through the remote tunnel. Same update
+    order as cg_bwd_jit / the reference CG task machine
+    (itsol_functions.hpp:619-870). Returns (x, iters, rnorm)."""
+    from ..kernels.pallas.spmv import pallas_spmv_band_v
+
+    def matvec(v):
+        xe = jnp.pad(v, (padL, 0))
+        y = pallas_spmv_band_v(vt4, xe, W, start, TM=TM, interpret=interpret)
+        y = y[: v.shape[0]].astype(v.dtype)
         if sp_ind is not None and sp_ind.shape[0]:
             y = y + jax.ops.segment_sum(
                 sp_val * v[sp_ind], sp_rows, num_segments=v.shape[0], indices_are_sorted=True

@@ -42,8 +42,18 @@ def _set_hint(
         raise AoclSparseError(Status.invalid_pointer, "null matrix or descriptor")
     descr.validate()
     Operation(trans)
-    if nop < 0:
-        raise AoclSparseError(Status.invalid_value, "expected_no_of_calls must be >= 0")
+    # reference: descriptor base must agree with the matrix base
+    # (aoclsparse_set_hint, analysis.cpp:612-619)
+    if int(descr.base) != int(A.base):
+        raise AoclSparseError(
+            Status.invalid_value, "descriptor/matrix index-base mismatch"
+        )
+    # reference: nop < 0 invalid; nop == 0 only valid with an explicit kid
+    # (analysis.cpp:643-646)
+    if nop < 0 or (nop == 0 and kid is None):
+        raise AoclSparseError(
+            Status.invalid_value, "expected_no_of_calls must be > 0 (or a kid given)"
+        )
     A.add_hint(Hint(action=action, trans=Operation(trans), descr=descr, kid=kid, nop=nop))
 
 

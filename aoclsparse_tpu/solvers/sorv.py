@@ -58,6 +58,9 @@ def sorv(
         raise AoclSparseError(Status.not_implemented, "only forward SOR (parity)")
     if MatrixType(descr.type) != MatrixType.general:
         raise AoclSparseError(Status.not_implemented, "only general matrices (parity)")
+    from ..core.validate import check_base_match
+
+    check_base_match(A, descr)
     m, n = A.shape
     if m != n:
         raise AoclSparseError(Status.invalid_size, "sorv requires square A")
@@ -104,7 +107,10 @@ def sorv(
         plan.levels[dkey] = diag
 
     tri_us = MatrixDescriptor(
-        type=MatrixType.triangular, fill_mode=FillMode.upper, diag_type=DiagType.zero
+        type=MatrixType.triangular,
+        fill_mode=FillMode.upper,
+        diag_type=DiagType.zero,
+        base=A.base,  # internal mv call must carry the handle's base
     )
     u_x0 = mv(1.0, A, tri_us, Operation.none, x0, 0.0)
     rhs = omega * b - (omega * u_x0 + (omega - 1.0) * diag * x0)

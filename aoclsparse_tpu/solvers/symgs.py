@@ -89,6 +89,9 @@ def _symgs_core(trans, A, descr, alpha, b, x0, fuse_mv, kid):
     if A is None or descr is None or b is None:
         raise AoclSparseError(Status.invalid_pointer, "null argument to symgs")
     descr.validate()
+    from ..core.validate import check_base_match
+
+    check_base_match(A, descr)
     trans = Operation(trans)
     m, n = A.shape
     if m != n:

@@ -515,6 +515,34 @@ def main():
         }
     )
 
+    # ---- CG with the Pallas bandv matvec (the headline kernel; band as a
+    # jit argument) ----
+    try:
+        from aoclsparse_tpu.parallel.cg import cg_bandv_jit
+
+        vt4cg = formt.bandt_vertical(TM=2048)
+
+        def run_cg_v():
+            xr, it, rn = cg_bandv_jit(
+                vt4cg, bb, jnp.zeros(m, jnp.float32),
+                jnp.asarray(0.0, jnp.float32), jnp.asarray(1e-30, jnp.float32), 25,
+                vt4cg.shape[0] // 8, formt.bwd_padL, formt.bandt_start, TM=2048,
+                sp_ind=formt.sp_ind, sp_rows=formt.sp_rows, sp_val=formt.sp_val,
+            )
+            return xr
+
+        t = chain_min(run_cg_v, iters_per=2, chunks=3)
+        results.append(
+            {
+                "metric": "cg_bandv_iter_time",
+                "value": round(t / 25 * 1e3, 3),
+                "unit": "ms/iter",
+                "extra": {"t_solve25_ms": round(t * 1e3, 2), "matvec": "pallas bandv"},
+            }
+        )
+    except Exception as e:
+        results.append({"metric": "cg_bandv_iter_time", "error": repr(e)[:200]})
+
     # ---- SpGEMM: host symbolic + device numeric ----
     from aoclsparse_tpu.core.descr import GENERAL
     from aoclsparse_tpu.ops.level3.spgemm import _effective, _numeric, _symbolic
@@ -760,10 +788,17 @@ def main():
         )
         from aoclsparse_tpu.solvers.ilu import ilu0_factorize
 
+        from aoclsparse_tpu import native as _native
+        from aoclsparse_tpu.planner.plan import get_plan as _gp
+
         A_f = ast.create_csr(m, n, ptr, ind, val)  # fresh handle: time the factor
+        _cl = _gp(A_f).clean
+        t0 = time.perf_counter()
+        _native.ilu0_factor(_cl.m, _cl.ptr, _cl.ind, np.asarray(_cl.val))
+        t_factor_native = time.perf_counter() - t0  # the IKJ sweep alone
         t0 = time.perf_counter()
         stI = ilu0_factorize(A_f)
-        t_factor = time.perf_counter() - t0
+        t_factor = time.perf_counter() - t0  # sweep + L/U blocked-form builds
         bI = jnp.asarray(rng.standard_normal(m).astype(np.float32))
         lF, uF = stI.l_form, stI.u_form
         assert lF.kind == "win" and uF.kind == "win"

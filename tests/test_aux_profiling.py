@@ -119,3 +119,46 @@ def test_cg_bwd_jit(rng):
         form.bwd_n_pad,
     )
     np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), atol=1e-6)
+
+
+def test_cg_bandv_jit_matches_bwd(rng):
+    """cg_bandv_jit (matvec = Pallas vertical-layout band, the headline
+    kernel) must converge to the same solution in the same iteration count
+    as cg_bwd_jit on the same operand."""
+    import jax.numpy as jnp
+
+    from aoclsparse_tpu.parallel.cg import cg_bandv_jit, cg_bwd_jit
+    from aoclsparse_tpu.planner.plan import get_plan
+
+    m = 128
+    B = (rng.standard_normal((m, m)) * (rng.random((m, m)) < 0.2)) * (
+        np.abs(np.subtract.outer(np.arange(m), np.arange(m))) < 12
+    )
+    dense = (B @ B.T + m * np.eye(m)).astype(np.float32)
+    ptr = np.concatenate([[0], np.cumsum((dense != 0).sum(1))]).astype(np.int32)
+    ind = np.nonzero(dense)[1].astype(np.int32)
+    A = ast.create_csr(m, m, ptr, ind, dense[dense != 0])
+    plan = get_plan(A)
+    formb = plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="bwd")
+    formt = plan.exec_form_for(MatrixDescriptor(), Operation.none, kind="bandt")
+    b = rng.standard_normal(m).astype(np.float32)
+    TM = 128
+    vt4 = formt.bandt_vertical(TM=TM)
+    x1, k1, rn1 = cg_bwd_jit(
+        formb.bwd_val, jnp.asarray(b), jnp.zeros(m, jnp.float32),
+        jnp.asarray(1e-6, jnp.float32), jnp.asarray(0.0, jnp.float32), 200,
+        formb.bwd_W, formb.bwd_base8, formb.bwd_padL, formb.bwd_n_pad,
+    )
+    x2, k2, rn2 = cg_bandv_jit(
+        vt4, jnp.asarray(b), jnp.zeros(m, jnp.float32),
+        jnp.asarray(1e-6, jnp.float32), jnp.asarray(0.0, jnp.float32), 200,
+        vt4.shape[0] // 8, formt.bwd_padL, formt.bandt_start, TM=TM,
+        sp_ind=formt.sp_ind if formt.sp_ind is not None else None,
+        sp_rows=formt.sp_rows, sp_val=formt.sp_val,
+        interpret=True,
+    )
+    assert int(k1) == int(k2), (int(k1), int(k2))
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(x2), np.linalg.solve(dense, b).astype(np.float32), rtol=1e-3, atol=1e-3
+    )

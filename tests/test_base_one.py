@@ -27,8 +27,11 @@ from aoclsparse_tpu.utils.tolerances import assert_allclose_spec
 from conftest import random_csr
 
 GEN = MatrixDescriptor()
-TRI_L = MatrixDescriptor(type=MatrixType.triangular, fill_mode=FillMode.lower)
-TRI_U = MatrixDescriptor(type=MatrixType.triangular, fill_mode=FillMode.upper)
+# base-1 handles require base-1 descriptors: the reference errors on a
+# descriptor/matrix base mismatch (aoclsparse_mv.cpp:71-73) and so do we
+GEN1 = MatrixDescriptor(base=1)
+TRI_L1 = MatrixDescriptor(type=MatrixType.triangular, fill_mode=FillMode.lower, base=1)
+TRI_U1 = MatrixDescriptor(type=MatrixType.triangular, fill_mode=FillMode.upper, base=1)
 
 
 def _spd(rng, m, density=0.35):
@@ -53,7 +56,7 @@ def test_mv_base1_all_ops(rng, op):
     A1 = _base1(m, n, ptr, ind, val)
     x = rng.standard_normal(m if op != Operation.none else n)
     y0 = rng.standard_normal(n if op != Operation.none else m)
-    got = ast.mv(1.25, A1, GEN, op, x, -0.5, y0)
+    got = ast.mv(1.25, A1, GEN1, op, x, -0.5, y0)
     want = ref_mv(1.25, m, n, ptr, ind, val, GEN, op, x, -0.5, y0)
     assert_allclose_spec(np.asarray(got), want, dtype=np.float64, scale=10)
 
@@ -63,13 +66,13 @@ def test_mv_base1_symmetric(rng):
     ptr, ind, val, dense = _spd(rng, m)
     A1 = _base1(m, m, ptr, ind, val)
     x = rng.standard_normal(m)
-    descr = MatrixDescriptor(type=MatrixType.symmetric, fill_mode=FillMode.lower)
+    descr = MatrixDescriptor(type=MatrixType.symmetric, fill_mode=FillMode.lower, base=1)
     got = ast.mv(1.0, A1, descr, Operation.none, x, 0.0)
     sym = np.tril(dense) + np.tril(dense, -1).T
     assert_allclose_spec(np.asarray(got), sym @ x, dtype=np.float64, scale=10)
 
 
-@pytest.mark.parametrize("descr,tri", [(TRI_L, np.tril), (TRI_U, np.triu)])
+@pytest.mark.parametrize("descr,tri", [(TRI_L1, np.tril), (TRI_U1, np.triu)])
 def test_trsv_trsm_base1(rng, descr, tri):
     m = 15
     ptr, ind, val, dense = _spd(rng, m)
@@ -90,7 +93,7 @@ def test_mm_base1(rng):
     A1 = _base1(m, n, ptr, ind, val)
     B = rng.standard_normal((n, k))
     C = rng.standard_normal((m, k))
-    got = ast.mm(0.75, A1, GEN, Operation.none, B, 1.5, C)
+    got = ast.mm(0.75, A1, GEN1, Operation.none, B, 1.5, C)
     assert_allclose_spec(np.asarray(got), 0.75 * dense @ B + 1.5 * C, dtype=np.float64, scale=10)
 
 
@@ -108,7 +111,8 @@ def test_sp2m_mixed_bases(rng, baseB):
         if baseB
         else ast.create_csr(k, n, ptrB, indB, valB)
     )
-    P = ast.sp2m(Operation.none, GEN, A1, Operation.none, GEN, B)
+    P = ast.sp2m(Operation.none, GEN1, A1, Operation.none,
+                 GEN1 if baseB else GEN, B)
     mo, no, nnzo, po, io, vo = ast.export_csr(P)
     base_out = int(po[0])
     dP = np.zeros((m, n))
@@ -133,7 +137,7 @@ def test_dotmv_base1(rng):
     ptr, ind, val, dense = _spd(rng, m)
     A1 = _base1(m, m, ptr, ind, val)
     x = rng.standard_normal(m)
-    y, d = ast.dotmv(1.0, A1, GEN, Operation.none, x, 0.0)
+    y, d = ast.dotmv(1.0, A1, GEN1, Operation.none, x, 0.0)
     assert_allclose_spec(np.asarray(y), dense @ x, dtype=np.float64, scale=10)
     assert abs(float(d) - float(x @ (dense @ x))) < 1e-8 * max(1.0, abs(float(d)))
 
@@ -144,10 +148,11 @@ def test_symgs_base1_matches_base0(rng):
     A0 = ast.create_csr(m, m, ptr, ind, val)
     A1 = _base1(m, m, ptr, ind, val)
     descr = MatrixDescriptor(type=MatrixType.symmetric, fill_mode=FillMode.lower)
+    descr1 = MatrixDescriptor(type=MatrixType.symmetric, fill_mode=FillMode.lower, base=1)
     b = rng.standard_normal(m)
     x0 = rng.standard_normal(m)
     g0 = ast.symgs(Operation.none, A0, descr, 1.0, b, x0)
-    g1 = ast.symgs(Operation.none, A1, descr, 1.0, b, x0)
+    g1 = ast.symgs(Operation.none, A1, descr1, 1.0, b, x0)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-12, atol=1e-12)
 
 
@@ -159,7 +164,7 @@ def test_sorv_base1_matches_base0(rng):
     b = rng.standard_normal(m)
     x = np.zeros(m)
     g0 = ast.sorv(SorType.forward, GEN, A0, 1.2, 1.0, x, b)
-    g1 = ast.sorv(SorType.forward, GEN, A1, 1.2, 1.0, x, b)
+    g1 = ast.sorv(SorType.forward, GEN1, A1, 1.2, 1.0, x, b)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-12, atol=1e-12)
 
 
@@ -170,7 +175,7 @@ def test_ilu_smoother_base1(rng):
     A1 = _base1(m, m, ptr, ind, val)
     b = rng.standard_normal(m)
     g0 = ast.ilu_smoother(A0, GEN, b)
-    g1 = ast.ilu_smoother(A1, GEN, b)
+    g1 = ast.ilu_smoother(A1, GEN1, b)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-10, atol=1e-10)
 
 
@@ -181,7 +186,7 @@ def test_itsol_cg_base1(rng):
     b = rng.standard_normal(m)
     h = ast.itsol_init(np.float64)
     ast.itsol_option_set(h, "iterative method", "CG")
-    out = ast.itsol_solve(h, m, A1, GEN, b)
+    out = ast.itsol_solve(h, m, A1, GEN1, b)
     x = out[0]
     np.testing.assert_allclose(dense @ np.asarray(x), b, rtol=0, atol=1e-6)
 
@@ -195,11 +200,11 @@ def test_create_csc_coo_base1(rng):
     cval = dense.T[dense.T != 0]
     C1 = ast.create_csc(m, n, cptr + 1, crow + 1, cval, base=1)
     x = rng.standard_normal(n)
-    y = ast.mv(1.0, C1, GEN, Operation.none, x, 0.0)
+    y = ast.mv(1.0, C1, GEN1, Operation.none, x, 0.0)
     assert_allclose_spec(np.asarray(y), dense @ x, dtype=np.float64, scale=10)
     rows, cols = np.nonzero(dense)
     O1 = ast.create_coo(m, n, rows + 1, cols + 1, dense[rows, cols], base=1)
-    y2 = ast.mv(1.0, O1, GEN, Operation.none, x, 0.0)
+    y2 = ast.mv(1.0, O1, GEN1, Operation.none, x, 0.0)
     assert_allclose_spec(np.asarray(y2), dense @ x, dtype=np.float64, scale=10)
 
 
@@ -221,3 +226,32 @@ def test_export_preserves_base1_after_ops(rng):
     mo, no, nnzo, pe, ie, ve = ast.export_csr(A1)
     assert int(pe[0]) == 1 and int(np.min(ie)) >= 1
     np.testing.assert_array_equal(np.asarray(pe), np.asarray(ptr) + 1)
+
+
+def test_base_mismatch_rejected(rng):
+    """Descriptor/matrix base mismatch is invalid_value on every entry
+    that takes both (aoclsparse_mv.cpp:71-73 and siblings)."""
+    m = 6
+    ptr, ind, val, dense = random_csr(rng, m, m, density=0.5, ensure_diag=True)
+    A0 = ast.create_csr(m, m, ptr, ind, val)
+    A1 = _base1(m, m, ptr, ind, val)
+    x = rng.standard_normal(m)
+    for fn in (
+        lambda: ast.mv(1.0, A1, GEN, Operation.none, x, 0.0),
+        lambda: ast.mv(1.0, A0, GEN1, Operation.none, x, 0.0),
+        lambda: ast.trsv(1.0, A1, MatrixDescriptor(type=MatrixType.triangular), Operation.none, x),
+        lambda: ast.mm(1.0, A1, GEN, Operation.none, rng.standard_normal((m, 2)), 0.0),
+        lambda: ast.symgs(
+            Operation.none,
+            A1,
+            MatrixDescriptor(type=MatrixType.symmetric, fill_mode=FillMode.lower),
+            1.0,
+            x,
+            x,
+        ),
+        lambda: ast.sorv(SorType.forward, GEN, A1, 1.0, 1.0, x, x),
+        lambda: ast.set_mv_hint(A1, Operation.none, GEN, nop=1),
+    ):
+        with pytest.raises(ast.AoclSparseError) as e:
+            fn()
+        assert e.value.status == Status.invalid_value

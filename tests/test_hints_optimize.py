@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 import aoclsparse_tpu as ast
-from aoclsparse_tpu import MatrixDescriptor, Operation
+from aoclsparse_tpu import AoclSparseError, MatrixDescriptor, Operation
 from aoclsparse_tpu.core.types import FillMode, MatrixType, MemoryPolicy, Status
 from aoclsparse_tpu.planner.plan import get_plan
 
@@ -108,3 +108,20 @@ def test_structure_change_invalidates_plan(rng):
     assert A.plan is not None
     ast.order_mat(A)  # structural touch invalidates
     assert A.plan is None
+
+
+def test_hint_validation_reference_table(rng):
+    """set_hint validation parity (aoclsparse_set_hint, analysis.cpp:595-646):
+    nop < 0 invalid; nop == 0 invalid unless an explicit kid is given;
+    descriptor base must match the matrix base."""
+    A = ast.create_csr(2, 2, np.array([0, 1, 2]), np.array([0, 1]), np.ones(2))
+    with pytest.raises(AoclSparseError) as e:
+        ast.set_mv_hint(A, Operation.none, MatrixDescriptor(), nop=-1)
+    assert e.value.status == Status.invalid_value
+    with pytest.raises(AoclSparseError) as e:
+        ast.set_mv_hint(A, Operation.none, MatrixDescriptor(), nop=0)
+    assert e.value.status == Status.invalid_value
+    ast.set_mv_hint(A, Operation.none, MatrixDescriptor(), nop=0, kid=3)  # ok with kid
+    with pytest.raises(AoclSparseError) as e:
+        ast.set_sv_hint(A, Operation.none, MatrixDescriptor(base=1), nop=1)
+    assert e.value.status == Status.invalid_value

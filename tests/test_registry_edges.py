@@ -124,12 +124,14 @@ def test_one_based_flow_through_ops(rng):
     A = ast.create_csr(3, 3, ptr, ind, val, base=ast.IndexBase.one)
     dense = np.array([[4, 0, 2], [0, 3, 0], [1, 0, 5.0]])
     x = rng.standard_normal(3)
-    y = ast.mv(1.0, A, MatrixDescriptor(), Operation.none, x, 0.0)
+    # descriptor base must match the handle base (reference parity,
+    # aoclsparse_mv.cpp:71-73)
+    y = ast.mv(1.0, A, MatrixDescriptor(base=1), Operation.none, x, 0.0)
     assert_allclose_spec(np.asarray(y), dense @ x)
     xs = ast.trsv(
         1.0,
         A,
-        MatrixDescriptor(type=ast.MatrixType.triangular),
+        MatrixDescriptor(type=ast.MatrixType.triangular, base=1),
         Operation.none,
         np.array([4.0, 3.0, 6.0]),
     )
