@@ -23,6 +23,25 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+def _imap32(fn):
+    """Wrap a BlockSpec index map so Python-int components come out i32.
+
+    Under jax_enable_x64 a bare int in the index-map return traces as an
+    i64 constant and Mosaic fails to legalize the map's func.return
+    (measured on v5e: any kernel traced while x64 is on — e.g. by an f64
+    caller or a user running x64 globally — failed to compile). Tracer
+    components (the grid index and sums with it) are already i32."""
+
+    def wrapped(*idx):
+        out = fn(*idx)
+        if not isinstance(out, tuple):
+            out = (out,)
+        return tuple(np.int32(c) if isinstance(c, int) else c for c in out)
+
+    return wrapped
+
+
 __all__ = [
     "pallas_spmv_bwd",
     "pallas_spmv_band_t",
@@ -159,11 +178,11 @@ def pallas_spmm_band_t(v, Be, W: int, start: int, TM: int = 512, interpret: bool
         out_shape=jax.ShapeDtypeStruct((m_pad, K), odt),
         grid=(ntile,),
         in_specs=[
-            pl.BlockSpec((TM, W_pad), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM, K), lambda t: (t + coarse, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM, K), lambda t: (t + coarse + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, W_pad), _imap32(lambda t: (t, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, K), _imap32(lambda t: (t + coarse, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, K), _imap32(lambda t: (t + coarse + 1, 0)), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TM, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((TM, K), _imap32(lambda t: (t, 0)), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(v, B3, B3)
     return out[:m]
@@ -286,11 +305,11 @@ def pallas_spmm_band_mxu(dt, Be, start: int, TM: int = 1024, interpret: bool = F
         out_shape=jax.ShapeDtypeStruct((ntile * TM, K), odt),
         grid=(ntile,),
         in_specs=[
-            pl.BlockSpec((NB, 256, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM, K), lambda t: (t + coarse, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM, K), lambda t: (t + coarse + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, 256, 128), _imap32(lambda t: (t, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, K), _imap32(lambda t: (t + coarse, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, K), _imap32(lambda t: (t + coarse + 1, 0)), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TM, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((TM, K), _imap32(lambda t: (t, 0)), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(dt, B3, B3)
     return out[:m]
@@ -351,11 +370,11 @@ def pallas_spmv_band_t(vt, xe, W: int, start: int, TM: int = 1024, interpret: bo
         out_shape=jax.ShapeDtypeStruct((ntile * 8, TM // 8), odt),
         grid=(ntile,),
         in_specs=[
-            pl.BlockSpec((W, TM), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TM // 8), lambda t: (t + coarse, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TM // 8), lambda t: (t + coarse + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, TM), _imap32(lambda t: (0, t)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TM // 8), _imap32(lambda t: (t + coarse, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TM // 8), _imap32(lambda t: (t + coarse + 1, 0)), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, TM // 8), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((8, TM // 8), _imap32(lambda t: (t, 0)), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(vt, x2, x2)
     return out.reshape(-1)[:m]
@@ -447,11 +466,11 @@ def pallas_spmv_band_v(vt4, xe, W: int, start: int, TM: int = 2048, interpret: b
         out_shape=jax.ShapeDtypeStruct((ntile * 8, TMd8), odt),
         grid=(ntile,),
         in_specs=[
-            pl.BlockSpec((W * 8, TMd8), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TMd8), lambda t: (t + coarse, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TMd8), lambda t: (t + coarse + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W * 8, TMd8), _imap32(lambda t: (0, t)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TMd8), _imap32(lambda t: (t + coarse, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TMd8), _imap32(lambda t: (t + coarse + 1, 0)), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, TMd8), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((8, TMd8), _imap32(lambda t: (t, 0)), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(vt4, x2, x2)
     return out.reshape(-1)[:m]
@@ -559,8 +578,15 @@ def pallas_spmv_band_v_df(
     x2h = xeh[: nchunk * TM].reshape(nchunk * 8, TMd8)
     x2l = xel[: nchunk * TM].reshape(nchunk * 8, TMd8)
 
+    # index-map returns pinned to i32: this wrapper is traced under
+    # jax_enable_x64 (f64 operands), where Python-int constants become i64
+    # and Mosaic fails to legalize the index-map 'func.return' (measured on
+    # v5e; the in-kernel analog is the np.int32 roll shift above)
+    _0 = np.int32(0)
     xspec = lambda off: pl.BlockSpec(  # noqa: E731
-        (8, TMd8), lambda t, off=off: (t + coarse + off, 0), memory_space=pltpu.VMEM
+        (8, TMd8),
+        lambda t, off=np.int32(coarse + off): (t + off, _0),
+        memory_space=pltpu.VMEM,
     )
     outs = pl.pallas_call(
         partial(_kernel_t_v_df, TM=TM, W=W),
@@ -570,16 +596,16 @@ def pallas_spmv_band_v_df(
         ),
         grid=(ntile,),
         in_specs=[
-            pl.BlockSpec((W * 8, TMd8), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((W * 8, TMd8), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W * 8, TMd8), _imap32(lambda t: (_0, t)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W * 8, TMd8), _imap32(lambda t: (_0, t)), memory_space=pltpu.VMEM),
             xspec(0),
             xspec(1),
             xspec(0),
             xspec(1),
         ],
         out_specs=(
-            pl.BlockSpec((8, TMd8), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TMd8), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TMd8), _imap32(lambda t: (t, _0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TMd8), _imap32(lambda t: (t, _0)), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(vt4h, vt4l, x2h, x2h, x2l, x2l)
@@ -678,11 +704,11 @@ def pallas_spmv_band_mxu(dt, xe, start: int, TM: int = 1024, interpret: bool = F
         out_shape=jax.ShapeDtypeStruct((ntile * NB, 128), odt),
         grid=(ntile,),
         in_specs=[
-            pl.BlockSpec((NB, 256, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TM // 8), lambda t: (t + coarse, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TM // 8), lambda t: (t + coarse + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, 256, 128), _imap32(lambda t: (t, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TM // 8), _imap32(lambda t: (t + coarse, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TM // 8), _imap32(lambda t: (t + coarse + 1, 0)), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((NB, 128), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((NB, 128), _imap32(lambda t: (t, 0)), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(dt, x2, x2)
     return out.reshape(-1)[:m]
@@ -765,13 +791,13 @@ def pallas_spmv_bwd(
         out_shape=jax.ShapeDtypeStruct((m_pad_t // 8, 8), win_val.dtype),
         grid=(ntile,),
         in_specs=[
-            pl.BlockSpec((TM, W), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, TM // 8), lambda t: (t + coarse, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, W), _imap32(lambda t: (t, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, TM // 8), _imap32(lambda t: (t + coarse, 0, 0)), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 8, TM // 8), lambda t: (t + coarse + 1, 0, 0), memory_space=pltpu.VMEM
+                (1, 8, TM // 8), _imap32(lambda t: (t + coarse + 1, 0, 0)), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec((TM // 8, 8), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((TM // 8, 8), _imap32(lambda t: (t, 0)), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(v2, x3, x3)
     return out.reshape(-1)[:m_rows]

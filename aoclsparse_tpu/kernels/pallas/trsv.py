@@ -23,6 +23,25 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+def _imap32(fn):
+    """Wrap a BlockSpec index map so Python-int components come out i32.
+
+    Under jax_enable_x64 a bare int in the index-map return traces as an
+    i64 constant and Mosaic fails to legalize the map's func.return
+    (measured on v5e: any kernel traced while x64 is on — e.g. by an f64
+    caller or a user running x64 globally — failed to compile). Tracer
+    components (the grid index and sums with it) are already i32."""
+
+    def wrapped(*idx):
+        out = fn(*idx)
+        if not isinstance(out, tuple):
+            out = (out,)
+        return tuple(np.int32(c) if isinstance(c, int) else c for c in out)
+
+    return wrapped
+
+
 __all__ = ["pallas_trsv_win_inv", "pallas_trsv_win_inv8", "pallas_trsm_win_inv"]
 
 
@@ -67,11 +86,11 @@ def pallas_trsv_win_inv8(dinvT, lwT, b, nb: int, WL: int, interpret: bool = Fals
         out_shape=jax.ShapeDtypeStruct((ng, 8, nb), dinvT.dtype),
         grid=(ng,),
         in_specs=[
-            pl.BlockSpec((1, 8 * nb, nb), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8 * WL, nb), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, nb), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8 * nb, nb), _imap32(lambda k: (k, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8 * WL, nb), _imap32(lambda k: (k, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, nb), _imap32(lambda k: (k, 0, 0)), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, nb), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 8, nb), _imap32(lambda k: (k, 0, 0)), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, WL), dinvT.dtype)],
         interpret=interpret,
     )(d8, l8, b3)
@@ -108,11 +127,11 @@ def pallas_trsv_win_inv(dinvT, lwT, b, nb: int, WL: int, interpret: bool = False
         out_shape=jax.ShapeDtypeStruct((nblk, 8, nb // 8), dinvT.dtype),
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((1, nb, nb), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, WL, nb), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, nb // 8), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, nb), _imap32(lambda k: (k, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WL, nb), _imap32(lambda k: (k, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, nb // 8), _imap32(lambda k: (k, 0, 0)), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, nb // 8), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 8, nb // 8), _imap32(lambda k: (k, 0, 0)), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, WL), dinvT.dtype)],
         interpret=interpret,
     )(dinvT, lwT, b3)
@@ -153,11 +172,11 @@ def pallas_trsm_win_inv(dinvT, lwT, Bt, nb: int, WL: int, interpret: bool = Fals
         out_shape=jax.ShapeDtypeStruct((nblk, K, nb), dinvT.dtype),
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((1, nb, nb), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, WL, nb), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, nb), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, nb), _imap32(lambda k: (k, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WL, nb), _imap32(lambda k: (k, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, nb), _imap32(lambda k: (k, 0, 0)), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, K, nb), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, K, nb), _imap32(lambda k: (k, 0, 0)), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((K, WL), dinvT.dtype)],
         interpret=interpret,
     )(dinvT, lwT, Bt)

@@ -51,11 +51,16 @@ def main():
     x64 = jnp.asarray(rng.standard_normal(n))
     zi = jnp.zeros((0,), jnp.int32)
     zv = jnp.zeros((0,), jnp.float64)
+    has_spill = fdf.sp_ind is not None and bool(fdf.sp_ind.shape[0])
+    sp_v = fdf.sp_val if has_spill else zv
+    sp_i = fdf.sp_ind if has_spill else zi
+    sp_r = fdf.sp_rows if has_spill else zi
 
     t0 = time.perf_counter()
     y = spmv_bandv_df(
-        vt4h, vt4l, x64, zv, zi, zi,
+        vt4h, vt4l, x64, sp_v, sp_i, sp_r,
         m=fdf.m, W=Wdf, padL=fdf.bwd_padL, start=fdf.bandt_start, TM=2048,
+        has_spill=has_spill,
     )
     yh = np.asarray(y)
     t_compile = time.perf_counter() - t0
@@ -72,8 +77,9 @@ def main():
         def body(i, carry):
             xc, acc = carry
             yy = spmv_bandv_df(
-                vh, vl, xc, zv, zi, zi,
+                vh, vl, xc, sp_v, sp_i, sp_r,
                 m=fdf.m, W=Wdf, padL=fdf.bwd_padL, start=fdf.bandt_start, TM=2048,
+                has_spill=has_spill,
             )
             return (xc + eps * yy, acc + yy[0])
 
