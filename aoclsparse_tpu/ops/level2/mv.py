@@ -483,13 +483,17 @@ def _mv_host(alpha, A, descr, op, x, beta, y, form):
     check_dtype_compat(A.dtype, xh.dtype, "x")
     dtype = np.result_type(np.dtype(A.dtype), xh.dtype)
     y0 = np.zeros(ny, dtype=dtype) if yh is None else yh.astype(dtype)
+    # beta == 0: y is NOT read (reference zeroes it even when it holds
+    # NaN/Inf, csrmv_kr.hpp:54-56); NaN/Inf beta falls through
+    beta_is_zero = np.isscalar(beta) and beta == 0
     if A.nnz == 0 or (np.isscalar(alpha) and alpha == 0):
+        if beta_is_zero:
+            return np.zeros(ny, dtype=dtype)
         # empty/alpha-0 quick exit keeps IEEE alpha*0 propagation (mv.cpp:118)
         return ((alpha * 0) * np.zeros(ny, dtype=dtype) + beta * y0).astype(dtype)
     e = registry.select("mv", fmt="host", kid=None)
     ax = e.fn(form.host_ptr, form.host_ind, form.host_values(), xh.astype(dtype, copy=False))
-    if yh is None and np.isscalar(beta) and beta == 0:
-        # finite-zero beta: skip the accumulate (nan/inf beta falls through)
+    if beta_is_zero:
         if np.isscalar(alpha) and alpha == 1.0:
             return ax.astype(dtype, copy=False)
         return (alpha * ax).astype(dtype, copy=False)
@@ -517,18 +521,24 @@ def mv(
 
     check_dtype_compat(A.dtype, x.dtype, "x")
     dtype = jnp.result_type(A.dtype, x.dtype)
+    # beta == 0 means y is NOT read — the reference zeroes/overwrites y
+    # directly even when it holds NaN/Inf (csrmv_kr.hpp:54-56), so 0*NaN
+    # must not contaminate the result. NaN/Inf beta compares unequal to 0
+    # and falls through to the full epilogue (IEEE propagation).
+    beta_is_zero = np.isscalar(beta) and beta == 0
     # quick exits (mv.cpp:118-123)
     if A.nnz == 0 or (np.isscalar(alpha) and alpha == 0):
+        if beta_is_zero:
+            return jnp.zeros((ny,), dtype=dtype)
         alpha_c = jnp.asarray(alpha, dtype=dtype)
         beta_c = jnp.asarray(beta, dtype=dtype)
         y0 = jnp.zeros((ny,), dtype=dtype) if y is None else y.astype(dtype)
         return _epilogue(jnp.zeros((ny,), dtype=dtype), alpha_c * 0, beta_c, y0)
     ax = _spmv_core(A, descr, op, x.astype(A.dtype), kid)
-    if y is None and np.isscalar(beta) and beta == 0:
-        # no accumulate target and a finite zero beta (nan/inf compare
-        # unequal to 0, so IEEE beta*0 = NaN propagation keeps the full
-        # epilogue): result is alpha*ax — skip the zeros allocation and
-        # the scalar transfers (each costs a tunnel dispatch)
+    if beta_is_zero:
+        # result is alpha*ax regardless of y — skip the accumulate (and,
+        # when y is None, the zeros allocation + scalar transfers, each a
+        # tunnel dispatch)
         if np.isscalar(alpha) and alpha == 1.0:
             return ax.astype(dtype)
         return _scale(ax.astype(dtype), jnp.asarray(alpha, dtype=dtype))

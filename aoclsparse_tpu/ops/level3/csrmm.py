@@ -102,7 +102,14 @@ def mm(
 
     check_dtype_compat(A.dtype, B.dtype, "B")
     dtype = jnp.result_type(A.dtype, B.dtype)
+    # beta == 0: C is NOT read (reference overwrites even NaN/Inf C,
+    # csrmv_kr.hpp:54-56 semantics shared by csrmm); NaN/Inf beta falls
+    # through to the full epilogue
+    beta_is_zero = np.isscalar(beta) and beta == 0
     if A.nnz == 0 or (np.isscalar(alpha) and alpha == 0):
+        if beta_is_zero:
+            out = jnp.zeros((ma, k), dtype=dtype)
+            return out.T if order == Order.column else out
         c_old = jnp.zeros((ma, k), dtype=dtype) if C is None else C.astype(dtype)
         alpha_c = jnp.asarray(alpha, dtype=dtype)
         beta_c = jnp.asarray(beta, dtype=dtype)
@@ -248,10 +255,10 @@ def mm(
         c_new = e.fn(
             form.ell_ind, form.ell_val, form.sp_ind, form.sp_val, form.sp_rows, Bc, form.m
         )
-    # no accumulate target and finite zero beta (nan/inf != 0, so IEEE
+    # finite zero beta: C is not read at all (nan/inf != 0, so IEEE
     # beta*0 = NaN propagation keeps the full epilogue): alpha*C_new
-    # directly — skip the zeros panel + scalar transfers (cf. mv)
-    if C is None and np.isscalar(beta) and beta == 0:
+    # directly — also skips the zeros panel + scalar transfers (cf. mv)
+    if beta_is_zero:
         from ..level2.mv import _scale
 
         if np.isscalar(alpha) and alpha == 1.0:

@@ -483,6 +483,10 @@ def sp2md(
             raise AoclSparseError(
                 Status.invalid_size, f"C must be ({mA},{nB}), got {tuple(C0.shape)}"
             )
+        if np.isscalar(beta) and beta == 0:
+            # beta == 0: C is not read (overwrite even NaN/Inf C; the
+            # csrmv_kr.hpp:54-56 convention shared across the reference)
+            C0 = jnp.zeros((mA, nB), dtype=dtype)
     out = _numeric_dense(
         effA.val,
         effB.val,
@@ -569,6 +573,12 @@ def syrkd(opA: Operation, A: SparseMatrix, alpha, beta=0.0, C=None, order: Order
             raise AoclSparseError(
                 Status.invalid_size, f"C must be ({m},{m}), got {tuple(C0.shape)}"
             )
+    # beta == 0: the accumulate must not read C (NaN/Inf overwrite,
+    # csrmv_kr.hpp:54-56 convention); the strict-lower passthrough below
+    # still returns the caller's C verbatim
+    C0_acc = (
+        jnp.zeros((m, m), dtype=dtype) if (np.isscalar(beta) and beta == 0) else C0
+    )
     out = _numeric_dense(
         effL.val,
         effR.val,
@@ -578,7 +588,7 @@ def syrkd(opA: Operation, A: SparseMatrix, alpha, beta=0.0, C=None, order: Order
         jnp.asarray(cols),
         jnp.asarray(alpha, dtype),
         jnp.asarray(beta, dtype),
-        C0,
+        C0_acc,
         (m, m),
         conj_a,
         conj_b,
@@ -707,7 +717,11 @@ def syprd(
             raise AoclSparseError(
                 Status.invalid_size, f"C must be ({mC},{mC}), got {tuple(C0.shape)}"
             )
-    out = jnp.asarray(alpha, dtype) * Cnew.astype(dtype) + jnp.asarray(beta, dtype) * C0
+    if np.isscalar(beta) and beta == 0:
+        # beta == 0: C not read (NaN/Inf overwrite, csrmv_kr.hpp:54-56)
+        out = jnp.asarray(alpha, dtype) * Cnew.astype(dtype)
+    else:
+        out = jnp.asarray(alpha, dtype) * Cnew.astype(dtype) + jnp.asarray(beta, dtype) * C0
     return out.T if Order(order) == Order.column else out
 
 

@@ -13,6 +13,8 @@ from aoclsparse_tpu import MatrixDescriptor, Operation, Status
 from aoclsparse_tpu.core.types import DiagType, FillMode, MatrixType, Request
 from aoclsparse_tpu.utils.reference import csr_to_dense, ref_mv
 
+from conftest import random_csr
+
 GEN = MatrixDescriptor()
 NAN = float("nan")
 INF = float("inf")
@@ -198,3 +200,49 @@ def test_nonfinite_beta_propagates_without_y(rng):
     C0 = rng.standard_normal((m, 3))
     out = np.asarray(ast.mm(float("inf"), A0, GEN, Operation.none, B, 1.0, C0))
     assert np.all(np.isnan(out))
+
+
+def test_beta_zero_does_not_read_y(rng):
+    """beta == 0 overwrites y WITHOUT reading it: a NaN/Inf-filled y must
+    not contaminate the result (reference zeroes y directly,
+    csrmv_kr.hpp:54-56). NaN beta still propagates (compares != 0)."""
+    m = 6
+    ptr, ind, val, dense = random_csr(rng, m, m, density=0.5)
+    A = ast.create_csr(m, m, ptr, ind, val)
+    x = rng.standard_normal(m)
+    bad_y = np.full(m, np.nan)
+    got = ast.mv(1.5, A, GEN, Operation.none, x, 0.0, bad_y)
+    np.testing.assert_allclose(np.asarray(got), 1.5 * dense @ x, rtol=1e-12)
+    # quick-exit path (alpha == 0) with NaN y and beta == 0 -> zeros
+    got0 = ast.mv(0.0, A, GEN, Operation.none, x, 0.0, bad_y)
+    assert not np.any(np.isnan(np.asarray(got0)))
+    # NaN beta DOES propagate
+    gnan = ast.mv(1.0, A, GEN, Operation.none, x, np.nan, np.ones(m))
+    assert np.all(np.isnan(np.asarray(gnan)))
+
+
+def test_beta_zero_does_not_read_C_mm_sp2md_syrkd(rng):
+    m, n, k = 5, 4, 3
+    ptr, ind, val, dense = random_csr(rng, m, n, density=0.6)
+    A = ast.create_csr(m, n, ptr, ind, val)
+    B = rng.standard_normal((n, k))
+    badC = np.full((m, k), np.inf)
+    got = ast.mm(2.0, A, GEN, Operation.none, B, 0.0, badC)
+    np.testing.assert_allclose(np.asarray(got), 2.0 * dense @ B, rtol=1e-12)
+    # sp2md
+    ptrB, indB, valB, dB = random_csr(rng, n, m, density=0.6)
+    Bs = ast.create_csr(n, m, ptrB, indB, valB)
+    badCm = np.full((m, m), np.nan)
+    got2 = ast.sp2md(Operation.none, GEN, A, Operation.none, GEN, Bs, 1.0, 0.0, badCm)
+    np.testing.assert_allclose(np.asarray(got2), dense @ dB, rtol=1e-10, atol=1e-12)
+    # syrkd upper triangle: beta=0 must not pull NaN into j >= i; the
+    # strict lower keeps the caller's C verbatim (even non-finite)
+    sq_ptr, sq_ind, sq_val, sq_d = random_csr(rng, m, m, density=0.5)
+    S = ast.create_csr(m, m, sq_ptr, sq_ind, sq_val)
+    badSq = np.full((m, m), np.nan)
+    got3 = np.asarray(ast.syrkd(Operation.none, S, 1.0, 0.0, badSq))
+    want_up = sq_d @ sq_d.T
+    iu = np.triu_indices(m)
+    np.testing.assert_allclose(got3[iu], want_up[iu], rtol=1e-10, atol=1e-12)
+    il = np.tril_indices(m, -1)
+    assert np.all(np.isnan(got3[il]))
