@@ -14,7 +14,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["spmm_segsum", "spmm_ell", "spmm_ellhyb"]
+__all__ = ["spmm_segsum", "spmm_ell", "spmm_ellhyb", "spmm_gen"]
 
 
 @partial(jax.jit, static_argnames=("m",))
@@ -42,6 +42,92 @@ def spmm_ellhyb(ell_ind, ell_val, sp_ind, sp_val, sp_rows, B, m: int):
             sp_val[:, None] * B[sp_ind], sp_rows, num_segments=m, indices_are_sorted=True
         )
     return C
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "Bblk",
+        "W",
+        "padL",
+        "start",
+        "TM",
+        "m",
+        "m_pad",
+        "interpret",
+        "has_hub",
+        "has_hubrow",
+        "has_spill",
+        "has_flip",
+    ),
+)
+def spmm_gen(
+    v_rows,
+    Bmat,
+    bperm,
+    bout,
+    flip,
+    hub_slab,
+    hub_cols,
+    hubr_slab,
+    hubr_rows,
+    sp_val,
+    sp_ind,
+    sp_rows,
+    Bblk: int,
+    W: int,
+    padL: int,
+    start: int,
+    TM: int,
+    m: int,
+    m_pad: int,
+    interpret: bool = False,
+    has_hub: bool = False,
+    has_hubrow: bool = False,
+    has_spill: bool = False,
+    has_flip: bool = False,
+):
+    """General-sparsity SpMM (mm KID 6): the gen composite
+    (plan._build_gen — block-RCM-permuted band + dense hub slabs + COO
+    spill, see kernels/xla/spmv.py spmv_gen) applied to a dense RHS in ONE
+    compiled program. The permuted band rides the Pallas row-aligned band
+    SpMM kernel (kernels/pallas/spmv.py pallas_spmm_band_t — v_rows is the
+    (m_pad, W) transpose of the gen form's bandt slab,
+    ExecForm.bandt_rows()); hub columns/rows are plain MXU matmuls against
+    the original/permuted RHS; the spill is a row-sorted segment-sum of
+    gathered RHS rows (O(nnz/100) by planner construction). RHS rows are
+    block-permuted as (nblk, Bblk, k) panel gathers like the SpMV x —
+    never elementwise gathers. Covers the reference csrmm's
+    general-structure reach (level3/aoclsparse_csrmm.hpp) with the same
+    gather-free band core as the gen SpMV; previously general structure
+    fell back to the padded-ELL gather kernel."""
+    k = Bmat.shape[1]
+    nblk = m_pad // Bblk
+    Xb = jnp.pad(Bmat, ((0, m_pad - Bmat.shape[0]), (0, 0))).reshape(nblk, Bblk, k)
+    Xpb = Xb[bperm]  # (nblk, Bblk, k) block-permuted RHS rows
+    if has_flip:
+        Xpb = jnp.where(flip[:, None, None], Xpb[:, ::-1, :], Xpb)
+    Xp = Xpb.reshape(m_pad, k)
+    from ..pallas.spmv import pallas_spmm_band_t
+
+    Xe = jnp.pad(Xp, ((padL, 0), (0, 0)))
+    Cp = pallas_spmm_band_t(v_rows, Xe, W, start, TM=TM, interpret=interpret)[:m_pad]
+    Cp = Cp.astype(Xp.dtype)
+    if has_spill:
+        Cp = Cp + jax.ops.segment_sum(
+            sp_val[:, None] * Xp[sp_ind],
+            sp_rows,
+            num_segments=m_pad,
+            indices_are_sorted=True,
+        )
+    if has_hub:
+        Cp = Cp + hub_slab @ Bmat[hub_cols]
+    if has_hubrow:
+        Cp = Cp.at[hubr_rows].add(hubr_slab @ Xp)
+    Cpb = Cp.reshape(nblk, Bblk, k)
+    if has_flip:
+        Cpb = jnp.where(flip[:, None, None], Cpb[:, ::-1, :], Cpb)
+    return Cpb[bout].reshape(m_pad, k)[:m]
 
 
 @partial(jax.jit, static_argnames=("G", "Wg", "base", "n_pad", "mixed"))

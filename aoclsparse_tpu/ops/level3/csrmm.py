@@ -49,6 +49,7 @@ registry.register("mm", KernelEntry(4, "pallas_bandtm", _spmm_bandtm, "bandtm", 
 # width cap (bandtm is VMEM-capped at BANDTM_MAX_K). Explicit-KID /
 # autotune row until measured ahead on the real chip; requires W <= 129.
 registry.register("mm", KernelEntry(5, "pallas_bandmxu", _spmm_bandmxu, "bandtm", "any", 1))
+registry.register("mm", KernelEntry(6, "spmm_gen", K.spmm_gen, "gen", "any", 1))
 
 
 @jax.jit
@@ -173,9 +174,28 @@ def mm(
                         else "bwdg"
                     )
     form = plan.exec_form_for(descr, op, kind=kind, dtype=A.dtype)
-    if form.kind not in ("segsum", "ell", "ellhyb", "bwdg", "bandtm"):
+    if form.kind == "gen" and getattr(form, "gen_bandt", False):
+        # general-sparsity SpMM (mm KID 6): the gen composite's permuted
+        # band rides the Pallas row-aligned band-SpMM kernel; gated like
+        # bandtm (Mosaic dtype, lane-multiple K, VMEM-motivated K cap)
+        from ...core.context import get_context
+        from ...planner.plan import BANDTM_MAX_K
+
+        ctx = get_context()
+        pallas_ok = (
+            (ctx.is_tpu or ctx.pallas_ok)
+            and jnp.dtype(A.dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+            and B.shape[1] % 128 == 0
+            and B.shape[1] <= BANDTM_MAX_K
+            and kid in (None, 6)
+        )
+        if not pallas_ok:
+            form = None  # falls through to the gather rebuild below
+    elif form.kind == "gen":
+        form = None
+    if form is None or form.kind not in ("segsum", "ell", "ellhyb", "bwdg", "bandtm", "gen"):
         # the kind=None plan slot can hold an mv-selected/mv-autotuned form
-        # (diag/bandt/gen/bwd) that has no mm kernel row: rebuild with a
+        # (diag/bandt/bwd) that has no mm kernel row: rebuild with a
         # gather form mm can dispatch instead of failing the registry lookup
         from ...planner.plan import gather_fallback_kind
 
@@ -251,6 +271,49 @@ def mm(
         c_new = e.fn(wv, Bp, form.bwd_G, form.bwd_W, form.bwd_base8, form.bwd_n_pad, mixed)[
             : form.m
         ]
+    elif form.kind == "gen":
+        import os
+
+        from ...core.context import get_context
+        from ..level2.mv import _zero_aux, _zero_operands
+
+        mixed = (
+            os.environ.get("AOCLSPARSE_TPU_MIXED_PRECISION", "0") in ("1", "true")
+            and Bc.dtype == jnp.float32
+        )
+        has_spill = form.sp_ind is not None and bool(form.sp_ind.shape[0])
+        has_hub = form.hub_cols is not None and bool(form.hub_cols.shape[0])
+        has_hubrow = form.hubr_rows is not None and bool(form.hubr_rows.shape[0])
+        has_flip = form.gen_flip is not None
+        zero_i, zero_v = _zero_operands(Bc.dtype)
+        zero_m, zero_b = _zero_aux(Bc.dtype)
+        is_tpu = get_context().is_tpu
+        c_new = e.fn(
+            form.bandt_rows(bf16=mixed),
+            Bc,
+            form.gen_perm,
+            form.gen_out,
+            form.gen_flip if has_flip else zero_b,
+            form.hub_slab if has_hub else zero_m,
+            form.hub_cols if has_hub else zero_i,
+            form.hubr_slab if has_hubrow else zero_m,
+            form.hubr_rows if has_hubrow else zero_i,
+            form.sp_val if has_spill else zero_v,
+            form.sp_ind if has_spill else zero_i,
+            form.sp_rows if has_spill else zero_i,
+            Bblk=form.gen_B,
+            W=form.bwd_W,
+            padL=form.bwd_padL,
+            start=form.bandt_start,
+            TM=256 if is_tpu else max(64, -(-form.bwd_W // 8) * 8),
+            m=form.m,
+            m_pad=form.gen_m_pad,
+            interpret=not is_tpu,
+            has_hub=has_hub,
+            has_hubrow=has_hubrow,
+            has_spill=has_spill,
+            has_flip=has_flip,
+        )
     else:
         c_new = e.fn(
             form.ell_ind, form.ell_val, form.sp_ind, form.sp_val, form.sp_rows, Bc, form.m

@@ -536,6 +536,27 @@ class ExecForm:
                 v4 = cache[key] = band_vert_layout(src, TM)
         return v4
 
+    def bandt_rows(self, bf16: bool = False) -> jax.Array:
+        """Lazy row-aligned (m_pad, W) band — the transpose of the (W, m)
+        bandt slab — for the SpMM twin of the bandt/gen composites
+        (kernels/xla/spmm.py spmm_gen via pallas_spmm_band_t, whose v is
+        row-aligned: v[i, j] = A_p[i, start + i + j]). Cached per dtype,
+        dropped on refresh(); built under compile-time eval so a traced
+        first call never caches a tracer."""
+        key = ("_bandt_rows_bf16" if bf16 else "_bandt_rows",)
+        cache = getattr(self, "_bandt_v4_cache", None)
+        if cache is None:
+            cache = self._bandt_v4_cache = {}
+        v = cache.get(key)
+        if v is None:
+            with jax.ensure_compile_time_eval():
+                src = self.bwd_val  # (W, m_pad) transposed band (bandt layout)
+                v = jnp.asarray(src).T
+                if bf16:
+                    v = v.astype(jnp.bfloat16)
+                v = cache[key] = jnp.asarray(v)
+        return v
+
     def bandt_vertical_df(self, TM: int = 2048):
         """Lazy double-float vertical-layout band pair for the df64 kernel
         (mv KID 13, kernels/pallas/spmv.py spmv_bandv_df): the f64 (W, m)

@@ -140,25 +140,82 @@ def main():
 
         # AMORTIZED timing (round 3): the tunnel's ~0.9-4 ms per-dispatch
         # floor dominates single calls; 50 chained in-program applications
-        # with a real dependency measure the on-chip per-iteration time
-        @jax.jit
-        def _loop50(eps, x0):
-            def body(i, carry):
-                xc, acc = carry
-                yv = _run_exec_form(form, xc, None)
-                return (xc + eps * yv, acc + yv[0])
+        # with a real dependency measure the on-chip per-iteration time.
+        # gen/bandt forms get an ARG-passing loop (big operands as jit
+        # arguments — closure constants ship in the remote compile request
+        # and the wide web-profile band exceeds its ~200 MB body limit)
+        _loop50 = None
+        if form.kind == "gen" and getattr(form, "gen_bandt", False):
+            from aoclsparse_tpu.kernels.xla.spmv import spmv_gen_bandv
+            from aoclsparse_tpu.ops.level2.mv import _zero_aux, _zero_operands
 
-            _, acc = jax.lax.fori_loop(0, 50, body, (x0, jnp.float32(0.0)))
-            return acc
+            TMg = 2048
+            vt4_a = form.bandt_vertical(TM=TMg)
+            has_spill = form.sp_ind is not None and bool(form.sp_ind.shape[0])
+            has_hub = form.hub_cols is not None and bool(form.hub_cols.shape[0])
+            has_hubrow = form.hubr_rows is not None and bool(form.hubr_rows.shape[0])
+            has_flip = form.gen_flip is not None
+            zi, zv = _zero_operands(np.float32)
+            zm, zb = _zero_aux(np.float32)
+            hs_a = form.hub_slab if has_hub else zm
+            hr_a = form.hubr_slab if has_hubrow else zm
+            sv_a = form.sp_val if has_spill else zv
+
+            @jax.jit
+            def _loop50(eps, vt4c, hsc, hrc, svc, x0):
+                def body(i, carry):
+                    xc, acc = carry
+                    yv = spmv_gen_bandv(
+                        vt4c, xc, form.gen_perm, form.gen_out,
+                        form.gen_flip if has_flip else zb,
+                        hsc, form.hub_cols if has_hub else zi,
+                        hrc, form.hubr_rows if has_hubrow else zi,
+                        svc, form.sp_ind if has_spill else zi,
+                        form.sp_rows if has_spill else zi,
+                        B=form.gen_B, W=vt4c.shape[0] // 8, padL=form.bwd_padL,
+                        start=form.bandt_start, TM=TMg, m=form.m,
+                        m_pad=form.gen_m_pad, has_hub=has_hub,
+                        has_hubrow=has_hubrow, has_spill=has_spill,
+                        has_flip=has_flip,
+                    )
+                    return (xc + eps * yv, acc + yv[0])
+
+                _, acc = jax.lax.fori_loop(0, 50, body, (x0, jnp.float32(0.0)))
+                return acc
+
+            _loop_args = (vt4_a, hs_a, hr_a, sv_a)
+        if _loop50 is None:
+
+            @jax.jit
+            def _loop50(eps, x0):
+                def body(i, carry):
+                    xc, acc = carry
+                    yv = _run_exec_form(form, xc, None)
+                    return (xc + eps * yv, acc + yv[0])
+
+                _, acc = jax.lax.fori_loop(0, 50, body, (x0, jnp.float32(0.0)))
+                return acc
+
+            _loop_args = ()
+
+        def _run_loop():
+            return _loop50(jnp.float32(1e-7), *_loop_args, x)
 
         t = t_single = float("inf")
         iters, chunks = 2, 6
+        amortized = True
+        try:
+            acc = _run_loop()  # compile (can 413: non-gen forms keep their
+            float(acc)  # arrays as closure constants in the loop)
+        except Exception:
+            amortized = False
         for cix in range(chunks):
-            t1 = time.perf_counter()
-            for _ in range(iters):
-                acc = _loop50(jnp.float32(1e-7), x)
-            float(acc)
-            t = min(t, (time.perf_counter() - t1) / (iters * 50))
+            if amortized:
+                t1 = time.perf_counter()
+                for _ in range(iters):
+                    acc = _run_loop()
+                float(acc)
+                t = min(t, (time.perf_counter() - t1) / (iters * 50))
             t1 = time.perf_counter()
             for _ in range(10):
                 y = run()
@@ -166,6 +223,8 @@ def main():
             t_single = min(t_single, (time.perf_counter() - t1) / 10)
             if cix % 3 == 2:
                 time.sleep(1.5)
+        if not amortized:
+            t = t_single
         emit(
             {
                 "profile": name,
@@ -181,7 +240,10 @@ def main():
                 "nnz": nnz,
                 "t_us": round(t * 1e6, 1),
                 "t_single_us": round(t_single * 1e6, 1),
-                "timing": "amortized(50)",
+                "timing": "amortized(50)"
+                if amortized
+                else "single-dispatch (amortized program exceeded the remote"
+                " compile-request limit; includes the ~1-4 ms tunnel floor)",
                 "gnnz_s": round(nnz / t / 1e9, 3),
                 "plan_s": round(t_plan, 2),
                 "rel_err": float(err),

@@ -318,3 +318,68 @@ def test_rcm_native_vs_numpy(rng):
         perm, bw = fn(m, ptr, c2)
         assert sorted(perm) == list(range(m))
         assert bw <= 6 * half  # scrambled bandwidth (~m) recovered to ~band
+
+
+def test_gen_spmm_parity(rng, monkeypatch):
+    """mm KID 6 (kernels/xla/spmm.py spmm_gen): the gen composite applied
+    to a dense RHS — permuted band on the Pallas row-aligned band-SpMM
+    kernel + hub slabs + spill — must match the dense oracle on the
+    circuit profile (previously general structure fell back to the
+    padded-ELL gather kernel)."""
+    monkeypatch.setenv("AOCLSPARSE_TPU_FORCE_PALLAS", "1")
+    from aoclsparse_tpu.core.context import reset_context
+
+    reset_context()
+    try:
+        m, k = 1024, 128
+        dense = _circuit_like(rng, m).astype(np.float32)
+        A = _mk(m, dense)
+        B = rng.standard_normal((m, k)).astype(np.float32)
+        form = get_plan(A).exec_form_for(GEN, Operation.none, kind="gen")
+        assert form.kind == "gen" and form.gen_bandt
+        C = np.asarray(ast.mm(1.0, A, GEN, Operation.none, B, 0.0, kid=6))
+        np.testing.assert_allclose(
+            C, dense.astype(np.float64) @ B, atol=5e-3, rtol=1e-4
+        )
+        # the default (no-kid) route must agree; on CPU the cost model may
+        # pick a gather form (gathers are fine off-TPU), on TPU it picks gen
+        C2 = np.asarray(ast.mm(1.0, A, GEN, Operation.none, B, 0.0))
+        np.testing.assert_allclose(C2, C, atol=1e-5)
+    finally:
+        reset_context()
+
+
+def test_gen_spmm_alpha_beta_and_refresh(rng, monkeypatch):
+    monkeypatch.setenv("AOCLSPARSE_TPU_FORCE_PALLAS", "1")
+    from aoclsparse_tpu.core.context import reset_context
+
+    reset_context()
+    try:
+        m, k = 1024, 128
+        dense = _circuit_like(rng, m).astype(np.float32)
+        A = _mk(m, dense)
+        B = rng.standard_normal((m, k)).astype(np.float32)
+        C0 = rng.standard_normal((m, k)).astype(np.float32)
+        got = np.asarray(ast.mm(1.5, A, GEN, Operation.none, B, -0.5, C0, kid=6))
+        want = 1.5 * dense.astype(np.float64) @ B - 0.5 * C0
+        np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-4)
+        # update_values flows through the cached row-aligned band
+        newval = (-2.0 * dense[dense != 0]).astype(np.float32)
+        ast.update_values(A, newval)
+        got2 = np.asarray(ast.mm(1.0, A, GEN, Operation.none, B, 0.0, kid=6))
+        np.testing.assert_allclose(
+            got2, -2.0 * dense.astype(np.float64) @ B, atol=1e-2, rtol=1e-4
+        )
+    finally:
+        reset_context()
+
+
+def test_gen_spmm_k_gate_falls_back(rng):
+    """K not a lane multiple (or too wide) must fall back to a gather mm
+    form, not fail the Mosaic gate."""
+    m = 1024
+    dense = _circuit_like(rng, m)
+    A = _mk(m, dense)
+    B = rng.standard_normal((m, 40)).astype(np.float32)  # 40 % 128 != 0
+    C = np.asarray(ast.mm(1.0, A, GEN, Operation.none, B, 0.0))
+    np.testing.assert_allclose(C, dense.astype(np.float32) @ B, atol=5e-3, rtol=1e-4)
