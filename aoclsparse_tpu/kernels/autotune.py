@@ -136,7 +136,7 @@ def autotune_mv(
     return results
 
 
-_MM_KINDS = ("bandtm", "bandmxu", "bwdg", "ell", "ellhyb", "segsum")
+_MM_KINDS = ("gen", "bandtm", "bandmxu", "bwdg", "ell", "ellhyb", "segsum")
 
 
 def autotune_mm(
