@@ -184,6 +184,12 @@ def main():
                 return acc
 
             _loop_args = (vt4_a, hs_a, hr_a, sv_a)
+            # bf16 band variant (docs/precision.md): the band dominates the
+            # gen composite's traffic — the web-profile lever
+            try:
+                _vt4_bf16 = form.bandt_vertical(TM=TMg, bf16=True)
+            except Exception:
+                _vt4_bf16 = None
         if _loop50 is None:
 
             @jax.jit
@@ -197,6 +203,7 @@ def main():
                 return acc
 
             _loop_args = ()
+            _vt4_bf16 = None
 
         def _run_loop():
             return _loop50(jnp.float32(1e-7), *_loop_args, x)
@@ -225,6 +232,20 @@ def main():
                 time.sleep(1.5)
         if not amortized:
             t = t_single
+        t_bf16 = None
+        if amortized and _loop_args and _vt4_bf16 is not None:
+            try:
+                acc = _loop50(jnp.float32(1e-7), _vt4_bf16, *_loop_args[1:], x)
+                float(acc)
+                t_bf16 = float("inf")
+                for _ in range(3):
+                    t1 = time.perf_counter()
+                    for _ in range(iters):
+                        acc = _loop50(jnp.float32(1e-7), _vt4_bf16, *_loop_args[1:], x)
+                    float(acc)
+                    t_bf16 = min(t_bf16, (time.perf_counter() - t1) / (iters * 50))
+            except Exception:
+                t_bf16 = None
         emit(
             {
                 "profile": name,
@@ -247,6 +268,8 @@ def main():
                 "gnnz_s": round(nnz / t / 1e9, 3),
                 "plan_s": round(t_plan, 2),
                 "rel_err": float(err),
+                "t_bf16_us": None if t_bf16 is None else round(t_bf16 * 1e6, 1),
+                "gnnz_s_bf16": None if t_bf16 is None else round(nnz / t_bf16 / 1e9, 3),
             }
         )
 
