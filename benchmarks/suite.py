@@ -467,12 +467,54 @@ def main():
         except Exception:
             t = chain_min(lambda: tform.solve(b2), iters_per=5, chunks=4)
             amort = False
+        # Pallas sequential-grid twin (VMEM-scratch window, ~1us/step vs
+        # the XLA scan's ~2.4us) when its layout gates pass
+        t_pl = None
+        try:
+            if tform.nb % 128 == 0 and tform.WL % 8 == 0 and tform.WL <= tform.nb:
+                from aoclsparse_tpu.kernels.pallas.trsv import pallas_trsv_win_inv8
+
+                nblk_p = -(-tform.nblk // 8) * 8
+                dinvT_p = jnp.swapaxes(Dinv, 1, 2)
+                lwT_p = jnp.swapaxes(tform.Lval, 1, 2)
+                if nblk_p != tform.nblk:
+                    eye_p = jnp.broadcast_to(
+                        jnp.eye(tform.nb, dtype=dinvT_p.dtype),
+                        (nblk_p - tform.nblk, tform.nb, tform.nb),
+                    )
+                    dinvT_p = jnp.concatenate([dinvT_p, eye_p])
+                    lwT_p = jnp.concatenate(
+                        [lwT_p, jnp.zeros((nblk_p - tform.nblk, tform.WL, tform.nb), lwT_p.dtype)]
+                    )
+                bflat = jnp.pad(b2[:, 0], (0, nblk_p * tform.nb - m_pad))
+
+                @jax.jit
+                def _svloop_pl(eps, dT, lT, b0):
+                    def body(i, carry):
+                        bc, acc = carry
+                        xs_ = pallas_trsv_win_inv8(dT, lT, bc, tform.nb, tform.WL)
+                        return (b0 + eps * xs_, acc + xs_[0])
+
+                    _, acc = jax.lax.fori_loop(0, 20, body, (b0, jnp.float32(0.0)))
+                    return acc
+
+                t_pl = chain_min(
+                    lambda: _svloop_pl(jnp.float32(1e-7), dinvT_p, lwT_p, bflat),
+                    iters_per=2,
+                    chunks=4,
+                ) / 20
+        except Exception:
+            t_pl = None
+        t_best = t if t_pl is None else min(t, t_pl)
         results.append(
             {
                 "metric": "trsv_f32",
-                "value": round((2 * tri_nnz - m) / t / 1e9, 2),
+                "value": round((2 * tri_nnz - m) / t_best / 1e9, 2),
                 "unit": "GFLOP/s" + ("(amortized)" if amort else ""),
-                "extra": {"t_ms": round(t * 1e3, 3), "kind": tform.kind, "WL": tform.WL,
+                "extra": {"t_ms": round(t_best * 1e3, 3),
+                          "t_xla_scan_ms": round(t * 1e3, 3),
+                          "t_pallas_ms": None if t_pl is None else round(t_pl * 1e3, 3),
+                          "kind": tform.kind, "WL": tform.WL,
                           "nblk": tform.nblk, "nb": tform.nb},
             }
         )
