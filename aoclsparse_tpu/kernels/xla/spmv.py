@@ -340,6 +340,69 @@ def spmv_gen_bandv(
 @partial(
     jax.jit,
     static_argnames=(
+        "W",
+        "padL",
+        "start",
+        "TM",
+        "m_pad",
+        "interpret",
+        "has_hub",
+        "has_hubrow",
+        "has_spill",
+    ),
+)
+def spmv_gen_bandv_p(
+    vt4,
+    xp,
+    hub_slab,
+    hub_cols_p,
+    hubr_slab,
+    hubr_rows,
+    sp_val,
+    sp_ind,
+    sp_rows,
+    W: int,
+    padL: int,
+    start: int,
+    TM: int,
+    m_pad: int,
+    interpret: bool = False,
+    has_hub: bool = False,
+    has_hubrow: bool = False,
+    has_spill: bool = False,
+):
+    """PERMUTED-SPACE gen composite apply: yp = (P A P^T) xp.
+
+    The spmv_gen_bandv composite pays two full-length element gathers per
+    call for the x/y permutes — ~1.7 ms each at this TPU's gather rate on
+    an m=262144 operand, which dominates the amortized per-iteration time
+    (scramble profile: band ~0.6 ms vs ~3.4 ms of permutes,
+    benchmarks/BENCH_gen_r3*.jsonl). Iterative callers (CG/GMRES and any
+    y <- f(A x) chain) can instead hoist the permutation OUT of the loop:
+    permute b once (ExecForm.gen_perm_maps), iterate with this
+    permutation-free apply, un-permute the final iterate once. The hub
+    columns gather from xp at pre-mapped permuted positions
+    (hub_cols_p — O(k), not O(m)); band/spill/hub-row terms already live
+    in permuted space. Padding-tail rows are exact zeros (zero band rows),
+    so Krylov iterations on the padded vector are unaffected."""
+    xe = jnp.pad(xp, (padL, 0))
+    from ..pallas.spmv import pallas_spmv_band_v
+
+    yp = pallas_spmv_band_v(vt4, xe, W, start, TM=TM, interpret=interpret)[:m_pad]
+    if has_spill:
+        yp = yp + jax.ops.segment_sum(
+            sp_val * xp[sp_ind], sp_rows, num_segments=m_pad, indices_are_sorted=True
+        )
+    if has_hub:
+        yp = yp + hub_slab @ xp[hub_cols_p]
+    if has_hubrow:
+        yp = yp.at[hubr_rows].add(hubr_slab @ xp)
+    return yp
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
         "B",
         "W",
         "padL",

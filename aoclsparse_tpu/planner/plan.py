@@ -536,6 +536,45 @@ class ExecForm:
                 v4 = cache[key] = band_vert_layout(src, TM)
         return v4
 
+    def gen_perm_maps(self):
+        """Host-built element permutation maps for PERMUTED-SPACE iteration
+        (kernels/xla/spmv.py spmv_gen_bandv_p): returns
+        (src, inv_src, hub_cols_p) int32 device arrays with
+
+            xp = pad(x, m_pad)[src]          (what the gen kernel computes)
+            y  = yp[inv_src][:m]             (the kernel's output permute)
+            xp[hub_cols_p] == pad(x)[hub_cols]
+
+        so a solver loop pays the two O(m) element gathers ONCE instead of
+        per iteration (~1.7 ms each at this TPU's gather rate on m=262k).
+        Cached; the maps are pure structure (survive refresh unchanged)."""
+        cached = getattr(self, "_gen_perm_maps", None)
+        if cached is not None:
+            return cached
+        B = self.gen_B
+        nblk = self.gen_m_pad // B
+        bperm = np.asarray(self.gen_perm, dtype=np.int64)
+        offs = np.arange(B, dtype=np.int64)
+        if self.gen_flip is not None:
+            fl = np.asarray(self.gen_flip)
+            o2 = np.where(fl[:, None], B - 1 - offs[None, :], offs[None, :])
+        else:
+            o2 = np.broadcast_to(offs[None, :], (nblk, B))
+        src = (bperm[:, None] * B + o2).reshape(-1)
+        inv = np.empty_like(src)
+        inv[src] = np.arange(src.size, dtype=np.int64)
+        hub_cols_p = None
+        if self.hub_cols is not None and self.hub_cols.shape[0]:
+            hub_cols_p = jnp.asarray(
+                inv[np.asarray(self.hub_cols, dtype=np.int64)].astype(np.int32)
+            )
+        self._gen_perm_maps = (
+            jnp.asarray(src.astype(np.int32)),
+            jnp.asarray(inv.astype(np.int32)),
+            hub_cols_p,
+        )
+        return self._gen_perm_maps
+
     def bandt_rows(self, bf16: bool = False) -> jax.Array:
         """Lazy row-aligned (m_pad, W) band — the transpose of the (W, m)
         bandt slab — for the SpMM twin of the bandt/gen composites

@@ -383,3 +383,75 @@ def test_gen_spmm_k_gate_falls_back(rng):
     B = rng.standard_normal((m, 40)).astype(np.float32)  # 40 % 128 != 0
     C = np.asarray(ast.mm(1.0, A, GEN, Operation.none, B, 0.0))
     np.testing.assert_allclose(C, dense.astype(np.float32) @ B, atol=5e-3, rtol=1e-4)
+
+
+def test_gen_permuted_space_apply_parity(rng, monkeypatch):
+    """spmv_gen_bandv_p + gen_perm_maps: iterating in permuted space and
+    permuting only at the boundary must reproduce the composite exactly
+    (the per-iteration O(m) permute gathers are hoisted out of solver
+    loops; solvers/fused.py _gen_pspace)."""
+    monkeypatch.setenv("AOCLSPARSE_TPU_FORCE_PALLAS", "1")
+    from aoclsparse_tpu.core.context import reset_context
+
+    reset_context()
+    try:
+        import jax.numpy as jnp
+
+        from aoclsparse_tpu.solvers.fused import _gen_pspace
+
+        m = 1024
+        dense = _circuit_like(rng, m).astype(np.float32)
+        A = _mk(m, dense)
+        form = get_plan(A).exec_form_for(GEN, Operation.none, kind="gen")
+        assert form.gen_bandt
+        ps = _gen_pspace(form)
+        assert ps is not None
+        matvec_p, to_p, from_p = ps
+        x = rng.standard_normal(m).astype(np.float32)
+        # boundary round-trip is exact
+        np.testing.assert_array_equal(
+            np.asarray(from_p(to_p(jnp.asarray(x)))), x
+        )
+        y_p = np.asarray(from_p(matvec_p(to_p(jnp.asarray(x)))))
+        y_ref = np.asarray(ast.mv(1.0, A, GEN, Operation.none, x, 0.0, kid=7))
+        np.testing.assert_allclose(y_p, y_ref, atol=2e-4, rtol=1e-5)
+        np.testing.assert_allclose(
+            y_p, dense.astype(np.float64) @ x, atol=5e-3
+        )
+    finally:
+        reset_context()
+
+
+def test_gen_pcg_permuted_space_iterations(rng, monkeypatch):
+    """pcg_solve on a gen-composite SPD operand runs the permuted-space
+    loop; solution and iteration count must match the dense solve /
+    matrix-free CG on the same operand."""
+    monkeypatch.setenv("AOCLSPARSE_TPU_FORCE_PALLAS", "1")
+    from aoclsparse_tpu.core.context import reset_context
+
+    reset_context()
+    try:
+        import jax.numpy as jnp
+
+        from aoclsparse_tpu.solvers.fused import make_cg_operator, pcg_solve
+
+        m = 1024
+        base = _circuit_like(rng, m).astype(np.float32)
+        dense = (base + base.T).astype(np.float32)
+        dense[np.arange(m), np.arange(m)] += np.abs(dense).sum(1) + 1.0  # SPD
+        A = _mk(m, dense)
+        form = get_plan(A).exec_form_for(GEN, Operation.none, dtype=A.dtype)
+        if form.kind != "gen":  # symmetrized structure may stay banded
+            form = get_plan(A).exec_form_for(GEN, Operation.none, kind="gen")
+        b = rng.standard_normal(m).astype(np.float32)
+        x, it, rn = pcg_solve(A, b, rtol=1e-5, maxit=300)
+        np.testing.assert_allclose(
+            dense.astype(np.float64) @ np.asarray(x), b, atol=2e-3
+        )
+        # iteration parity vs a matrix-free CG on the same dense operand
+        dj = jnp.asarray(dense)
+        solve2 = make_cg_operator(lambda v: dj @ v, maxit=300)
+        x2, it2, rn2 = solve2(jnp.asarray(b), rtol=1e-5)
+        assert abs(int(it) - int(it2)) <= 2, (it, it2)
+    finally:
+        reset_context()
