@@ -190,6 +190,33 @@ def main():
                 _vt4_bf16 = form.bandt_vertical(TM=TMg, bf16=True)
             except Exception:
                 _vt4_bf16 = None
+
+            # PERMUTED-SPACE loop (solver-iteration rate): the per-call x/y
+            # element permutes are two O(m) gathers; Krylov loops hoist them
+            # (solvers/fused.py _gen_pspace) — this measures that rate
+            from aoclsparse_tpu.kernels.xla.spmv import spmv_gen_bandv_p
+
+            src_p, inv_p, hubc_p = form.gen_perm_maps()
+            xp0 = jnp.pad(x, (0, form.gen_m_pad - m))[src_p]
+
+            @jax.jit
+            def _loop50_p(eps, vt4c, hsc, hrc, svc, xp_0):
+                def body(i, carry):
+                    xc, acc = carry
+                    yv = spmv_gen_bandv_p(
+                        vt4c, xc, hsc, hubc_p if has_hub else zi,
+                        hrc, form.hubr_rows if has_hubrow else zi,
+                        svc, form.sp_ind if has_spill else zi,
+                        form.sp_rows if has_spill else zi,
+                        W=vt4c.shape[0] // 8, padL=form.bwd_padL,
+                        start=form.bandt_start, TM=TMg,
+                        m_pad=form.gen_m_pad, has_hub=has_hub,
+                        has_hubrow=has_hubrow, has_spill=has_spill,
+                    )
+                    return (xc + eps * yv, acc + yv[0])
+
+                _, acc = jax.lax.fori_loop(0, 50, body, (xp_0, jnp.float32(0.0)))
+                return acc
         if _loop50 is None:
 
             @jax.jit
@@ -204,6 +231,7 @@ def main():
 
             _loop_args = ()
             _vt4_bf16 = None
+            t_pspace = None
 
         def _run_loop():
             return _loop50(jnp.float32(1e-7), *_loop_args, x)
@@ -232,6 +260,20 @@ def main():
                 time.sleep(1.5)
         if not amortized:
             t = t_single
+        t_pspace = None
+        if amortized and _loop_args:
+            try:
+                acc = _loop50_p(jnp.float32(1e-7), *_loop_args, xp0)
+                float(acc)
+                t_pspace = float("inf")
+                for _ in range(3):
+                    t1 = time.perf_counter()
+                    for _ in range(iters):
+                        acc = _loop50_p(jnp.float32(1e-7), *_loop_args, xp0)
+                    float(acc)
+                    t_pspace = min(t_pspace, (time.perf_counter() - t1) / (iters * 50))
+            except Exception:
+                t_pspace = None
         t_bf16 = None
         if amortized and _loop_args and _vt4_bf16 is not None:
             try:
@@ -268,6 +310,8 @@ def main():
                 "gnnz_s": round(nnz / t / 1e9, 3),
                 "plan_s": round(t_plan, 2),
                 "rel_err": float(err),
+                "t_pspace_us": None if t_pspace is None else round(t_pspace * 1e6, 1),
+                "gnnz_s_pspace": None if t_pspace is None else round(nnz / t_pspace / 1e9, 3),
                 "t_bf16_us": None if t_bf16 is None else round(t_bf16 * 1e6, 1),
                 "gnnz_s_bf16": None if t_bf16 is None else round(nnz / t_bf16 / 1e9, 3),
             }
