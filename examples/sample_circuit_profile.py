@@ -65,3 +65,34 @@ got = np.zeros((m, m))
 for i in range(m):
     got[i, ci[cp[i] : cp[i + 1]]] = cv[cp[i] : cp[i + 1]]
 check("circuit SpGEMM (pinned engine)", got, dense @ dense, tol=1e-8)
+
+# 4) General-sparsity SpMM (mm KID 6): the same gen composite applied to a
+#    dense RHS — permuted band on the Pallas band-SpMM kernel + hub MXU
+#    matmuls + spill (previously general structure took the gather mm)
+K = 128
+B = rng.standard_normal((m, K)).astype(np.float32)
+try:
+    Cmm = asp.mm(1.0, A, MatrixDescriptor(), Operation.none, B, 0.0, kid=6)
+    check("circuit SpMM (gen composite)", np.asarray(Cmm), dense @ B, tol=1e-2)
+except asp.AoclSparseError:
+    # kid 6 gates on a Pallas-capable context (f32/bf16, lane-multiple K);
+    # the default dispatch serves the same product through a gather form
+    Cmm = asp.mm(1.0, A, MatrixDescriptor(), Operation.none, B, 0.0)
+    check("circuit SpMM (fallback form)", np.asarray(Cmm), dense @ B, tol=1e-2)
+
+# 5) Fused CG on the gen operand: pcg_solve iterates in PERMUTED space
+#    (the composite's O(m) x/y permute gathers leave the loop; the
+#    boundary pays them once — solvers/fused.py _gen_pspace)
+from aoclsparse_tpu.solvers.fused import pcg_solve
+
+spd = dense @ dense.T + m * np.eye(m)
+Aspd = asp.create_csr(
+    m, m,
+    np.concatenate([[0], np.cumsum((spd != 0).sum(1))]),
+    np.nonzero(spd)[1],
+    spd[spd != 0],
+)
+bs = rng.standard_normal(m)
+xs2, iters, rnorm = pcg_solve(Aspd, bs, rtol=1e-8, maxit=400)
+check("circuit fused CG", spd @ np.asarray(xs2), bs, tol=1e-5)
+print(f"fused CG: {iters} iterations, final residual {rnorm:.2e}")
