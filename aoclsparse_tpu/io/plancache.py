@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.descr import MatrixDescriptor
-from ..core.types import AoclSparseError, DiagType, FillMode, Operation, Status
+from ..core.types import AoclSparseError, DiagType, FillMode, MatrixType, Operation, Status
 
 __all__ = ["save_plan", "load_plan"]
 
@@ -120,6 +120,10 @@ def save_plan(A, path: str) -> None:
             [_encode_key(k), str(v)]
             for k, v in (getattr(plan, "_mv_engine", None) or {}).items()
         ],
+        "mm_tuned": [
+            [_encode_key(k), str(v)]
+            for k, v in (getattr(plan, "_mm_tuned", None) or {}).items()
+        ],
     }
     for i, (key, form) in enumerate(plan.exec_forms.items()):
         entry = {"key": _encode_key(key)}
@@ -181,5 +185,18 @@ def load_plan(A, path: str) -> int:
         mveng[(key[0], key[1], key[2], Operation(key[3]))] = str(name)
     if mveng:
         plan._mv_engine = mveng
+    mmt = {}
+    for key, name in manifest.get("mm_tuned", []):
+        mmt[
+            (
+                MatrixType(key[0]),
+                FillMode(key[1]),
+                DiagType(key[2]),
+                Operation(key[3]),
+                int(key[4]),
+            )
+        ] = str(name)
+    if mmt:
+        plan._mm_tuned = mmt
     return n_restored
 

@@ -9,6 +9,8 @@ import numpy as np
 import pytest
 
 import aoclsparse_tpu as ast
+
+from conftest import random_csr
 from aoclsparse_tpu import AoclSparseError, MatrixDescriptor, Operation, Status
 from aoclsparse_tpu.io.plancache import load_plan, save_plan
 from aoclsparse_tpu.planner.plan import get_plan
@@ -159,3 +161,24 @@ def test_save_load_bare_path(rng):
         save_plan(A, p)
         B = ast.create_csr(m, m, ptr, c, val)
         assert load_plan(B, p) >= 1
+
+
+def test_snapshot_persists_mm_tuned_pin(rng, tmp_path):
+    """autotune_mm pins survive a plan snapshot round-trip like the
+    trsv/mv pins."""
+    from aoclsparse_tpu.io.plancache import load_plan, save_plan
+    from aoclsparse_tpu.planner.plan import get_plan
+
+    m, k = 64, 8
+    ptr, ind, val, dense = random_csr(rng, m, m, density=0.3)
+    A = ast.create_csr(m, m, ptr, ind, val)
+    from aoclsparse_tpu.kernels.autotune import autotune_mm
+
+    autotune_mm(A, k=k, iters=1, chunks=1)
+    pin = dict(get_plan(A)._mm_tuned)
+    assert pin
+    p = tmp_path / "plan.npz"
+    save_plan(A, str(p))
+    A2 = ast.create_csr(m, m, ptr, ind, val)
+    load_plan(A2, str(p))
+    assert getattr(get_plan(A2), "_mm_tuned", None) == pin
