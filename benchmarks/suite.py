@@ -896,7 +896,8 @@ def main():
                 "unit": "GB/s(csrilu0_gbyte,amortized)",
                 "extra": {
                     "t_apply_us": round(t * 1e6, 1),
-                    "factor_host_ms": round(t_factor * 1e3, 1),
+                    "factor_native_ms": round(t_factor_native * 1e3, 1),
+                    "factor_total_ms": round(t_factor * 1e3, 1),
                     "m": m,
                     "nnz": nnz,
                 },
