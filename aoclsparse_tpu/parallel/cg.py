@@ -138,30 +138,38 @@ def cg_bwd_jit(
             )
         return y
 
+    # 2 reductions/iteration (see cg_bandv_jit): rz doubles as ||r||^2
     bnorm = jnp.sqrt(jnp.sum(b * b))
     brtol = rtol * bnorm
     r0 = matvec(x0) - b
-    rn0 = jnp.sqrt(jnp.sum(r0 * r0))
+    rr0 = jnp.sum(r0 * r0)
 
     def cond(state):
-        x, r, p, rz, k, rnorm = state
+        x, r, p, rr_prev, rr, k = state
+        rnorm = jnp.sqrt(rr)
         not_conv = jnp.logical_and(rnorm > atol, rnorm > brtol)
         return jnp.logical_and(not_conv, k < maxit)
 
     def body(state):
-        x, r, p, rz, k, rnorm = state
-        rz_new = jnp.sum(r * r)
-        beta = jnp.where(k == 0, jnp.zeros_like(rz), rz_new / rz)
+        x, r, p, rr_prev, rr, k = state
+        beta = jnp.where(k == 0, jnp.zeros_like(rr), rr / rr_prev)
         p = beta * p - r
         q = matvec(p)
-        alpha = rz_new / jnp.sum(p * q)
+        alpha = rr / jnp.sum(p * q)
         x = x + alpha * p
         r = r + alpha * q
-        return (x, r, p, rz_new, k + 1, jnp.sqrt(jnp.sum(r * r)))
+        return (x, r, p, rr, jnp.sum(r * r), k + 1)
 
-    state = (x0, r0, jnp.zeros_like(x0), jnp.ones((), b.dtype), jnp.zeros((), jnp.int32), rn0)
-    x, r, p, rz, k, rnorm = jax.lax.while_loop(cond, body, state)
-    return x, k, rnorm
+    state = (
+        x0,
+        r0,
+        jnp.zeros_like(x0),
+        jnp.ones((), b.dtype),
+        rr0,
+        jnp.zeros((), jnp.int32),
+    )
+    x, r, p, rr_prev, rr, k = jax.lax.while_loop(cond, body, state)
+    return x, k, jnp.sqrt(rr)
 
 
 @partial(jax.jit, static_argnames=("maxit", "W", "padL", "start", "TM", "interpret"))
@@ -200,30 +208,42 @@ def cg_bandv_jit(
             )
         return y
 
+    # 2 reductions/iteration: rz = r.r doubles as the squared residual
+    # norm (unpreconditioned CG; the reference's rinfo RES_NORM is the
+    # same sqrt(rz)), so the separate ||r|| reduction of the generic loop
+    # disappears — each reduction is a sequential barrier inside the
+    # while_loop and costs real per-iteration latency on this stack.
     bnorm = jnp.sqrt(jnp.sum(b * b))
     brtol = rtol * bnorm
     r0 = matvec(x0) - b
-    rn0 = jnp.sqrt(jnp.sum(r0 * r0))
+    rr0 = jnp.sum(r0 * r0)
 
     def cond(state):
-        x, r, p, rz, k, rnorm = state
+        x, r, p, rr_prev, rr, k = state
+        rnorm = jnp.sqrt(rr)
         not_conv = jnp.logical_and(rnorm > atol, rnorm > brtol)
         return jnp.logical_and(not_conv, k < maxit)
 
     def body(state):
-        x, r, p, rz, k, rnorm = state
-        rz_new = jnp.sum(r * r)
-        beta = jnp.where(k == 0, jnp.zeros_like(rz), rz_new / rz)
+        x, r, p, rr_prev, rr, k = state
+        beta = jnp.where(k == 0, jnp.zeros_like(rr), rr / rr_prev)
         p = beta * p - r
         q = matvec(p)
-        alpha = rz_new / jnp.sum(p * q)
+        alpha = rr / jnp.sum(p * q)
         x = x + alpha * p
         r = r + alpha * q
-        return (x, r, p, rz_new, k + 1, jnp.sqrt(jnp.sum(r * r)))
+        return (x, r, p, rr, jnp.sum(r * r), k + 1)
 
-    state = (x0, r0, jnp.zeros_like(x0), jnp.ones((), b.dtype), jnp.zeros((), jnp.int32), rn0)
-    x, r, p, rz, k, rnorm = jax.lax.while_loop(cond, body, state)
-    return x, k, rnorm
+    state = (
+        x0,
+        r0,
+        jnp.zeros_like(x0),
+        jnp.ones((), b.dtype),
+        rr0,
+        jnp.zeros((), jnp.int32),
+    )
+    x, r, p, rr_prev, rr, k = jax.lax.while_loop(cond, body, state)
+    return x, k, jnp.sqrt(rr)
 
 
 @partial(jax.jit, static_argnames=("maxit",))

@@ -177,6 +177,43 @@ def _build_cg_run(matvec, apply, maxit: int):
         def nrm(v):
             return jnp.sqrt(jnp.sum(jnp.abs(v) ** 2).real)
 
+        if apply is None and not jnp.iscomplexobj(b):
+            # real unpreconditioned CG: rz = r.r doubles as ||r||^2, so the
+            # loop runs on 2 reductions/iteration instead of 3 — each
+            # reduction is a sequential barrier inside the while_loop
+            # (same update order; the reference's RES_NORM is sqrt(rz))
+            bnorm = nrm(b)
+            brtol = rtol_c * bnorm
+            r0 = matvec(x0) - b
+            rr0 = jnp.sum(r0 * r0)
+
+            def cond2(state):
+                x, r, p, rr_prev, rr, k = state
+                rnorm = jnp.sqrt(rr)
+                not_conv = jnp.logical_and(rnorm > atol_c, rnorm > brtol)
+                return jnp.logical_and(not_conv, k < maxit)
+
+            def body2(state):
+                x, r, p, rr_prev, rr, k = state
+                beta = jnp.where(k == 0, jnp.zeros_like(rr), rr / rr_prev)
+                p = beta * p - r
+                q = matvec(p)
+                alpha = rr / jnp.sum(p * q)
+                x = x + alpha * p
+                r = r + alpha * q
+                return (x, r, p, rr, jnp.sum(r * r), k + 1)
+
+            st2 = (
+                x0,
+                r0,
+                jnp.zeros_like(x0),
+                jnp.ones((), b.dtype),
+                rr0,
+                jnp.zeros((), jnp.int32),
+            )
+            x, r, p, rr_prev, rr, k = jax.lax.while_loop(cond2, body2, st2)
+            return x, k, jnp.sqrt(rr)
+
         bnorm = nrm(b)
         brtol = rtol_c * bnorm
         r0 = matvec(x0) - b
