@@ -433,41 +433,52 @@ def dist_cg_bwd_halo(
         def dot(u, v):
             return jax.lax.psum(jnp.sum(u * v), axis)
 
+        def dot2(u1, v1, u2, v2):
+            # two dots fused into ONE psum (each psum is a cross-device
+            # barrier; the classic loop paid 3/iteration, this loop pays 2)
+            local = jnp.stack([jnp.sum(u1 * v1), jnp.sum(u2 * v2)])
+            s = jax.lax.psum(local, axis)
+            return s[0], s[1]
+
         def prec(r):
             return _apply_precond(prec_kind, dl, r)
 
         bnorm = jnp.sqrt(dot(bl, bl))
         brtol = rt * bnorm
         r0 = matvec(wv_c, x0l) - bl
-        rn0 = jnp.sqrt(dot(r0, r0))
+        z0 = prec(r0)
+        rz0, rr0 = dot2(r0, z0, r0, r0)
 
         def cond(state):
-            x, r, p, rz, k, rnorm = state
+            x, r, p, z, rz, rz_prev, k, rr = state
+            rnorm = jnp.sqrt(rr)
             not_conv = jnp.logical_and(rnorm > at, rnorm > brtol)
             return jnp.logical_and(not_conv, k < maxit)
 
         def body(state):
-            x, r, p, rz, k, rnorm = state
-            z = prec(r)
-            rz_new = dot(r, z)
-            beta = jnp.where(k == 0, jnp.zeros_like(rz), rz_new / rz)
+            x, r, p, z, rz, rz_prev, k, rr = state
+            beta = jnp.where(k == 0, jnp.zeros_like(rz), rz / rz_prev)
             p = beta * p - z
             q = matvec(wv_c, p)
-            alpha = rz_new / dot(p, q)
+            alpha = rz / dot(p, q)
             x = x + alpha * p
             r = r + alpha * q
-            return (x, r, p, rz_new, k + 1, jnp.sqrt(dot(r, r)))
+            z = prec(r)
+            rz_new, rr_new = dot2(r, z, r, r)
+            return (x, r, p, z, rz_new, rz, k + 1, rr_new)
 
         state = (
             x0l,
             r0,
             jnp.zeros_like(x0l),
+            z0,
+            rz0,
             jnp.ones((), bl.dtype),
             jnp.zeros((), jnp.int32),
-            rn0,
+            rr0,
         )
-        x, r, p, rz, k, rnorm = jax.lax.while_loop(cond, body, state)
-        return x, k, rnorm
+        x, r, p, z, rz, rz_prev, k, rr = jax.lax.while_loop(cond, body, state)
+        return x, k, jnp.sqrt(rr)
 
     x, k, rnorm = _cg(wv, bp, x0p, dinv_s, rtol_c, atol_c)
     return _trim(x, m), int(k), float(rnorm)
@@ -760,41 +771,51 @@ def dist_cg_ell_halo(
         def dot(u, v):
             return jax.lax.psum(jnp.sum(u * v), axis)
 
+        def dot2(u1, v1, u2, v2):
+            # two dots in ONE psum: 2 collectives/iteration instead of 3
+            local = jnp.stack([jnp.sum(u1 * v1), jnp.sum(u2 * v2)])
+            s = jax.lax.psum(local, axis)
+            return s[0], s[1]
+
         def prec(r):
             return _apply_precond(prec_kind, dl, r)
 
         bnorm = jnp.sqrt(dot(bl, bl))
         brtol = rt * bnorm
         r0 = matvec(x0l) - bl
-        rn0 = jnp.sqrt(dot(r0, r0))
+        z0 = prec(r0)
+        rz0, rr0 = dot2(r0, z0, r0, r0)
 
         def cond(state):
-            x, r, p, rz, k, rnorm = state
+            x, r, p, z, rz, rz_prev, k, rr = state
+            rnorm = jnp.sqrt(rr)
             not_conv = jnp.logical_and(rnorm > at, rnorm > brtol)
             return jnp.logical_and(not_conv, k < maxit)
 
         def body(state):
-            x, r, p, rz, k, rnorm = state
-            z = prec(r)
-            rz_new = dot(r, z)
-            beta = jnp.where(k == 0, jnp.zeros_like(rz), rz_new / rz)
+            x, r, p, z, rz, rz_prev, k, rr = state
+            beta = jnp.where(k == 0, jnp.zeros_like(rz), rz / rz_prev)
             p = beta * p - z
             q = matvec(p)
-            alpha = rz_new / dot(p, q)
+            alpha = rz / dot(p, q)
             x = x + alpha * p
             r = r + alpha * q
-            return (x, r, p, rz_new, k + 1, jnp.sqrt(dot(r, r)))
+            z = prec(r)
+            rz_new, rr_new = dot2(r, z, r, r)
+            return (x, r, p, z, rz_new, rz, k + 1, rr_new)
 
         state = (
             x0l,
             r0,
             jnp.zeros_like(x0l),
+            z0,
+            rz0,
             jnp.ones((), bl.dtype),
             jnp.zeros((), jnp.int32),
-            rn0,
+            rr0,
         )
-        x, r, p, rz, k, rnorm = jax.lax.while_loop(cond, body, state)
-        return x, k, rnorm
+        x, r, p, z, rz, rz_prev, k, rr = jax.lax.while_loop(cond, body, state)
+        return x, k, jnp.sqrt(rr)
 
     x, k, rnorm = _cg(ind_s, val_s, pidx_s, bp, x0p, dinv_s, rtol_c, atol_c)
     return _trim(x, m), int(k), float(rnorm)
