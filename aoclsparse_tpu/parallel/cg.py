@@ -260,34 +260,39 @@ def cg_ell_jit(ell_ind, ell_val, b, x0, rtol, atol, maxit: int):
         prods = jnp.where(ell_ind >= 0, ell_val * g, jnp.zeros((), dtype=ell_val.dtype))
         return jnp.sum(prods, axis=1)
 
+    # 2 reductions/iteration (see cg_bandv_jit): rz doubles as ||r||^2
     bnorm = jnp.sqrt(jnp.sum(b * b))
     brtol = rtol * bnorm
 
     r0 = matvec(x0) - b
-    rn0 = jnp.sqrt(jnp.sum(r0 * r0))
+    rr0 = jnp.sum(r0 * r0)
 
     def cond(state):
-        x, r, p, rz, k, rnorm = state
+        x, r, p, rr_prev, rr, k = state
+        rnorm = jnp.sqrt(rr)
         not_conv = jnp.logical_and(rnorm > atol, rnorm > brtol)
         return jnp.logical_and(not_conv, k < maxit)
 
     def body(state):
-        x, r, p, rz, k, rnorm = state
-        z = r  # unpreconditioned
-        rz_new = jnp.sum(r * z)
-        beta = jnp.where(k == 0, jnp.zeros_like(rz), rz_new / rz)
-        p = beta * p - z
+        x, r, p, rr_prev, rr, k = state
+        beta = jnp.where(k == 0, jnp.zeros_like(rr), rr / rr_prev)
+        p = beta * p - r
         q = matvec(p)
-        pq = jnp.sum(p * q)
-        alpha = rz_new / pq
+        alpha = rr / jnp.sum(p * q)
         x = x + alpha * p
         r = r + alpha * q
-        rnorm = jnp.sqrt(jnp.sum(r * r))
-        return (x, r, p, rz_new, k + 1, rnorm)
+        return (x, r, p, rr, jnp.sum(r * r), k + 1)
 
-    state = (x0, r0, jnp.zeros_like(x0), jnp.ones((), b.dtype), jnp.zeros((), jnp.int32), rn0)
-    x, r, p, rz, k, rnorm = jax.lax.while_loop(cond, body, state)
-    return x, k, rnorm
+    state = (
+        x0,
+        r0,
+        jnp.zeros_like(x0),
+        jnp.ones((), b.dtype),
+        rr0,
+        jnp.zeros((), jnp.int32),
+    )
+    x, r, p, rr_prev, rr, k = jax.lax.while_loop(cond, body, state)
+    return x, k, jnp.sqrt(rr)
 
 
 def prepare_dist_ell(mesh: Mesh, ell_ind, ell_val, axis: str = "x"):
