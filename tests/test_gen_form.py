@@ -455,3 +455,27 @@ def test_gen_pcg_permuted_space_iterations(rng, monkeypatch):
         assert abs(int(it) - int(it2)) <= 2, (it, it2)
     finally:
         reset_context()
+
+
+def test_gen_pgmres_permuted_space(rng, monkeypatch):
+    """pgmres_solve (no preconditioner) also iterates in permuted space on
+    gen operands; solution parity with the dense system."""
+    monkeypatch.setenv("AOCLSPARSE_TPU_FORCE_PALLAS", "1")
+    from aoclsparse_tpu.core.context import reset_context
+
+    reset_context()
+    try:
+        from aoclsparse_tpu.solvers.fused import pgmres_solve
+
+        m = 1024
+        dense = _circuit_like(rng, m).astype(np.float32)
+        dense[np.arange(m), np.arange(m)] += np.abs(dense).sum(1) + 1.0
+        A = _mk(m, dense)
+        b = rng.standard_normal(m).astype(np.float32)
+        x, it, rn = pgmres_solve(A, b, rtol=1e-5, maxit=200, restart=30)
+        np.testing.assert_allclose(
+            dense.astype(np.float64) @ np.asarray(x), b, atol=5e-3
+        )
+        assert it > 0
+    finally:
+        reset_context()
