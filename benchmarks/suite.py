@@ -329,11 +329,19 @@ def main():
     sform = get_plan(S).exec_form_for(MatrixDescriptor(), Operation.none, kind="diag")
     xs = jnp.asarray(rng.standard_normal(ns).astype(np.float32))
 
+    from aoclsparse_tpu.kernels.xla.spmv import spmv_diag
+
     @jax.jit
     def _stloop(eps, dv, x0):
         def body(i, carry):
             xc, acc = carry
-            y = spmv_diag_scan(dv, sform.dia_offs, xc, sform.m, sform.dia_L, sform.dia_n_pad)
+            # the library dispatch path: static-slice UNROLLED kernel for few
+            # diagonals (the scan variant pays a traced dynamic_slice per
+            # diagonal per step — the documented pathology on this stack)
+            y = spmv_diag(
+                dv, sform.dia_offs, xc, sform.m, sform.dia_L, sform.dia_n_pad,
+                offs_static=sform.dia_offs_static,
+            )
             return (xc + eps * y, acc + y[0])
 
         _, acc = jax.lax.fori_loop(0, 50, body, (x0, jnp.float32(0.0)))
