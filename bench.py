@@ -228,7 +228,13 @@ def main():
                 def body(i, carry):
                     xc, acc = carry
                     y = _run_exec_form(form, xc, kid_v)
-                    return (xc + eps * y, acc + y[0])
+                    # the data dependency only exists to defeat CSE between
+                    # chained applications (the reference's timing loop
+                    # re-applies the SAME x with no dependency at all,
+                    # testing_csrmv.hpp:79-92); a 128-element update keeps
+                    # each iteration distinct without paying a full-vector
+                    # axpy (3 MB of extra traffic ~= 12 us/iter)
+                    return (xc.at[:128].add(eps * y[:128]), acc + y[0])
 
                 _, acc = jax.lax.fori_loop(0, R_AMORT, body, (x0, jnp.float32(0.0)))
                 return acc

@@ -277,7 +277,9 @@ def main():
                 def body(i, carry):
                     xe_c, acc = carry
                     y = pallas_spmv_band_v(vt4a, xe_c, Wv, formt.bandt_start, TM=2048)
-                    return (xe_c.at[: y.shape[0]].add(eps * y), acc + y[0])
+                    # 128-element dependency defeats CSE without a
+                    # full-vector axpy (see bench.py)
+                    return (xe_c.at[:128].add(eps * y[:128]), acc + y[0])
 
                 _, acc = jax.lax.fori_loop(0, 50, body, (xe0, jnp.float32(0.0)))
                 return acc
