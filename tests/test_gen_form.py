@@ -479,3 +479,31 @@ def test_gen_pgmres_permuted_space(rng, monkeypatch):
         assert it > 0
     finally:
         reset_context()
+
+
+def test_gen_pcg_pspace_refreshes_after_update_values(rng, monkeypatch):
+    """update_values must invalidate the cached permuted-space solver
+    closure (plan.refresh_values clears _fused_cache) so the next solve
+    sees the new values."""
+    monkeypatch.setenv("AOCLSPARSE_TPU_FORCE_PALLAS", "1")
+    from aoclsparse_tpu.core.context import reset_context
+
+    reset_context()
+    try:
+        from aoclsparse_tpu.solvers.fused import pcg_solve
+
+        m = 1024
+        base = _circuit_like(rng, m).astype(np.float32)
+        dense = (base + base.T).astype(np.float32)
+        dense[np.arange(m), np.arange(m)] += np.abs(dense).sum(1) + 1.0
+        A = _mk(m, dense)
+        b = rng.standard_normal(m).astype(np.float32)
+        x1, _, _ = pcg_solve(A, b, rtol=1e-6, maxit=300)
+        # scale all values by 2: solution halves
+        ast.update_values(A, (2.0 * dense[dense != 0]).astype(np.float32))
+        x2, _, _ = pcg_solve(A, b, rtol=1e-6, maxit=300)
+        np.testing.assert_allclose(
+            np.asarray(x2), 0.5 * np.asarray(x1), rtol=5e-3, atol=5e-5
+        )
+    finally:
+        reset_context()
