@@ -554,12 +554,48 @@ def main():
             iters_per=2,
             chunks=4,
         ) / 10
+        # Pallas sequential-grid multi-RHS twin (K columns ride lanes)
+        t_pl = None
+        try:
+            if (
+                tform.nb % 128 == 0
+                and tform.WL % 8 == 0
+                and tform.WL <= tform.nb
+                and K % 8 == 0
+            ):
+                from aoclsparse_tpu.kernels.pallas.trsv import pallas_trsm_win_inv
+
+                dinvT_m = jnp.swapaxes(Dinv, 1, 2)
+                lwT_m = jnp.swapaxes(tform.Lval, 1, 2)
+                Bt0 = Bk.reshape(tform.nblk, tform.nb, K).swapaxes(1, 2)
+
+                @jax.jit
+                def _smloop_pl(eps, dT, lT, B0):
+                    def body(i, carry):
+                        Bc, acc = carry
+                        Xt = pallas_trsm_win_inv(dT, lT, Bc, tform.nb, tform.WL)
+                        return (B0 + eps * Xt, acc + Xt[0, 0, 0])
+
+                    _, acc = jax.lax.fori_loop(0, 10, body, (B0, jnp.float32(0.0)))
+                    return acc
+
+                t_pl = chain_min(
+                    lambda: _smloop_pl(jnp.float32(1e-7), dinvT_m, lwT_m, Bt0),
+                    iters_per=2,
+                    chunks=4,
+                ) / 10
+        except Exception:
+            t_pl = None
+        t_best = t if t_pl is None else min(t, t_pl)
         results.append(
             {
                 "metric": "trsm_f32_k64",
-                "value": round(K * (2 * tri_nnz - m) / t / 1e9, 2),
+                "value": round(K * (2 * tri_nnz - m) / t_best / 1e9, 2),
                 "unit": "GFLOP/s(amortized)",
-                "extra": {"t_ms": round(t * 1e3, 3), "K": K, "nb": tform.nb},
+                "extra": {"t_ms": round(t_best * 1e3, 3),
+                          "t_xla_scan_ms": round(t * 1e3, 3),
+                          "t_pallas_ms": None if t_pl is None else round(t_pl * 1e3, 3),
+                          "K": K, "nb": tform.nb},
             }
         )
     except Exception as e:
