@@ -42,7 +42,27 @@ def _imap32(fn):
     return wrapped
 
 
+def bandv_tm(W: int, itemsize: int = 4, vmem_budget: int = 6 * 2**20) -> int:
+    """Default grid tile for the vertical-layout band kernels: the largest
+    power-of-2 TM in [1024, 8192] whose band block (W * TM * itemsize
+    bytes) stays double-bufferable in VMEM. Measured on v5e (probe_tm
+    sweeps, RESULTS_r3.md): TM=8192 runs the bf16 cant-class band ~16%
+    faster than the old fixed 2048 (211.7 vs 252.9 us/iter) — fewer grid
+    steps amortize the per-tile slab build; f32 is HBM-bound and moves
+    <2%. Env override: AOCLSPARSE_TPU_BANDV_TM."""
+    import os
+
+    env = os.environ.get("AOCLSPARSE_TPU_BANDV_TM")
+    if env:
+        return int(env)
+    tm = 8192
+    while tm > 1024 and W * tm * itemsize > vmem_budget:
+        tm //= 2
+    return tm
+
+
 __all__ = [
+    "bandv_tm",
     "pallas_spmv_bwd",
     "pallas_spmv_band_t",
     "pallas_spmv_band_v",

@@ -169,7 +169,16 @@ def _run_exec_form(form, x, kid):
         # tunnel dispatch each (~1-3 ms) — measured as a ~950us/call gap
         # between the raw kernel and this dispatch path (HUNT.jsonl)
         zero_i, zero_v = _zero_operands(x.dtype)
-        TM = 2048 if get_context().is_tpu else max(128, -(-form.bwd_W // 8) * 8)
+        from ...kernels.pallas.spmv import bandv_tm
+
+        # adaptive grid tile (measured TM sweep, kernels/pallas/spmv.py
+        # bandv_tm); the df64 pair streams 2x f32 bands so its block
+        # budget halves
+        TM = (
+            bandv_tm(form.bwd_W, itemsize=8 if x.dtype == jnp.float64 else 4)
+            if get_context().is_tpu
+            else max(128, -(-form.bwd_W // 8) * 8)
+        )
         if kid is None and x.dtype == jnp.float64:
             # a bandt form carrying f64 data can only be served by the
             # double-float kernel (Mosaic rejects 64-bit kernels; the f32
@@ -261,7 +270,9 @@ def _run_exec_form(form, x, kid):
             from ...kernels.xla.spmv import spmv_gen_bandt, spmv_gen_bandv
 
             is_tpu = get_context().is_tpu
-            TMg = 2048 if is_tpu else max(128, -(-form.bwd_W // 8) * 8)
+            from ...kernels.pallas.spmv import bandv_tm
+
+            TMg = bandv_tm(form.bwd_W) if is_tpu else max(128, -(-form.bwd_W // 8) * 8)
             # vertical-layout band (bandv — beats the v2 kernel in every
             # same-window A/B); mixed precision rides the bf16 vt4: the
             # band is the gen composite's dominant traffic (web profile).

@@ -120,7 +120,9 @@ def _gen_pspace(form):
     from ..ops.level2.mv import _zero_aux, _zero_operands
 
     ctx = get_context()
-    TM = 2048 if ctx.is_tpu else max(128, -(-form.bwd_W // 8) * 8)
+    from ..kernels.pallas.spmv import bandv_tm
+
+    TM = bandv_tm(form.bwd_W) if ctx.is_tpu else max(128, -(-form.bwd_W // 8) * 8)
     mixed = os.environ.get("AOCLSPARSE_TPU_MIXED_PRECISION", "0") in ("1", "true")
     vt4 = form.bandt_vertical(TM=TM, bf16=mixed)
     src, inv, hub_cols_p = form.gen_perm_maps()

@@ -149,7 +149,9 @@ def main():
             from aoclsparse_tpu.kernels.xla.spmv import spmv_gen_bandv
             from aoclsparse_tpu.ops.level2.mv import _zero_aux, _zero_operands
 
-            TMg = 2048
+            from aoclsparse_tpu.kernels.pallas.spmv import bandv_tm
+
+            TMg = bandv_tm(form.bwd_W)
             vt4_a = form.bandt_vertical(TM=TMg)
             has_spill = form.sp_ind is not None and bool(form.sp_ind.shape[0])
             has_hub = form.hub_cols is not None and bool(form.hub_cols.shape[0])

@@ -259,16 +259,17 @@ def main():
     # one program match the reference's tight-loop methodology
     # (testing_csrmv.hpp:79-92 pays ~ns per call, not an RPC) ----
     try:
-        from aoclsparse_tpu.kernels.pallas.spmv import pallas_spmv_band_v
+        from aoclsparse_tpu.kernels.pallas.spmv import bandv_tm, pallas_spmv_band_v
 
         gbytes = ((m + 1 + nnz) * 4 + (nnz + n + m) * 4) / 1e9
+        TMv = bandv_tm(formt.bwd_W)
         for bf16 in (False, True):
-            vt4 = formt.bandt_vertical(TM=2048, bf16=bf16)
-            xe_v = jnp.pad(x, (formt.bwd_padL, 4096))
+            vt4 = formt.bandt_vertical(TM=TMv, bf16=bf16)
+            xe_v = jnp.pad(x, (formt.bwd_padL, 2 * TMv))
             Wv = vt4.shape[0] // 8
 
             def _once():
-                return pallas_spmv_band_v(vt4, xe_v, Wv, formt.bandt_start, TM=2048)
+                return pallas_spmv_band_v(vt4, xe_v, Wv, formt.bandt_start, TM=TMv)
 
             t1 = chain_min(_once)
 
@@ -276,7 +277,7 @@ def main():
             def _loop50(eps, vt4a, xe0, Wv=Wv):
                 def body(i, carry):
                     xe_c, acc = carry
-                    y = pallas_spmv_band_v(vt4a, xe_c, Wv, formt.bandt_start, TM=2048)
+                    y = pallas_spmv_band_v(vt4a, xe_c, Wv, formt.bandt_start, TM=TMv)
                     # 128-element dependency defeats CSE without a
                     # full-vector axpy (see bench.py)
                     return (xe_c.at[:128].add(eps * y[:128]), acc + y[0])
@@ -627,13 +628,14 @@ def main():
     try:
         from aoclsparse_tpu.parallel.cg import cg_bandv_jit
 
-        vt4cg = formt.bandt_vertical(TM=2048)
+        TMcg = bandv_tm(formt.bwd_W)
+        vt4cg = formt.bandt_vertical(TM=TMcg)
 
         def run_cg_v():
             xr, it, rn = cg_bandv_jit(
                 vt4cg, bb, jnp.zeros(m, jnp.float32),
                 jnp.asarray(0.0, jnp.float32), jnp.asarray(1e-30, jnp.float32), 25,
-                vt4cg.shape[0] // 8, formt.bwd_padL, formt.bandt_start, TM=2048,
+                vt4cg.shape[0] // 8, formt.bwd_padL, formt.bandt_start, TM=TMcg,
                 sp_ind=formt.sp_ind, sp_rows=formt.sp_rows, sp_val=formt.sp_val,
             )
             return xr
