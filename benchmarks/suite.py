@@ -203,7 +203,10 @@ def main():
             fdf = get_plan(A64df).exec_form_for(
                 MatrixDescriptor(), Operation.none, kind="bandt", dtype=np.float64
             )
-            vt4h, vt4l = fdf.bandt_vertical_df(TM=2048)
+            from aoclsparse_tpu.kernels.pallas.spmv import bandv_tm as _btm
+
+            TMdf = _btm(fdf.bwd_W, itemsize=8)
+            vt4h, vt4l = fdf.bandt_vertical_df(TM=TMdf)
             Wdf = vt4h.shape[0] // 8
             x64df = jnp.asarray(np.asarray(x), dtype=jnp.float64)
             zi_df = jnp.zeros((0,), jnp.int32)
@@ -220,7 +223,7 @@ def main():
                     y = spmv_bandv_df(
                         vh, vl, xc, spv, spi, spr,
                         m=fdf.m, W=Wdf, padL=fdf.bwd_padL,
-                        start=fdf.bandt_start, TM=2048, has_spill=has_sp,
+                        start=fdf.bandt_start, TM=TMdf, has_spill=has_sp,
                     )
                     return (xc + eps * y, acc + y[0])
 
