@@ -50,3 +50,22 @@ def test_pallas_bwd_negative_base(rng):
         form.bwd_val, xp, form.bwd_W, form.bwd_base8, form.bwd_n_pad, TM=64, interpret=True
     )
     assert_allclose_spec(np.asarray(y)[:m], dense @ x, dtype=np.float32, scale=30)
+
+
+def test_bandv_tm_budget():
+    """Adaptive tile: largest power-of-2 TM in [1024, 8192] whose band
+    block stays double-bufferable; env override wins."""
+    import os
+
+    from aoclsparse_tpu.kernels.pallas.spmv import bandv_tm
+
+    assert bandv_tm(128) == 8192  # cant-class f32: 4 MB block
+    assert bandv_tm(128, itemsize=8) == 4096  # df64 pair: halved budget
+    assert bandv_tm(656) == 2048  # web-profile band: 21 MB at 8192
+    assert bandv_tm(40) == 8192
+    assert bandv_tm(10**6) == 1024  # floor
+    os.environ["AOCLSPARSE_TPU_BANDV_TM"] = "2048"
+    try:
+        assert bandv_tm(128) == 2048
+    finally:
+        del os.environ["AOCLSPARSE_TPU_BANDV_TM"]
