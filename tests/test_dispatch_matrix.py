@@ -121,3 +121,46 @@ def test_mv_sym_herm_matrix(rng, dtype, fill, mtype):
         eff = np.tril(dense, -1) if fill == FillMode.lower else np.triu(dense, 1)
         eff = eff + eff.conj().T + np.diag(np.real(np.diag(dense)))
     assert_allclose_spec(got, eff @ x, dtype=dtype, scale=30)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_level1_matrix(rng, dtype):
+    """Level-1 family across all dtypes in one pass (axpyi/doti/dotci/
+    dotui/gthr/gthrz/sctr/roti semantics vs dense oracles)."""
+    n, nnz = 40, 12
+    idx = np.sort(rng.choice(n, nnz, replace=False)).astype(np.int32)
+    xv = _rand(rng, nnz, dtype)
+    yv = _rand(rng, n, dtype)
+    a = np.asarray(_rand(rng, 1, dtype))[0]
+    # axpyi
+    got = np.asarray(ast.axpyi(a, xv, idx, yv))
+    want = yv.copy()
+    want[idx] += a * xv
+    assert_allclose_spec(got, want, dtype=dtype, scale=10)
+    # doti / dotci / dotui
+    di = ast.doti(xv, idx, yv) if np.dtype(dtype).kind != "c" else None
+    if di is not None:
+        assert abs(complex(di) - complex(np.dot(xv, yv[idx]))) < 1e-5
+    if np.dtype(dtype).kind == "c":
+        dc = ast.dotci(xv, idx, yv)
+        du = ast.dotui(xv, idx, yv)
+        assert abs(complex(dc) - complex(np.vdot(xv, yv[idx]))) < 1e-4
+        assert abs(complex(du) - complex(np.dot(xv, yv[idx]))) < 1e-4
+    # gthr / gthrz
+    g = np.asarray(ast.gthr(yv, idx))
+    np.testing.assert_allclose(g, yv[idx], rtol=1e-6)
+    gz, yz = ast.gthrz(yv, idx)
+    assert np.allclose(np.asarray(gz), yv[idx], rtol=1e-6)
+    assert np.allclose(np.asarray(yz)[idx], 0)
+    # sctr
+    s = np.asarray(ast.sctr(xv, idx, np.zeros(n, dtype)))
+    want_s = np.zeros(n, dtype)
+    want_s[idx] = xv
+    np.testing.assert_allclose(s, want_s, rtol=1e-6)
+    # roti (real only)
+    if np.dtype(dtype).kind != "c":
+        c, s_ = 0.6, 0.8
+        xr, yr = ast.roti(xv, idx, yv, c, s_)
+        np.testing.assert_allclose(
+            np.asarray(xr), c * xv + s_ * yv[idx], rtol=1e-5
+        )
