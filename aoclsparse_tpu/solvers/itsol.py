@@ -566,7 +566,18 @@ def itsol_solve(
                 v = mv(1.0, A, descr, Operation.none, u, 0.0)
                 job, u = rci.step(v)
             elif job == RciJob.precond:
-                job, u = rci.step(precond_fn(u) if precond_fn is not None else u)
+                if precond_fn is not None:
+                    v = precond_fn(u)
+                    if v is None:
+                        # reference precond callback returning nonzero flag
+                        # requests termination (itsol_functions.hpp:1366,
+                        # cg_ut_functions.hpp:62-72 precond_dummy) — the
+                        # Python contract is returning None
+                        rci.status = Status.user_stop
+                        break
+                    job, u = rci.step(v)
+                else:
+                    job, u = rci.step(u)
             else:  # stopping_criterion / monitoring bounce
                 if monitoring is not None:
                     flag = monitoring(np.asarray(u), handle.rinfo)
@@ -624,7 +635,14 @@ def itsol_solve_operator(
             if job == RciJob.mv:
                 job, u = rci.step(jnp.asarray(matvec(u)))
             elif job == RciJob.precond:
-                job, u = rci.step(precond_fn(u) if precond_fn is not None else u)
+                if precond_fn is not None:
+                    v = precond_fn(u)
+                    if v is None:  # user-stop request (see itsol_solve)
+                        rci.status = Status.user_stop
+                        break
+                    job, u = rci.step(v)
+                else:
+                    job, u = rci.step(u)
             else:
                 if monitoring is not None:
                     flag = monitoring(np.asarray(u), handle.rinfo)

@@ -120,12 +120,12 @@ def _emit(t, window_gbps, t_bf16, meta, stalled=False):
                 "device": ctx.device_kind,
                 "hbm_peak_gbps": ctx.hbm_gbps,
                 "target": "0.80*HBM roofline (BASELINE.md). vs_achievable"
-                " calibrates the shared-pool window with a single-dispatch"
-                " 128MB read stream; that stream itself pays the tunnel's"
-                " per-dispatch floor, so against the amortized headline"
-                " vs_achievable >> 1 simply means the floor dominated the"
-                " calibration — vs_baseline (vs peak HBM) is the honest"
-                " roofline fraction",
+                " calibrates the shared-pool window with a CHAINED 128MB"
+                " read stream (16 in-program reductions, same fori_loop"
+                " amortization as the kernel, VERDICT r3 item 8a), so it is"
+                " the contention-free roofline fraction; the pool can still"
+                " throttle the fresh stream buffer harder than the hot band"
+                " operand, which biases vs_achievable high",
             },
         }
         if stalled:
@@ -250,11 +250,21 @@ def main():
     # read stream is the honest comparator; the earlier read+write kernel
     # (b*2+1) paid a 128 MB allocation + write per call and understated
     # achievable ~3x in traffic-metered windows (vs_achievable came out >1).
+    # The stream is CHAINED exactly like the kernel loop (R_STREAM in-program
+    # reductions with a scalar carry dependency) so it amortizes the same
+    # ~0.9-4 ms per-dispatch tunnel floor — a single-dispatch calibration
+    # made vs_achievable read 17x in BENCH_r03 (VERDICT r3 item 8a).
     stream_buf = jnp.asarray(rng.standard_normal(32 * 1024 * 1024).astype(np.float32))
+    R_STREAM = 16
 
     @jax.jit
-    def stream(b):
-        return jnp.sum(b)
+    def stream(b, a0):
+        def body(i, acc):
+            # acc feeds the multiply inside the reduction so the 128 MB read
+            # cannot be hoisted; the scalar multiply fuses into the reduce
+            return jnp.sum(b * (1.0 + 1e-30 * acc))
+
+        return jax.lax.fori_loop(0, R_STREAM, body, a0)
 
     # secondary variant: the bf16-multiply band path under the precision
     # policy (docs/precision.md) — pre-cast operand, f32 accumulate. Timed
@@ -316,7 +326,7 @@ def main():
             np.asarray(y[:1])
         except Exception:
             run16 = None
-    z = stream(stream_buf)
+    z = stream(stream_buf, jnp.float32(0.0))
     float(z)
 
     # amortized runners (headline): loop_f32 always; loop_bf16 when the
@@ -358,16 +368,16 @@ def main():
     )
     hard_cap = time.perf_counter() + float(os.environ.get("AOCLSPARSE_TPU_BENCH_CAP_S", "1200"))
     loop_iters = 2  # x R_AMORT applications each
-    stream_iters = 6
+    stream_iters = 3  # x R_STREAM chained reductions each
     best = None  # (t_periter, stream_gbps_same_window)
     t_bf16 = None
     c = 0
     def stream_gbps():
         t0 = time.perf_counter()
         for _ in range(stream_iters):
-            z = stream(stream_buf)
+            z = stream(stream_buf, jnp.float32(0.0))
         float(z)
-        t_s = (time.perf_counter() - t0) / stream_iters
+        t_s = (time.perf_counter() - t0) / (stream_iters * R_STREAM)
         return stream_buf.size * 4 / t_s / 1e9
 
     def time_loop(loop):
