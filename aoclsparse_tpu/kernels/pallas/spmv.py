@@ -66,8 +66,11 @@ __all__ = [
     "pallas_spmv_bwd",
     "pallas_spmv_band_t",
     "pallas_spmv_band_v",
+    "pallas_spmv_band_vc",
+    "pallas_spmv_band_vd",
     "pallas_spmv_band_v_df",
     "band_vert_layout",
+    "band_vert_layout_tiles",
     "pallas_spmv_band_mxu",
     "pallas_spmm_band_mxu",
     "band_mxu_blocks",
@@ -493,6 +496,161 @@ def pallas_spmv_band_v(vt4, xe, W: int, start: int, TM: int = 2048, interpret: b
         out_specs=pl.BlockSpec((8, TMd8), _imap32(lambda t: (t, 0)), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(vt4, x2, x2)
+    return out.reshape(-1)[:m]
+
+
+def band_vert_layout_tiles(vt, TM: int):
+    """Tile-major variant of band_vert_layout: returns (ntile, W*8, TM/8)
+    where tile t is the CONTIGUOUS band slab of grid step t. The flat
+    band_vert_layout holds tile t as a (W*8, TM/8) column block of a
+    (W*8, ntile*TM/8) array — every DMA'd block row is then a TM/8*itemsize
+    (~4 KB) segment strided by the full row pitch, which the DMA engine
+    streams at roughly half rate (measured on v5e, PROBE_r4 bandv_c vs
+    bandv_base). Tile-major makes each grid step's block one contiguous
+    W*TM*itemsize run."""
+    xp = np if isinstance(vt, np.ndarray) else jnp
+    W, m = vt.shape
+    ntile = -(-m // TM)
+    if ntile * TM != m:
+        vt = xp.pad(vt, ((0, 0), (0, ntile * TM - m)))
+    # (W, ntile, 8, TM/8) -> (ntile, W, 8, TM/8) -> (ntile, W*8, TM/8)
+    v = vt.reshape(W, ntile, 8, TM // 8).transpose(1, 0, 2, 3)
+    return v.reshape(ntile, W * 8, TM // 8)
+
+
+def _kernel_t_vc(vt3_ref, x0_ref, x1_ref, out_ref, *, TM: int, W: int):
+    """Same math as _kernel_t_v; band block arrives as (1, W*8, TM/8)
+    tile-major (contiguous DMA)."""
+    TMd8 = TM // 8
+    xcat = jnp.concatenate([x0_ref[:], x1_ref[:]], axis=0)  # (16, TM/8)
+    nslab = 1 + -(-(W - 1) // TMd8)
+    slabs = [xcat[0:8]]
+    for k in range(1, nslab):
+        slabs.append(pltpu.roll(xcat, np.int32(16 - k), 0)[0:8])
+    base = jnp.concatenate(slabs, axis=1)  # (8, nslab*TM/8)
+    acc = jnp.zeros((8, TMd8), dtype=out_ref.dtype)
+    if vt3_ref.dtype == jnp.bfloat16:
+        for j0 in range(0, W, 2):
+            pair = vt3_ref[0, j0 * 8 : j0 * 8 + 16, :].astype(out_ref.dtype)
+            acc = acc + pair[0:8] * base[:, j0 : j0 + TMd8]
+            acc = acc + pair[8:16] * base[:, j0 + 1 : j0 + 1 + TMd8]
+    else:
+        for j in range(W):
+            acc = acc + vt3_ref[0, j * 8 : j * 8 + 8, :] * base[:, j : j + TMd8]
+    out_ref[:] = acc
+
+
+@partial(jax.jit, static_argnames=("W", "start", "TM", "interpret"))
+def pallas_spmv_band_vc(vt3, xe, W: int, start: int, TM: int = 8192, interpret: bool = False):
+    """Contiguous-tile vertical-layout band SpMV: math contract of
+    pallas_spmv_band_v, band pre-transformed with band_vert_layout_tiles
+    (tile-major, so each grid step's band DMA is one contiguous slab)."""
+    ntile, W8, TMd8 = vt3.shape
+    assert W8 == W * 8 and TMd8 == TM // 8 and W <= TM
+    m = ntile * TM
+    coarse, rem = divmod(start, TM)
+    need = (ntile + coarse + 2) * TM + rem
+    if xe.shape[0] < need:
+        xe = jnp.pad(xe, (0, need - xe.shape[0]))
+    if rem:
+        xe = jnp.roll(xe, -rem)
+    nchunk = xe.shape[0] // TM
+    x2 = xe[: nchunk * TM].reshape(nchunk * 8, TMd8)
+    odt = jnp.float32 if vt3.dtype == jnp.bfloat16 else vt3.dtype
+
+    out = pl.pallas_call(
+        partial(_kernel_t_vc, TM=TM, W=W),
+        out_shape=jax.ShapeDtypeStruct((ntile * 8, TMd8), odt),
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((1, W8, TMd8), _imap32(lambda t: (t, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TMd8), _imap32(lambda t: (t + coarse, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TMd8), _imap32(lambda t: (t + coarse + 1, 0)), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TMd8), _imap32(lambda t: (t, 0)), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(vt3, x2, x2)
+    return out.reshape(-1)[:m]
+
+
+def _kernel_t_vd(x_ref, vt_hbm, out_ref, *, TM: int, W: int, NT: int, coarse: int):
+    """Single-grid-step band SpMV: the band stays in HBM and is streamed
+    tile-by-tile with a manually double-buffered async DMA (guide pattern),
+    x and y live wholly in VMEM. Removes ALL per-grid-step pipeline
+    machinery — the only steady-state costs are the 2-deep contiguous slab
+    DMA and the W-FMA chain per tile."""
+    TMd8 = TM // 8
+    nslab = 1 + -(-(W - 1) // TMd8)
+
+    def body(scratch, sem):
+        def dma(slot, t):
+            return pltpu.make_async_copy(vt_hbm.at[t], scratch.at[slot], sem.at[slot])
+
+        dma(0, 0).start()
+
+        def loop(t, carry):
+            slot = jax.lax.rem(t, 2)
+
+            @pl.when(t + 1 < NT)
+            def _():
+                dma((t + 1) % 2, t + 1).start()
+
+            dma(slot, t).wait()
+            r0 = pl.multiple_of(8 * (t + np.int32(coarse)), 8)
+            xcat = x_ref[pl.ds(r0, 16), :]  # (16, TM/8)
+            slabs = [xcat[0:8]]
+            for k in range(1, nslab):
+                slabs.append(pltpu.roll(xcat, np.int32(16 - k), 0)[0:8])
+            base = jnp.concatenate(slabs, axis=1)
+            acc = jnp.zeros((8, TMd8), dtype=out_ref.dtype)
+            if vt_hbm.dtype == jnp.bfloat16:
+                for j0 in range(0, W, 2):
+                    pair = scratch[slot, j0 * 8 : j0 * 8 + 16, :].astype(out_ref.dtype)
+                    acc = acc + pair[0:8] * base[:, j0 : j0 + TMd8]
+                    acc = acc + pair[8:16] * base[:, j0 + 1 : j0 + 1 + TMd8]
+            else:
+                for j in range(W):
+                    acc = acc + scratch[slot, j * 8 : j * 8 + 8, :] * base[:, j : j + TMd8]
+            out_ref[pl.ds(pl.multiple_of(8 * t, 8), 8), :] = acc
+            return carry
+
+        jax.lax.fori_loop(0, NT, loop, 0)
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((2, W * 8, TMd8), vt_hbm.dtype),
+        sem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@partial(jax.jit, static_argnames=("W", "start", "TM", "interpret"))
+def pallas_spmv_band_vd(vt3, xe, W: int, start: int, TM: int = 8192, interpret: bool = False):
+    """Manual-DMA vertical-layout band SpMV: math contract of
+    pallas_spmv_band_v on the band_vert_layout_tiles operand, single grid
+    step, band double-buffered from HBM inside the kernel."""
+    ntile, W8, TMd8 = vt3.shape
+    assert W8 == W * 8 and TMd8 == TM // 8 and W <= TM
+    m = ntile * TM
+    coarse, rem = divmod(start, TM)
+    need = (ntile + coarse + 2) * TM + rem
+    if xe.shape[0] < need:
+        xe = jnp.pad(xe, (0, need - xe.shape[0]))
+    if rem:
+        xe = jnp.roll(xe, -rem)
+    nchunk = xe.shape[0] // TM
+    x2 = xe[: nchunk * TM].reshape(nchunk * 8, TMd8)
+    odt = jnp.float32 if vt3.dtype == jnp.bfloat16 else vt3.dtype
+
+    out = pl.pallas_call(
+        partial(_kernel_t_vd, TM=TM, W=W, NT=ntile, coarse=coarse),
+        out_shape=jax.ShapeDtypeStruct((ntile * 8, TMd8), odt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x wholly resident
+            pl.BlockSpec(memory_space=pltpu.ANY),  # band stays in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2, vt3)
     return out.reshape(-1)[:m]
 
 

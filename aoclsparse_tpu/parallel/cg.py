@@ -485,6 +485,10 @@ def dist_cg_bwd_halo(
         x, r, p, z, rz, rz_prev, k, rr = jax.lax.while_loop(cond, body, state)
         return x, k, jnp.sqrt(rr)
 
+    # stash the device program for the collective ledger
+    # (utils/collectives.py): the solve is ONE compiled dispatch, so the
+    # ledger of _cg IS the wire cost of the whole solver
+    dist_cg_bwd_halo.last_inner = (_cg, (wv, bp, x0p, dinv_s, rtol_c, atol_c))
     x, k, rnorm = _cg(wv, bp, x0p, dinv_s, rtol_c, atol_c)
     return _trim(x, m), int(k), float(rnorm)
 
@@ -669,6 +673,8 @@ def dist_cg_pipelined(
         rnorm = jnp.sqrt(jax.lax.psum(jnp.sum(r * r), axis))
         return x, k, rnorm
 
+    # device program stash for the collective ledger (utils/collectives.py)
+    dist_cg_pipelined.last_inner = (_pipecg, (wv, bp, x0p, dinv_s, rtol_c, atol_c))
     x, k, rnorm = _pipecg(wv, bp, x0p, dinv_s, rtol_c, atol_c)
     return _trim(x, m), int(k), float(rnorm)
 

@@ -331,5 +331,7 @@ def dist_gmres_bwd_halo(
         x, ncyc, rnorm = jax.lax.while_loop(cycle_cond, cycle_body, state)
         return x, ncyc, rnorm
 
+    # device program stash for the collective ledger (utils/collectives.py)
+    dist_gmres_bwd_halo.last_inner = (_gmres, (wv, bp, x0p, dinv_s, rtol_c, atol_c))
     x, ncyc, rnorm = _gmres(wv, bp, x0p, dinv_s, rtol_c, atol_c)
     return _trim(x, m), int(ncyc) * R, float(rnorm)
