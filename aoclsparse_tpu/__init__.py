@@ -50,6 +50,7 @@ from .core.auxiliary import (  # noqa: F401
     convert_csr,
     debug_get,
     enable_instructions,
+    set_precision_mode,
     is_tpu_build,
 )
 from .core.context import get_context  # noqa: F401

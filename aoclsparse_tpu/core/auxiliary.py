@@ -20,6 +20,7 @@ __all__ = [
     "debug_get",
     "is_tpu_build",
     "enable_instructions",
+    "set_precision_mode",
 ]
 
 
@@ -115,3 +116,23 @@ def enable_instructions(mode: Optional[str]) -> None:
     else:
         raise AoclSparseError(Status.invalid_value, f"unknown instruction mode '{mode}'")
     reset_context()
+
+
+def set_precision_mode(h: SparseMatrix, mode: str) -> None:
+    """Per-handle precision policy opt-in (docs/precision.md; no reference
+    analog — its kernels are fixed-precision by dtype suffix):
+
+      "full"  — every multiply in the operand dtype (default)
+      "mixed" — bf16-multiply/f32-accumulate on f32 operands where a kernel
+                supports it (band/bwd/gen SpMV, band SpMM); halves the
+                dominant operand traffic at a documented, tested error
+                bound (tests/test_precision_policy.py vs the reference
+                tolerance model)
+
+    The AOCLSPARSE_TPU_MIXED_PRECISION env var overrides in both
+    directions ("1" forces on, "0" kills)."""
+    if h is None:
+        raise AoclSparseError(Status.invalid_pointer, "null matrix handle")
+    if mode not in ("full", "mixed"):
+        raise AoclSparseError(Status.invalid_value, f"unknown precision mode '{mode}'")
+    h.precision_mode = mode

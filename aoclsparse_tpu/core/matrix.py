@@ -90,6 +90,9 @@ class SparseMatrix:
         self.fulldiag: Optional[bool] = None
         self.plan = None  # planner.Plan once optimize() ran
         self.ilu_state = None  # solvers.ilu0 factorization cache
+        #: precision policy opt-in ("full" | "mixed"); see docs/precision.md
+        #: and set_precision_mode (ops consult it via _mixed_enabled)
+        self.precision_mode = "full"
 
     # -- lazy-values protocol -----------------------------------------------------
     @property

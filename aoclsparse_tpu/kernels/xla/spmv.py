@@ -165,6 +165,41 @@ def spmv_bwd(win_val, x, W: int, base8: int, n_pad: int, mixed: bool = False):
     return out.reshape(-1)
 
 
+def _split3_exact(x):
+    """Bit-masked 3-way split of f32 into bf16-exact pieces: h1 is the
+    bf16 truncation (top 16 bits of the f32 representation ARE a bf16),
+    h2 the truncation of the exact remainder, r2 the final remainder
+    (itself bf16-exact up to a ~2^-70 tail). x == h1 + h2 + r2 in f32."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    h1 = jax.lax.bitcast_convert_type(u & np.uint32(0xFFFF0000), jnp.float32)
+    r = x - h1
+    ur = jax.lax.bitcast_convert_type(r, jnp.uint32)
+    h2 = jax.lax.bitcast_convert_type(ur & np.uint32(0xFFFF0000), jnp.float32)
+    return h1, h2, r - h2
+
+
+def perm_rows_mm(P_bf16, xb):
+    """Row permutation of a (nblk, B) panel as ONE-HOT MXU matmuls:
+    out = P @ xb with P the bf16 one-hot permutation matrix. Exact for f32
+    payloads via _split3_exact — every output element of each pass is a
+    single 1.0*h product (bf16 widened losslessly into the f32
+    accumulator), so the three passes reconstruct the f32 value. The XLA
+    row-gather this replaces runs at the TPU's panel-gather rate
+    (~0.33 ns/elem, GEN_PANEL_NS); the matmul form rides the MXU instead
+    (A/B in benchmarks/probe_r4_gen.py r4_perm_ab_time)."""
+    if xb.dtype != jnp.float32:
+        return (
+            jnp.dot(P_bf16.astype(xb.dtype), xb, preferred_element_type=xb.dtype)
+            if xb.dtype != jnp.bfloat16
+            else jnp.dot(P_bf16, xb, preferred_element_type=jnp.float32).astype(xb.dtype)
+        )
+    h1, h2, r2 = _split3_exact(xb)
+    o = jnp.dot(P_bf16, h1.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    o = o + jnp.dot(P_bf16, h2.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    o = o + jnp.dot(P_bf16, r2.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    return o
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -306,18 +341,25 @@ def spmv_gen_bandv(
     has_hubrow: bool = False,
     has_spill: bool = False,
     has_flip: bool = False,
+    bperm_oh=None,
+    bout_oh=None,
 ):
     """spmv_gen_bandt with the band part on the vertical-layout kernel
     (kernels/pallas/spmv.py pallas_spmv_band_v — full 8-sublane tiles,
     beats the v2 kernel in every same-window A/B): vt4 is the
     pre-transformed band (ExecForm.bandt_vertical), possibly bf16 under
     the precision policy (the web-profile lever: the band is the dominant
-    traffic of the gen composite). One compiled program."""
+    traffic of the gen composite). One compiled program.
+
+    bperm_oh/bout_oh: optional bf16 one-hot permutation matrices
+    (ExecForm.gen_perm_onehots) switching the x/y block permutes from the
+    XLA row-gather to exact MXU matmuls (perm_rows_mm)."""
     from ..pallas.spmv import pallas_spmv_band_v
 
     nblk = m_pad // B
     xb = jnp.pad(x, (0, m_pad - x.shape[0])).reshape(nblk, B)
-    xpb = xb[bperm]  # (nblk, B) block-permuted x
+    # (nblk, B) block-permuted x
+    xpb = xb[bperm] if bperm_oh is None else perm_rows_mm(bperm_oh, xb)
     if has_flip:
         xpb = jnp.where(flip[:, None], xpb[:, ::-1], xpb)
     xp = xpb.reshape(-1)  # (m_pad,)
@@ -334,7 +376,8 @@ def spmv_gen_bandv(
     ypb = yp.reshape(nblk, B)
     if has_flip:
         ypb = jnp.where(flip[:, None], ypb[:, ::-1], ypb)
-    return ypb[bout].reshape(-1)[:m]
+    out = ypb[bout] if bout_oh is None else perm_rows_mm(bout_oh, ypb)
+    return out.reshape(-1)[:m]
 
 
 @partial(

@@ -20,6 +20,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 __all__ = [
+    "trsv_win_build",
     "available",
     "blkcsr_build",
     "blkcsr_count",
@@ -123,6 +124,21 @@ def _load() -> Optional[ctypes.CDLL]:
             fn.restype = None
             fn.argtypes = [
                 ctypes.c_int64, ctypes.c_int64, i64p, i64p, vt, vt, vt, ctypes.c_int,
+            ]
+        lib.trsv_win_analyze.restype = None
+        lib.trsv_win_analyze.argtypes = [
+            ctypes.c_int64, i64p, i64p, i32p, ctypes.c_int64, ctypes.c_int,
+            i64p, i64p, i64p,
+        ]
+        for suf, vt in (
+            ("s", ctypes.POINTER(ctypes.c_float)),
+            ("d", ctypes.POINTER(ctypes.c_double)),
+        ):
+            fn = getattr(lib, f"trsv_win_fill_{suf}")
+            fn.restype = None
+            fn.argtypes = [
+                ctypes.c_int64, i64p, i64p, i32p, vt, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int64, vt, vt, i64p, i64p, i64p, i64p,
             ]
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.blkcsr_count.restype = ctypes.c_int64
@@ -629,3 +645,79 @@ def spgemm_numeric_host(pa, pb, pc, aval, bval, nnzC: int):
         ctypes.c_int64(int(nnzC)),
     )
     return cv[: int(nnzC)]
+
+
+def trsv_win_build(m, lo, hi, ind, vals, nb, reversed_):
+    """Blocked-window TRSV form operands in C++ (the build_trsv_form hot
+    path): triangle given as per-row [lo, hi) slices of the CLEAN structure,
+    entries partitioned into dense diagonal blocks D (nblk, nb, nb) and the
+    left window Lw (nblk, nb, WL), plus the refresh scatter maps (dest +
+    clean-position src). reversed_=True builds on reversed indices (upper ->
+    lower). Returns dict or None when the native library is unavailable /
+    dtype unsupported / the window would blow the memory cap (caller falls
+    back to the numpy path)."""
+    lib = _load()
+    vals = np.ascontiguousarray(np.asarray(vals))
+    if lib is None or vals.dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
+        return None
+    m = int(m)
+    lo64 = _i64(lo)
+    hi64 = _i64(hi)
+    ind32 = np.ascontiguousarray(np.asarray(ind), dtype=np.int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    wl = np.zeros(1, np.int64)
+    nl = np.zeros(1, np.int64)
+    nd = np.zeros(1, np.int64)
+    lib.trsv_win_analyze(
+        ctypes.c_int64(m),
+        lo64.ctypes.data_as(i64p),
+        hi64.ctypes.data_as(i64p),
+        ind32.ctypes.data_as(i32p),
+        ctypes.c_int64(int(nb)),
+        ctypes.c_int(1 if reversed_ else 0),
+        wl.ctypes.data_as(i64p),
+        nl.ctypes.data_as(i64p),
+        nd.ctypes.data_as(i64p),
+    )
+    WL = max(8, -(-int(wl[0]) // 8) * 8)
+    nblk = -(-m // nb) if m else 1
+    nnz_tri = int(nl[0]) + int(nd[0])
+    # the numpy path's win-mode cap (planner/triangular.py use_win)
+    if not (nblk * nb * WL <= max(8 * max(nnz_tri, 1), 64 * nb * nb) and WL <= 8192):
+        return None
+    D = np.zeros(nblk * nb * nb, dtype=vals.dtype)
+    Lw = np.zeros(nblk * nb * WL, dtype=vals.dtype)
+    D_dest = np.empty(int(nd[0]), np.int64)
+    D_srcpos = np.empty(int(nd[0]), np.int64)
+    L_dest = np.empty(int(nl[0]), np.int64)
+    L_srcpos = np.empty(int(nl[0]), np.int64)
+    ct = ctypes.c_float if vals.dtype == np.float32 else ctypes.c_double
+    vp = lambda a: a.ctypes.data_as(ctypes.POINTER(ct))  # noqa: E731
+    suf = "s" if vals.dtype == np.float32 else "d"
+    getattr(lib, f"trsv_win_fill_{suf}")(
+        ctypes.c_int64(m),
+        lo64.ctypes.data_as(i64p),
+        hi64.ctypes.data_as(i64p),
+        ind32.ctypes.data_as(i32p),
+        vp(vals),
+        ctypes.c_int64(int(nb)),
+        ctypes.c_int(1 if reversed_ else 0),
+        ctypes.c_int64(WL),
+        vp(D),
+        vp(Lw),
+        D_dest.ctypes.data_as(i64p),
+        D_srcpos.ctypes.data_as(i64p),
+        L_dest.ctypes.data_as(i64p),
+        L_srcpos.ctypes.data_as(i64p),
+    )
+    return {
+        "WL": WL,
+        "nblk": nblk,
+        "D": D,
+        "Lw": Lw,
+        "D_dest": D_dest,
+        "D_srcpos": D_srcpos,
+        "L_dest": L_dest,
+        "L_srcpos": L_srcpos,
+    }

@@ -95,6 +95,22 @@ def _zero_aux(dtype):
     return z
 
 
+def _mixed_enabled(form, dtype) -> bool:
+    """Precision policy gate (docs/precision.md): bf16-multiply/f32-
+    accumulate runs when the handle opted in (set_precision_mode(A,
+    "mixed") — propagated onto the form by _spmv_core) or the env flag
+    forces it; an explicit env "0" is the kill switch either way. Only f32
+    operands qualify."""
+    import os
+
+    if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+        return False
+    env = os.environ.get("AOCLSPARSE_TPU_MIXED_PRECISION")
+    if env is not None and env != "":
+        return env in ("1", "true")
+    return getattr(form, "precision_mode", "full") == "mixed"
+
+
 def _run_exec_form(form, x, kid):
     e = registry.select("mv", fmt=form.kind, kid=kid)
     if form.kind == "host":
@@ -117,10 +133,7 @@ def _run_exec_form(form, x, kid):
         import os
 
         xp = jnp.pad(x, (form.bwd_padL, form.bwd_n_pad - form.bwd_padL - form.n))
-        mixed = (
-            os.environ.get("AOCLSPARSE_TPU_MIXED_PRECISION", "0") in ("1", "true")
-            and x.dtype == jnp.float32
-        )
+        mixed = _mixed_enabled(form, x.dtype)
         wv = form.bwd_val
         if mixed:
             # cache the bf16 operand: casting per call would re-stream the
@@ -142,10 +155,7 @@ def _run_exec_form(form, x, kid):
     if form.kind == "bwdg":
         import os
 
-        mixed = (
-            os.environ.get("AOCLSPARSE_TPU_MIXED_PRECISION", "0") in ("1", "true")
-            and x.dtype == jnp.float32
-        )
+        mixed = _mixed_enabled(form, x.dtype)
         return e.fn(
             form.bwd_val, x, form.bwd_G, form.bwd_W, form.bwd_rel, form.m, mixed
         )
@@ -214,10 +224,7 @@ def _run_exec_form(form, x, kid):
         if e.name == "pallas_bandv":
             # vertical-layout kernel (KID 12): pre-transformed band, full
             # 8-sublane VPU tiles; bf16 band under the precision policy
-            mixed = (
-                os.environ.get("AOCLSPARSE_TPU_MIXED_PRECISION", "0") in ("1", "true")
-                and x.dtype == jnp.float32
-            )
+            mixed = _mixed_enabled(form, x.dtype)
             vt4 = form.bandt_vertical(TM=TM, bf16=mixed)
             return e.fn(
                 vt4,
@@ -249,10 +256,7 @@ def _run_exec_form(form, x, kid):
     if form.kind == "gen":
         import os
 
-        mixed = (
-            os.environ.get("AOCLSPARSE_TPU_MIXED_PRECISION", "0") in ("1", "true")
-            and x.dtype == jnp.float32
-        )
+        mixed = _mixed_enabled(form, x.dtype)
         wv = form.bwd_val
         if mixed:
             if getattr(form, "_bwd_val_bf16", None) is None:
@@ -279,6 +283,21 @@ def _run_exec_form(form, x, kid):
             # Env escape hatch to the v2 kernel kept for A/Bs.
             if os.environ.get("AOCLSPARSE_TPU_GEN_BAND_V2", "0") not in ("1", "true"):
                 vt4 = form.bandt_vertical(TM=TMg, bf16=mixed)
+                # MXU one-hot permute engine (exact 3-split matmuls): on by
+                # default on TPU for block-granular permutes where the
+                # one-hot fits (~8 MB at nblk=2048); the XLA row-gather
+                # remains the fallback and the env kills it for A/Bs
+                nblk_g = form.gen_m_pad // form.gen_B
+                use_pmm = (
+                    is_tpu
+                    and form.gen_B >= 8
+                    and nblk_g <= 4096
+                    and os.environ.get("AOCLSPARSE_TPU_GEN_PERM_MM", "1")
+                    not in ("0", "false")
+                )
+                p_in = p_out = None
+                if use_pmm:
+                    p_in, p_out = form.gen_perm_onehots()
                 return spmv_gen_bandv(
                     vt4,
                     x,
@@ -304,6 +323,8 @@ def _run_exec_form(form, x, kid):
                     has_hubrow=has_hubrow,
                     has_spill=has_spill,
                     has_flip=has_flip,
+                    bperm_oh=p_in,
+                    bout_oh=p_out,
                 )
             return spmv_gen_bandt(
                 form.bwd_val,
@@ -421,6 +442,10 @@ def _spmv_core(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, x, kid=N
         else:
             raise AoclSparseError(Status.invalid_kid, f"kid {kid} not in table for 'mv'")
     form = plan.exec_form_for(descr, op, kind=kind, dtype=A.dtype)
+    # propagate the handle's precision policy onto the form (consulted by
+    # _mixed_enabled; callers going straight through _run_exec_form — the
+    # bench, fused solvers — see whatever the handle last requested)
+    form.precision_mode = getattr(A, "precision_mode", "full")
     return _run_exec_form(form, x, kid)
 
 

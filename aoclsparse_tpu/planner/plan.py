@@ -174,9 +174,13 @@ def build_clean_csr(A: CSR) -> CleanCSR:
         raise AoclSparseError(Status.invalid_index_value, "corrupt CSR structure")
     rows = np.repeat(np.arange(m, dtype=np.int64), lens)
     # fast sortedness probe before paying an O(nnz log nnz) lexsort: within
-    # rows, sorted means ind strictly setpwise increasing except at row starts
+    # rows, NON-decreasing suffices — for equal (row, col) keys any stable
+    # order is valid (identity included) and the duplicate-merge pass below
+    # sums them regardless. The old STRICT (>) probe sent every
+    # sorted-with-duplicates operand through a full lexsort (~30 s at 16.7M
+    # nnz on this throttled host; measured in the r4 ILU prep probe).
     if ind.size > 1:
-        nondec = ind[1:] > ind[:-1]
+        nondec = ind[1:] >= ind[:-1]
         row_start = rows[1:] != rows[:-1]
         sorted_already = bool(np.all(nondec | row_start))
     else:
@@ -535,6 +539,30 @@ class ExecForm:
             with jax.ensure_compile_time_eval():
                 v4 = cache[key] = band_vert_layout(src, TM)
         return v4
+
+    def gen_perm_onehots(self):
+        """Lazy bf16 one-hot matrices of the gen block permutes for the
+        MXU permute engine (kernels/xla/spmv.py perm_rows_mm): P_in with
+        P_in[i, gen_perm[i]] = 1 (xpb = xb[gen_perm]) and P_out with
+        P_out[i, gen_out[i]] = 1. Pure structure — survives refresh();
+        ~nblk^2 * 2 bytes each (8 MB at nblk=2048), gated by the caller."""
+        cached = getattr(self, "_gen_perm_onehots", None)
+        if cached is not None:
+            return cached
+        with jax.ensure_compile_time_eval():
+            bperm = np.asarray(self.gen_perm, dtype=np.int64)
+            bout = np.asarray(self.gen_out, dtype=np.int64)
+            nblk = bperm.size
+            Pi = np.zeros((nblk, nblk), dtype=np.float32)
+            Pi[np.arange(nblk), bperm] = 1.0
+            Po = np.zeros((nblk, nblk), dtype=np.float32)
+            Po[np.arange(nblk), bout] = 1.0
+            out = (
+                jnp.asarray(Pi, dtype=jnp.bfloat16),
+                jnp.asarray(Po, dtype=jnp.bfloat16),
+            )
+        self._gen_perm_onehots = out
+        return out
 
     def gen_perm_maps(self):
         """Host-built element permutation maps for PERMUTED-SPACE iteration

@@ -210,20 +210,30 @@ class TrsvForm:
 
 def _reverse_structure(eff: EffectiveCSR) -> EffectiveCSR:
     """Apply the reversal permutation to rows and cols (host-side): the
-    upper triangle becomes lower. Entries within each new row re-sorted."""
+    upper triangle becomes lower. Entries within each new row re-sorted.
+
+    Lexsort-free: effective-CSR rows are already column-sorted, and
+    reversing rows + cols maps row r ascending-by-col onto row m-1-r
+    DESCENDING-by-col — so the sorted order of new row r' = m-1-r is the
+    entry-reversed slice of old row r. Pure index arithmetic; the old
+    np.lexsort cost seconds at 8M nnz on this host (ILU0 prep, VERDICT r3
+    item 4)."""
     m = eff.m
     ptr = eff.ptr.astype(np.int64)
-    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(ptr))
-    new_rows = (m - 1) - rows
-    new_cols = (m - 1) - eff.ind.astype(np.int64)
-    order = np.lexsort((new_cols, new_rows))
-    lens = np.bincount(new_rows, minlength=m).astype(np.int64) if rows.size else np.zeros(
-        m, np.int64
-    )
-    nptr = np.concatenate([[0], np.cumsum(lens)])
+    lens = np.diff(ptr)
+    rlens = lens[::-1]
+    nptr = np.concatenate([[0], np.cumsum(rlens)])
+    nnz = int(ptr[-1])
+    # new entry k in new row r' came from old row r = m-1-r', old position
+    # (row end - 1 - offset): order[k] = ptr[r+1]-1 - (k - nptr[r'])
+    rows_new = np.repeat(np.arange(m, dtype=np.int64), rlens) if nnz else np.zeros(0, np.int64)
+    off = np.arange(nnz, dtype=np.int64) - np.repeat(nptr[:-1], rlens)
+    old_row = (m - 1) - rows_new
+    order = ptr[old_row + 1] - 1 - off
+    new_cols = (m - 1) - eff.ind.astype(np.int64)[order]
     out = EffectiveCSR(
         nptr.astype(np.int32),
-        new_cols[order].astype(np.int32),
+        new_cols.astype(np.int32),
         order.astype(np.int64),  # src: position in eff.val
         False,
         eff.const_val,
@@ -239,7 +249,13 @@ def build_trsv_form(
     eff_key: Tuple,
     eff: EffectiveCSR,
     nb: int = DEFAULT_BLOCK,
+    val_override=None,
 ) -> TrsvForm:
+    """val_override: host value vector over the effective structure to fill
+    the form with instead of eff.val — refresh() fetches its argument to
+    host, so callers whose values already live in host memory (ILU0's
+    native-factored LU) pass them here and skip a device->host round trip
+    (VERDICT r3 item 4)."""
     m = eff.m
     dt = DiagType(descr.diag_type)
     lower = FillMode(descr.fill_mode) == FillMode.lower
@@ -343,7 +359,99 @@ def build_trsv_form(
         kind="win" if use_win else "gather",
         WL=WL if use_win else 0,
     )
-    form.refresh(eff.val)
+    form.refresh(eff.val if val_override is None else val_override)
+    return form
+
+
+def build_trsv_form_native(
+    clean: CleanCSR,
+    descr: MatrixDescriptor,
+    op: Operation,
+    eff_key: Tuple,
+    nb: int,
+    values: np.ndarray,
+) -> Optional[TrsvForm]:
+    """Native (C++) fast path for the win-kind blocked form: partitions the
+    triangle straight off the CLEAN structure's split pointers
+    (idiag/iurow) — no effective-triangle materialization, no numpy mask
+    passes, no host scatter (native.trsv_win_build fills D/Lw and the
+    refresh maps in one O(nnz) sweep; the numpy build cost ~9 s at 16.7M
+    nnz on this host, VERDICT r3 item 4). `values` is the HOST value
+    vector over clean positions (e.g. ILU0's native-factored lu); the
+    form's scatter maps are in the same space, so refresh(values_new)
+    works unchanged. Returns None when unsupported (op != none, dtype,
+    window cap, native lib missing) — callers fall back to
+    build_trsv_form."""
+    from .. import native
+
+    if Operation(op) != Operation.none:
+        return None
+    dt = DiagType(descr.diag_type)
+    if dt == DiagType.zero:
+        raise AoclSparseError(Status.invalid_value, "cannot solve with zero diagonal")
+    m = clean.m
+    if m == 0 or clean.shape[0] != clean.shape[1]:
+        return None
+    values = np.asarray(values)
+    if values.dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
+        return None
+    lower = FillMode(descr.fill_mode) == FillMode.lower
+    ptr64 = clean.ptr.astype(np.int64)
+    if lower:
+        lo = ptr64[:-1]
+        hi = (clean.iurow if dt == DiagType.non_unit else clean.idiag).astype(np.int64)
+        reversed_ = False
+    else:
+        lo = (clean.idiag if dt == DiagType.non_unit else clean.iurow).astype(np.int64)
+        hi = ptr64[1:]
+        reversed_ = True
+    if dt == DiagType.non_unit and not clean.fulldiag:
+        missing = np.nonzero(~clean.has_diag)[0]
+        if missing.size:
+            raise AoclSparseError(
+                Status.invalid_value, f"missing diagonal entry in row {int(missing[0])}"
+            )
+    nb = int(min(nb, max(8, m)))
+    got = native.trsv_win_build(m, lo, hi, clean.ind, values, nb, reversed_)
+    if got is None:
+        return None
+    nblk, WL = got["nblk"], got["WL"]
+    m_pad = nblk * nb
+    pad_rows = np.arange(m, m_pad, dtype=np.int64)
+    if dt == DiagType.unit:
+        # strict slices never store the diagonal: every row takes the
+        # implicit 1.0 (matches the numpy path's miss-detection result)
+        pad_rows = np.concatenate([pad_rows, np.arange(m, dtype=np.int64)])
+    D_paddest = ((pad_rows // nb) * nb + pad_rows % nb) * nb + pad_rows % nb
+    D = got["D"]
+    D[D_paddest] = 1.0
+    # concrete device arrays even when called mid-trace (cold plan inside a
+    # user jit): without the compile-time-eval scope these become tracers
+    # cached on the plan (measured: UnexpectedTracerError on the next call)
+    with jax.ensure_compile_time_eval():
+        D_dev = jnp.asarray(D.reshape(nblk, nb, nb))
+        Lind_dev = jnp.zeros((1,), dtype=jnp.int32)
+        Lval_dev = jnp.asarray(got["Lw"].reshape(nblk, nb, WL))
+    form = TrsvForm(
+        nb=nb,
+        nblk=nblk,
+        m=m,
+        reversed_=reversed_,
+        unit_diag=(dt == DiagType.unit),
+        D=D_dev,
+        Lind=Lind_dev,
+        Lval=Lval_dev,
+        _D_dest=got["D_dest"],
+        _D_srcpos=got["D_srcpos"],
+        _D_paddest=D_paddest,
+        _L_dest=got["L_dest"],
+        _L_srcpos=got["L_srcpos"],
+        _L_shape=(nblk, nb, WL),
+        _eff_key=eff_key,
+        kind="win",
+        WL=WL,
+    )
+    form._src_space = "clean"  # maps index clean positions, not an eff copy
     return form
 
 
@@ -375,12 +483,24 @@ def trsv_form_for(
     key = ("trsv", tri_descr.fill_mode, tri_descr.diag_type, Operation(op), nb)
     form = plan.levels.get(key)
     if form is None:
+        # native C++ fast path first (win forms straight off the clean
+        # split pointers, O(nnz) one-sweep build); numpy path otherwise
+        if Operation(op) == Operation.none:
+            form = build_trsv_form_native(
+                plan.clean,
+                tri_descr,
+                Operation.none,
+                (tri_descr.type, tri_descr.fill_mode, tri_descr.diag_type, Operation.none),
+                nb,
+                plan.clean.host_val(),
+            )
+    if form is None:
         # Form construction is compile-time planner work: value gathers must
         # produce CONCRETE arrays even when the caller is mid-trace (a cold
         # plan inside jit), hence ensure_compile_time_eval.
         with jax.ensure_compile_time_eval():
             form = _build_trsv_form_for(plan, tri_descr, op, nb)
-        plan.levels[key] = form
+    plan.levels[key] = form
     return form
 
 

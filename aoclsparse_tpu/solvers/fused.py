@@ -96,6 +96,97 @@ def _make_apply(A: SparseMatrix, precond: Optional[str]):
     raise AoclSparseError(Status.invalid_value, f"unknown preconditioner '{precond}'")
 
 
+def _pallas_solve_operands(form):
+    """Concrete (dinvT, lwT) operands of the Pallas sequential win-solve
+    for a win-kind TrsvForm, built once per form. These are returned so the
+    caller can pass them as JIT ARGUMENTS: a jitted loop that closes over
+    them ships them as HLO constants in the remote-compile request, which
+    breaks above ~200 MB (HTTP 413 — the r4 ILU probe's first apply-loop
+    attempt) and bloats every compile below it."""
+    cached = getattr(form, "_jitarg_ops", None)
+    if cached is not None:
+        return cached
+    from ..kernels.xla.trsv import invert_diag_blocks
+
+    with jax.ensure_compile_time_eval():
+        nblk_pad = -(-form.nblk // 8) * 8
+        dinvT = jnp.swapaxes(invert_diag_blocks(form.D), 1, 2)
+        lwT = jnp.swapaxes(form.Lval, 1, 2)
+        if nblk_pad != form.nblk:
+            eye = jnp.broadcast_to(
+                jnp.eye(form.nb, dtype=dinvT.dtype),
+                (nblk_pad - form.nblk, form.nb, form.nb),
+            )
+            dinvT = jnp.concatenate([dinvT, eye])
+            lwT = jnp.concatenate(
+                [lwT, jnp.zeros((nblk_pad - form.nblk, form.WL, form.nb), lwT.dtype)]
+            )
+    form._jitarg_ops = (dinvT, lwT)
+    return form._jitarg_ops
+
+
+def _pallas_winsolve_ok(form, dtype) -> bool:
+    """Conditions under which the Pallas sequential-grid win solve serves a
+    TrsvForm (mirrors TrsvForm.solve's own gate)."""
+    from ..planner.triangular import _pallas_solve_dtype_ok
+
+    return (
+        form is not None
+        and form.kind == "win"
+        and form.nb % 128 == 0
+        and form.WL % 8 == 0
+        and form.WL <= form.nb
+        and _pallas_solve_dtype_ok(np.dtype(dtype))
+    )
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(
+    jax.jit,
+    static_argnames=(
+        "maxit", "W", "padL", "start", "TM", "nbL", "WLL", "nbU", "WLU", "m", "interpret",
+    ),
+)
+def _pcg_bandv_ilu0_jit(
+    vt4, dLT, lwLT, dUT, lwUT, b, x0, rtol, atol, sp_val, sp_ind, sp_rows,
+    maxit: int, W: int, padL: int, start: int, TM: int,
+    nbL: int, WLL: int, nbU: int, WLU: int, m: int, interpret: bool,
+):
+    """Fused ILU0-preconditioned CG with EVERY large operand as a jit
+    argument: band matvec = the headline Pallas bandv kernel, M^-1 = the two
+    Pallas sequential-grid win solves over the pre-inverted factor blocks
+    (U applied on reversed indices). One compiled program per solve —
+    the argument-passing twin of parallel.cg.cg_bandv_jit for the
+    preconditioned case (VERDICT r3 item 4: pcg_ilu0 iteration cost)."""
+    from ..kernels.pallas.spmv import pallas_spmv_band_v
+    from ..kernels.pallas.trsv import pallas_trsv_win_inv8
+
+    mpadL = dLT.shape[0] * nbL
+    mpadU = dUT.shape[0] * nbU
+
+    def matvec(v):
+        xe = jnp.pad(v, (padL, 0))
+        y = pallas_spmv_band_v(vt4, xe, W, start, TM=TM, interpret=interpret)[:m]
+        y = y.astype(v.dtype)
+        if sp_ind is not None and sp_ind.shape[0]:
+            y = y + jax.ops.segment_sum(
+                sp_val * v[sp_ind], sp_rows, num_segments=m, indices_are_sorted=True
+            )
+        return y
+
+    def apply(r):
+        zf = jnp.pad(r, (0, mpadL - m))
+        z = pallas_trsv_win_inv8(dLT, lwLT, zf, nbL, WLL, interpret=interpret)[:m]
+        uf = jnp.pad(z[::-1], (0, mpadU - m))
+        u = pallas_trsv_win_inv8(dUT, lwUT, uf, nbU, WLU, interpret=interpret)[:m]
+        return u[::-1]
+
+    run = _build_cg_run(matvec, apply, int(maxit))
+    return run(b, x0, rtol, atol)
+
+
 def _get_cache(A: SparseMatrix):
     plan = get_plan(A)
     if not hasattr(plan, "_fused_cache"):
@@ -304,6 +395,42 @@ def pcg_solve(
             cache[key] = fn
         xp, k, rnorm = fn(to_p(b), to_p(x0), jnp.asarray(rtol, rdt), jnp.asarray(atol, rdt))
         return from_p(xp), int(k), float(rnorm)
+    # argument-passed fused ILU0 path: band matvec + Pallas win solves with
+    # all large operands as jit arguments (closures become HLO constants in
+    # the remote compile request — HTTP 413 above ~200 MB, slow compiles
+    # below it). Conditions mirror TrsvForm.solve's Pallas gate.
+    if precond == "ilu0" and form.kind == "bandt":
+        from ..core.context import get_context
+
+        st = A.ilu_state
+        ctx = get_context()
+        if (
+            (ctx.is_tpu or ctx.pallas_ok)
+            and _pallas_winsolve_ok(st.l_form, A.dtype)
+            and _pallas_winsolve_ok(st.u_form, A.dtype)
+            and not st.l_form.reversed_
+            and st.u_form.reversed_
+        ):
+            from ..kernels.pallas.spmv import bandv_tm
+
+            TM = bandv_tm(form.bwd_W)
+            vt4 = form.bandt_vertical(TM=TM)
+            dLT, lwLT = _pallas_solve_operands(st.l_form)
+            dUT, lwUT = _pallas_solve_operands(st.u_form)
+            has_spill = form.sp_ind is not None and bool(form.sp_ind.shape[0])
+            x, k, rnorm = _pcg_bandv_ilu0_jit(
+                vt4, dLT, lwLT, dUT, lwUT, b, x0,
+                jnp.asarray(rtol, rdt), jnp.asarray(atol, rdt),
+                form.sp_val if has_spill else None,
+                form.sp_ind if has_spill else None,
+                form.sp_rows if has_spill else None,
+                maxit=int(maxit), W=vt4.shape[0] // 8, padL=form.bwd_padL,
+                start=form.bandt_start, TM=TM,
+                nbL=st.l_form.nb, WLL=st.l_form.WL,
+                nbU=st.u_form.nb, WLU=st.u_form.WL,
+                m=m, interpret=not ctx.is_tpu,
+            )
+            return x, int(k), float(rnorm)
     key = ("pcg", precond, int(maxit), descr.type, descr.fill_mode)
     fn = cache.get(key)
     if fn is None:
