@@ -85,6 +85,7 @@ from .ops import (  # noqa: F401
     sctrs,
     mm,
     mv,
+    mv_operator,
     sp2m,
     sp2md,
     spmm,

@@ -138,7 +138,8 @@ def _load() -> Optional[ctypes.CDLL]:
             fn.restype = None
             fn.argtypes = [
                 ctypes.c_int64, i64p, i64p, i32p, vt, ctypes.c_int64,
-                ctypes.c_int, ctypes.c_int64, vt, vt, i64p, i64p, i64p, i64p,
+                ctypes.c_int, ctypes.c_int64, i64p, i64p,
+                vt, vt, i64p, i64p, i64p, i64p,
             ]
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.blkcsr_count.restype = ctypes.c_int64
@@ -667,8 +668,8 @@ def trsv_win_build(m, lo, hi, ind, vals, nb, reversed_):
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     wl = np.zeros(1, np.int64)
-    nl = np.zeros(1, np.int64)
-    nd = np.zeros(1, np.int64)
+    prefL = np.zeros(m + 1, np.int64)
+    prefD = np.zeros(m + 1, np.int64)
     lib.trsv_win_analyze(
         ctypes.c_int64(m),
         lo64.ctypes.data_as(i64p),
@@ -676,22 +677,23 @@ def trsv_win_build(m, lo, hi, ind, vals, nb, reversed_):
         ind32.ctypes.data_as(i32p),
         ctypes.c_int64(int(nb)),
         ctypes.c_int(1 if reversed_ else 0),
+        prefL.ctypes.data_as(i64p),
+        prefD.ctypes.data_as(i64p),
         wl.ctypes.data_as(i64p),
-        nl.ctypes.data_as(i64p),
-        nd.ctypes.data_as(i64p),
     )
     WL = max(8, -(-int(wl[0]) // 8) * 8)
     nblk = -(-m // nb) if m else 1
-    nnz_tri = int(nl[0]) + int(nd[0])
+    nL, nD = int(prefL[-1]), int(prefD[-1])
+    nnz_tri = nL + nD
     # the numpy path's win-mode cap (planner/triangular.py use_win)
     if not (nblk * nb * WL <= max(8 * max(nnz_tri, 1), 64 * nb * nb) and WL <= 8192):
         return None
     D = np.zeros(nblk * nb * nb, dtype=vals.dtype)
     Lw = np.zeros(nblk * nb * WL, dtype=vals.dtype)
-    D_dest = np.empty(int(nd[0]), np.int64)
-    D_srcpos = np.empty(int(nd[0]), np.int64)
-    L_dest = np.empty(int(nl[0]), np.int64)
-    L_srcpos = np.empty(int(nl[0]), np.int64)
+    D_dest = np.empty(nD, np.int64)
+    D_srcpos = np.empty(nD, np.int64)
+    L_dest = np.empty(nL, np.int64)
+    L_srcpos = np.empty(nL, np.int64)
     ct = ctypes.c_float if vals.dtype == np.float32 else ctypes.c_double
     vp = lambda a: a.ctypes.data_as(ctypes.POINTER(ct))  # noqa: E731
     suf = "s" if vals.dtype == np.float32 else "d"
@@ -704,6 +706,8 @@ def trsv_win_build(m, lo, hi, ind, vals, nb, reversed_):
         ctypes.c_int64(int(nb)),
         ctypes.c_int(1 if reversed_ else 0),
         ctypes.c_int64(WL),
+        prefL.ctypes.data_as(i64p),
+        prefD.ctypes.data_as(i64p),
         vp(D),
         vp(Lw),
         D_dest.ctypes.data_as(i64p),

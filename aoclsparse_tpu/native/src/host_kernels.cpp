@@ -797,31 +797,62 @@ void trsm_seq_z(int64_t m, int64_t k, const int64_t *ptr, const int64_t *ind,
 // for the blocked device solve.
 // ---------------------------------------------------------------------------
 
+static int64_t win_nthreads(int64_t m)
+{
+    const unsigned hw = std::thread::hardware_concurrency();
+    if (m < 65536 || hw <= 1) return 1;
+    return (int64_t)hw;
+}
+
 extern "C" {
 
-// Pass 1: WL_need (max reach of left-of-block entries), nL, nD counts.
+// Pass 1: WL_need (max reach of left-of-block entries) plus PER-ROW prefix
+// sums of the left/diag entry counts (prefL/prefD, length m+1) so the fill
+// pass can run threaded with deterministic map order. Threaded over row
+// chunks (the Python/numpy twin of this pass cost seconds at 16.7M nnz).
 void trsv_win_analyze(int64_t m, const int64_t *lo, const int64_t *hi,
                       const int32_t *ind, int64_t nb, int reversed,
-                      int64_t *wl_out, int64_t *nl_out, int64_t *nd_out)
+                      int64_t *prefL, int64_t *prefD, int64_t *wl_out)
 {
-    int64_t wl = 0, nl = 0, nd = 0;
-    for (int64_t r = 0; r < m; ++r) {
-        const int64_t rp = reversed ? (m - 1 - r) : r;
-        const int64_t blk0 = (rp / nb) * nb;
-        for (int64_t k = lo[r]; k < hi[r]; ++k) {
-            const int64_t cp = reversed ? (m - 1 - (int64_t)ind[k]) : (int64_t)ind[k];
-            if (cp < blk0) {
-                ++nl;
-                const int64_t need = blk0 - cp;
-                if (need > wl) wl = need;
-            } else {
-                ++nd;
+    const int64_t nthr = win_nthreads(m);
+    std::vector<int64_t> wls((size_t)nthr, 0);
+    std::vector<std::thread> ts;
+    ts.reserve((size_t)nthr);
+    for (int64_t t = 0; t < nthr; ++t) {
+        const int64_t r0 = m * t / nthr, r1 = m * (t + 1) / nthr;
+        ts.emplace_back([=, &wls]() {
+            int64_t wl = 0;
+            for (int64_t r = r0; r < r1; ++r) {
+                const int64_t rp = reversed ? (m - 1 - r) : r;
+                const int64_t blk0 = (rp / nb) * nb;
+                int64_t nl = 0, nd = 0;
+                for (int64_t k = lo[r]; k < hi[r]; ++k) {
+                    const int64_t cp =
+                        reversed ? (m - 1 - (int64_t)ind[k]) : (int64_t)ind[k];
+                    if (cp < blk0) {
+                        ++nl;
+                        const int64_t need = blk0 - cp;
+                        if (need > wl) wl = need;
+                    } else {
+                        ++nd;
+                    }
+                }
+                prefL[r + 1] = nl;
+                prefD[r + 1] = nd;
             }
-        }
+            wls[(size_t)t] = wl;
+        });
+    }
+    for (auto &th : ts) th.join();
+    int64_t wl = 0;
+    for (auto w : wls) wl = std::max(wl, w);
+    prefL[0] = 0;
+    prefD[0] = 0;
+    for (int64_t r = 0; r < m; ++r) {
+        prefL[r + 1] += prefL[r];
+        prefD[r + 1] += prefD[r];
     }
     *wl_out = wl;
-    *nl_out = nl;
-    *nd_out = nd;
 }
 
 } // extern "C"
@@ -829,52 +860,70 @@ void trsv_win_analyze(int64_t m, const int64_t *lo, const int64_t *hi,
 template <typename T>
 static void trsv_win_fill_impl(int64_t m, const int64_t *lo, const int64_t *hi,
                                const int32_t *ind, const T *vals, int64_t nb,
-                               int reversed, int64_t WL, T *D, T *Lw,
+                               int reversed, int64_t WL,
+                               const int64_t *prefL, const int64_t *prefD,
+                               T *D, T *Lw,
                                int64_t *D_dest, int64_t *D_srcpos,
                                int64_t *L_dest, int64_t *L_srcpos)
 {
-    int64_t il = 0, id = 0;
-    for (int64_t r = 0; r < m; ++r) {
-        const int64_t rp = reversed ? (m - 1 - r) : r;
-        const int64_t blk = rp / nb, blk0 = blk * nb, rin = rp - blk0;
-        for (int64_t k = lo[r]; k < hi[r]; ++k) {
-            const int64_t cp = reversed ? (m - 1 - (int64_t)ind[k]) : (int64_t)ind[k];
-            if (cp < blk0) {
-                const int64_t dest = (blk * nb + rin) * WL + (cp - blk0 + WL);
-                Lw[dest] = vals[k];
-                L_dest[il] = dest;
-                L_srcpos[il] = k;
-                ++il;
-            } else {
-                const int64_t dest = (blk * nb + rin) * nb + (cp - blk0);
-                D[dest] = vals[k];
-                D_dest[id] = dest;
-                D_srcpos[id] = k;
-                ++id;
+    const int64_t nthr = win_nthreads(m);
+    std::vector<std::thread> ts;
+    ts.reserve((size_t)nthr);
+    for (int64_t t = 0; t < nthr; ++t) {
+        const int64_t r0 = m * t / nthr, r1 = m * (t + 1) / nthr;
+        ts.emplace_back([=]() {
+            int64_t il = prefL[r0], id = prefD[r0];
+            for (int64_t r = r0; r < r1; ++r) {
+                const int64_t rp = reversed ? (m - 1 - r) : r;
+                const int64_t blk = rp / nb, blk0 = blk * nb, rin = rp - blk0;
+                for (int64_t k = lo[r]; k < hi[r]; ++k) {
+                    const int64_t cp =
+                        reversed ? (m - 1 - (int64_t)ind[k]) : (int64_t)ind[k];
+                    if (cp < blk0) {
+                        const int64_t dest = (blk * nb + rin) * WL + (cp - blk0 + WL);
+                        Lw[dest] = vals[k];
+                        L_dest[il] = dest;
+                        L_srcpos[il] = k;
+                        ++il;
+                    } else {
+                        const int64_t dest = (blk * nb + rin) * nb + (cp - blk0);
+                        D[dest] = vals[k];
+                        D_dest[id] = dest;
+                        D_srcpos[id] = k;
+                        ++id;
+                    }
+                }
             }
-        }
+        });
     }
+    for (auto &th : ts) th.join();
 }
 
 extern "C" {
 
 void trsv_win_fill_s(int64_t m, const int64_t *lo, const int64_t *hi,
                      const int32_t *ind, const float *vals, int64_t nb,
-                     int reversed, int64_t WL, float *D, float *Lw,
+                     int reversed, int64_t WL,
+                     const int64_t *prefL, const int64_t *prefD,
+                     float *D, float *Lw,
                      int64_t *D_dest, int64_t *D_srcpos,
                      int64_t *L_dest, int64_t *L_srcpos)
 {
-    trsv_win_fill_impl<float>(m, lo, hi, ind, vals, nb, reversed, WL, D, Lw,
+    trsv_win_fill_impl<float>(m, lo, hi, ind, vals, nb, reversed, WL,
+                              prefL, prefD, D, Lw,
                               D_dest, D_srcpos, L_dest, L_srcpos);
 }
 
 void trsv_win_fill_d(int64_t m, const int64_t *lo, const int64_t *hi,
                      const int32_t *ind, const double *vals, int64_t nb,
-                     int reversed, int64_t WL, double *D, double *Lw,
+                     int reversed, int64_t WL,
+                     const int64_t *prefL, const int64_t *prefD,
+                     double *D, double *Lw,
                      int64_t *D_dest, int64_t *D_srcpos,
                      int64_t *L_dest, int64_t *L_srcpos)
 {
-    trsv_win_fill_impl<double>(m, lo, hi, ind, vals, nb, reversed, WL, D, Lw,
+    trsv_win_fill_impl<double>(m, lo, hi, ind, vals, nb, reversed, WL,
+                               prefL, prefD, D, Lw,
                                D_dest, D_srcpos, L_dest, L_srcpos);
 }
 

@@ -23,6 +23,7 @@ from .level2 import (  # noqa: F401
     ellthybmv,
     elltmv,
     mv,
+    mv_operator,
 )
 from .level2.trsv import csrsv, trsv, trsv_strided  # noqa: F401
 from .level3 import (  # noqa: F401

@@ -7,4 +7,4 @@ from .format_mv import (  # noqa: F401
     ellthybmv,
     elltmv,
 )
-from .mv import dotmv, mv  # noqa: F401
+from .mv import mv_operator, MvOperator, dotmv, mv  # noqa: F401

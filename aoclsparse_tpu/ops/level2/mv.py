@@ -35,7 +35,7 @@ from ...core.types import (
 from ...kernels.registry import registry
 from ...planner.plan import get_plan
 
-__all__ = ["mv", "dotmv"]
+__all__ = ["mv", "dotmv", "mv_operator", "MvOperator"]
 
 
 def _validate(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, x, y):
@@ -582,6 +582,65 @@ def mv(
     beta_c = jnp.asarray(beta, dtype=dtype)
     y0 = jnp.zeros((ny,), dtype=dtype) if y is None else y.astype(dtype)
     return _epilogue(ax.astype(dtype), alpha_c, beta_c, y0)
+
+
+class MvOperator:
+    """Iteration-resident SpMV operator (see mv_operator)."""
+
+    def __init__(self, apply, to_space, from_space, space: str):
+        self.apply = apply  # v_space -> (A v)_space
+        self.to_space = to_space  # original -> iteration space
+        self.from_space = from_space  # iteration space -> original
+        self.space = space  # "permuted" | "original"
+
+    def __call__(self, v):
+        return self.apply(v)
+
+
+def mv_operator(
+    A: SparseMatrix,
+    descr: Optional[MatrixDescriptor] = None,
+    op: Operation = Operation.none,
+) -> MvOperator:
+    """Resident operator for CHAINED y = A @ x iteration (power methods,
+    user-written Krylov loops, any x <- f(A x) chain).
+
+    ``mv`` must return y in original index space, so a gen-composite
+    operand (hub/RCM-band/spill decomposition) pays two O(m) permutes per
+    call — on a scramble-class operand those dominate (plain mv 2.3 Gnnz/s
+    vs 22.2 in permuted space, benchmarks/BENCH_gen_r3d). This operator is
+    the supported way to hoist them: `to_space` once before the loop,
+    iterate with `apply` (permutation-free — a symmetric permutation
+    preserves norms and maps iterates 1:1), `from_space` once after.
+    For every other execution form the spaces are the identity and `apply`
+    is exactly the mv core, so callers can use this API unconditionally.
+
+    The reference reaches the same amortization through its hint/optimize
+    model (aoclsparse_set_mv_hint + repeated aoclsparse_?mv reuse the
+    optimized copy, analysis.cpp:35-385); here the residency extends to
+    the index SPACE, which a TPU needs because irregular per-call gathers
+    are the slow path (README design notes).
+    """
+    if A is None:
+        raise AoclSparseError(Status.invalid_pointer, "null matrix handle")
+    descr = MatrixDescriptor() if descr is None else descr
+    op, _, _, _ = _validate(A, descr, op, jnp.zeros((A.shape[1] if Operation(op) == Operation.none else A.shape[0],), A.dtype), None)
+    plan = get_plan(A)
+    form = plan.exec_form_for(descr, op, dtype=A.dtype)
+    form.precision_mode = getattr(A, "precision_mode", "full")
+    if form.kind == "gen" and getattr(form, "gen_bandt", False):
+        from ...solvers.fused import _gen_pspace
+
+        ps = _gen_pspace(form)
+        if ps is not None:
+            matvec_p, to_p, from_p = ps
+            return MvOperator(matvec_p, to_p, from_p, "permuted")
+    return MvOperator(
+        lambda v: _run_exec_form(form, jnp.asarray(v), None),
+        lambda v: jnp.asarray(v),
+        lambda v: v,
+        "original",
+    )
 
 
 @jax.jit

@@ -214,7 +214,9 @@ def _gen_pspace(form):
     from ..kernels.pallas.spmv import bandv_tm
 
     TM = bandv_tm(form.bwd_W) if ctx.is_tpu else max(128, -(-form.bwd_W // 8) * 8)
-    mixed = os.environ.get("AOCLSPARSE_TPU_MIXED_PRECISION", "0") in ("1", "true")
+    from ..ops.level2.mv import _mixed_enabled
+
+    mixed = _mixed_enabled(form, np.float32)
     vt4 = form.bandt_vertical(TM=TM, bf16=mixed)
     src, inv, hub_cols_p = form.gen_perm_maps()
     has_spill = form.sp_ind is not None and bool(form.sp_ind.shape[0])
