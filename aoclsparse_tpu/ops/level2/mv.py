@@ -78,7 +78,11 @@ def _zero_operands(dtype):
     key = jnp.dtype(dtype)
     z = _ZERO_CACHE.get(key)
     if z is None:
-        z = (jnp.zeros((0,), jnp.int32), jnp.zeros((0,), key))
+        # concrete even when first requested inside a user trace: a cached
+        # tracer poisons every LATER trace (UnexpectedTracerError on the
+        # next jit of a gen/bandt mv — measured in the r4 gen probe)
+        with jax.ensure_compile_time_eval():
+            z = (jnp.zeros((0,), jnp.int32), jnp.zeros((0,), key))
         _ZERO_CACHE[key] = z
     return z
 
@@ -90,7 +94,8 @@ def _zero_aux(dtype):
     key = jnp.dtype(dtype)
     z = _ZERO_AUX_CACHE.get(key)
     if z is None:
-        z = (jnp.zeros((0, 0), key), jnp.zeros((0,), jnp.bool_))
+        with jax.ensure_compile_time_eval():  # see _zero_operands
+            z = (jnp.zeros((0, 0), key), jnp.zeros((0,), jnp.bool_))
         _ZERO_AUX_CACHE[key] = z
     return z
 
@@ -137,9 +142,11 @@ def _run_exec_form(form, x, kid):
         wv = form.bwd_val
         if mixed:
             # cache the bf16 operand: casting per call would re-stream the
-            # full band (the whole point of bf16 is halving that traffic)
+            # full band (the whole point of bf16 is halving that traffic).
+            # Concrete even mid-trace (a cached tracer poisons later traces)
             if getattr(form, "_bwd_val_bf16", None) is None:
-                form._bwd_val_bf16 = wv.astype(jnp.bfloat16)
+                with jax.ensure_compile_time_eval():
+                    form._bwd_val_bf16 = wv.astype(jnp.bfloat16)
             wv = form._bwd_val_bf16
         y = e.fn(wv, xp, form.bwd_W, form.bwd_base8, form.bwd_n_pad, mixed)
         y = y[: form.m]
@@ -260,7 +267,8 @@ def _run_exec_form(form, x, kid):
         wv = form.bwd_val
         if mixed:
             if getattr(form, "_bwd_val_bf16", None) is None:
-                form._bwd_val_bf16 = wv.astype(jnp.bfloat16)
+                with jax.ensure_compile_time_eval():  # concrete mid-trace
+                    form._bwd_val_bf16 = wv.astype(jnp.bfloat16)
             wv = form._bwd_val_bf16
         has_spill = form.sp_ind is not None and bool(form.sp_ind.shape[0])
         has_hub = form.hub_cols is not None and bool(form.hub_cols.shape[0])

@@ -527,16 +527,18 @@ class ExecForm:
         if v4 is None:
             from ..kernels.pallas.spmv import band_vert_layout
 
-            src = self.bwd_val
-            W = self.bwd_W
-            if bf16:
-                src = src.astype(jnp.bfloat16)
-                if W % 2:  # bandv bf16 pairs j's: pad a zero band row
-                    src = jnp.pad(src, ((0, 1), (0, 0)))
-                    W += 1
             # concrete even when the caller is tracing (bwd_val is a real
-            # array): never cache a tracer on the plan
+            # array): never cache a tracer on the plan — the cast/pad must
+            # be INSIDE the scope too (a traced astype leaked through the
+            # bf16 branch, r4 gen probe)
             with jax.ensure_compile_time_eval():
+                src = self.bwd_val
+                W = self.bwd_W
+                if bf16:
+                    src = src.astype(jnp.bfloat16)
+                    if W % 2:  # bandv bf16 pairs j's: pad a zero band row
+                        src = jnp.pad(src, ((0, 1), (0, 0)))
+                        W += 1
                 v4 = cache[key] = band_vert_layout(src, TM)
         return v4
 
@@ -592,15 +594,16 @@ class ExecForm:
         inv = np.empty_like(src)
         inv[src] = np.arange(src.size, dtype=np.int64)
         hub_cols_p = None
-        if self.hub_cols is not None and self.hub_cols.shape[0]:
-            hub_cols_p = jnp.asarray(
-                inv[np.asarray(self.hub_cols, dtype=np.int64)].astype(np.int32)
+        with jax.ensure_compile_time_eval():  # never cache tracers mid-trace
+            if self.hub_cols is not None and self.hub_cols.shape[0]:
+                hub_cols_p = jnp.asarray(
+                    inv[np.asarray(self.hub_cols, dtype=np.int64)].astype(np.int32)
+                )
+            self._gen_perm_maps = (
+                jnp.asarray(src.astype(np.int32)),
+                jnp.asarray(inv.astype(np.int32)),
+                hub_cols_p,
             )
-        self._gen_perm_maps = (
-            jnp.asarray(src.astype(np.int32)),
-            jnp.asarray(inv.astype(np.int32)),
-            hub_cols_p,
-        )
         return self._gen_perm_maps
 
     def bandt_rows(self, bf16: bool = False) -> jax.Array:
