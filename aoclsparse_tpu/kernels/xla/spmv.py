@@ -194,10 +194,15 @@ def perm_rows_mm(P_bf16, xb):
             else jnp.dot(P_bf16, xb, preferred_element_type=jnp.float32).astype(xb.dtype)
         )
     h1, h2, r2 = _split3_exact(xb)
-    o = jnp.dot(P_bf16, h1.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
-    o = o + jnp.dot(P_bf16, h2.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
-    o = o + jnp.dot(P_bf16, r2.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
-    return o
+    # ONE matmul over the column-concatenated splits: P (the dominant
+    # operand, nblk^2 bf16) streams once instead of three times
+    B = xb.shape[1]
+    h = jnp.concatenate(
+        [h1.astype(jnp.bfloat16), h2.astype(jnp.bfloat16), r2.astype(jnp.bfloat16)],
+        axis=1,
+    )
+    o = jnp.dot(P_bf16, h, preferred_element_type=jnp.float32)
+    return o[:, :B] + o[:, B : 2 * B] + o[:, 2 * B :]
 
 
 @partial(

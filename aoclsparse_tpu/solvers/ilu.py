@@ -107,8 +107,30 @@ def ilu0_factorize(A: SparseMatrix) -> IluState:
     # gap of VERDICT r3 item 4). Fallback: the numpy build below.
     from ..planner.triangular import build_trsv_form_native
 
-    st.l_form = build_trsv_form_native(lu_clean, l_descr, Operation.none, ("ilu", "l"), nb, lu)
-    st.u_form = build_trsv_form_native(lu_clean, u_descr, Operation.none, ("ilu", "u"), nb, lu)
+    # L and U builds are independent: run them concurrently — the native
+    # fill releases the GIL (ctypes) and the device uploads overlap on the
+    # tunnel, which dominates factor_total at SuiteSparse scale
+    import threading
+
+    _res = {}
+
+    def _build(slot, descr):
+        try:
+            _res[slot] = build_trsv_form_native(
+                lu_clean, descr, Operation.none, ("ilu", slot), nb, lu
+            )
+        except Exception as e:  # surface on the caller thread
+            _res[slot] = e
+
+    th = threading.Thread(target=_build, args=("u", u_descr))
+    th.start()
+    _build("l", l_descr)
+    th.join()
+    for slot in ("l", "u"):
+        if isinstance(_res[slot], Exception):
+            raise _res[slot]
+    st.l_form = _res["l"]
+    st.u_form = _res["u"]
     if st.l_form is None or st.u_form is None:
         eff_l = build_effective_csr(lu_clean, l_descr, Operation.none)
         eff_u = build_effective_csr(lu_clean, u_descr, Operation.none)

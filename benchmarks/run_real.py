@@ -1,0 +1,354 @@
+#!/usr/bin/env python
+"""End-to-end op sweep on the SuiteSparse stand-in matrices (VERDICT r3
+item 2): mv / mm / trsv / sp2m / ILU0 / CG-PCG per matrix, through the
+library's own planner dispatch, with the round-3 amortized-timing
+methodology (fori_loop chains, operands as jit args, best-of-chunks).
+
+Every matrix goes through the MatrixMarket path (write_mtx once into
+/tmp/realmat, read back with read_mtx) so the io layer is exercised at
+SuiteSparse scale, matching how the reference bench consumes its suite
+(tests/benchmarks/aoclsparse_test.cpp --mtx).
+
+Usage:
+    python benchmarks/run_real.py            # all four matrices
+    REAL_ONLY=cant python benchmarks/run_real.py
+
+Appends one JSON row per (matrix, op) to benchmarks/REAL_r4.jsonl.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "REAL_r4.jsonl")
+MTXDIR = "/tmp/realmat"
+HBM_PEAK = 819.0  # v5e GB/s
+
+
+def emit(rec):
+    line = json.dumps(rec)
+    print(line, flush=True)
+    with open(OUT, "a") as f:
+        f.write(line + "\n")
+
+
+def ensure_mtx(name):
+    """Generate the stand-in once and persist as .mtx; always READ back via
+    the library reader so the io path is part of the sweep."""
+    from realmat import generate
+    import aoclsparse_tpu as ast
+
+    os.makedirs(MTXDIR, exist_ok=True)
+    path = os.path.join(MTXDIR, f"{name}.mtx")
+    if not os.path.exists(path):
+        m, n, ptr, ind, val = generate(name, diag_boost=80.0)
+        A = ast.create_csr(m, n, ptr, ind, val)
+        t0 = time.perf_counter()
+        from aoclsparse_tpu.io import write_mtx
+
+        write_mtx(path, A)
+        emit({"matrix": name, "op": "write_mtx", "t_s": round(time.perf_counter() - t0, 2),
+              "path": path})
+    from aoclsparse_tpu.io import read_mtx
+
+    t0 = time.perf_counter()
+    A = read_mtx(path, dtype=np.float32)
+    t_read = time.perf_counter() - t0
+    return A, t_read
+
+
+def spmv_bytes(m, n, nnz, vsize=4):
+    return (m + 1 + nnz) * 4 + (nnz + n + m) * vsize
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    import jax.numpy as jnp
+
+    import aoclsparse_tpu as ast
+    from aoclsparse_tpu import MatrixDescriptor, MatrixType, Operation
+    from aoclsparse_tpu.ops.level2.mv import _run_exec_form, _zero_aux, _zero_operands
+    from aoclsparse_tpu.planner.plan import get_plan
+    from realmat import MATRICES
+
+    rng = np.random.default_rng(3)
+    R = 50
+    GEN = MatrixDescriptor()
+    only = os.environ.get("REAL_ONLY")
+    names = [only] if only else list(MATRICES)
+
+    def best_of(fn, chunks=5, sleep_every=3):
+        best = float("inf")
+        for cix in range(chunks):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+            if cix % sleep_every == sleep_every - 1:
+                time.sleep(1.0)
+        return best
+
+    for name in names:
+        A, t_read = ensure_mtx(name)
+        m, n = A.shape
+        nnz = A.nnz
+        base = {"matrix": name, "m": int(m), "nnz": int(nnz), "standin": True}
+        emit({**base, "op": "read_mtx", "t_s": round(t_read, 2)})
+
+        t0 = time.perf_counter()
+        plan = get_plan(A)
+        form = plan.exec_form_for(GEN, Operation.none, dtype=A.dtype)
+        t_plan = time.perf_counter() - t0
+        emit({**base, "op": "plan", "t_s": round(t_plan, 2), "form": form.kind,
+              "W": getattr(form, "bwd_W", None),
+              "gen_B": getattr(form, "gen_B", None),
+              "spill": None if getattr(form, "sp_ind", None) is None
+              else int(form.sp_ind.shape[0]),
+              "hub": None if getattr(form, "hub_cols", None) is None
+              else int(form.hub_cols.shape[0])})
+
+        x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+        # ---- verify once vs the host oracle ----
+        y = np.asarray(_run_exec_form(form, x, None))
+        _, _, _, ptr_h, ind_h, val_h = ast.export_csr(A)
+        ptr_h = np.asarray(ptr_h)
+        ind_h = np.asarray(ind_h)
+        val_h = np.asarray(val_h, dtype=np.float64)
+        rows_h = np.repeat(np.arange(m), np.diff(ptr_h))
+        ref = np.zeros(m)
+        np.add.at(ref, rows_h, val_h * np.asarray(x, dtype=np.float64)[ind_h])
+        rel = float(np.max(np.abs(y - ref)) / max(1.0, np.max(np.abs(ref))))
+
+        # ---- mv rows: f32 / bf16(precision mode) / pspace, amortized ----
+        def mv_loop(mixed=False):
+            """Closure fori-loop over the library dispatch; gen forms use
+            the arg-passing band loop when the closure program exceeds the
+            tunnel's remote-compile body limit (HTTP 413)."""
+            if mixed:
+                os.environ["AOCLSPARSE_TPU_MIXED_PRECISION"] = "1"
+            try:
+                @jax.jit
+                def loop(eps, x0):
+                    def body(i, carry):
+                        xc, acc = carry
+                        yv = _run_exec_form(form, xc, None)
+                        return (xc.at[:128].add(eps * yv[:128]), acc + yv[0])
+
+                    _, acc = jax.lax.fori_loop(0, R, body, (x0, jnp.float32(0.0)))
+                    return acc
+
+                float(loop(jnp.float32(1e-7), x))
+                return lambda: float(loop(jnp.float32(1e-7), x))
+            finally:
+                if mixed:
+                    os.environ["AOCLSPARSE_TPU_MIXED_PRECISION"] = "0"
+
+        def mv_loop_args(mixed=False):
+            """gen-form arg-passing loop (operands as jit arguments)."""
+            if not (form.kind == "gen" and getattr(form, "gen_bandt", False)):
+                return None
+            from aoclsparse_tpu.kernels.pallas.spmv import bandv_tm
+            from aoclsparse_tpu.kernels.xla.spmv import spmv_gen_bandv
+
+            TMg = bandv_tm(form.bwd_W)
+            vt4_a = form.bandt_vertical(TM=TMg, bf16=mixed)
+            has_spill = form.sp_ind is not None and bool(form.sp_ind.shape[0])
+            has_hub = form.hub_cols is not None and bool(form.hub_cols.shape[0])
+            has_hubrow = form.hubr_rows is not None and bool(form.hubr_rows.shape[0])
+            has_flip = form.gen_flip is not None
+            zi, zv = _zero_operands(np.float32)
+            zm, zb = _zero_aux(np.float32)
+            hs_a = form.hub_slab if has_hub else zm
+            hr_a = form.hubr_slab if has_hubrow else zm
+            sv_a = form.sp_val if has_spill else zv
+
+            @jax.jit
+            def loop(eps, vt4c, hsc, hrc, svc, x0):
+                def body(i, carry):
+                    xc, acc = carry
+                    yv = spmv_gen_bandv(
+                        vt4c, xc, form.gen_perm, form.gen_out,
+                        form.gen_flip if has_flip else zb,
+                        hsc, form.hub_cols if has_hub else zi,
+                        hrc, form.hubr_rows if has_hubrow else zi,
+                        svc, form.sp_ind if has_spill else zi,
+                        form.sp_rows if has_spill else zi,
+                        B=form.gen_B, W=vt4c.shape[0] // 8, padL=form.bwd_padL,
+                        start=form.bandt_start, TM=TMg, m=form.m,
+                        m_pad=form.gen_m_pad, has_hub=has_hub,
+                        has_hubrow=has_hubrow, has_spill=has_spill,
+                        has_flip=has_flip,
+                    )
+                    return (xc.at[:128].add(eps * yv[:128]), acc + yv[0])
+
+                _, acc = jax.lax.fori_loop(0, R, body, (x0, jnp.float32(0.0)))
+                return acc
+
+            float(loop(jnp.float32(1e-7), vt4_a, hs_a, hr_a, sv_a, x))
+            return lambda: float(loop(jnp.float32(1e-7), vt4_a, hs_a, hr_a, sv_a, x))
+
+        for label, mixed in (("f32", False), ("bf16", True)):
+            fn = None
+            how = "closure"
+            try:
+                fn = mv_loop(mixed=mixed)
+            except Exception:
+                try:
+                    fn = mv_loop_args(mixed=mixed)
+                    how = "args"
+                except Exception as e2:
+                    emit({**base, "op": f"mv_{label}", "error": repr(e2)[:160]})
+            if fn is None:
+                continue
+            t = best_of(fn) / R
+            emit({**base, "op": f"mv_{label}", "t_us": round(t * 1e6, 1),
+                  "gnnz_s": round(nnz / t / 1e9, 3),
+                  "gbs_eff": round(spmv_bytes(m, n, nnz) / t / 1e9, 1),
+                  "roofline_frac": round(spmv_bytes(m, n, nnz) / t / 1e9 / HBM_PEAK, 4),
+                  "loop": how, "rel_err_f32": rel if label == "f32" else None})
+
+        # pspace rate (solver-iteration rate) when the form is a permuted gen
+        try:
+            opr = ast.mv_operator(A)
+            if opr.space == "permuted":
+                xp = opr.to_space(x)
+
+                @jax.jit
+                def ploop(eps, xp0):
+                    def body(i, carry):
+                        xc, acc = carry
+                        yv = opr(xc)
+                        return (xc.at[:128].add(eps * yv[:128]), acc + yv[0])
+
+                    _, acc = jax.lax.fori_loop(0, R, body, (xp0, jnp.float32(0.0)))
+                    return acc
+
+                float(ploop(jnp.float32(1e-7), xp))
+                t = best_of(lambda: float(ploop(jnp.float32(1e-7), xp))) / R
+                emit({**base, "op": "mv_pspace", "t_us": round(t * 1e6, 1),
+                      "gnnz_s": round(nnz / t / 1e9, 3)})
+        except Exception as e:
+            emit({**base, "op": "mv_pspace", "error": repr(e)[:160]})
+
+        # ---- mm (K=64), amortized via the library entry ----
+        K = 64
+        B = jnp.asarray(rng.standard_normal((n, K)).astype(np.float32))
+        try:
+            @jax.jit
+            def mmloop(eps, B0):
+                def body(i, Bc):
+                    Y = ast.mm(1.0, A, GEN, Operation.none, Bc, 0.0)
+                    return Bc.at[:8].add(eps * Y[:8])
+
+                return jax.lax.fori_loop(0, 10, body, B0)[0, 0]
+        except Exception:
+            mmloop = None
+        t_mm = None
+        try:
+            if mmloop is not None:
+                float(mmloop(jnp.float32(1e-7), B))
+                t_mm = best_of(lambda: float(mmloop(jnp.float32(1e-7), B)), chunks=4) / 10
+                how = "closure"
+        except Exception:
+            t_mm = None
+        if t_mm is None:
+            try:
+                def once():
+                    Y = ast.mm(1.0, A, GEN, Operation.none, B, 0.0)
+                    np.asarray(np.ravel(np.asarray(Y))[:1])
+
+                once()
+                t_mm = best_of(once, chunks=4)
+                how = "single-dispatch"
+            except Exception as e:
+                emit({**base, "op": "mm_k64", "error": repr(e)[:160]})
+        if t_mm is not None:
+            emit({**base, "op": "mm_k64", "t_ms": round(t_mm * 1e3, 2),
+                  "tflops": round(2.0 * nnz * K / t_mm / 1e12, 3), "loop": how})
+
+        # ---- trsv (lower triangle), amortized ----
+        try:
+            descr_t = MatrixDescriptor(type=MatrixType.triangular)
+            b_t = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+
+            @jax.jit
+            def tvloop(eps, b0):
+                def body(i, carry):
+                    bc, acc = carry
+                    z = ast.trsv(1.0, A, descr_t, Operation.none, bc)
+                    return (bc.at[:128].add(eps * z[:128]), acc + z[0])
+
+                _, acc = jax.lax.fori_loop(0, 20, body, (b0, jnp.float32(0.0)))
+                return acc
+
+            float(tvloop(jnp.float32(1e-7), b_t))
+            t = best_of(lambda: float(tvloop(jnp.float32(1e-7), b_t)), chunks=4) / 20
+            tri_nnz = int(np.sum(ind_h <= rows_h))
+            emit({**base, "op": "trsv_lower", "t_us": round(t * 1e6, 1),
+                  "gflops": round(2.0 * tri_nnz / t / 1e9, 2), "tri_nnz": tri_nnz})
+        except Exception as e:
+            emit({**base, "op": "trsv_lower", "error": repr(e)[:160]})
+
+        # ---- sp2m A@A (one dispatch; engine chosen by the library) ----
+        try:
+            t0 = time.perf_counter()
+            C = ast.sp2m(Operation.none, GEN, A, Operation.none, GEN, A)
+            np.asarray(np.ravel(np.asarray(C.data.val))[:1])
+            t_g = time.perf_counter() - t0
+            P = int(np.asarray(C._spgemm_plan.pa).shape[0]) if hasattr(C, "_spgemm_plan") else None
+            emit({**base, "op": "sp2m", "t_s": round(t_g, 3), "nnzC": int(C.nnz),
+                  "products": P,
+                  "gflops": None if P is None else round(2.0 * P / t_g / 1e9, 3)})
+        except Exception as e:
+            emit({**base, "op": "sp2m", "error": repr(e)[:160]})
+
+        # ---- ILU0 factor + PCG slope (diag-boosted operands only) ----
+        if name in ("cant", "pwtk", "scircuit"):
+            try:
+                t0 = time.perf_counter()
+                st = ast.ilu0_factorize(A)
+                st.l_form.D.block_until_ready()
+                t_f = time.perf_counter() - t0
+                emit({**base, "op": "ilu0_factor", "t_s": round(t_f, 2)})
+            except Exception as e:
+                emit({**base, "op": "ilu0_factor", "error": repr(e)[:160]})
+        if name in ("cant", "pwtk"):
+            try:
+                from aoclsparse_tpu.solvers.fused import pcg_solve
+
+                b_s = rng.standard_normal(m).astype(np.float32)
+                recs = {}
+                for mx in (8, 16):
+                    x_s, it, rn = pcg_solve(A, b_s, rtol=0.0, atol=0.0, maxit=mx)
+                    best = float("inf")
+                    for _ in range(4):
+                        t0 = time.perf_counter()
+                        x_s, it, rn = pcg_solve(A, b_s, rtol=0.0, atol=0.0, maxit=mx)
+                        best = min(best, time.perf_counter() - t0)
+                    recs[mx] = (best, int(it))
+                (t8, i8), (t16, i16) = recs[8], recs[16]
+                rec = {**base, "op": "cg", "t8_ms": round(t8 * 1e3, 1), "iters8": i8,
+                       "t16_ms": round(t16 * 1e3, 1), "iters16": i16}
+                if i16 > i8:
+                    rec["ms_per_iter_slope"] = round((t16 - t8) * 1e3 / (i16 - i8), 3)
+                emit(rec)
+            except Exception as e:
+                emit({**base, "op": "cg", "error": repr(e)[:160]})
+
+        # drop cached device arrays before the next (bigger) operand
+        del form, plan
+        ast.destroy(A)
+
+
+if __name__ == "__main__":
+    main()

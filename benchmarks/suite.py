@@ -877,12 +877,56 @@ def main():
             return xr
 
         t = chain_min(run_pcg, iters_per=1, chunks=3)
+
+        # ms/iter as the per-iteration SLOPE between two fixed budgets: the
+        # whole fused solve is ONE dispatch, so total/iters at small iteration
+        # counts reports the ~tens-of-ms tunnel dispatch+fetch floor, not the
+        # iteration cost (round-4 probe: t(maxit=12) == t(maxit=25) with both
+        # converged at 9). rtol=atol=0 keeps the loop running to the budget.
+        def pcg_slope(Ah, bh, mx_lo, mx_hi):
+            ts = {}
+            for mx in (mx_lo, mx_hi):
+                xs, it, _ = pcg_solve(Ah, bh, rtol=0.0, atol=0.0, maxit=mx, precond="ilu0")
+                best = float("inf")
+                for _ in range(3):
+                    t0s = time.perf_counter()
+                    xs, it, _ = pcg_solve(Ah, bh, rtol=0.0, atol=0.0, maxit=mx, precond="ilu0")
+                    best = min(best, time.perf_counter() - t0s)
+                ts[mx] = (best, int(it))
+            (tl, il), (th, ih) = ts[mx_lo], ts[mx_hi]
+            return (None if ih <= il else (th - tl) * 1e3 / (ih - il)), ts
+
+        slope, ts = pcg_slope(dF_upper, bF, 4, 8)
         results.append(
             {
                 "metric": "pcg_ilu0_solve",
                 "value": round(t * 1e3 / max(itF, 1), 3),
-                "unit": "ms/iter",
-                "extra": {"iters": itF, "t_solve_ms": round(t * 1e3, 1), "m": mF},
+                "unit": "ms/iter(total/iters: includes the one-dispatch tunnel floor)",
+                "extra": {
+                    "iters": itF,
+                    "t_solve_ms": round(t * 1e3, 1),
+                    "m": mF,
+                    "ms_per_iter_slope": None if slope is None else round(slope, 3),
+                    "slope_points": {str(k): [round(v[0] * 1e3, 1), v[1]] for k, v in ts.items()},
+                },
+            }
+        )
+        # the VERDICT r3 item-4 target operand: slope at m=262144 (the
+        # suite's headline band, 16.7M nnz, diag-dominant)
+        b262 = rng.standard_normal(m).astype(np.float32)
+        slope262, ts262 = pcg_slope(A, b262, 4, 8)
+        results.append(
+            {
+                "metric": "pcg_ilu0_ms_per_iter_262k",
+                "value": None if slope262 is None else round(slope262, 3),
+                "unit": "ms/iter(slope)",
+                "extra": {
+                    "m": m,
+                    "nnz": nnz,
+                    "slope_points": {
+                        str(k): [round(v[0] * 1e3, 1), v[1]] for k, v in ts262.items()
+                    },
+                },
             }
         )
     except Exception as e:
