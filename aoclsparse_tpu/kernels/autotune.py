@@ -254,6 +254,9 @@ def autotune_spgemm(
 
     results: Dict[str, float] = {}
     if plan.nnz:
+        from ..ops.level3.spgemm import _ensure_expansion
+
+        _ensure_expansion(plan, effA, effB)  # pattern-only (band-first) plan
         results["expand"] = _time(
             lambda: _numeric(
                 effA.val, effB.val, plan.pa, plan.pb, plan.pc, plan.nnz, False, False

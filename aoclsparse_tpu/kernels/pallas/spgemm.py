@@ -1,0 +1,120 @@
+"""Pallas band x band SpGEMM numeric kernel.
+
+The XLA formulation of the band numeric stage (kernels/xla/spgemm_band.py
+_band_gemm_scan) is a lax.scan over the nblk row groups: the groups are
+independent, but scan sequentializes them and the measured stage ran ~500 ms
+on a ~500 MB / 33 MFLOP problem (SUITE_r3d spgemm rows) — three orders of
+magnitude off its traffic roofline, and the reason the host C++ engine kept
+winning (VERDICT r3 item 3). This kernel runs the SAME math with the groups
+on the Pallas grid: program g loads A's group block and the 1-6 B blocks its
+streams touch, accumulates the C group window with static-sliced MXU
+matmuls, and writes one C tile. No gathers, no rolled stream copies (the
+stream offsets ride the BlockSpec index maps over a zero-padded B band, so
+out-of-range blocks contribute exact zeros).
+
+Reference counterpart: the numeric Gustavson stage of
+level3/aoclsparse_csr2m.cpp:405 — same products, dense-tile formulation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .spmv import _imap32
+
+__all__ = ["pallas_band_gemm"]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("G", "WB", "WC", "d0", "ranges", "mixed", "interpret"),
+)
+def pallas_band_gemm(
+    Aband,
+    Bband,
+    G: int,
+    WB: int,
+    WC: int,
+    d0: int,
+    ranges,
+    mixed: bool = False,
+    interpret: bool = False,
+):
+    """C band (nblk, G, WC) = per-group sum_s A_g[:, rho_s] @ B_{g+d0+s}[br_s, :].
+
+    Aband: (nblk, G, WA); Bband: (nblk, G, WB); ranges: per-stream static
+    (rho_lo, rho_hi, br_lo) triples partitioning A's window columns. The
+    stream's C placement is columns [G*s, G*s+WB) of the group window —
+    identical for every group (grid alignment), so every slice is static.
+    """
+    nblk, _, WA = Aband.shape
+    nstream = len(ranges)
+    # zero-pad the B band so every stream's block index g + d0 + s is in
+    # range: zero blocks make out-of-range contributions exact zeros (the
+    # scan engine relied on A's zero window entries against ROLLED blocks)
+    pad_lo = max(0, -d0)
+    pad_hi = max(0, d0 + nstream - 1)
+    Bp = (
+        jnp.pad(Bband, ((pad_lo, pad_hi), (0, 0), (0, 0)))
+        if (pad_lo or pad_hi)
+        else Bband
+    )
+
+    acc_dt = jnp.float32 if Aband.dtype != jnp.float64 else jnp.float64
+
+    def kernel(a_ref, *refs):
+        b_refs = refs[:nstream]
+        o_ref = refs[nstream]
+        a = a_ref[0]
+        c = jnp.zeros((G, WC), acc_dt)
+        for s, (rho_lo, rho_hi, br_lo) in enumerate(ranges):
+            if rho_hi <= rho_lo:
+                continue
+            r = rho_hi - rho_lo
+            asub = a[:, rho_lo:rho_hi]
+            bsub = b_refs[s][0][br_lo : br_lo + r, :]
+            if mixed:
+                asub = asub.astype(jnp.bfloat16)
+                bsub = bsub.astype(jnp.bfloat16)
+            # f32 operands need the 3-pass (HIGHEST) MXU schedule: the
+            # default single bf16 pass loses ~8 mantissa bits (measured
+            # rel_err 5.8e-3 vs the host engine on the suite operand)
+            part = jnp.dot(
+                asub,
+                bsub,
+                preferred_element_type=acc_dt,
+                precision=(
+                    jax.lax.Precision.DEFAULT if mixed else jax.lax.Precision.HIGHEST
+                ),
+            )
+            col0 = G * s
+            c = c.at[:, col0 : col0 + WB].add(part)
+        o_ref[0] = c.astype(o_ref.dtype)
+
+    in_specs = [
+        pl.BlockSpec((1, G, WA), _imap32(lambda g: (g, 0, 0)), memory_space=pltpu.VMEM)
+    ]
+    for s in range(nstream):
+        off = np.int32(pad_lo + d0 + s)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, G, WB),
+                _imap32(partial(lambda g, o: (g + o, 0, 0), o=off)),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        out_shape=jax.ShapeDtypeStruct((nblk, G, WC), Aband.dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, G, WC), _imap32(lambda g: (g, 0, 0)), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(Aband, *([Bp] * nstream))
+    return out

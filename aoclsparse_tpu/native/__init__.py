@@ -29,6 +29,7 @@ __all__ = [
     "rcm_permutation",
     "spgemm_nnz",
     "spgemm_expand",
+    "spgemm_pattern",
 ]
 
 _HERE = Path(__file__).resolve().parent
@@ -102,6 +103,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.spgemm_expand.argtypes = (
             [ctypes.c_int64] + [i64p] * 4 + [i32p] * 3 + [i64p, i32p, ctypes.c_uint8, i64p]
         )
+        lib.spgemm_pattern_count.restype = ctypes.c_int64
+        lib.spgemm_pattern_count.argtypes = [ctypes.c_int64] + [i64p] * 6
+        lib.spgemm_pattern_fill.restype = None
+        lib.spgemm_pattern_fill.argtypes = [ctypes.c_int64] + [i64p] * 6 + [i32p]
         for suf, vt in (
             ("s", ctypes.POINTER(ctypes.c_float)),
             ("d", ctypes.POINTER(ctypes.c_double)),
@@ -378,6 +383,44 @@ def spgemm_expand(mA: int, Aptr, Aind, Bptr, Bind, upper_only: bool = False):
     )
     kp = int(kept[0])
     return pa[:kp], pb[:kp], pc[:kp], Cptr, Cind[:nnzC]
+
+
+def spgemm_pattern(mA: int, Aptr, Aind, Bptr, Bind):
+    """Pattern-only symbolic stage: (Cptr, Cind, P) without the O(P)
+    product-expansion triples (the band numeric engine only needs C's
+    pattern). None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    Aptr64, Aind64 = _i64(Aptr), _i64(Aind)
+    Bptr64, Bind64 = _i64(Bptr), _i64(Bind)
+    if Bind64.size and int(Bind64.max()) >= np.iinfo(np.int32).max:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    Cptr = np.zeros(mA + 1, dtype=np.int64)
+    Pptr = np.zeros(mA + 1, dtype=np.int64)
+    nnzC = lib.spgemm_pattern_count(
+        ctypes.c_int64(mA),
+        Aptr64.ctypes.data_as(i64p),
+        Aind64.ctypes.data_as(i64p),
+        Bptr64.ctypes.data_as(i64p),
+        Bind64.ctypes.data_as(i64p),
+        Cptr.ctypes.data_as(i64p),
+        Pptr.ctypes.data_as(i64p),
+    )
+    Cind = np.empty(max(int(nnzC), 1), dtype=np.int32)
+    lib.spgemm_pattern_fill(
+        ctypes.c_int64(mA),
+        Aptr64.ctypes.data_as(i64p),
+        Aind64.ctypes.data_as(i64p),
+        Bptr64.ctypes.data_as(i64p),
+        Bind64.ctypes.data_as(i64p),
+        Cptr.ctypes.data_as(i64p),
+        Pptr.ctypes.data_as(i64p),
+        Cind.ctypes.data_as(i32p),
+    )
+    return Cptr, Cind[: int(nnzC)], int(Pptr[mA])
 
 
 def spgemm_nnz(mA: int, nB: int, Aptr, Aind, Bptr, Bind) -> Tuple[np.ndarray, int]:

@@ -345,6 +345,113 @@ int64_t spgemm_expand(int64_t mA,
     return c_out;
 }
 
+static void pattern_rows(int64_t i0,
+                         int64_t i1,
+                         const int64_t *Aptr,
+                         const int64_t *Aind,
+                         const int64_t *Bptr,
+                         const int64_t *Bind,
+                         const int64_t *Cptr,
+                         int32_t *Cind)
+{
+    std::vector<int64_t> marker;
+    marker.assign((size_t)1, -1);
+    for (int64_t i = i0; i < i1; ++i) {
+        int64_t w = Cptr[i];
+        for (int64_t k = Aptr[i]; k < Aptr[i + 1]; ++k) {
+            const int64_t kk = Aind[k];
+            for (int64_t t = Bptr[kk]; t < Bptr[kk + 1]; ++t) {
+                const int64_t j = Bind[t];
+                if (j >= (int64_t)marker.size())
+                    marker.resize(std::max((size_t)j + 1, marker.size() * 2), -1);
+                if (marker[(size_t)j] != i) {
+                    marker[(size_t)j] = i;
+                    Cind[w++] = (int32_t)j;
+                }
+            }
+        }
+        std::sort(Cind + Cptr[i], Cind + w);
+    }
+}
+
+extern "C" {
+
+// Pattern-only symbolic stage: C's (Cptr, Cind) WITHOUT materializing the
+// O(P) product-expansion triples. The band numeric engine only needs C's
+// pattern for its extraction map — at FEM-scale products (cant A@A: 285M)
+// the expansion triples are ~7 GB of host memory plus a device upload the
+// band engine never reads (measured 72 s end-to-end, round-4 real-matrix
+// sweep). Same marker scan as the reference's symbolic Gustavson
+// (level3/aoclsparse_csr2m.cpp:89-200), pattern emission only. Two calls:
+// count (fills the Cptr/Pptr prefixes, returns nnzC so the caller can
+// allocate Cind) then fill (threads balanced by product count via Pptr).
+int64_t spgemm_pattern_count(int64_t mA,
+                             const int64_t *Aptr,
+                             const int64_t *Aind,
+                             const int64_t *Bptr,
+                             const int64_t *Bind,
+                             int64_t *Cptr,
+                             int64_t *Pptr)
+{
+    int64_t *Crow = Cptr + 1;
+    const int nt_req = expand_threads();
+    const int64_t rows_per_min = 2048;
+    int nt = (int)std::min<int64_t>(nt_req, std::max<int64_t>(mA / rows_per_min, 1));
+    if (nt <= 1) {
+        count_rows(0, mA, Aptr, Aind, Bptr, Bind, Crow, Pptr + 1, 0);
+    } else {
+        std::vector<std::thread> ths;
+        for (int tix = 0; tix < nt; ++tix) {
+            const int64_t i0 = mA * tix / nt, i1 = mA * (tix + 1) / nt;
+            ths.emplace_back(count_rows, i0, i1, Aptr, Aind, Bptr, Bind,
+                             Crow, Pptr + 1, (uint8_t)0);
+        }
+        for (auto &t : ths) t.join();
+    }
+    Cptr[0] = 0;
+    Pptr[0] = 0;
+    for (int64_t i = 0; i < mA; ++i) {
+        Cptr[i + 1] += Cptr[i];
+        Pptr[i + 1] += Pptr[i];
+    }
+    return Cptr[mA];
+}
+
+void spgemm_pattern_fill(int64_t mA,
+                         const int64_t *Aptr,
+                         const int64_t *Aind,
+                         const int64_t *Bptr,
+                         const int64_t *Bind,
+                         const int64_t *Cptr,
+                         const int64_t *Pptr,
+                         int32_t *Cind)
+{
+    const int64_t p_out = Pptr[mA];
+    const int nt_req = expand_threads();
+    const int64_t rows_per_min = 2048;
+    int nt = (int)std::min<int64_t>(nt_req, std::max<int64_t>(mA / rows_per_min, 1));
+    if (nt <= 1) {
+        pattern_rows(0, mA, Aptr, Aind, Bptr, Bind, Cptr, Cind);
+        return;
+    }
+    std::vector<std::thread> ths;
+    int64_t i0 = 0;
+    for (int tix = 0; tix < nt; ++tix) {
+        const int64_t target = p_out * (tix + 1) / nt;
+        int64_t i1 = (tix == nt - 1)
+            ? mA
+            : (std::lower_bound(Pptr + i0, Pptr + mA + 1, target) - Pptr);
+        if (i1 < i0) i1 = i0;
+        if (i1 > mA) i1 = mA;
+        ths.emplace_back(pattern_rows, i0, i1, Aptr, Aind, Bptr, Bind,
+                         Cptr, Cind);
+        i0 = i1;
+    }
+    for (auto &t : ths) t.join();
+}
+
+} // extern "C"
+
 // ---------------------------------------------------------------------------
 // Reverse Cuthill-McKee ordering on the symmetrized pattern of A.
 // Bandwidth reduction is the planner's lever for making general matrices

@@ -75,13 +75,14 @@ class SpgemmPlan:
     shape: Tuple[int, int]
     ptr: np.ndarray  # (m+1,) C row pointers
     ind: np.ndarray  # (nnzC,) C column indices
-    pa: jax.Array  # (P,) into A values
-    pb: jax.Array  # (P,) into B values
-    pc: jax.Array  # (P,) into C values (sorted)
+    pa: Optional[jax.Array]  # (P,) into A values (None: pattern-only plan)
+    pb: Optional[jax.Array]  # (P,) into B values
+    pc: Optional[jax.Array]  # (P,) into C values (sorted)
     nnz: int
     conj_a: bool = False
     conj_b: bool = False
     band: object = None  # BandGemmPlan when both operands band-compress
+    P: Optional[int] = None  # product count (populated even without pa/pb/pc)
 
 
 def _effective(h: SparseMatrix, descr: MatrixDescriptor, op: Operation):
@@ -131,6 +132,7 @@ def _symbolic(
             nnz=int(Cind.size),
             conj_a=conj_a,
             conj_b=conj_b,
+            P=int(pa.size),
         )
     rows, pa, pb = _expand(effA.ptr, effA.ind, effB.ptr, effB.ind, mA)
     cols = effB.ind.astype(np.int64)[pb] if pb.size else pb
@@ -162,6 +164,7 @@ def _symbolic(
         nnz=nnzC,
         conj_a=conj_a,
         conj_b=conj_b,
+        P=int(pa.size),
     )
 
 
@@ -236,6 +239,102 @@ def _attach_band_plan(plan: "SpgemmPlan", effA, effB, seedA=None, seedB=None) ->
         plan.band = band
 
 
+def _band_estimate(effA, effB, G: int = 512):
+    """Cheap band-vs-expansion cost estimate WITHOUT building anything:
+    the same measured-rate model as build_band_gemm_plan (13 ns/product
+    index ops, 250 GB/s dense streams, 20 TFLOP/s matmul), computed from
+    the raw window statistics. Returns (est_band_s, est_exp_s) or None
+    when the operands don't band-compress."""
+    from ...planner.plan import BWD_MAX_W
+
+    mA, nA = effA.shape
+    mB, nB = effB.shape
+    if mA == 0 or effA.nnz == 0 or effB.nnz == 0:
+        return None
+    if -(-mA // G) != -(-mB // G):
+        return None
+
+    def win(eff):
+        rows = np.repeat(np.arange(eff.m, dtype=np.int64), np.diff(eff.ptr.astype(np.int64)))
+        rel = eff.ind.astype(np.int64) - G * (rows // G)
+        lo = (int(rel.min()) // 8) * 8
+        return -(-(int(rel.max()) - lo + 1) // 8) * 8, lo
+
+    WA, relA = win(effA)
+    WB, relB = win(effB)
+    if WA > 2 * BWD_MAX_W or WB > 2 * BWD_MAX_W:
+        return None
+    d0 = relA // G
+    sl0 = relA - G * d0
+    nstream = -(-(sl0 + WA) // G)
+    if nstream > 6:
+        return None
+    WC = G * (nstream - 1) + WB
+    nblk = -(-mA // G)
+    if nblk * G * WC * 4 > 8e9:
+        return None
+    P = float(np.diff(effB.ptr.astype(np.int64))[effA.ind.astype(np.int64)].sum())
+    est_exp = 3.0 * P * 13e-9
+    est_band = (
+        (mA * WA + (1.0 + nstream) * mB * WB + 2.0 * nblk * G * WC) * 4 / 250e9
+        + (nblk * G * WA * WB * 2.0) / 20e12
+    )
+    return est_band, est_exp
+
+
+def _symbolic_auto(effA, effB, seedA=None, seedB=None) -> "SpgemmPlan":
+    """Band-first symbolic stage: when the cost model predicts the band
+    numeric engine, build ONLY C's pattern (native spgemm_pattern) and skip
+    the O(P) product-expansion triples — at FEM-scale products (cant A@A:
+    285M) the triples cost ~7 GB of host memory plus a device upload the
+    band engine never reads (round-4 real-matrix sweep measured 72 s
+    end-to-end; pattern-only lands in seconds). Falls back to the full
+    expansion when the band plan doesn't attach."""
+    import os
+
+    from ...core.context import get_context
+
+    force = os.environ.get("AOCLSPARSE_TPU_FORCE_BANDGEMM", "0") in ("1", "true")
+    no_band = os.environ.get("AOCLSPARSE_TPU_NO_BANDGEMM", "0") in ("1", "true")
+    if (get_context().is_tpu or force) and not no_band:
+        est = _band_estimate(effA, effB)
+        if est is not None and (force or est[0] < 0.7 * est[1]):
+            from ... import native
+
+            pat = native.spgemm_pattern(
+                effA.shape[0], effA.ptr, effA.ind, effB.ptr, effB.ind
+            )
+            if pat is not None:
+                Cptr, Cind, P = pat
+                plan = SpgemmPlan(
+                    shape=(effA.shape[0], effB.shape[1]),
+                    ptr=Cptr.astype(np.int32),
+                    ind=Cind,
+                    pa=None,
+                    pb=None,
+                    pc=None,
+                    nnz=int(Cind.size),
+                    P=P,
+                )
+                _attach_band_plan(plan, effA, effB, seedA=seedA, seedB=seedB)
+                if plan.band is not None:
+                    return plan
+    plan = _symbolic(effA, effB)
+    _attach_band_plan(plan, effA, effB, seedA=seedA, seedB=seedB)
+    return plan
+
+
+def _ensure_expansion(plan: "SpgemmPlan", effA, effB) -> None:
+    """Backfill the product-expansion triples on a pattern-only plan (the
+    band engine was dropped or an expansion engine was explicitly
+    requested)."""
+    if plan.pa is not None:
+        return
+    full = _symbolic(effA, effB, conj_a=plan.conj_a, conj_b=plan.conj_b)
+    plan.pa, plan.pb, plan.pc = full.pa, full.pb, full.pc
+    plan.P = full.P
+
+
 def _seed_cband(out: SparseMatrix, plan: "SpgemmPlan", dtype) -> None:
     """Band-form C output: when the numeric stage ran on the band engine,
     hand its device-resident (nblk, G, WC) C band to the result handle as a
@@ -305,13 +404,25 @@ def _numeric_auto(plan: "SpgemmPlan", effA, effB, conj_a: bool, conj_b: bool, la
         if lazy:
             return ("lazy", lambda: cband.reshape(-1)[jnp.asarray(band.extract_idx)])
         return cband.reshape(-1)[jnp.asarray(band.extract_idx)]
+    _ensure_expansion(plan, effA, effB)  # pattern-only plan, band dropped
     # HOST engine: the reference's threaded numeric Gustavson
     # (csr2m.cpp:405-545) on the expansion plan — race-free output-range
     # threading over the sorted pc. Wins on general (band-incompressible)
     # products where the device segment-sum pays ~13ns/product in gathers
     # (measured ~3.5x; autotune_spgemm pins it per plan, or force with
     # AOCLSPARSE_TPU_SPGEMM_HOST=1 — the env override beats an attached
-    # band plan, checked above).
+    # band plan, checked above). Without a band plan, the host engine is
+    # the DEFAULT for large products when the native library is present:
+    # the device expansion pays ~13 ns/product in gathers.
+    if (
+        not use_host
+        and plan.P
+        and plan.P > (1 << 17)
+        and os.environ.get("AOCLSPARSE_TPU_SPGEMM_DEVICE", "0") not in ("1", "true")
+    ):
+        from ... import native as _nat_probe
+
+        use_host = _nat_probe.available()
     if use_host and plan.nnz:
         from ... import native
 
@@ -384,9 +495,7 @@ def sp2m(
         return C
     effA = _effective(A, descrA, Operation(opA))
     effB = _effective(B, descrB, Operation(opB))
-    plan = _symbolic(effA, effB)
-    _attach_band_plan(
-        plan,
+    plan = _symbolic_auto(
         effA,
         effB,
         seedA=_operand_seed(A, descrA, opA),

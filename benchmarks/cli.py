@@ -161,7 +161,8 @@ def main():
         C = ast.sp2m(Operation.none, GEN, A, Operation.none, GEN, A)
         np.asarray(np.ravel(np.asarray(C.data.val))[:1])
         t = time.perf_counter() - t0
-        P = int(np.asarray(C._spgemm_plan.pa).shape[0])
+        pl_ = C._spgemm_plan
+        P = int(pl_.P) if pl_.P else int(np.asarray(pl_.pa).shape[0])
         out["gflops"] = round(prof.spgemm_flops(P) / t / 1e9, 3)
         out["nnzC"] = C.nnz
         out["t_s"] = round(t, 3)

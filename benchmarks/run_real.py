@@ -259,7 +259,8 @@ def main():
                 float(mmloop(jnp.float32(1e-7), B))
                 t_mm = best_of(lambda: float(mmloop(jnp.float32(1e-7), B)), chunks=4) / 10
                 how = "closure"
-        except Exception:
+        except Exception as e_mm:
+            emit({**base, "op": "mm_k64_closure_err", "error": repr(e_mm)[:200]})
             t_mm = None
         if t_mm is None:
             try:
@@ -305,7 +306,9 @@ def main():
             C = ast.sp2m(Operation.none, GEN, A, Operation.none, GEN, A)
             np.asarray(np.ravel(np.asarray(C.data.val))[:1])
             t_g = time.perf_counter() - t0
-            P = int(np.asarray(C._spgemm_plan.pa).shape[0]) if hasattr(C, "_spgemm_plan") else None
+            pl_ = getattr(C, "_spgemm_plan", None)
+            P = None if pl_ is None else (
+                int(pl_.P) if pl_.P else int(np.asarray(pl_.pa).shape[0]))
             emit({**base, "op": "sp2m", "t_s": round(t_g, 3), "nnzC": int(C.nnz),
                   "products": P,
                   "gflops": None if P is None else round(2.0 * P / t_g / 1e9, 3)})
