@@ -94,7 +94,11 @@ def pallas_band_gemm(
                 ),
             )
             col0 = G * s
-            c = c.at[:, col0 : col0 + WB].add(part)
+            # place via zero-padding + add: Mosaic has no scatter-add
+            # lowering for value updates, but lane-dim pad/concat is fine
+            if col0 or WC - col0 - WB:
+                part = jnp.pad(part, ((0, 0), (col0, WC - col0 - WB)))
+            c = c + part
         o_ref[0] = c.astype(o_ref.dtype)
 
     in_specs = [

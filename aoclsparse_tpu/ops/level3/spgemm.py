@@ -221,7 +221,10 @@ def _attach_band_plan(plan: "SpgemmPlan", effA, effB, seedA=None, seedB=None) ->
         seedA = None  # band holds unconjugated values
     if plan.conj_b:
         seedB = None
-    G = 512 if get_context().is_tpu else 32
+    # G=128 measured best for the Pallas gemm kernel (PROBE_r4 r4b_spgemm:
+    # 3.3 ms kernel vs 10.5 ms host on 16.7M products; G=512's C tile
+    # oversubscribes VMEM and fails the Mosaic compile)
+    G = 128 if get_context().is_tpu else 32
     band = build_band_gemm_plan(
         effA, effB, plan.ptr, plan.ind, G=G, force=force,
         formA_pre=seedA, formB_pre=seedB,
@@ -297,7 +300,7 @@ def _symbolic_auto(effA, effB, seedA=None, seedB=None) -> "SpgemmPlan":
     force = os.environ.get("AOCLSPARSE_TPU_FORCE_BANDGEMM", "0") in ("1", "true")
     no_band = os.environ.get("AOCLSPARSE_TPU_NO_BANDGEMM", "0") in ("1", "true")
     if (get_context().is_tpu or force) and not no_band:
-        est = _band_estimate(effA, effB)
+        est = _band_estimate(effA, effB, G=128 if get_context().is_tpu else 32)
         if est is not None and (force or est[0] < 0.7 * est[1]):
             from ... import native
 
