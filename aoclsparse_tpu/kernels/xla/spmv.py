@@ -565,7 +565,11 @@ def spmv_bwdg(band, x, G: int, W: int, rel: int, m: int, mixed: bool = False):
 
 #: unroll threshold: static slices fuse into one kernel (fast); beyond this,
 #: compile time would grow linearly so we fall back to the on-device scan
-DIA_UNROLL = 32
+# unrolled static-slice cap: one fused XLA kernel, no scan/dynamic-slice
+# overhead. 6x6-block shell meshes (pwtk class) carry ~150 distinct element
+# diagonals, which the round-4 real-matrix sweep showed must ride this path
+# (the gen fallback built a 2.4 GB band there)
+DIA_UNROLL = 192
 
 
 def spmv_diag(dvals, offs, x, m: int, L: int, n_pad: int, offs_static=None):

@@ -807,7 +807,15 @@ def choose_mv_format(eff: EffectiveCSR, hint_nop: int = 1) -> str:
         W = win[0] if win is not None else None
         offs, _d = _diag_stats(eff)
         ndiag = int(offs.size)
-        diag_ok = 0 < ndiag <= DIA_MAX and ndiag * m <= BWD_CAP * max(eff.nnz, 1)
+        # beyond DIA_MAX the per-diagonal overhead matters, so demand a
+        # tighter padding bound (<=8x nnz): dof-block stencil meshes (pwtk
+        # class, ~150 element diagonals) stay on the gather-free diag form
+        # instead of exploding the gen band (round-4 real-matrix sweep:
+        # 2.4 GB band at W=2760 vs a 125 MB diag operand)
+        diag_ok = 0 < ndiag and (
+            (ndiag <= DIA_MAX and ndiag * m <= BWD_CAP * max(eff.nnz, 1))
+            or (ndiag <= DIA_MAX_WIDE and ndiag * m <= 8 * max(eff.nnz, 1))
+        )
         bwd_ok = W is not None and W <= BWD_MAX_W and m * W <= BWD_CAP * max(eff.nnz, 1)
         if diag_ok and (not bwd_ok or 2 * ndiag < W):
             return "diag"
@@ -1439,6 +1447,9 @@ def _diag_stats(eff: EffectiveCSR):
 
 #: max distinct diagonals for the scan-over-diagonals form
 DIA_MAX = 96
+#: extended cap for densely-used diagonal sets (padding <= 8x nnz): the
+#: unrolled static-slice kernel serves these in one fused program
+DIA_MAX_WIDE = 192
 
 
 def _build_diag(eff: EffectiveCSR) -> ExecForm:

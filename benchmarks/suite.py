@@ -391,8 +391,9 @@ def main():
     # ---- SpMM k=128 via the Pallas band forms: KID 4 (bandtm VPU chain)
     # vs KID 5 (bandmxu MXU window blocks), amortized over a 10-deep chain
     # (B_next = C * eps + B keeps a real dependency) ----
-    for kid_mm, label in ((4, "bandtm"), (5, "bandmxu")):
+    for kid_mm, label in ((4, "bandtm"), (5, "bandmxu"), (5, "bandmxu_bf16")):
         try:
+            mixed_mm = label.endswith("bf16")
             C0 = ast.mm(1.0, A, MatrixDescriptor(), Operation.none, B, 0.0, kid=kid_mm)
             np.asarray(jnp.ravel(C0)[:1])
 
@@ -401,6 +402,13 @@ def main():
             # constant and the remote compile request ships the whole band
             # (HTTP 413 length limit at 256 MB)
             band_arg = form_mm.band_mxu_dt() if kid_mm == 5 else form_mm.bwd_val
+            B_arg = B
+            if mixed_mm:
+                # precision-policy variant: bf16 band blocks AND a bf16
+                # B-resident chain (B traffic is half the f32 row's) with
+                # f32 MXU accumulation — docs/precision.md semantics
+                band_arg = band_arg.astype(jnp.bfloat16)
+                B_arg = B.astype(jnp.bfloat16)
 
             @jax.jit
             def _mmloop(eps, band, B0, kid_mm=kid_mm):
@@ -425,19 +433,33 @@ def main():
                             form_mm.bandt_start,
                             TM=256,
                         )[: form_mm.m]
-                    return Bc + eps * Cc
+                    return (Bc + eps * Cc).astype(Bc.dtype)
 
-                return jax.lax.fori_loop(0, 10, body, B0)[0, 0]
+                return jax.lax.fori_loop(0, 10, body, B0)[0, 0].astype(jnp.float32)
 
             t10 = chain_min(
-                lambda: _mmloop(jnp.float32(1e-7), band_arg, B), iters_per=2, chunks=4
+                lambda: _mmloop(jnp.float32(1e-7), band_arg, B_arg), iters_per=2, chunks=4
             ) / 10
+            # binding-resource accounting: dt + 2x B-tile stream (structural
+            # window overlap) + C write — implied GB/s vs the same-window
+            # dense stream shows whether the kernel is HBM-bound
+            traffic_mb = (
+                band_arg.size * band_arg.dtype.itemsize
+                + 2 * m * k * B_arg.dtype.itemsize
+                + m * k * 4
+            ) / 1e6
             results.append(
                 {
                     "metric": f"spmm_k{k}_{label}",
                     "value": round(2 * nnz * k / t10 / 1e12, 3),
                     "unit": "TFLOP/s(amortized)",
-                    "extra": {"t_ms": round(t10 * 1e3, 3), "kid": kid_mm},
+                    "extra": {
+                        "t_ms": round(t10 * 1e3, 3),
+                        "kid": kid_mm,
+                        "traffic_model_mb": round(traffic_mb, 1),
+                        "implied_gbs": round(traffic_mb / 1e3 / t10, 1),
+                        "window_stream_gbps": window_gbps(),
+                    },
                 }
             )
         except Exception as e:
