@@ -162,6 +162,11 @@ def main():
             hs_a = form.hub_slab if has_hub else zm
             hr_a = form.hubr_slab if has_hubrow else zm
             sv_a = form.sp_val if has_spill else zv
+            # one-hot MXU permutes (the library's TPU default since r4)
+            try:
+                p_in_a, p_out_a = form.gen_perm_onehots()
+            except Exception:
+                p_in_a = p_out_a = None
 
             @jax.jit
             def _loop50(eps, vt4c, hsc, hrc, svc, x0):
@@ -179,6 +184,7 @@ def main():
                         m_pad=form.gen_m_pad, has_hub=has_hub,
                         has_hubrow=has_hubrow, has_spill=has_spill,
                         has_flip=has_flip,
+                        bperm_oh=p_in_a, bout_oh=p_out_a,
                     )
                     return (xc + eps * yv, acc + yv[0])
 
