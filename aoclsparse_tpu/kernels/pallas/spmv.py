@@ -228,11 +228,14 @@ def spmm_bandtm(
     interpret: bool = False,
     has_spill: bool = False,
 ):
-    """Full band-SpMM dispatch: pad B rows, run the Pallas kernel, add the
-    peel spill (row-gathered B rows, tiny) — one compiled program."""
+    """Full band-SpMM dispatch: pad B rows (and K to a lane multiple), run
+    the Pallas kernel, add the peel spill (row-gathered B rows, tiny) —
+    one compiled program."""
     m = v.shape[0]
-    Be = jnp.pad(B, ((padL, 0), (0, 0)))
-    C = pallas_spmm_band_t(v, Be, W, start, TM=TM, interpret=interpret)
+    K = B.shape[1]
+    K_pad = -(-K // 128) * 128
+    Be = jnp.pad(B, ((padL, 0), (0, K_pad - K)))
+    C = pallas_spmm_band_t(v, Be, W, start, TM=TM, interpret=interpret)[:, :K]
     if has_spill:
         contrib = sp_val[:, None] * B[sp_ind]
         C = C + jax.ops.segment_sum(

@@ -19,9 +19,23 @@ __all__ = ["spmm_segsum", "spmm_ell", "spmm_ellhyb", "spmm_gen"]
 
 @partial(jax.jit, static_argnames=("m",))
 def spmm_segsum(ind, val, row_ids, B, m: int):
-    """(nnz,k) gather + segment-sum over rows."""
-    prods = val[:, None] * B[ind]
-    return jax.ops.segment_sum(prods, row_ids, num_segments=m, indices_are_sorted=True)
+    """(nnz,k) gather + segment-sum over rows. The product tile is nnz*k
+    elements — at SuiteSparse scale (pwtk: 11.6M nnz, k=64 -> 3 GB f32)
+    one tile exhausts HBM, so wide RHS splits into column chunks whose
+    tiles stay under ~256M elements (sequential, peak-memory-bound)."""
+    k = B.shape[1]
+    nnz = max(int(ind.shape[0]), 1)
+    kc = max(int(256e6 // nnz) // 8 * 8, 8)
+    if k <= kc:
+        prods = val[:, None] * B[ind]
+        return jax.ops.segment_sum(prods, row_ids, num_segments=m, indices_are_sorted=True)
+    outs = []
+    for k0 in range(0, k, kc):
+        prods = val[:, None] * jax.lax.slice_in_dim(B, k0, min(k0 + kc, k), axis=1)[ind]
+        outs.append(
+            jax.ops.segment_sum(prods, row_ids, num_segments=m, indices_are_sorted=True)
+        )
+    return jnp.concatenate(outs, axis=1)
 
 
 @jax.jit

@@ -165,12 +165,16 @@ def mm(
                         jnp.dtype(jnp.float32),
                         jnp.dtype(jnp.bfloat16),
                     )
+                    # the MXU kernel pads K to a lane multiple internally
+                    # (spmm_bandmxu); K >= 32 keeps the pad waste under 4x,
+                    # and even padded it beats the bwdg scan (cant stand-in
+                    # at K=64 measured the scan/gather path at 663 ms)
                     kind = (
                         "bandtm"
                         if ctx.pallas_ok
                         and pallas_dtype
-                        and B.shape[1] % 128 == 0
-                        and B.shape[1] <= BANDTM_MAX_K
+                        and B.shape[1] >= 32
+                        and -(-B.shape[1] // 128) * 128 <= BANDTM_MAX_K
                         else "bwdg"
                     )
     form = plan.exec_form_for(descr, op, kind=kind, dtype=A.dtype)

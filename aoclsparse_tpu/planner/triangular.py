@@ -412,6 +412,30 @@ def build_trsv_form_native(
                 Status.invalid_value, f"missing diagonal entry in row {int(missing[0])}"
             )
     nb = int(min(nb, max(8, m)))
+    # memory guard (same rationale as trsv_form_for): a structurally wide
+    # triangle's m*WL left window exhausts HBM; surface the reference's
+    # memory status instead of poisoning the device
+    import os
+
+    cap = float(os.environ.get("AOCLSPARSE_TPU_TRSV_WIN_CAP", "1.2e9"))
+    if m and clean.ind.size:
+        side = getattr(clean, "_bw_max", None)
+        if side is None:
+            rows_b = np.repeat(
+                np.arange(m, dtype=np.int64), np.diff(clean.ptr.astype(np.int64))
+            )
+            side = int(np.abs(rows_b - clean.ind.astype(np.int64)).max(initial=0))
+            try:
+                clean._bw_max = side
+            except Exception:
+                pass  # frozen dataclass: recompute next time
+        if m * float(min(side, m)) * values.dtype.itemsize > cap:
+            raise AoclSparseError(
+                Status.memory_error,
+                f"blocked solve window would need ~{m * side * values.dtype.itemsize / 1e9:.1f}"
+                " GB (m*WL left-window); raise AOCLSPARSE_TPU_TRSV_WIN_CAP"
+                " or use the level-scheduled engine",
+            )
     got = native.trsv_win_build(m, lo, hi, clean.ind, values, nb, reversed_)
     if got is None:
         return None
@@ -482,6 +506,38 @@ def trsv_form_for(
         plan.levels = {}
     key = ("trsv", tri_descr.fill_mode, tri_descr.diag_type, Operation(op), nb)
     form = plan.levels.get(key)
+    if form is None:
+        # memory guard BEFORE building: the blocked window stores m*WL left-
+        # window values — a structurally wide triangle (pwtk stand-in:
+        # half-bandwidth 2729 -> Lw 2.4 GB) exhausts device HBM and poisons
+        # every subsequent op in the process (round-4 real-matrix sweep).
+        # Refuse with the reference's memory status; callers route to the
+        # host engine (KID 2) or the level-scheduled form instead.
+        import os
+
+        cap = float(os.environ.get("AOCLSPARSE_TPU_TRSV_WIN_CAP", "1.2e9"))
+        clean = plan.clean
+        m_ = clean.m
+        if m_ and clean.ind.size:
+            bw = getattr(plan, "_tri_bw", None)
+            if bw is None:
+                rows_b = np.repeat(
+                    np.arange(m_, dtype=np.int64), np.diff(clean.ptr.astype(np.int64))
+                )
+                d_ = rows_b - clean.ind.astype(np.int64)
+                lo_bw = int(d_.max(initial=0))
+                up_bw = int((-d_).max(initial=0))
+                bw = plan._tri_bw = (lo_bw, up_bw)
+            side = bw[0] if FillMode(tri_descr.fill_mode) == FillMode.lower else bw[1]
+            itemsize = np.asarray(plan.clean.val).dtype.itemsize
+            if m_ * float(min(side, m_)) * itemsize > cap:
+                raise AoclSparseError(
+                    Status.memory_error,
+                    f"blocked trsv window would need ~{m_ * side * itemsize / 1e9:.1f} GB"
+                    " (m*WL left-window); use the host engine (kid=2), the"
+                    " level-scheduled engine (kid=1), or raise"
+                    " AOCLSPARSE_TPU_TRSV_WIN_CAP",
+                )
     if form is None:
         # native C++ fast path first (win forms straight off the clean
         # split pointers, O(nnz) one-sweep build); numpy path otherwise
