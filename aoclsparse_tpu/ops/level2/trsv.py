@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -111,7 +112,30 @@ def _solve(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, rhs, kid):
 
         lform = trsv_level_form_for(plan, descr, op)
         return lform.solve(rhs)
-    form = trsv_form_for(plan, descr, op)
+    try:
+        form = trsv_form_for(plan, descr, op)
+    except AoclSparseError as e:
+        if e.status != Status.memory_error or kid is not None:
+            raise
+        # blocked window structurally oversized (scircuit-class rail
+        # columns reach the whole triangle): default calls fall back to
+        # the level-scheduled engine when the DAG is shallow (circuit
+        # class — exactly its niche), else to the host engine for eager
+        # callers; explicit kid=0 keeps the memory_error
+        from ...planner.triangular import trsv_host_form_for, trsv_level_form_for
+
+        lform = trsv_level_form_for(plan, descr, op)
+        # shallow enough that the per-level scan beats a sequential host
+        # sweep: cost ~ sum of run-padded gathers vs ~1.5 ns/nnz host
+        padded = sum((hi - lo) * R * (W + 1) for lo, hi, R, W in lform.runs)
+        if lform.nlev <= 4096 and padded <= 64 * max(A.nnz, 1):
+            return lform.solve(rhs)
+        if not isinstance(rhs, jax.core.Tracer):
+            hform = trsv_host_form_for(plan, descr, op)
+            rh = np.asarray(rhs)
+            x_h = hform.solve(rh) if rh.ndim == 1 else hform.solve_mat(rh)
+            return jnp.asarray(x_h)
+        return lform.solve(rhs)
     m_pad = form.nblk * form.nb
     rhs = jnp.asarray(rhs)
     squeeze = rhs.ndim == 1
