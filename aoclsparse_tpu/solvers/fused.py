@@ -71,9 +71,17 @@ def _make_apply(A: SparseMatrix, precond: Optional[str]):
     if precond is None:
         return None
     if precond == "ilu0":
-        from .ilu import ilu0_factorize
+        from .ilu import _ilu_level_forms, ilu0_factorize
 
         st = ilu0_factorize(A)
+        if st.l_form is None:
+            # blocked windows refused (oversized): level-scheduled sweeps
+            l_lvl, u_lvl = _ilu_level_forms(st)
+
+            def apply(r):
+                return u_lvl.solve(l_lvl.solve(r))
+
+            return apply
 
         def apply(r):
             return _pad_solve(st.u_form, _pad_solve(st.l_form, r))
@@ -408,6 +416,8 @@ def pcg_solve(
         ctx = get_context()
         if (
             (ctx.is_tpu or ctx.pallas_ok)
+            and st.l_form is not None
+            and st.u_form is not None
             and _pallas_winsolve_ok(st.l_form, A.dtype)
             and _pallas_winsolve_ok(st.u_form, A.dtype)
             and not st.l_form.reversed_

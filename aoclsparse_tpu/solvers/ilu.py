@@ -127,8 +127,18 @@ def ilu0_factorize(A: SparseMatrix) -> IluState:
     _build("l", l_descr)
     th.join()
     for slot in ("l", "u"):
-        if isinstance(_res[slot], Exception):
-            raise _res[slot]
+        err = _res[slot]
+        if isinstance(err, AoclSparseError) and err.status == Status.memory_error:
+            # structurally oversized blocked window (scircuit-class rail
+            # reach): serve the apply from the level-scheduled sweeps
+            # instead — circuit factor DAGs are shallow, exactly their
+            # class (same routing as the default trsv fallback)
+            st.l_form = st.u_form = None
+            A.ilu_state = st
+            _ilu_level_forms(st)
+            return st
+        if isinstance(err, Exception):
+            raise err
     st.l_form = _res["l"]
     st.u_form = _res["u"]
     if st.l_form is None or st.u_form is None:
@@ -230,7 +240,9 @@ def ilu_smoother(
     b = jnp.asarray(b).astype(A.dtype)
     if b.shape[0] != A.shape[0]:
         raise AoclSparseError(Status.invalid_size, "b size mismatch")
-    if kid == 1:
+    if kid == 1 or st.l_form is None:
+        # explicit level request, or the blocked windows were refused as
+        # structurally oversized (factorize fell back to level sweeps)
         l_lvl, u_lvl = _ilu_level_forms(st)
         return u_lvl.solve(l_lvl.solve(b))
     yz = _apply_form(st.l_form, b)
