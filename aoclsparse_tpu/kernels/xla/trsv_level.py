@@ -54,23 +54,39 @@ class LevelForm:
     runs: Tuple = ()  # ((lo, hi, R_run, W_run), ...) contiguous level runs
     _eff = None  # EffectiveCSR kept by the planner for refresh
 
-    def refresh(self, eff_val: jax.Array) -> None:
-        """Regather values after update_values (value-path rule)."""
-        v = jnp.asarray(eff_val)
-        Ls = jnp.asarray(self._L_srcpos)
-        self.Lval = jnp.where(
-            Ls >= 0, v[jnp.clip(Ls, 0)], jnp.zeros((), v.dtype)
-        )
+    def _vals_for(self, v, Ls_np, Ds_np):
+        Ls = jnp.asarray(Ls_np)
+        lv = jnp.where(Ls >= 0, v[jnp.clip(Ls, 0)], jnp.zeros((), v.dtype))
         if self.unit_diag:
-            self.Dinv = jnp.ones(self._D_srcpos.shape, v.dtype)
+            di = jnp.ones(Ds_np.shape, v.dtype)
         else:
-            Ds = jnp.asarray(self._D_srcpos)
-            d = jnp.where(Ds >= 0, v[jnp.clip(Ds, 0)], jnp.ones((), v.dtype))
-            self.Dinv = 1.0 / d
-        self._run_vals = tuple(
-            (self.Lval[lo:hi, :R, :W], self.Dinv[lo:hi, :R])
-            for (lo, hi, R, W) in self.runs
-        )
+            Ds = jnp.asarray(Ds_np)
+            di = 1.0 / jnp.where(Ds >= 0, v[jnp.clip(Ds, 0)], jnp.ones((), v.dtype))
+        return lv, di
+
+    def refresh(self, eff_val: jax.Array) -> None:
+        """Regather values after update_values (value-path rule). With runs
+        (the default), ONLY run-sized value arrays go to the device — the
+        globally padded (nlev, R_max, W_max) layout on skewed DAGs is
+        multi-GB of mostly padding (circuit-profile OOM, round 4); the full
+        arrays materialize on demand via full_vals() (dist twin)."""
+        v = jnp.asarray(eff_val)
+        self._val_src = v
+        if self.runs:
+            self._run_vals = tuple(
+                self._vals_for(v, self._L_srcpos[lo:hi, :R, :W], self._D_srcpos[lo:hi, :R])
+                for (lo, hi, R, W) in self.runs
+            )
+            self.Lval = self.Dinv = None
+            return
+        self.Lval, self.Dinv = self._vals_for(v, self._L_srcpos, self._D_srcpos)
+
+    def full_vals(self):
+        """(Lval, Dinv) in the globally padded layout — materialized on
+        demand for consumers that shard whole levels (dist_trsv_levels)."""
+        if self.Lval is not None:
+            return self.Lval, self.Dinv
+        return self._vals_for(self._val_src, self._L_srcpos, self._D_srcpos)
 
     def solve(self, b) -> jax.Array:
         """x = T^{-1} b, b (m,) or (m, k)."""
@@ -259,10 +275,13 @@ def build_level_form(
         W_max=W_max,
         reversed_=reversed_,
         unit_diag=unit_diag,
-        rows=jnp.asarray(rows_pad),
-        row_valid=jnp.asarray(row_valid),
-        cols=jnp.asarray(Lcols),
-        col_valid=jnp.asarray(col_valid),
+        # structure stays HOST-side numpy: only run-sized slices ship to
+        # the device (the padded global layout is multi-GB of padding on
+        # skewed DAGs); dist consumers convert on demand
+        rows=rows_pad,
+        row_valid=row_valid,
+        cols=Lcols,
+        col_valid=col_valid,
         Lval=None,
         Dinv=None,
         _L_srcpos=L_srcpos,
@@ -271,10 +290,10 @@ def build_level_form(
     )
     form._run_struct = tuple(
         (
-            form.rows[lo:hi, :R],
-            form.row_valid[lo:hi, :R],
-            form.cols[lo:hi, :R, :W],
-            form.col_valid[lo:hi, :R, :W],
+            jnp.asarray(rows_pad[lo:hi, :R]),
+            jnp.asarray(row_valid[lo:hi, :R]),
+            jnp.asarray(Lcols[lo:hi, :R, :W]),
+            jnp.asarray(col_valid[lo:hi, :R, :W]),
         )
         for (lo, hi, R, W) in runs
     )

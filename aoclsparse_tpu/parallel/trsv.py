@@ -228,12 +228,13 @@ def dist_trsv_levels(mesh: Mesh, form, b, axis: str = "x"):
         pw = [(0, 0), (0, Rp - a.shape[1])] + [(0, 0)] * (a.ndim - 2)
         return jnp.pad(a, pw, constant_values=fill)
 
-    rows = put(pad_r(form.rows, m), mesh, P(None, axis))
-    rvalid = put(pad_r(form.row_valid, False), mesh, P(None, axis))
-    cols = put(pad_r(form.cols, 0), mesh, P(None, axis, None))
-    cvalid = put(pad_r(form.col_valid, False), mesh, P(None, axis, None))
-    Lval = put(pad_r(form.Lval, 0), mesh, P(None, axis, None))
-    Dinv = put(pad_r(form.Dinv, 1), mesh, P(None, axis))
+    rows = put(pad_r(jnp.asarray(form.rows), m), mesh, P(None, axis))
+    rvalid = put(pad_r(jnp.asarray(form.row_valid), False), mesh, P(None, axis))
+    cols = put(pad_r(jnp.asarray(form.cols), 0), mesh, P(None, axis, None))
+    cvalid = put(pad_r(jnp.asarray(form.col_valid), False), mesh, P(None, axis, None))
+    Lval_full, Dinv_full = form.full_vals()  # runs-form keeps only slices
+    Lval = put(pad_r(Lval_full, 0), mesh, P(None, axis, None))
+    Dinv = put(pad_r(Dinv_full, 1), mesh, P(None, axis))
 
     b = jnp.asarray(b)
     squeeze = b.ndim == 1
