@@ -23,19 +23,30 @@ def spmm_segsum(ind, val, row_ids, B, m: int):
     elements — at SuiteSparse scale (pwtk: 11.6M nnz, k=64 -> 3 GB f32)
     one tile exhausts HBM, so wide RHS splits into column chunks whose
     tiles stay under ~256M elements (sequential, peak-memory-bound)."""
+    import os
+
     k = B.shape[1]
     nnz = max(int(ind.shape[0]), 1)
-    kc = max(int(256e6 // nnz) // 8 * 8, 8)
+    budget = float(os.environ.get("AOCLSPARSE_TPU_SPMM_CHUNK_ELEMS", "64e6"))
+    kc = max(int(budget // nnz) // 8 * 8, 8)
     if k <= kc:
         prods = val[:, None] * B[ind]
         return jax.ops.segment_sum(prods, row_ids, num_segments=m, indices_are_sorted=True)
-    outs = []
-    for k0 in range(0, k, kc):
-        prods = val[:, None] * jax.lax.slice_in_dim(B, k0, min(k0 + kc, k), axis=1)[ind]
-        outs.append(
-            jax.ops.segment_sum(prods, row_ids, num_segments=m, indices_are_sorted=True)
+    # column chunks under a lax.scan: unrolled chunks are independent, so
+    # XLA schedules them concurrently and the peak allocation is the FULL
+    # (nnz, k) tile again (pwtk at k=64 OOM'd); scan forces one live chunk
+    nch = -(-k // kc)
+    Bp = jnp.pad(B, ((0, 0), (0, nch * kc - k)))
+    Bch = jnp.moveaxis(Bp.reshape(B.shape[0], nch, kc), 1, 0)  # (nch, n, kc)
+
+    def step(_, Bc):
+        prods = val[:, None] * Bc[ind]
+        return None, jax.ops.segment_sum(
+            prods, row_ids, num_segments=m, indices_are_sorted=True
         )
-    return jnp.concatenate(outs, axis=1)
+
+    _, outs = jax.lax.scan(step, None, Bch)  # (nch, m, kc)
+    return jnp.moveaxis(outs, 0, 1).reshape(m, nch * kc)[:, :k]
 
 
 @jax.jit
