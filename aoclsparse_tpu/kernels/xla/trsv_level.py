@@ -43,14 +43,14 @@ class LevelForm:
     W_max: int  # max strict-lower entries per row
     reversed_: bool
     unit_diag: bool
-    rows: jax.Array  # (L, R) int32 row ids, m (scratch) for padding
-    row_valid: jax.Array  # (L, R) bool
-    cols: jax.Array  # (L, R, W) int32 col ids, 0-clamped; -1 -> masked
-    col_valid: jax.Array  # (L, R, W) bool
-    Lval: Optional[jax.Array]  # (L, R, W)
+    rows: Optional[object]  # (L, R) int32 global layout (on demand only)
+    row_valid: Optional[object]
+    cols: Optional[object]  # (L, R, W) int32
+    col_valid: Optional[object]
+    Lval: Optional[jax.Array]  # (L, R, W) global values (on demand only)
     Dinv: Optional[jax.Array]  # (L, R)
-    _L_srcpos: np.ndarray  # (L, R, W) int64 into eff.val (-1 pad)
-    _D_srcpos: np.ndarray  # (L, R) int64 into eff.val (-1 pad)
+    _L_srcpos: Optional[np.ndarray]  # global srcpos (on demand only)
+    _D_srcpos: Optional[np.ndarray]
     runs: Tuple = ()  # ((lo, hi, R_run, W_run), ...) contiguous level runs
     _eff = None  # EffectiveCSR kept by the planner for refresh
 
@@ -65,27 +65,48 @@ class LevelForm:
         return lv, di
 
     def refresh(self, eff_val: jax.Array) -> None:
-        """Regather values after update_values (value-path rule). With runs
-        (the default), ONLY run-sized value arrays go to the device — the
-        globally padded (nlev, R_max, W_max) layout on skewed DAGs is
-        multi-GB of mostly padding (circuit-profile OOM, round 4); the full
-        arrays materialize on demand via full_vals() (dist twin)."""
+        """Regather values after update_values (value-path rule). Only
+        run-sized value arrays go to the device — the globally padded
+        (nlev, R_max, W_max) layout on skewed/deep DAGs is GBs of padding
+        (circuit-profile device OOM; scircuit triangle: a 238 GB host
+        allocation request). The global layout materializes on demand
+        (global_arrays()/full_vals(), used by the dist wavefront twin)."""
         v = jnp.asarray(eff_val)
         self._val_src = v
-        if self.runs:
-            self._run_vals = tuple(
-                self._vals_for(v, self._L_srcpos[lo:hi, :R, :W], self._D_srcpos[lo:hi, :R])
-                for (lo, hi, R, W) in self.runs
-            )
-            self.Lval = self.Dinv = None
-            return
-        self.Lval, self.Dinv = self._vals_for(v, self._L_srcpos, self._D_srcpos)
+        self._run_vals = tuple(
+            self._vals_for(v, Ls, Ds)
+            for Ls, Ds in zip(self._run_srcL, self._run_srcD)
+        )
+        self.Lval = self.Dinv = None
+
+    def global_arrays(self):
+        """Materialize the globally padded structure + srcpos layout from
+        the run slices (dist consumers shard whole levels). Allocates
+        O(nlev * R_max * W_max) — callers own that risk."""
+        if self.rows is None:
+            rows = np.full((self.nlev, self.R_max), self.m, dtype=np.int32)
+            rv = np.zeros((self.nlev, self.R_max), dtype=bool)
+            cols = np.zeros((self.nlev, self.R_max, self.W_max), dtype=np.int32)
+            cv = np.zeros((self.nlev, self.R_max, self.W_max), dtype=bool)
+            Ls = np.full((self.nlev, self.R_max, self.W_max), -1, dtype=np.int64)
+            Ds = np.full((self.nlev, self.R_max), -1, dtype=np.int64)
+            for (lo, hi, R, W), (r_, v_, c_, cv_), Ls_r, Ds_r in zip(
+                self.runs, self._run_struct, self._run_srcL, self._run_srcD
+            ):
+                rows[lo:hi, :R] = np.asarray(r_)
+                rv[lo:hi, :R] = np.asarray(v_)
+                cols[lo:hi, :R, :W] = np.asarray(c_)
+                cv[lo:hi, :R, :W] = np.asarray(cv_)
+                Ls[lo:hi, :R, :W] = Ls_r
+                Ds[lo:hi, :R] = Ds_r
+            self.rows, self.row_valid, self.cols, self.col_valid = rows, rv, cols, cv
+            self._L_srcpos, self._D_srcpos = Ls, Ds
+        return self.rows, self.row_valid, self.cols, self.col_valid
 
     def full_vals(self):
         """(Lval, Dinv) in the globally padded layout — materialized on
         demand for consumers that shard whole levels (dist_trsv_levels)."""
-        if self.Lval is not None:
-            return self.Lval, self.Dinv
+        self.global_arrays()
         return self._vals_for(self._val_src, self._L_srcpos, self._D_srcpos)
 
     def solve(self, b) -> jax.Array:
@@ -95,15 +116,7 @@ class LevelForm:
         b2 = b[:, None] if squeeze else b
         if self.reversed_:
             b2 = b2[::-1]
-        if self.runs:
-            x = _solve_runs_jit(
-                self.runs, self._run_struct, self._run_vals, b2, self.m
-            )
-        else:
-            x = _solve_levels_jit(
-                self.rows, self.row_valid, self.cols, self.col_valid,
-                self.Lval, self.Dinv, b2, self.m,
-            )
+        x = _solve_runs_jit(self.runs, self._run_struct, self._run_vals, b2, self.m)
         if self.reversed_:
             x = x[::-1]
         return x[:, 0] if squeeze else x
@@ -222,51 +235,73 @@ def build_level_form(
     slot_of = np.empty(m, dtype=np.int64)
     slot_of[order] = np.arange(m, dtype=np.int64) - lvl_first[levels[order]]
 
-    rows_pad = np.full((nlev, R_max), m, dtype=np.int32)  # m = scratch row
-    row_valid = np.zeros((nlev, R_max), dtype=bool)
-    rows_pad[levels, slot_of] = np.arange(m, dtype=np.int32)
-    row_valid[levels, slot_of] = True
-
     lens = np.diff(ptr)
     rows_of = np.repeat(np.arange(m, dtype=np.int64), lens)
     cols = ind
     strict = cols < rows_of
+    pos_in_row = np.arange(cols.size, dtype=np.int64) - np.repeat(ptr[:-1], lens)
     W_max = 1
+    cl_full = None
     if strict.any():
-        cl = np.bincount(rows_of[strict], minlength=m)
-        W_max = max(1, int(cl.max()))
-    Lcols = np.zeros((nlev, R_max, W_max), dtype=np.int32)
-    col_valid = np.zeros((nlev, R_max, W_max), dtype=bool)
-    L_srcpos = np.full((nlev, R_max, W_max), -1, dtype=np.int64)
-    if strict.any():
-        e_rows = rows_of[strict]
-        # strict-lower entries are a sorted-prefix of each row
-        pos_in_row = np.arange(cols.size, dtype=np.int64) - np.repeat(ptr[:-1], lens)
-        p = pos_in_row[strict]
-        li = levels[e_rows]
-        si = slot_of[e_rows]
-        Lcols[li, si, p] = cols[strict].astype(np.int32)
-        col_valid[li, si, p] = True
-        L_srcpos[li, si, p] = src[strict]
-    D_srcpos = np.full((nlev, R_max), -1, dtype=np.int64)
+        cl_full = np.bincount(rows_of[strict], minlength=m)
+        W_max = max(1, int(cl_full.max()))
     dmask = cols == rows_of
-    if dmask.any():
-        e_rows = rows_of[dmask]
-        D_srcpos[levels[e_rows], slot_of[e_rows]] = src[dmask]
-    if not unit_diag and bool((row_valid & (D_srcpos < 0)).any()):
-        from ...core.types import AoclSparseError, Status
+    if not unit_diag:
+        has_d = np.zeros(m, dtype=bool)
+        has_d[rows_of[dmask]] = True
+        if not has_d.all():
+            from ...core.types import AoclSparseError, Status
 
-        missing = int(rows_pad[row_valid & (D_srcpos < 0)].min())
-        raise AoclSparseError(
-            Status.invalid_value, f"missing diagonal entry in row {missing}"
-        )
+            missing = int(np.nonzero(~has_d)[0][0])
+            raise AoclSparseError(
+                Status.invalid_value, f"missing diagonal entry in row {missing}"
+            )
 
     # per-level strict-entry width for the shape-bucketed runs
     wlev = np.zeros(nlev, dtype=np.int64)
-    if strict.any():
-        cl_full = np.bincount(rows_of[strict], minlength=m)
+    if cl_full is not None:
         np.maximum.at(wlev, levels, cl_full)
     runs = _level_runs(counts, wlev) if m else ()
+
+    # PER-RUN construction only: the globally padded (nlev, R_max, W_max)
+    # arrays are multi-GB of padding on skewed/deep DAGs (scircuit lower
+    # triangle: 21.6k levels x 11.4k x 121 = a 238 GB allocation request).
+    # Runs allocate ~sum(exact level sizes * slack); the global layout
+    # materializes only on demand (global_arrays(), dist twin).
+    e_lv = levels[rows_of] if m else rows_of
+    run_struct = []
+    run_srcL = []
+    run_srcD = []
+    for (lo, hi, R, W) in runs:
+        nl = hi - lo
+        sel = (levels >= lo) & (levels < hi)
+        rids = np.nonzero(sel)[0]
+        li = levels[rids] - lo
+        si = slot_of[rids]
+        rows_r = np.full((nl, R), m, dtype=np.int32)
+        rv_r = np.zeros((nl, R), dtype=bool)
+        rows_r[li, si] = rids.astype(np.int32)
+        rv_r[li, si] = True
+        cols_r = np.zeros((nl, R, W), dtype=np.int32)
+        cv_r = np.zeros((nl, R, W), dtype=bool)
+        Ls_r = np.full((nl, R, W), -1, dtype=np.int64)
+        emask = strict & (e_lv >= lo) & (e_lv < hi)
+        if emask.any():
+            er = rows_of[emask]
+            pe = pos_in_row[emask]
+            cols_r[levels[er] - lo, slot_of[er], pe] = cols[emask].astype(np.int32)
+            cv_r[levels[er] - lo, slot_of[er], pe] = True
+            Ls_r[levels[er] - lo, slot_of[er], pe] = src[emask]
+        Ds_r = np.full((nl, R), -1, dtype=np.int64)
+        dm = dmask & (e_lv >= lo) & (e_lv < hi)
+        if dm.any():
+            dr = rows_of[dm]
+            Ds_r[levels[dr] - lo, slot_of[dr]] = src[dm]
+        run_struct.append(
+            (jnp.asarray(rows_r), jnp.asarray(rv_r), jnp.asarray(cols_r), jnp.asarray(cv_r))
+        )
+        run_srcL.append(Ls_r)
+        run_srcD.append(Ds_r)
 
     form = LevelForm(
         m=m,
@@ -275,27 +310,18 @@ def build_level_form(
         W_max=W_max,
         reversed_=reversed_,
         unit_diag=unit_diag,
-        # structure stays HOST-side numpy: only run-sized slices ship to
-        # the device (the padded global layout is multi-GB of padding on
-        # skewed DAGs); dist consumers convert on demand
-        rows=rows_pad,
-        row_valid=row_valid,
-        cols=Lcols,
-        col_valid=col_valid,
+        rows=None,
+        row_valid=None,
+        cols=None,
+        col_valid=None,
         Lval=None,
         Dinv=None,
-        _L_srcpos=L_srcpos,
-        _D_srcpos=D_srcpos,
+        _L_srcpos=None,
+        _D_srcpos=None,
         runs=runs,
     )
-    form._run_struct = tuple(
-        (
-            jnp.asarray(rows_pad[lo:hi, :R]),
-            jnp.asarray(row_valid[lo:hi, :R]),
-            jnp.asarray(Lcols[lo:hi, :R, :W]),
-            jnp.asarray(col_valid[lo:hi, :R, :W]),
-        )
-        for (lo, hi, R, W) in runs
-    )
+    form._run_struct = tuple(run_struct)
+    form._run_srcL = tuple(run_srcL)
+    form._run_srcD = tuple(run_srcD)
     form.refresh(eff_val)
     return form

@@ -217,6 +217,7 @@ def dist_trsv_levels(mesh: Mesh, form, b, axis: str = "x"):
 
     Returns x (replicated)."""
     ndev = mesh.shape[axis]
+    form.global_arrays()  # runs-form keeps only slices; sharding pads whole levels
     L, R = form.rows.shape
     W = form.cols.shape[2]
     Rp = -(-R // ndev) * ndev
