@@ -184,7 +184,10 @@ def _solve_runs_jit(runs, run_struct, run_vals, b2, m: int):
 def _level_runs(counts, wlev, slack: float = 1.6, max_runs: int = 16):
     """Greedy contiguous grouping of levels into shape buckets: extend the
     current run while its padded cost stays within `slack` of the exact
-    per-level cost sum. Returns ((lo, hi, R_run, W_run), ...)."""
+    per-level cost sum; if the greedy pass still exceeds max_runs (deep
+    DAGs), adjacent runs merge by smallest combined padded cost until the
+    bound holds (each run is one unrolled scan in the solve program — an
+    unbounded count would blow the HLO). Returns ((lo, hi, R, W), ...)."""
     nlev = counts.shape[0]
     runs = []
     while True:
@@ -203,8 +206,24 @@ def _level_runs(counts, wlev, slack: float = 1.6, max_runs: int = 16):
                 Rr, Wr, exact = nR, nW, exact + c_l
         runs.append((lo, nlev, Rr, Wr))
         if len(runs) <= max_runs or slack > 64:
-            return tuple(runs)
+            break
         slack *= 1.8
+
+    def _cost(r):
+        lo_, hi_, R_, W_ = r
+        return (hi_ - lo_) * R_ * (W_ + 1)
+
+    while len(runs) > max_runs:
+        best_i, best_c = 0, None
+        for i in range(len(runs) - 1):
+            a, b = runs[i], runs[i + 1]
+            merged = (a[0], b[1], max(a[2], b[2]), max(a[3], b[3]))
+            dc = _cost(merged) - _cost(a) - _cost(b)
+            if best_c is None or dc < best_c:
+                best_i, best_c = i, dc
+        a, b = runs[best_i], runs[best_i + 1]
+        runs[best_i : best_i + 2] = [(a[0], b[1], max(a[2], b[2]), max(a[3], b[3]))]
+    return tuple(runs)
 
 
 def solve_levels(form: LevelForm, b):

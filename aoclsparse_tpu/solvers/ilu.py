@@ -242,8 +242,74 @@ def ilu_smoother(
         raise AoclSparseError(Status.invalid_size, "b size mismatch")
     if kid == 1 or st.l_form is None:
         # explicit level request, or the blocked windows were refused as
-        # structurally oversized (factorize fell back to level sweeps)
+        # structurally oversized (factorize fell back to level sweeps).
+        # Deep factor DAGs (scircuit-class: 20k+ levels) cost ~8 us/level
+        # per sweep on device — eager callers take the sequential host
+        # substitution instead (the reference's own apply, ilu0.hpp:115).
+        import jax as _jax
+
+        if kid is None and not isinstance(b, _jax.core.Tracer):
+            l_lvl, u_lvl = _ilu_level_forms(st)
+            if l_lvl.nlev + u_lvl.nlev > 8192:
+                return jnp.asarray(_host_lu_apply(st, np.asarray(b)))
+            return u_lvl.solve(l_lvl.solve(b))
         l_lvl, u_lvl = _ilu_level_forms(st)
         return u_lvl.solve(l_lvl.solve(b))
     yz = _apply_form(st.l_form, b)
     return _apply_form(st.u_form, yz)
+
+
+def _host_lu_apply(st: IluState, b: np.ndarray) -> np.ndarray:
+    """Sequential host substitution over the cached LU values — the
+    reference's own apply loop (ilu0.hpp:115-162), used for factor DAGs
+    too deep for the wavefront engine. Triangle CSRs built once per
+    factor state (value-refresh drops the state, so no staleness)."""
+    from .. import native
+
+    tri = getattr(st, "_host_tri", None)
+    if tri is None:
+        cl = st.lu_clean
+        ptr = np.asarray(cl.ptr, dtype=np.int64)
+        ind = np.asarray(cl.ind, dtype=np.int64)
+        lu = np.asarray(st.lu)
+        idiag = np.asarray(cl.idiag, dtype=np.int64)
+        iurow = np.asarray(cl.iurow, dtype=np.int64)
+        m = cl.m
+        # unit-lower triangle: strict lower + explicit 1.0 diagonal
+        lo_cnt = idiag - ptr[:-1]
+        lptr = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(lo_cnt + 1, out=lptr[1:])
+        lind = np.empty(int(lptr[-1]), dtype=np.int64)
+        lval = np.empty(int(lptr[-1]), dtype=lu.dtype)
+        take = _ranges_concat(ptr[:-1], idiag)
+        ins = lptr[1:] - 1  # diagonal slot at each row end
+        keep_mask = np.ones(lind.size, dtype=bool)
+        keep_mask[ins] = False
+        lind[keep_mask] = ind[take]
+        lval[keep_mask] = lu[take]
+        lind[ins] = np.arange(m)
+        lval[ins] = 1.0
+        # upper triangle incl. diagonal
+        up_cnt = ptr[1:] - idiag
+        uptr = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(up_cnt, out=uptr[1:])
+        take_u = _ranges_concat(idiag, ptr[1:])
+        uind = ind[take_u]
+        uval = lu[take_u]
+        tri = st._host_tri = (lptr, lind, lval, uptr, uind, uval, m)
+    lptr, lind, lval, uptr, uind, uval, m = tri
+    y = native.trsv_seq(m, lptr, lind, lval, b.astype(lval.dtype), True)
+    return native.trsv_seq(m, uptr, uind, uval, y, False)
+
+
+def _ranges_concat(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Concatenate [lo_i, hi_i) index ranges (vectorized)."""
+    cnt = (hi - lo).astype(np.int64)
+    total = int(cnt.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.zeros(lo.size, dtype=np.int64)
+    np.cumsum(cnt[:-1], out=starts[1:])
+    out = np.arange(total, dtype=np.int64)
+    out += np.repeat(lo - starts, cnt)
+    return out
