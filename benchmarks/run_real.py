@@ -197,10 +197,19 @@ def main():
             float(loop(jnp.float32(1e-7), vt4_a, hs_a, hr_a, sv_a, x))
             return lambda: float(loop(jnp.float32(1e-7), vt4_a, hs_a, hr_a, sv_a, x))
 
+        # oversized gen bands 413 the closure compile (constants ship in the
+        # remote request); go straight to the args-loop past ~150 MB
+        big_gen = (
+            form.kind == "gen"
+            and getattr(form, "bwd_val", None) is not None
+            and form.bwd_val.size * form.bwd_val.dtype.itemsize > 150e6
+        )
         for label, mixed in (("f32", False), ("bf16", True)):
             fn = None
             how = "closure"
             try:
+                if big_gen:
+                    raise RuntimeError("gen band too large for closure constants")
                 fn = mv_loop(mixed=mixed)
             except Exception:
                 try:
