@@ -1068,16 +1068,40 @@ def main():
             return xr
 
         t = chain_min(run_pg, iters_per=1, chunks=3)
+        # per-iteration slope between two fixed budgets (same artifact as
+        # the pcg row: the fused solve is one dispatch, so total/iters at
+        # small counts reports the tunnel floor)
+        slope_g = None
+        try:
+            ts_g = {}
+            for mx in (6, 12):
+                xs, it, _ = pgmres_solve(
+                    AG, bG, rtol=0.0, atol=0.0, maxit=mx, restart=20, precond="ilu0"
+                )
+                best = float("inf")
+                for _ in range(3):
+                    t0s = time.perf_counter()
+                    xs, it, _ = pgmres_solve(
+                        AG, bG, rtol=0.0, atol=0.0, maxit=mx, restart=20, precond="ilu0"
+                    )
+                    best = min(best, time.perf_counter() - t0s)
+                ts_g[mx] = (best, int(it))
+            (tl, il), (th, ih) = ts_g[6], ts_g[12]
+            if ih > il:
+                slope_g = (th - tl) * 1e3 / (ih - il)
+        except Exception:
+            slope_g = None
         results.append(
             {
                 "metric": "pgmres_ilu0_solve",
                 "value": round(t * 1e3 / max(itG, 1), 3),
-                "unit": "ms/iter",
+                "unit": "ms/iter(total/iters: includes the one-dispatch tunnel floor)",
                 "extra": {
                     "iters": itG,
                     "t_solve_ms": round(t * 1e3, 1),
                     "resid": float(rnG),
                     "m": mG,
+                    "ms_per_iter_slope": None if slope_g is None else round(slope_g, 3),
                 },
             }
         )
