@@ -135,6 +135,15 @@ def _solve(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, rhs, kid):
             rh = np.asarray(rhs)
             x_h = hform.solve(rh) if rh.ndim == 1 else hform.solve_mat(rh)
             return jnp.asarray(x_h)
+        if padded > 256 * max(A.nnz, 1):
+            # traced caller, no host escape, and even the level form's
+            # run-padded arrays would be GBs: refuse honestly
+            raise AoclSparseError(
+                Status.memory_error,
+                "triangle too wide for the blocked window and too padded"
+                " for the wavefront engine inside a traced program; call"
+                " trsv eagerly (host engine) or kid=1 explicitly",
+            )
         return lform.solve(rhs)
     m_pad = form.nblk * form.nb
     rhs = jnp.asarray(rhs)
