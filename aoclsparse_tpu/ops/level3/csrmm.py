@@ -197,6 +197,22 @@ def mm(
             form = None  # falls through to the gather rebuild below
     elif form.kind == "gen":
         form = None
+    if (
+        kind == "bandtm"
+        and (form is None or form.kind != "bandtm")
+        and kid is None
+    ):
+        # the row-aligned bandtm window can exceed its kernel cap
+        # (BANDTM_MAX_W) even when the group window qualified; the
+        # group-banded MXU scan still serves it — retry before giving the
+        # product to the gather fallback (cant stand-in at K=64 measured
+        # the gather path at ~530 ms vs the scan engine)
+        try:
+            form2 = plan.exec_form_for(descr, op, kind="bwdg", dtype=A.dtype)
+            if form2 is not None and form2.kind == "bwdg":
+                form = form2
+        except Exception:
+            pass
     if form is None or form.kind not in ("segsum", "ell", "ellhyb", "bwdg", "bandtm", "gen"):
         # the kind=None plan slot can hold an mv-selected/mv-autotuned form
         # (diag/bandt/bwd) that has no mm kernel row: rebuild with a
