@@ -362,9 +362,15 @@ def main():
             try:
                 t0 = time.perf_counter()
                 st = ast.ilu0_factorize(A)
-                st.l_form.D.block_until_ready()
+                if st.l_form is not None:
+                    st.l_form.D.block_until_ready()
+                    engine = "blocked"
+                else:  # oversized windows: factor state carries level sweeps
+                    jax.block_until_ready(st.lu)
+                    engine = "level"
                 t_f = time.perf_counter() - t0
-                emit({**base, "op": "ilu0_factor", "t_s": round(t_f, 2)})
+                emit({**base, "op": "ilu0_factor", "t_s": round(t_f, 2),
+                      "apply_engine": engine})
             except Exception as e:
                 emit({**base, "op": "ilu0_factor", "error": repr(e)[:160]})
         if name in ("cant", "pwtk"):
