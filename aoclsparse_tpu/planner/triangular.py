@@ -317,6 +317,23 @@ def build_trsv_form(
         t_l = (cols - blk0 + WL)[lmask]
         L_ind = jnp.zeros((1,), dtype=jnp.int32)  # unused in win mode
     else:
+        # padded-ELL left window: (nblk, nb, W) with W = MAX left count per
+        # row — one hub row blows this up (webbase stand-in: W=4699 at
+        # m=1M is a 37 GB pair of arrays). Guard with the TRUE allocation
+        # size; callers fall back (default trsv: level engine for shallow
+        # DAGs, host engine eagerly; kid=0 surfaces this error)
+        import os as _os
+
+        _cap = float(_os.environ.get("AOCLSPARSE_TPU_TRSV_WIN_CAP", "1.2e9"))
+        _bytes = float(nblk * nb * W) * (4 + np.dtype(eff.val.dtype).itemsize)
+        if _bytes > _cap:
+            raise AoclSparseError(
+                Status.memory_error,
+                f"padded-ELL left window would need ~{_bytes / 1e9:.1f} GB"
+                f" ((nblk,nb,W)=({nblk},{nb},{W})); use the level engine"
+                " (kid=1) or the host engine (kid=2), or raise"
+                " AOCLSPARSE_TPU_TRSV_WIN_CAP",
+            )
         Lw = W
         t_l = pos_in_row[lmask]
         L_ind_np = np.zeros((nblk, nb, W), dtype=np.int32)
@@ -412,30 +429,10 @@ def build_trsv_form_native(
                 Status.invalid_value, f"missing diagonal entry in row {int(missing[0])}"
             )
     nb = int(min(nb, max(8, m)))
-    # memory guard (same rationale as trsv_form_for): a structurally wide
-    # triangle's m*WL left window exhausts HBM; surface the reference's
-    # memory status instead of poisoning the device
-    import os
-
-    cap = float(os.environ.get("AOCLSPARSE_TPU_TRSV_WIN_CAP", "1.2e9"))
-    if m and clean.ind.size:
-        side = getattr(clean, "_bw_max", None)
-        if side is None:
-            rows_b = np.repeat(
-                np.arange(m, dtype=np.int64), np.diff(clean.ptr.astype(np.int64))
-            )
-            side = int(np.abs(rows_b - clean.ind.astype(np.int64)).max(initial=0))
-            try:
-                clean._bw_max = side
-            except Exception:
-                pass  # frozen dataclass: recompute next time
-        if m * float(min(side, m)) * values.dtype.itemsize > cap:
-            raise AoclSparseError(
-                Status.memory_error,
-                f"blocked solve window would need ~{m * side * values.dtype.itemsize / 1e9:.1f}"
-                " GB (m*WL left-window); raise AOCLSPARSE_TPU_TRSV_WIN_CAP"
-                " or use the level-scheduled engine",
-            )
+    # NOTE: no pre-build memory guard here — the native wrapper applies the
+    # numpy builder's use_win cap after its analyze pass (real WL, not a
+    # bandwidth overestimate) and returns None; the numpy path then builds
+    # the padded-ELL left-window variant with bounded memory.
     got = native.trsv_win_build(m, lo, hi, clean.ind, values, nb, reversed_)
     if got is None:
         return None
@@ -506,38 +503,6 @@ def trsv_form_for(
         plan.levels = {}
     key = ("trsv", tri_descr.fill_mode, tri_descr.diag_type, Operation(op), nb)
     form = plan.levels.get(key)
-    if form is None:
-        # memory guard BEFORE building: the blocked window stores m*WL left-
-        # window values — a structurally wide triangle (pwtk stand-in:
-        # half-bandwidth 2729 -> Lw 2.4 GB) exhausts device HBM and poisons
-        # every subsequent op in the process (round-4 real-matrix sweep).
-        # Refuse with the reference's memory status; callers route to the
-        # host engine (KID 2) or the level-scheduled form instead.
-        import os
-
-        cap = float(os.environ.get("AOCLSPARSE_TPU_TRSV_WIN_CAP", "1.2e9"))
-        clean = plan.clean
-        m_ = clean.m
-        if m_ and clean.ind.size:
-            bw = getattr(plan, "_tri_bw", None)
-            if bw is None:
-                rows_b = np.repeat(
-                    np.arange(m_, dtype=np.int64), np.diff(clean.ptr.astype(np.int64))
-                )
-                d_ = rows_b - clean.ind.astype(np.int64)
-                lo_bw = int(d_.max(initial=0))
-                up_bw = int((-d_).max(initial=0))
-                bw = plan._tri_bw = (lo_bw, up_bw)
-            side = bw[0] if FillMode(tri_descr.fill_mode) == FillMode.lower else bw[1]
-            itemsize = np.asarray(plan.clean.val).dtype.itemsize
-            if m_ * float(min(side, m_)) * itemsize > cap:
-                raise AoclSparseError(
-                    Status.memory_error,
-                    f"blocked trsv window would need ~{m_ * side * itemsize / 1e9:.1f} GB"
-                    " (m*WL left-window); use the host engine (kid=2), the"
-                    " level-scheduled engine (kid=1), or raise"
-                    " AOCLSPARSE_TPU_TRSV_WIN_CAP",
-                )
     if form is None:
         # native C++ fast path first (win forms straight off the clean
         # split pointers, O(nnz) one-sweep build); numpy path otherwise

@@ -142,8 +142,25 @@ def ilu0_factorize(A: SparseMatrix) -> IluState:
     st.l_form = _res["l"]
     st.u_form = _res["u"]
     if st.l_form is None or st.u_form is None:
-        eff_l = build_effective_csr(lu_clean, l_descr, Operation.none)
-        eff_u = build_effective_csr(lu_clean, u_descr, Operation.none)
+        try:
+            return _ilu_numpy_forms(A, st, lu_clean, lu, l_descr, u_descr, nb)
+        except AoclSparseError as e:
+            if e.status != Status.memory_error:
+                raise
+            # both blocked variants oversized (hub-row ELL width): level
+            # sweeps / host substitution serve the apply
+            st.l_form = st.u_form = None
+            A.ilu_state = st
+            _ilu_level_forms(st)
+            return st
+    A.ilu_state = st
+    return st
+
+
+def _ilu_numpy_forms(A, st, lu_clean, lu, l_descr, u_descr, nb):
+    eff_l = build_effective_csr(lu_clean, l_descr, Operation.none)
+    eff_u = build_effective_csr(lu_clean, u_descr, Operation.none)
+    if True:
 
         # host-side effective values over the native-factored lu: refresh()
         # fetches its argument to host, so passing the DEVICE eff.val here

@@ -90,7 +90,7 @@ def _wide_triangle(rng, m=1500):
 
 
 def test_trsv_window_cap_fallback(monkeypatch):
-    monkeypatch.setenv("AOCLSPARSE_TPU_TRSV_WIN_CAP", "1e6")
+    monkeypatch.setenv("AOCLSPARSE_TPU_TRSV_WIN_CAP", "1e4")
     rng = np.random.default_rng(5)
     ptr, ind, val, r, c = _wide_triangle(rng)
     m = ptr.size - 1
@@ -108,7 +108,7 @@ def test_trsv_window_cap_fallback(monkeypatch):
 
 
 def test_ilu0_window_cap_level_fallback(monkeypatch):
-    monkeypatch.setenv("AOCLSPARSE_TPU_TRSV_WIN_CAP", "1e6")
+    monkeypatch.setenv("AOCLSPARSE_TPU_TRSV_WIN_CAP", "1e4")
     rng = np.random.default_rng(6)
     ptr, ind, val, r, c = _wide_triangle(rng)
     m = ptr.size - 1
