@@ -51,12 +51,33 @@ def spmm_segsum(ind, val, row_ids, B, m: int):
 
 @jax.jit
 def spmm_ell(ind, val, B):
-    """Padded-row form: gather (m, w, k) tiles of B, mask, reduce over w."""
-    g = jnp.take(B, jnp.maximum(ind, 0), axis=0)  # (m, w, k)
-    prods = jnp.where(
-        (ind >= 0)[..., None], val[..., None] * g, jnp.zeros((), dtype=val.dtype)
-    )
-    return jnp.sum(prods, axis=1)
+    """Padded-row form: gather (m, w, k) tiles of B, mask, reduce over w.
+    The tile is m*w*k elements — SuiteSparse scale at wide RHS (pwtk:
+    218k x 73 x 64 = a 4 GB f32 allocation) exhausts HBM, so wide RHS
+    splits into column chunks under a lax.scan (one live chunk)."""
+    import os
+
+    m, w = ind.shape
+    k = B.shape[1]
+    budget = float(os.environ.get("AOCLSPARSE_TPU_SPMM_CHUNK_ELEMS", "64e6"))
+    kc = max(int(budget // max(m * w, 1)) // 8 * 8, 8)
+    valid = (ind >= 0)[..., None]
+    ind_c = jnp.maximum(ind, 0)
+    if k <= kc:
+        g = jnp.take(B, ind_c, axis=0)  # (m, w, k)
+        prods = jnp.where(valid, val[..., None] * g, jnp.zeros((), dtype=val.dtype))
+        return jnp.sum(prods, axis=1)
+    nch = -(-k // kc)
+    Bp = jnp.pad(B, ((0, 0), (0, nch * kc - k)))
+    Bch = jnp.moveaxis(Bp.reshape(B.shape[0], nch, kc), 1, 0)  # (nch, n, kc)
+
+    def step(_, Bc):
+        g = jnp.take(Bc, ind_c, axis=0)
+        prods = jnp.where(valid, val[..., None] * g, jnp.zeros((), dtype=val.dtype))
+        return None, jnp.sum(prods, axis=1)
+
+    _, outs = jax.lax.scan(step, None, Bch)  # (nch, m, kc)
+    return jnp.moveaxis(outs, 0, 1).reshape(m, nch * kc)[:, :k]
 
 
 @partial(jax.jit, static_argnames=("m",))
