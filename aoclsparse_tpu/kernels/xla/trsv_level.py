@@ -230,6 +230,29 @@ def solve_levels(form: LevelForm, b):
     return form.solve(b)
 
 
+def level_form_stats(eff_ptr, eff_ind, m: int):
+    """(nlev, padded_run_entries) of the wavefront form WITHOUT building
+    it — the dispatcher's routing check (build uploads run arrays to the
+    device, so checking after building defeats the memory routing)."""
+    from ... import native
+
+    ptr = np.asarray(eff_ptr, dtype=np.int64)
+    ind = np.asarray(eff_ind, dtype=np.int64)
+    levels, nlev = native.level_schedule(m, ptr, ind)
+    nlev = max(int(nlev), 1)
+    counts = np.bincount(levels, minlength=nlev).astype(np.int64) if m else np.zeros(1, np.int64)
+    lens = np.diff(ptr)
+    rows_of = np.repeat(np.arange(m, dtype=np.int64), lens)
+    strict = ind < rows_of
+    wlev = np.zeros(nlev, dtype=np.int64)
+    if strict.any():
+        cl = np.bincount(rows_of[strict], minlength=m)
+        np.maximum.at(wlev, levels, cl)
+    runs = _level_runs(counts, wlev) if m else ()
+    padded = sum((hi - lo) * R * (W + 1) for lo, hi, R, W in runs)
+    return nlev, int(padded)
+
+
 def build_level_form(
     eff_ptr, eff_ind, eff_src, m: int, reversed_: bool, unit_diag: bool, eff_val
 ) -> LevelForm:

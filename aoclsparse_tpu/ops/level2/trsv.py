@@ -121,30 +121,33 @@ def _solve(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, rhs, kid):
         # columns reach the whole triangle): default calls fall back to
         # the level-scheduled engine when the DAG is shallow (circuit
         # class — exactly its niche), else to the host engine for eager
-        # callers; explicit kid=0 keeps the memory_error
-        from ...planner.triangular import trsv_host_form_for, trsv_level_form_for
+        # callers; explicit kid=0 keeps the memory_error. Stats are
+        # checked BEFORE building the level form (building uploads its
+        # run arrays to the device).
+        from ...planner.triangular import (
+            trsv_host_form_for,
+            trsv_level_form_for,
+            trsv_level_stats_for,
+        )
 
-        lform = trsv_level_form_for(plan, descr, op)
+        nlev, padded = trsv_level_stats_for(plan, descr, op)
         # shallow enough that the per-level scan beats a sequential host
         # sweep: cost ~ sum of run-padded gathers vs ~1.5 ns/nnz host
-        padded = sum((hi - lo) * R * (W + 1) for lo, hi, R, W in lform.runs)
-        if lform.nlev <= 4096 and padded <= 64 * max(A.nnz, 1):
-            return lform.solve(rhs)
+        if nlev <= 4096 and padded <= 16 * max(A.nnz, 1):
+            return trsv_level_form_for(plan, descr, op).solve(rhs)
         if not isinstance(rhs, jax.core.Tracer):
             hform = trsv_host_form_for(plan, descr, op)
             rh = np.asarray(rhs)
             x_h = hform.solve(rh) if rh.ndim == 1 else hform.solve_mat(rh)
             return jnp.asarray(x_h)
-        if padded > 256 * max(A.nnz, 1):
-            # traced caller, no host escape, and even the level form's
-            # run-padded arrays would be GBs: refuse honestly
-            raise AoclSparseError(
-                Status.memory_error,
-                "triangle too wide for the blocked window and too padded"
-                " for the wavefront engine inside a traced program; call"
-                " trsv eagerly (host engine) or kid=1 explicitly",
-            )
-        return lform.solve(rhs)
+        # traced caller, no host escape, and even the level form's
+        # run-padded arrays would be GBs: refuse honestly
+        raise AoclSparseError(
+            Status.memory_error,
+            "triangle too wide for the blocked window and too padded"
+            " for the wavefront engine inside a traced program; call"
+            " trsv eagerly (host engine) or kid=1 explicitly",
+        )
     m_pad = form.nblk * form.nb
     rhs = jnp.asarray(rhs)
     squeeze = rhs.ndim == 1

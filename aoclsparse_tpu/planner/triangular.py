@@ -697,6 +697,31 @@ def trsv_level_form_for(plan: Plan, descr: MatrixDescriptor, op: Operation):
     return form
 
 
+def trsv_level_stats_for(plan: Plan, descr: MatrixDescriptor, op: Operation):
+    """(nlev, padded_run_entries) of the wavefront form WITHOUT building
+    it (routing check — building uploads run arrays to the device)."""
+    from ..kernels.xla.trsv_level import level_form_stats
+
+    tri_descr = MatrixDescriptor(
+        type=MatrixType.triangular,
+        fill_mode=descr.fill_mode,
+        diag_type=descr.diag_type,
+        base=descr.base,
+    )
+    op_ = Operation(op)
+    eff = build_effective_csr(plan.clean, tri_descr, Operation.none)
+    if op_ != Operation.none:
+        eff = _transpose_eff(eff)
+    lower = FillMode(tri_descr.fill_mode) == FillMode.lower
+    eff_lower = lower if op_ == Operation.none else not lower
+    if eff_lower:
+        ptr, ind = eff.ptr, eff.ind
+    else:
+        rev = _reverse_structure(eff)
+        ptr, ind = rev.ptr, rev.ind
+    return level_form_stats(ptr, ind, eff.m)
+
+
 def _build_trsv_level_form_for(plan: Plan, tri_descr, op_, dt):
     from ..kernels.xla.trsv_level import build_level_form
 
