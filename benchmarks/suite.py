@@ -946,7 +946,10 @@ def main():
             (tl, il), (th, ih) = ts[mx_lo], ts[mx_hi]
             return (None if ih <= il else (th - tl) * 1e3 / (ih - il)), ts
 
-        slope, ts = pcg_slope(dF_upper, bF, 4, 8)
+        # wide iteration spread: the per-iteration delta must clear the
+        # multi-ms window jitter on the ~55 ms one-dispatch total (a 4->8
+        # spread measured a negative slope in SUITE_r4b)
+        slope, ts = pcg_slope(dF_upper, bF, 4, 20)
         results.append(
             {
                 "metric": "pcg_ilu0_solve",
