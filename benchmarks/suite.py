@@ -967,7 +967,7 @@ def main():
         # the VERDICT r3 item-4 target operand: slope at m=262144 (the
         # suite's headline band, 16.7M nnz, diag-dominant)
         b262 = rng.standard_normal(m).astype(np.float32)
-        slope262, ts262 = pcg_slope(A, b262, 4, 8)
+        slope262, ts262 = pcg_slope(A, b262, 4, 16)
         results.append(
             {
                 "metric": "pcg_ilu0_ms_per_iter_262k",
