@@ -122,13 +122,17 @@ def _symbolic(
     nat = native.spgemm_expand(mA, effA.ptr, effA.ind, effB.ptr, effB.ind, upper_only)
     if nat is not None:
         pa, pb, pc, Cptr, Cind = nat
+        # triples stay HOST-side: the host numeric engine is the large-P
+        # default and consumes numpy; the device expansion engine uploads
+        # lazily (FEM-scale products are multi-GB — pwtk A@A: 7 GB that
+        # used to ship through the ~0.8 GB/s tunnel and back)
         return SpgemmPlan(
             shape=(mA, nB),
             ptr=Cptr.astype(np.int32),
             ind=Cind.astype(np.int32),
-            pa=jnp.asarray(pa),
-            pb=jnp.asarray(pb),
-            pc=jnp.asarray(pc),
+            pa=pa,
+            pb=pb,
+            pc=pc,
             nnz=int(Cind.size),
             conj_a=conj_a,
             conj_b=conj_b,
@@ -158,9 +162,9 @@ def _symbolic(
         shape=(mA, nB),
         ptr=Cptr.astype(np.int32),
         ind=Cind,
-        pa=jnp.asarray(pa[order]),
-        pb=jnp.asarray(pb[order]),
-        pc=jnp.asarray(pc),
+        pa=np.asarray(pa[order]),
+        pb=np.asarray(pb[order]),
+        pc=np.asarray(pc),
         nnz=nnzC,
         conj_a=conj_a,
         conj_b=conj_b,
@@ -440,7 +444,16 @@ def _numeric_auto(plan: "SpgemmPlan", effA, effB, conj_a: bool, conj_b: bool, la
         )
         if cv is not None:
             return jnp.asarray(cv)
-    return _numeric(effA.val, effB.val, plan.pa, plan.pb, plan.pc, plan.nnz, conj_a, conj_b)
+    # device expansion engine: upload the triples once and cache (plans are
+    # reused across finalize calls; the triples are host numpy by default)
+    trip = getattr(plan, "_dev_triples", None)
+    if trip is None:
+        trip = plan._dev_triples = (
+            jnp.asarray(plan.pa),
+            jnp.asarray(plan.pb),
+            jnp.asarray(plan.pc),
+        )
+    return _numeric(effA.val, effB.val, trip[0], trip[1], trip[2], plan.nnz, conj_a, conj_b)
 
 
 # ---------------------------------------------------------------------------
