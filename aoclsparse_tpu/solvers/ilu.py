@@ -158,27 +158,28 @@ def ilu0_factorize(A: SparseMatrix) -> IluState:
 
 
 def _ilu_numpy_forms(A, st, lu_clean, lu, l_descr, u_descr, nb):
+    """Numpy-builder fallback forms (win or padded-ELL left window; may
+    raise memory_error on hub-row ELL widths — caller falls to levels)."""
     eff_l = build_effective_csr(lu_clean, l_descr, Operation.none)
     eff_u = build_effective_csr(lu_clean, u_descr, Operation.none)
-    if True:
 
-        # host-side effective values over the native-factored lu: refresh()
-        # fetches its argument to host, so passing the DEVICE eff.val here
-        # paid two ~nnz/2 device->host tunnel fetches per factorization
-        def _hv(eff):
-            src = np.asarray(eff.src, dtype=np.int64)
-            return np.where(
-                src >= 0, lu[np.maximum(src, 0)], np.asarray(eff.const_val, dtype=lu.dtype)
-            )
+    # host-side effective values over the native-factored lu: refresh()
+    # fetches its argument to host, so passing the DEVICE eff.val here
+    # paid two ~nnz/2 device->host tunnel fetches per factorization
+    def _hv(eff):
+        src = np.asarray(eff.src, dtype=np.int64)
+        return np.where(
+            src >= 0, lu[np.maximum(src, 0)], np.asarray(eff.const_val, dtype=lu.dtype)
+        )
 
-        st.l_form = build_trsv_form(
-            lu_clean, l_descr, Operation.none, ("ilu", "l"), eff_l, nb, val_override=_hv(eff_l)
-        )
-        st.u_form = build_trsv_form(
-            lu_clean, u_descr, Operation.none, ("ilu", "u"), eff_u, nb, val_override=_hv(eff_u)
-        )
-        st._eff_l = eff_l
-        st._eff_u = eff_u
+    st.l_form = build_trsv_form(
+        lu_clean, l_descr, Operation.none, ("ilu", "l"), eff_l, nb, val_override=_hv(eff_l)
+    )
+    st.u_form = build_trsv_form(
+        lu_clean, u_descr, Operation.none, ("ilu", "u"), eff_u, nb, val_override=_hv(eff_u)
+    )
+    st._eff_l = eff_l
+    st._eff_u = eff_u
     A.ilu_state = st
     return st
 
