@@ -379,7 +379,9 @@ def main():
 
                 b_s = rng.standard_normal(m).astype(np.float32)
                 recs = {}
-                for mx in (8, 16):
+                # wide iteration spread: the per-iteration delta must clear
+                # the multi-ms window jitter on the one-dispatch total
+                for mx in (8, 64):
                     x_s, it, rn = pcg_solve(A, b_s, rtol=0.0, atol=0.0, maxit=mx)
                     best = float("inf")
                     for _ in range(4):
@@ -387,11 +389,11 @@ def main():
                         x_s, it, rn = pcg_solve(A, b_s, rtol=0.0, atol=0.0, maxit=mx)
                         best = min(best, time.perf_counter() - t0)
                     recs[mx] = (best, int(it))
-                (t8, i8), (t16, i16) = recs[8], recs[16]
+                (t8, i8), (t64, i64) = recs[8], recs[64]
                 rec = {**base, "op": "cg", "t8_ms": round(t8 * 1e3, 1), "iters8": i8,
-                       "t16_ms": round(t16 * 1e3, 1), "iters16": i16}
-                if i16 > i8:
-                    rec["ms_per_iter_slope"] = round((t16 - t8) * 1e3 / (i16 - i8), 3)
+                       "t64_ms": round(t64 * 1e3, 1), "iters64": i64}
+                if i64 > i8:
+                    rec["ms_per_iter_slope"] = round((t64 - t8) * 1e3 / (i64 - i8), 3)
                 emit(rec)
             except Exception as e:
                 emit({**base, "op": "cg", "error": repr(e)[:160]})
