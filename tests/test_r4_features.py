@@ -165,3 +165,48 @@ def test_level_runs_cover_and_tighten():
     padded = sum((hi - lo) * R * (W + 1) for lo, hi, R, W in runs)
     old = counts.size * counts.max() * (wlev.max() + 1)
     assert padded < old / 5  # the skewed case the bucketing exists for
+
+
+def test_level_form_global_materialization_parity():
+    """The on-demand global padded layout (dist twin) must agree with the
+    per-run arrays the solve path uses."""
+    from aoclsparse_tpu.kernels.xla.trsv_level import (
+        _solve_levels_jit,
+        build_level_form,
+    )
+
+    rng = np.random.default_rng(9)
+    m = 600
+    r = np.repeat(np.arange(m), 3)
+    c = (r - rng.integers(1, 30, r.size)).clip(0)
+    keep = c < r
+    r2 = np.concatenate([r[keep], np.arange(m)])
+    c2 = np.concatenate([c[keep], np.arange(m)])
+    o = np.lexsort((c2, r2))
+    r2, c2 = r2[o], c2[o]
+    k = np.concatenate([[True], (r2[1:] != r2[:-1]) | (c2[1:] != c2[:-1])])
+    r2, c2 = r2[k], c2[k]
+    v = rng.standard_normal(r2.size).astype(np.float32)
+    v[r2 == c2] = 3.0
+    ptr = np.zeros(m + 1, np.int64)
+    np.add.at(ptr, r2 + 1, 1)
+    ptr = np.cumsum(ptr)
+    form = build_level_form(
+        ptr, c2.astype(np.int64), np.arange(c2.size, dtype=np.int64),
+        m, False, False, jnp.asarray(v),
+    )
+    b = rng.standard_normal(m).astype(np.float32)
+    x_runs = np.asarray(form.solve(b))
+    rows_g, rv_g, cols_g, cv_g = form.global_arrays()
+    Lval_g, Dinv_g = form.full_vals()
+    x_glob = np.asarray(
+        _solve_levels_jit(
+            jnp.asarray(rows_g), jnp.asarray(rv_g), jnp.asarray(cols_g),
+            jnp.asarray(cv_g), Lval_g, Dinv_g, jnp.asarray(b)[:, None], m,
+        )
+    )[:, 0]
+    assert np.abs(x_runs - x_glob).max() < 1e-5
+    D = np.zeros((m, m))
+    D[r2, c2] = v
+    want = np.linalg.solve(np.tril(D), b)
+    assert np.abs(x_runs - want).max() < 1e-3
