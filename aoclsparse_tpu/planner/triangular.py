@@ -449,10 +449,43 @@ def build_trsv_form_native(
     # concrete device arrays even when called mid-trace (cold plan inside a
     # user jit): without the compile-time-eval scope these become tracers
     # cached on the plan (measured: UnexpectedTracerError on the next call)
+    import os as _os
+
+    from ..core.context import get_context as _gc
+
+    d_total = nblk * nb * nb
+    _env = _os.environ.get("AOCLSPARSE_TPU_DEVICE_FORM_BUILD", "1")
+    device_scatter = _env == "force" or (
+        _gc().is_tpu
+        and d_total * values.dtype.itemsize > 64e6
+        and _env not in ("0", "false")
+    )
     with jax.ensure_compile_time_eval():
-        D_dev = jnp.asarray(D.reshape(nblk, nb, nb))
+        if device_scatter:
+            # big forms: SCATTER the dense window operands on device from
+            # the (much smaller) value vector + index maps instead of
+            # uploading the mostly-zero dense D through the ~0.8 GB/s
+            # tunnel (ILU prep at 16.7M nnz: ~540 MB of D/Lw uploads vs
+            # ~200 MB of values+maps; VERDICT r3 item 4)
+            v_dev = jnp.asarray(values)
+            D_dev = (
+                jnp.zeros((d_total,), values.dtype)
+                .at[jnp.asarray(got["D_dest"].astype(np.int32))]
+                .set(v_dev[jnp.asarray(got["D_srcpos"].astype(np.int32))])
+                .at[jnp.asarray(D_paddest.astype(np.int32))]
+                .set(1.0)
+                .reshape(nblk, nb, nb)
+            )
+            Lval_dev = (
+                jnp.zeros((nblk * nb * WL,), values.dtype)
+                .at[jnp.asarray(got["L_dest"].astype(np.int32))]
+                .set(v_dev[jnp.asarray(got["L_srcpos"].astype(np.int32))])
+                .reshape(nblk, nb, WL)
+            )
+        else:
+            D_dev = jnp.asarray(D.reshape(nblk, nb, nb))
+            Lval_dev = jnp.asarray(got["Lw"].reshape(nblk, nb, WL))
         Lind_dev = jnp.zeros((1,), dtype=jnp.int32)
-        Lval_dev = jnp.asarray(got["Lw"].reshape(nblk, nb, WL))
     form = TrsvForm(
         nb=nb,
         nblk=nblk,
