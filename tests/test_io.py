@@ -143,3 +143,29 @@ def test_plan_snapshot_persists_engine_pins(rng, tmp_path):
         np.asarray(ast.trsv(1.0, B, D, Operation.none, b, kid=0)),
         rtol=1e-12,
     )
+
+
+def test_checked_in_fixture_symmetric_mtx():
+    """Checked-in tiny .mtx fixture (the reference ships tiny matrices in
+    tests/unit_tests/data/): symmetric storage expands, SpMV matches the
+    dense oracle, and CG solves it (SPD pentadiagonal)."""
+    from pathlib import Path
+
+    import aoclsparse_tpu as ast
+    from aoclsparse_tpu import MatrixDescriptor, Operation
+    from aoclsparse_tpu.io import read_mtx
+    from aoclsparse_tpu.solvers.fused import pcg_solve
+
+    path = Path(__file__).parent / "data" / "penta14.mtx"
+    A = read_mtx(path, dtype=np.float64)
+    m, n, nnz, ptr, ind, val = ast.export_csr(A)
+    assert m == n == 14 and nnz == 14 + 2 * (13 + 12)  # symmetric pattern expanded
+    dense = np.zeros((14, 14))
+    dense[np.repeat(np.arange(14), np.diff(np.asarray(ptr))), np.asarray(ind)] = np.asarray(val)
+    assert np.allclose(dense, dense.T)
+    x = np.arange(1.0, 15.0)
+    y = np.asarray(ast.mv(1.0, A, MatrixDescriptor(), Operation.none, x, 0.0))
+    assert np.allclose(y, dense @ x)
+    b = np.ones(14)
+    xs, it, rn = pcg_solve(A, b, rtol=1e-10, maxit=50)
+    assert np.allclose(dense @ np.asarray(xs), b, atol=1e-8)
