@@ -34,6 +34,25 @@ def _open(path):
 def read_mtx_arrays(path) -> Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]:
     """Parse a MatrixMarket file into (m, n, row, col, val) COO arrays
     (zero-based, symmetry expanded)."""
+    return _read_mm_coo(path)
+
+
+def _parse_token_stream(text: str) -> np.ndarray:
+    """One C-level parse of a uniform whitespace-separated float stream —
+    ~50x np.loadtxt's line loop at SuiteSparse scale (pwtk: 11.5M
+    entries). np.fromstring's text mode is deprecated (ADVICE r4); keep
+    it as the fast path while it exists, with a supported fallback."""
+    import warnings
+
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            return np.fromstring(text, dtype=np.float64, sep=" ")
+    except Exception:
+        return np.array(text.split(), dtype=np.float64)
+
+
+def _read_mm_coo(path):
     with _open(path) as f:
         header = f.readline().strip().split()
         if len(header) < 4 or header[0] != "%%MatrixMarket" or header[1].lower() != "matrix":
@@ -53,7 +72,7 @@ def read_mtx_arrays(path) -> Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]
                 # whitespace-separated token stream — one C-level parse of
                 # the remaining text is ~50x np.loadtxt's line loop on the
                 # SuiteSparse-scale files (pwtk: 11.5M entries)
-                flat = np.fromstring(f.read(), dtype=np.float64, sep=" ")
+                flat = _parse_token_stream(f.read())
                 if flat.size != nnz * width:
                     raise AoclSparseError(
                         Status.invalid_value,

@@ -272,8 +272,21 @@ def band_gemm_cband(plan: BandGemmPlan, valA_eff, valB_eff, mixed: bool = False)
                 mixed=mixed,
                 interpret=not ctx.is_tpu,
             )
-        except Exception:
-            pass  # Mosaic rejection: fall through to the scan engine
+        except (ImportError, jax.errors.JaxRuntimeError, ValueError, NotImplementedError) as e:
+            # Mosaic/VMEM rejection (e.g. the measured G=512 C-tile
+            # failure): fall through to the ~1000x-slower scan engine —
+            # but say so once per plan, so a real bug or perf cliff is
+            # visible instead of silently absorbed (ADVICE r4)
+            if not getattr(plan, "_pallas_warned", False):
+                plan._pallas_warned = True
+                import warnings
+
+                warnings.warn(
+                    f"pallas_band_gemm rejected ({type(e).__name__}: {e}); "
+                    "falling back to the scan engine for this plan",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     streams = _ensure_streams(plan)
     return _band_gemm_scan(
         plan.formA.bwd_val,

@@ -99,6 +99,55 @@ def trsv_blocked_win_inv(Dinv, Lwin, b, nb: int, m_pad: int, WL: int):
     return x[:, 0] if squeeze else x
 
 
+@partial(jax.jit, static_argnames=("nb", "m_pad", "WL", "offs", "inv"))
+def trsv_blocked_dwin(Dm, Dv, b, nb: int, m_pad: int, WL: int, offs: tuple, inv: bool):
+    """Diagonal-window variant for WIDE-band triangles whose left-of-block
+    part carries few distinct element diagonals (pwtk-class FEM stencils:
+    half-bandwidth ~2729 but only ~50 strictly-lower diagonals). The dense
+    (nb, WL) window of trsv_blocked_win needs nblk*nb*WL storage (~2.4 GB
+    at pwtk scale — refused by the memory guard, so those triangles rode
+    the 0.09 GF/s host fallback; VERDICT r4 item 3). Here the left
+    contribution is ndiag static-sliced VPU fmas against a rolling
+    solved-x window:
+
+        s[r] = sum_d Dv[blk, d, r] * w_pad[WL - off_d + r]
+
+    with storage ndiag*m_pad and per-step traffic O(ndiag*nb + WL).
+    Entries with off_d <= r (intra-block) live in the diagonal block Dm and
+    have Dv == 0 here, so the zero-pad read past WL is masked by value.
+    Reference sequential kernel this replaces on-device:
+    level2/aoclsparse_trsv_kt.cpp:65. b: (m_pad,) or (m_pad, k)."""
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    k = b.shape[1]
+    nblk = Dm.shape[0]
+    dtype = Dm.dtype
+    b = b.astype(dtype)
+
+    def step(w, args):
+        Dk, dvk, bk = args  # dvk: (ndiag, nb)
+        wp = jnp.concatenate([w, jnp.zeros((nb, k), dtype)], axis=0)
+        s = jnp.zeros((nb, k), dtype)
+        for j, d in enumerate(offs):
+            s = s + dvk[j][:, None] * jax.lax.slice_in_dim(wp, WL - d, WL - d + nb)
+        rhs = bk - s
+        if inv:
+            xk = jnp.dot(Dk, rhs, preferred_element_type=dtype)
+        else:
+            xk = jax.lax.linalg.triangular_solve(
+                Dk, rhs, left_side=True, lower=True, unit_diagonal=False
+            )
+        w = jnp.concatenate([w, xk], axis=0)[-WL:]
+        return w, xk
+
+    w0 = jnp.zeros((WL, k), dtype=dtype)
+    bs = b.reshape(nblk, nb, k)
+    _, xs = jax.lax.scan(step, w0, (Dm, Dv, bs))
+    x = xs.reshape(m_pad, k)
+    return x[:, 0] if squeeze else x
+
+
 @partial(jax.jit, static_argnames=("nb", "m_pad"))
 def trsv_blocked(D, Lind, Lval, b, nb: int, m_pad: int):
     """Solve L x = b with the blocked lower form. b: (m_pad,) or (m_pad, k)."""

@@ -95,6 +95,9 @@ class TrsvForm:
     _eff_key: Tuple  # key of the effective CSR this form derives from
     kind: str = "gather"
     WL: int = 0
+    # "dwin": static element-diagonal offsets of the left part (wide-band
+    # few-diagonal triangles; kernels/xla/trsv.py trsv_blocked_dwin)
+    dwin_offs: Optional[Tuple] = None
 
     def refresh(self, eff_val: jax.Array) -> None:
         self._Dinv = None  # inverse blocks derive from D
@@ -205,6 +208,21 @@ class TrsvForm:
                     return Xt.swapaxes(1, 2).reshape(m_pad, k_pad)[:, :k]
                 return trsv_blocked_win_inv(self._Dinv, self.Lval, r2, self.nb, m_pad, self.WL)
             return trsv_blocked_win(self.D, self.Lval, r2, self.nb, m_pad, self.WL)
+        if self.kind == "dwin":
+            from ..kernels.xla.trsv import trsv_blocked_dwin
+
+            exact = os.environ.get("AOCLSPARSE_TPU_TRSV_EXACT", "0") in ("1", "true")
+            ctx = get_context()
+            inv = (ctx.is_tpu or ctx.pallas_ok) and not exact
+            Dm = self.D
+            if inv:
+                if getattr(self, "_Dinv", None) is None:
+                    with jax.ensure_compile_time_eval():
+                        self._Dinv = invert_diag_blocks(self.D)
+                Dm = self._Dinv
+            return trsv_blocked_dwin(
+                Dm, self.Lval, r2, self.nb, m_pad, self.WL, self.dwin_offs, inv
+            )
         return trsv_blocked(self.D, self.Lind, self.Lval, r2, self.nb, m_pad)
 
 
@@ -312,35 +330,69 @@ def build_trsv_form(
     WL_need = int((blk0 - cols)[lmask].max()) if lmask.any() else 0
     WL = max(8, -(-WL_need // 8) * 8)
     use_win = (nblk * nb * WL) <= max(8 * cols.size, 64 * nb * nb) and WL <= 8192
+    dwin_offs = None
     if use_win:
         Lw = WL
         t_l = (cols - blk0 + WL)[lmask]
         L_ind = jnp.zeros((1,), dtype=jnp.int32)  # unused in win mode
+        L_dest = ((blk_of_row[lmask] * nb + r_in_blk[lmask]) * Lw + t_l).astype(np.int64)
+        L_shape = (nblk, nb, Lw)
     else:
-        # padded-ELL left window: (nblk, nb, W) with W = MAX left count per
-        # row — one hub row blows this up (webbase stand-in: W=4699 at
-        # m=1M is a 37 GB pair of arrays). Guard with the TRUE allocation
-        # size; callers fall back (default trsv: level engine for shallow
-        # DAGs, host engine eagerly; kid=0 surfaces this error)
         import os as _os
 
+        # diagonal-window variant first: WIDE windows whose left part
+        # carries few distinct element diagonals (pwtk-class 6x6-dof FEM
+        # stencils: half-bw ~2729, ~50 lower diagonals). Gather-free scan
+        # with O(ndiag*m_pad) storage where the dense window would be GBs
+        # (VERDICT r4 item 3); the padded ELL below is the gather path.
+        offs_left = (rows - cols)[lmask]
+        uoff = np.unique(offs_left) if offs_left.size else np.zeros(0, np.int64)
+        dwin_max = int(_os.environ.get("AOCLSPARSE_TPU_TRSV_DWIN_MAX", "192"))
         _cap = float(_os.environ.get("AOCLSPARSE_TPU_TRSV_WIN_CAP", "1.2e9"))
-        _bytes = float(nblk * nb * W) * (4 + np.dtype(eff.val.dtype).itemsize)
-        if _bytes > _cap:
-            raise AoclSparseError(
-                Status.memory_error,
-                f"padded-ELL left window would need ~{_bytes / 1e9:.1f} GB"
-                f" ((nblk,nb,W)=({nblk},{nb},{W})); use the level engine"
-                " (kid=1) or the host engine (kid=2), or raise"
-                " AOCLSPARSE_TPU_TRSV_WIN_CAP",
+        dwin_ok = (
+            offs_left.size > 0
+            and uoff.size <= dwin_max
+            and int(uoff[-1]) <= 65536
+            and float(uoff.size * nblk * nb) * np.dtype(eff.val.dtype).itemsize <= _cap
+        )
+        if dwin_ok:
+            ndg = int(uoff.size)
+            d_idx = np.searchsorted(uoff, offs_left)
+            L_ind = jnp.zeros((1,), dtype=jnp.int32)  # unused in dwin mode
+            L_dest = (
+                (blk_of_row[lmask] * ndg + d_idx) * nb + r_in_blk[lmask]
+            ).astype(np.int64)
+            L_shape = (nblk, ndg, nb)
+            WL = max(8, -(-int(uoff[-1]) // 8) * 8)
+            dwin_offs = tuple(int(v) for v in uoff)
+        else:
+            # padded-ELL left window: (nblk, nb, W) with W = MAX left count
+            # per row — one hub row blows this up (webbase stand-in: W=4699
+            # at m=1M is a 37 GB pair of arrays). Guard with the TRUE
+            # allocation size; callers fall back (default trsv: level
+            # engine for shallow DAGs, host engine eagerly; kid=0 surfaces
+            # this error)
+            _bytes = float(nblk * nb * W) * (4 + np.dtype(eff.val.dtype).itemsize)
+            if _bytes > _cap:
+                raise AoclSparseError(
+                    Status.memory_error,
+                    f"padded-ELL left window would need ~{_bytes / 1e9:.1f} GB"
+                    f" ((nblk,nb,W)=({nblk},{nb},{W})); use the level engine"
+                    " (kid=1) or the host engine (kid=2), or raise"
+                    " AOCLSPARSE_TPU_TRSV_WIN_CAP",
+                )
+            Lw = W
+            t_l = pos_in_row[lmask]
+            L_ind_np = np.zeros((nblk, nb, W), dtype=np.int32)
+            if lmask.any():
+                L_ind_np[blk_of_row[lmask], r_in_blk[lmask], t_l] = cols[lmask].astype(
+                    np.int32
+                )
+            L_ind = jnp.asarray(L_ind_np)
+            L_dest = ((blk_of_row[lmask] * nb + r_in_blk[lmask]) * Lw + t_l).astype(
+                np.int64
             )
-        Lw = W
-        t_l = pos_in_row[lmask]
-        L_ind_np = np.zeros((nblk, nb, W), dtype=np.int32)
-        if lmask.any():
-            L_ind_np[blk_of_row[lmask], r_in_blk[lmask], t_l] = cols[lmask].astype(np.int32)
-        L_ind = jnp.asarray(L_ind_np)
-    L_dest = ((blk_of_row[lmask] * nb + r_in_blk[lmask]) * Lw + t_l).astype(np.int64)
+            L_shape = (nblk, nb, Lw)
     L_srcpos = src[lmask].astype(np.int64)
     # diagonal block fill (cols within [blk0, blk0+nb))
     dmask = (cols >= blk0) & (cols < blk0 + nb)
@@ -371,10 +423,11 @@ def build_trsv_form(
         _D_paddest=D_paddest,
         _L_dest=L_dest,
         _L_srcpos=L_srcpos,
-        _L_shape=(nblk, nb, Lw),
+        _L_shape=L_shape,
         _eff_key=eff_key,
-        kind="win" if use_win else "gather",
-        WL=WL if use_win else 0,
+        kind="win" if use_win else ("dwin" if dwin_offs is not None else "gather"),
+        WL=WL if (use_win or dwin_offs is not None) else 0,
+        dwin_offs=dwin_offs,
     )
     form.refresh(eff.val if val_override is None else val_override)
     return form
@@ -460,6 +513,12 @@ def build_trsv_form_native(
         and d_total * values.dtype.itemsize > 64e6
         and _env not in ("0", "false")
     )
+    # the scatter destinations are cast to int32 for the jit scatter —
+    # past 2^31 flat elements the cast wraps and values land in the wrong
+    # rows with no error (ADVICE r4). m~4.2M rows at nb=512 reaches it;
+    # route those to the host-upload branch (int64-safe numpy fill).
+    if device_scatter and max(d_total, nblk * nb * WL) >= 2**31:
+        device_scatter = False
     with jax.ensure_compile_time_eval():
         if device_scatter:
             # big forms: SCATTER the dense window operands on device from

@@ -135,7 +135,6 @@ def ilu0_factorize(A: SparseMatrix) -> IluState:
             # class (same routing as the default trsv fallback)
             st.l_form = st.u_form = None
             A.ilu_state = st
-            _ilu_level_forms(st)
             return st
         if isinstance(err, Exception):
             raise err
@@ -148,10 +147,11 @@ def ilu0_factorize(A: SparseMatrix) -> IluState:
             if e.status != Status.memory_error:
                 raise
             # both blocked variants oversized (hub-row ELL width): level
-            # sweeps / host substitution serve the apply
+            # sweeps / host substitution serve the apply (built lazily by
+            # the first consumer — eager builds here uploaded run arrays
+            # the deep-DAG host route never touches)
             st.l_form = st.u_form = None
             A.ilu_state = st
-            _ilu_level_forms(st)
             return st
     A.ilu_state = st
     return st
@@ -184,6 +184,45 @@ def _ilu_numpy_forms(A, st, lu_clean, lu, l_descr, u_descr, nb):
     return st
 
 
+def _ilu_eff_triangles(st: IluState):
+    """Effective L/U triangle structures of the factor (cached on the
+    state) — the shared input of the level-form builds AND the
+    structure-only routing stats (no device uploads happen here)."""
+    eff_l, eff_u = st._eff_l, st._eff_u
+    if eff_l is None or eff_u is None:
+        # checkpoint-restored states carry lu_clean but not the
+        # effective triangles (io/checkpoint.py): rebuild them
+        l_descr = MatrixDescriptor(
+            type=MatrixType.triangular, fill_mode=FillMode.lower, diag_type=DiagType.unit
+        )
+        u_descr = MatrixDescriptor(
+            type=MatrixType.triangular,
+            fill_mode=FillMode.upper,
+            diag_type=DiagType.non_unit,
+        )
+        eff_l = build_effective_csr(st.lu_clean, l_descr, Operation.none)
+        eff_u = build_effective_csr(st.lu_clean, u_descr, Operation.none)
+        st._eff_l, st._eff_u = eff_l, eff_u
+    return eff_l, eff_u
+
+
+def _ilu_level_stats(st: IluState) -> int:
+    """Total factor-DAG depth nlev(L)+nlev(U), computed STRUCTURE-ONLY
+    via level_form_stats — the routing check before deciding between the
+    wavefront sweeps and the sequential host substitution. Building the
+    level forms just to read nlev would upload every run array to the
+    device (the build-before-routing cost trsv avoids the same way,
+    planner/triangular.py trsv_level_stats_for)."""
+    from ..kernels.xla.trsv_level import level_form_stats
+    from ..planner.triangular import _reverse_structure
+
+    eff_l, eff_u = _ilu_eff_triangles(st)
+    nlev_l, _ = level_form_stats(eff_l.ptr, eff_l.ind, eff_l.m)
+    rev = _reverse_structure(eff_u)
+    nlev_u, _ = level_form_stats(rev.ptr, rev.ind, eff_u.m)
+    return nlev_l + nlev_u
+
+
 def _ilu_level_forms(st: IluState):
     """Lazily build the level-scheduled twins of the factor sweeps
     (kernels/xla/trsv_level.py; the ILU0 analog of TRSV KID 1 — wins on
@@ -192,21 +231,7 @@ def _ilu_level_forms(st: IluState):
         from ..kernels.xla.trsv_level import build_level_form
         from ..planner.triangular import _reverse_structure
 
-        eff_l, eff_u = st._eff_l, st._eff_u
-        if eff_l is None or eff_u is None:
-            # checkpoint-restored states carry lu_clean but not the
-            # effective triangles (io/checkpoint.py): rebuild them
-            l_descr = MatrixDescriptor(
-                type=MatrixType.triangular, fill_mode=FillMode.lower, diag_type=DiagType.unit
-            )
-            u_descr = MatrixDescriptor(
-                type=MatrixType.triangular,
-                fill_mode=FillMode.upper,
-                diag_type=DiagType.non_unit,
-            )
-            eff_l = build_effective_csr(st.lu_clean, l_descr, Operation.none)
-            eff_u = build_effective_csr(st.lu_clean, u_descr, Operation.none)
-            st._eff_l, st._eff_u = eff_l, eff_u
+        eff_l, eff_u = _ilu_eff_triangles(st)
         st.l_level = build_level_form(
             eff_l.ptr,
             eff_l.ind,
@@ -267,10 +292,20 @@ def ilu_smoother(
         import jax as _jax
 
         if kid is None and not isinstance(b, _jax.core.Tracer):
-            l_lvl, u_lvl = _ilu_level_forms(st)
-            if l_lvl.nlev + u_lvl.nlev > 8192:
-                return jnp.asarray(_host_lu_apply(st, np.asarray(b)))
-            return u_lvl.solve(l_lvl.solve(b))
+            # stats-first routing: read the DAG depth from structure
+            # alone; the level forms are only built on the branch that
+            # solves with them (ADVICE r4)
+            if _ilu_level_stats(st) > 8192:
+                bh = np.asarray(b)
+                if bh.ndim == 1:
+                    return jnp.asarray(_host_lu_apply(st, bh))
+                # native trsv_seq is single-vector: sweep columns (the
+                # host path is latency-, not throughput-, motivated)
+                cols = [
+                    _host_lu_apply(st, np.ascontiguousarray(bh[:, j]))
+                    for j in range(bh.shape[1])
+                ]
+                return jnp.asarray(np.stack(cols, axis=1))
         l_lvl, u_lvl = _ilu_level_forms(st)
         return u_lvl.solve(l_lvl.solve(b))
     yz = _apply_form(st.l_form, b)

@@ -249,27 +249,35 @@ def main():
         except Exception as e:
             emit({**base, "op": "mv_pspace", "error": repr(e)[:160]})
 
-        # ---- mm (K=64), amortized via the library entry ----
+        # ---- mm (K=64), amortized args-loop ----
+        # VERDICT r4 item 4: the closure fori-loop shipped the plan's band
+        # arrays as HLO constants in the remote-compile request body and
+        # died on HTTP 413 past ~200 MB. Trace the library mm entry ONCE
+        # to a jaxpr, then pass its consts (the plan operands) as jit
+        # ARGUMENTS — works for every engine mm dispatches to.
         K = 64
         B = jnp.asarray(rng.standard_normal((n, K)).astype(np.float32))
-        try:
-            @jax.jit
-            def mmloop(eps, B0):
-                def body(i, Bc):
-                    Y = ast.mm(1.0, A, GEN, Operation.none, Bc, 0.0)
-                    return Bc.at[:8].add(eps * Y[:8])
-
-                return jax.lax.fori_loop(0, 10, body, B0)[0, 0]
-        except Exception:
-            mmloop = None
         t_mm = None
         try:
-            if mmloop is not None:
-                float(mmloop(jnp.float32(1e-7), B))
-                t_mm = best_of(lambda: float(mmloop(jnp.float32(1e-7), B)), chunks=4) / 10
-                how = "closure"
+            closed = jax.make_jaxpr(
+                lambda Bc: ast.mm(1.0, A, GEN, Operation.none, Bc, 0.0)
+            )(B)
+            consts = [jnp.asarray(c) for c in closed.consts]
+
+            @jax.jit
+            def mmloop(eps, B0, *cs):
+                def body(i, Bc):
+                    Y = jax.core.eval_jaxpr(closed.jaxpr, list(cs), Bc)[0]
+                    return Bc.at[:8].add(eps * Y[:8].astype(Bc.dtype))
+
+                return jax.lax.fori_loop(0, 10, body, B0)[0, 0]
+
+            float(mmloop(jnp.float32(1e-7), B, *consts))
+            t_mm = best_of(lambda: float(mmloop(jnp.float32(1e-7), B, *consts)),
+                           chunks=4) / 10
+            how = "args"
         except Exception as e_mm:
-            emit({**base, "op": "mm_k64_closure_err", "error": repr(e_mm)[:200]})
+            emit({**base, "op": "mm_k64_args_err", "error": repr(e_mm)[:200]})
             t_mm = None
         if t_mm is None:
             try:

@@ -167,3 +167,57 @@ def test_bsr_roundtrip_keeps_stored_zeros():
     # the stored-zero slot (0,1) must exist in the pattern
     row0 = i2[p2[0] : p2[1]]
     assert 1 in row0
+
+
+# ---- round-4 advisor findings ----
+
+
+def _tridiag_csr(m, dtype=np.float64):
+    rows, cols, vals = [], [], []
+    for i in range(m):
+        if i > 0:
+            rows.append(i), cols.append(i - 1), vals.append(-1.0)
+        rows.append(i), cols.append(i), vals.append(4.0)
+        if i < m - 1:
+            rows.append(i), cols.append(i + 1), vals.append(-1.0)
+    rows = np.asarray(rows)
+    ptr = np.concatenate([[0], np.cumsum(np.bincount(rows, minlength=m))]).astype(np.int32)
+    return ast.create_csr(m, m, ptr, np.asarray(cols, np.int32), np.asarray(vals, dtype))
+
+
+def test_ilu_smoother_deep_dag_host_path_matrix_rhs(rng):
+    # tridiagonal factor: chain DAG of depth m in both triangles, so
+    # nlev(L)+nlev(U) = 2m > 8192 routes eager callers to the sequential
+    # host substitution. ADVICE r4: a 2-D b through that path returned a
+    # wrong-shaped result (native trsv_seq is single-vector).
+    m = 5000
+    A = _tridiag_csr(m)
+    from aoclsparse_tpu.solvers import ilu as ilu_mod
+
+    st = ilu_mod.ilu0_factorize(A)
+    st.l_form = st.u_form = None  # simulate blocked-window refusal
+    assert ilu_mod._ilu_level_stats(st) > 8192
+    B = rng.standard_normal((m, 3))
+    X = np.asarray(ast.ilu_smoother(A, b=B))
+    assert X.shape == (m, 3)
+    for j in range(3):
+        xj = np.asarray(ast.ilu_smoother(A, b=B[:, j].copy()))
+        np.testing.assert_allclose(X[:, j], xj, rtol=1e-12, atol=1e-12)
+    # stats-first routing must not have built the level forms on this path
+    assert st.l_level is None and st.u_level is None
+
+
+def test_mm_token_stream_parse_fallback(monkeypatch):
+    # ADVICE r4: np.fromstring text mode is deprecated; the parse must
+    # survive its removal through the supported fallback.
+    from aoclsparse_tpu.io.mm import _parse_token_stream
+
+    text = "1 2 3.5\n4 5 -6.25\n"
+    expect = np.array([1, 2, 3.5, 4, 5, -6.25])
+    np.testing.assert_allclose(_parse_token_stream(text), expect)
+
+    def _removed(*a, **k):
+        raise AttributeError("np.fromstring was removed")
+
+    monkeypatch.setattr(np, "fromstring", _removed, raising=False)
+    np.testing.assert_allclose(_parse_token_stream(text), expect)

@@ -107,6 +107,54 @@ def test_trsv_window_cap_fallback(monkeypatch):
     assert ei.value.status == ast.Status.memory_error
 
 
+def test_trsm_window_cap_fallback_shallow_level(monkeypatch):
+    # VERDICT r4 item 9: multi-RHS solves share trsv's stats-first
+    # fallback — a refused blocked window routes a SHALLOW DAG to the
+    # level engine with the matrix rhs intact (no memory_error detour).
+    monkeypatch.setenv("AOCLSPARSE_TPU_TRSV_WIN_CAP", "1e4")
+    rng = np.random.default_rng(8)
+    ptr, ind, val, r, c = _wide_triangle(rng)
+    m = ptr.size - 1
+    A = ast.create_csr(m, m, ptr, ind, val)
+    descr = MatrixDescriptor(type=MatrixType.triangular, fill_mode=FillMode.lower)
+    B = rng.standard_normal((m, 3)).astype(np.float32)
+    X = np.asarray(ast.trsm(1.0, A, descr, Operation.none, B))
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    S = sp.csr_matrix((val.astype(np.float64), (r, c)), shape=(m, m))
+    want = spla.spsolve_triangular(S.tocsr(), B.astype(np.float64), lower=True)
+    assert np.abs(X - want).max() < 1e-3
+    with pytest.raises(ast.AoclSparseError) as ei:
+        ast.trsm(1.0, A, descr, Operation.none, B, kid=0)
+    assert ei.value.status == ast.Status.memory_error
+
+
+def test_trsm_window_cap_fallback_deep_dag_host(monkeypatch):
+    # ...and a DEEP DAG (nlev > 4096: the level form's run arrays would
+    # be doomed) routes eager multi-RHS callers to the host engine's
+    # solve_mat — stats are read before any level form is built.
+    monkeypatch.setenv("AOCLSPARSE_TPU_TRSV_WIN_CAP", "1e4")
+    rng = np.random.default_rng(9)
+    ptr, ind, val, r, c = _wide_triangle(rng, m=6000)
+    m = ptr.size - 1
+    A = ast.create_csr(m, m, ptr, ind, val)
+    descr = MatrixDescriptor(type=MatrixType.triangular, fill_mode=FillMode.lower)
+    from aoclsparse_tpu.planner.plan import get_plan
+    from aoclsparse_tpu.planner.triangular import trsv_level_stats_for
+
+    nlev, _ = trsv_level_stats_for(get_plan(A), descr, Operation.none)
+    assert nlev > 4096
+    B = rng.standard_normal((m, 3)).astype(np.float32)
+    X = np.asarray(ast.trsm(1.0, A, descr, Operation.none, B))
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    S = sp.csr_matrix((val.astype(np.float64), (r, c)), shape=(m, m))
+    want = spla.spsolve_triangular(S.tocsr(), B.astype(np.float64), lower=True)
+    assert np.abs(X - want).max() < 1e-2
+
+
 def test_ilu0_window_cap_level_fallback(monkeypatch):
     monkeypatch.setenv("AOCLSPARSE_TPU_TRSV_WIN_CAP", "1e4")
     rng = np.random.default_rng(6)
