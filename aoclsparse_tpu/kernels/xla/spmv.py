@@ -220,6 +220,8 @@ def perm_rows_mm(P_bf16, xb):
         "has_hubrow",
         "has_spill",
         "has_flip",
+        "sproute_statics",
+        "sproute_interpret",
     ),
 )
 def spmv_gen(
@@ -247,6 +249,9 @@ def spmv_gen(
     has_hubrow: bool = False,
     has_spill: bool = False,
     has_flip: bool = False,
+    sproute=None,
+    sproute_statics=None,
+    sproute_interpret: bool = False,
 ):
     """General-sparsity SpMV: block-RCM-permuted band window + dense
     hub-column slab + COO spill, fused into ONE compiled program
@@ -278,9 +283,16 @@ def spmv_gen(
     xpad = jnp.pad(xp, (padL, n_pad - padL - m_pad))
     yp = spmv_bwd(win_val, xpad, W, base8, n_pad, mixed)[:m_pad]
     if has_spill:
-        yp = yp + jax.ops.segment_sum(
-            sp_val * xp[sp_ind], sp_rows, num_segments=m_pad, indices_are_sorted=True
-        )
+        if sproute is not None:
+            from ...planner.spill_route import spill_route_apply
+
+            yp = spill_route_apply(
+                xp, yp, sproute, sproute_statics, interpret=sproute_interpret
+            )
+        else:
+            yp = yp + jax.ops.segment_sum(
+                sp_val * xp[sp_ind], sp_rows, num_segments=m_pad, indices_are_sorted=True
+            )
     if has_hub:
         if mixed:
             yp = yp + (
@@ -319,6 +331,7 @@ def spmv_gen(
         "has_hubrow",
         "has_spill",
         "has_flip",
+        "sproute_statics",
     ),
 )
 def spmv_gen_bandv(
@@ -348,6 +361,8 @@ def spmv_gen_bandv(
     has_flip: bool = False,
     bperm_oh=None,
     bout_oh=None,
+    sproute=None,
+    sproute_statics=None,
 ):
     """spmv_gen_bandt with the band part on the vertical-layout kernel
     (kernels/pallas/spmv.py pallas_spmv_band_v — full 8-sublane tiles,
@@ -371,9 +386,17 @@ def spmv_gen_bandv(
     xe = jnp.pad(xp, (padL, 0))
     yp = pallas_spmv_band_v(vt4, xe, W, start, TM=TM, interpret=interpret)[:m_pad]
     if has_spill:
-        yp = yp + jax.ops.segment_sum(
-            sp_val * xp[sp_ind], sp_rows, num_segments=m_pad, indices_are_sorted=True
-        )
+        if sproute is not None:
+            # gather-free spill tail: one-hot select -> Benes route ->
+            # one-hot accumulate (3.4x the gather+segsum at webbase scale,
+            # benchmarks/PROBE_route.jsonl)
+            from ...planner.spill_route import spill_route_apply
+
+            yp = spill_route_apply(xp, yp, sproute, sproute_statics, interpret=interpret)
+        else:
+            yp = yp + jax.ops.segment_sum(
+                sp_val * xp[sp_ind], sp_rows, num_segments=m_pad, indices_are_sorted=True
+            )
     if has_hub:
         yp = yp + hub_slab @ x[hub_cols]
     if has_hubrow:
@@ -397,6 +420,7 @@ def spmv_gen_bandv(
         "has_hub",
         "has_hubrow",
         "has_spill",
+        "sproute_statics",
     ),
 )
 def spmv_gen_bandv_p(
@@ -418,6 +442,8 @@ def spmv_gen_bandv_p(
     has_hub: bool = False,
     has_hubrow: bool = False,
     has_spill: bool = False,
+    sproute=None,
+    sproute_statics=None,
 ):
     """PERMUTED-SPACE gen composite apply: yp = (P A P^T) xp.
 
@@ -438,9 +464,14 @@ def spmv_gen_bandv_p(
 
     yp = pallas_spmv_band_v(vt4, xe, W, start, TM=TM, interpret=interpret)[:m_pad]
     if has_spill:
-        yp = yp + jax.ops.segment_sum(
-            sp_val * xp[sp_ind], sp_rows, num_segments=m_pad, indices_are_sorted=True
-        )
+        if sproute is not None:
+            from ...planner.spill_route import spill_route_apply
+
+            yp = spill_route_apply(xp, yp, sproute, sproute_statics, interpret=interpret)
+        else:
+            yp = yp + jax.ops.segment_sum(
+                sp_val * xp[sp_ind], sp_rows, num_segments=m_pad, indices_are_sorted=True
+            )
     if has_hub:
         yp = yp + hub_slab @ xp[hub_cols_p]
     if has_hubrow:

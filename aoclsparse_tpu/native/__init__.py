@@ -22,6 +22,7 @@ import numpy as np
 __all__ = [
     "trsv_win_build",
     "available",
+    "benes_plan",
     "blkcsr_build",
     "blkcsr_count",
     "ilu0_factor",
@@ -153,6 +154,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.blkcsr_build.argtypes = (
             [ctypes.c_int64, ctypes.c_int64, i64p, i64p, ctypes.c_int64, i64p, i64p, u8p, i64p]
         )
+        lib.benes_plan.restype = None
+        lib.benes_plan.argtypes = [ctypes.c_int64, i64p, u8p]
         _lib = lib
         return _lib
 
@@ -768,3 +771,78 @@ def trsv_win_build(m, lo, hi, ind, vals, nb, reversed_):
         "L_dest": L_dest,
         "L_srcpos": L_srcpos,
     }
+
+
+def benes_plan(k: int, src) -> np.ndarray:
+    """Per-stage cross masks of a Benes network realizing the static
+    permutation out[j] = in[src[j]] on n = 2**k slots (kernels/xla/route.py
+    applies them as masked xor-stride rolls on device). Returns
+    (2k-1, n) uint8, stage strides 2^(k-1), ..., 2, 1, 2, ..., 2^(k-1).
+
+    Native O(n log n) looping solver; the Python fallback walks the same
+    cycles (fine for tests, too slow past ~1e5 on this throttled host)."""
+    src = _i64(src)
+    n = 1 << int(k)
+    if src.size != n:
+        raise ValueError(f"src must have {n} entries, got {src.size}")
+    if k == 0:
+        return np.zeros((0, 1), dtype=np.uint8)
+    masks = np.empty((2 * int(k) - 1, n), dtype=np.uint8)
+    lib = _load()
+    if lib is not None:
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.benes_plan(
+            ctypes.c_int64(int(k)),
+            src.ctypes.data_as(i64p),
+            masks.ctypes.data_as(u8p),
+        )
+        return masks
+    return _benes_numpy(int(k), src, masks)
+
+
+def _benes_numpy(k: int, src: np.ndarray, masks: np.ndarray) -> np.ndarray:
+    n = 1 << k
+    q_of = src.copy()
+    a = np.empty(n, dtype=np.int64)
+    a[src] = np.arange(n)
+    out_of = np.arange(n)
+    o_at = np.arange(n)
+    color = np.zeros(n, dtype=np.uint8)
+    for d in range(k - 1):
+        s = 1 << (k - 1 - d)
+        t1, t2 = d, 2 * k - 2 - d
+        done = np.zeros(n, dtype=bool)
+        for j0 in range(n):
+            e = int(o_at[j0])
+            if done[e]:
+                continue
+            c = 0
+            while True:
+                color[e] = c
+                done[e] = True
+                e2 = int(a[int(q_of[e]) ^ s])
+                color[e2] = 1 - c
+                done[e2] = True
+                e3 = int(o_at[int(out_of[e2]) ^ s])
+                if done[e3]:
+                    break
+                e = e3
+        lo = (np.arange(n) & s) == 0
+        ci = color[a[lo.nonzero()[0]]]
+        masks[t1][lo] = ci
+        masks[t1][~lo] = ci  # partner slots share the switch
+        co = color[o_at[lo.nonzero()[0]]]
+        masks[t2][lo] = co
+        masks[t2][~lo] = co
+        q_of = (q_of & ~s) | np.where(color == 1, s, 0)
+        out_of = (out_of & ~s) | np.where(color == 1, s, 0)
+        a[q_of] = np.arange(n)
+        o_at[out_of] = np.arange(n)
+    # middle stage, stride 1
+    tm = k - 1
+    ev = np.arange(0, n, 2)
+    cr = (q_of[o_at[ev]] != ev).astype(np.uint8)
+    masks[tm][ev] = cr
+    masks[tm][ev + 1] = cr
+    return masks

@@ -1035,3 +1035,109 @@ void trsv_win_fill_d(int64_t m, const int64_t *lo, const int64_t *hi,
 }
 
 } // extern "C"
+
+// ---------------------------------------------------------------------------
+// Benes-network routing plan for STATIC permutations (kernels/xla/route.py).
+//
+// A fixed permutation applied per call (scatter-tail SpMV contribution
+// reorder, SpGEMM extraction) costs the measured ~13 ns/element as an XLA
+// gather on this stack; as a Benes network it becomes 2*log2(n)-1 stages of
+// two rolls + two selects each — streaming-rate VPU work. This solver runs
+// ONCE at plan time and emits the per-stage cross masks.
+//
+// Topology (xor-stride convention, matching the device apply):
+//   stage t in [0, 2k-1): stride s_t = 2^(k-1-t) for t < k, else 2^(t-k+1).
+//   cross mask c_t[i] == c_t[i^s_t]; apply: v'[i] = c_t[i] ? v[i^s_t] : v[i].
+//
+// Settings by the classic Waksman looping argument, iterated level by level
+// (levels d = 0..k-1, stride s = 2^(k-1-d); level d sets stages d and
+// 2k-2-d, the middle level sets the single stage k-1). Element e (labelled
+// by its OUTPUT slot) starts at input position src[e]; after level d both
+// its current input- and output-side positions agree on all bits >= s.
+// O(n log n) total. Distinct from, but same looping argument as, the
+// textbook construction (Waksman 1968).
+
+static void benes_plan_impl(int64_t k, const int64_t *src, uint8_t *masks)
+{
+    const int64_t n = int64_t(1) << k;
+    const int64_t nstages = 2 * k - 1;
+    // q_of[e]: current input-side position of element e
+    // a[q]: element at input-side position q
+    // elem e's output-side position is out_of[e]; o_at[j] element at j
+    std::vector<int64_t> q_of(n), a(n), out_of(n), o_at(n);
+    std::vector<uint8_t> color(n), done(n);
+    for (int64_t e = 0; e < n; ++e) {
+        q_of[e] = src[e];
+        a[src[e]] = e;
+        out_of[e] = e;
+        o_at[e] = e;
+    }
+    for (int64_t d = 0; d + 1 < k; ++d) {
+        const int64_t s = int64_t(1) << (k - 1 - d);
+        const int64_t t1 = d, t2 = 2 * k - 2 - d;
+        std::fill(done.begin(), done.end(), uint8_t(0));
+        // walk alternating (input-pair, output-pair) cycles
+        for (int64_t j0 = 0; j0 < n; ++j0) {
+            int64_t e = o_at[j0];
+            if (done[e])
+                continue;
+            uint8_t c = 0;
+            while (true) {
+                color[e] = c;
+                done[e] = 1;
+                const int64_t qp = q_of[e] ^ s; // input partner position
+                int64_t e2 = a[qp];
+                color[e2] = uint8_t(1 - c);
+                done[e2] = 1;
+                const int64_t jp = out_of[e2] ^ s; // its output partner
+                int64_t e3 = o_at[jp];
+                if (done[e3])
+                    break;
+                e = e3; // constraint: color[e3] != color[e2] -> == c
+            }
+        }
+        // stage masks from colors (cross when the bit-s-clear slot's
+        // element is colored 1)
+        for (int64_t q = 0; q < n; ++q) {
+            if (q & s)
+                continue;
+            const uint8_t ci = color[a[q]];
+            masks[t1 * n + q] = ci;
+            masks[t1 * n + (q ^ s)] = ci;
+            const uint8_t co = color[o_at[q]];
+            masks[t2 * n + q] = co;
+            masks[t2 * n + (q ^ s)] = co;
+        }
+        // advance: both positions take bit s from the color
+        for (int64_t e = 0; e < n; ++e) {
+            q_of[e] = (q_of[e] & ~s) | (color[e] ? s : 0);
+            out_of[e] = (out_of[e] & ~s) | (color[e] ? s : 0);
+        }
+        for (int64_t e = 0; e < n; ++e) {
+            a[q_of[e]] = e;
+            o_at[out_of[e]] = e;
+        }
+    }
+    // middle stage (stride 1): cross where input/output bit0 differ
+    if (k >= 1) {
+        const int64_t tm = k - 1;
+        for (int64_t j = 0; j < n; j += 2) {
+            const int64_t e = o_at[j];
+            const uint8_t cr = uint8_t(q_of[e] != j);
+            masks[tm * n + j] = cr;
+            masks[tm * n + j + 1] = cr;
+        }
+    }
+    (void)nstages;
+}
+
+extern "C" {
+
+// src[j] = input position feeding output slot j (a permutation of [0, 2^k)).
+// masks: caller-allocated (2k-1) * 2^k uint8 buffer, stage-major.
+void benes_plan(int64_t k, const int64_t *src, uint8_t *masks)
+{
+    benes_plan_impl(k, src, masks);
+}
+
+} // extern "C"

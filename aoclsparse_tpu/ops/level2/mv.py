@@ -14,6 +14,7 @@ is computed with the alpha/beta epilogue fused in jit.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -72,6 +73,31 @@ def _scale(ax, alpha):
 
 
 _ZERO_CACHE = {}
+
+#: spill tails at or above this entry count take the gather-free route
+#: engine on TPU (one-hot select -> Benes -> one-hot accumulate,
+#: planner/spill_route.py). Below it the ~40 MB of route masks plus three
+#: kernel launches don't amortize over the per-entry gather-floor savings
+#: (~12 ns/entry at webbase scale, benchmarks/PROBE_route.jsonl).
+SPILL_ROUTE_MIN = 49152
+
+
+def _spill_route_on(form, is_tpu: bool) -> bool:
+    """Gate for the spill-route engine: env AOCLSPARSE_TPU_SPILL_ROUTE
+    (0/false off, 1/force on anywhere incl. CPU interpret, default auto =
+    TPU with a big spill). f32 only: the select kernel multiplies in f32."""
+    env = os.environ.get("AOCLSPARSE_TPU_SPILL_ROUTE", "auto")
+    if env in ("0", "false"):
+        return False
+    if form.sp_ind is None or not int(form.sp_ind.shape[0]):
+        return False
+    import jax.numpy as _jnp
+
+    if _jnp.dtype(form.sp_val.dtype) != _jnp.dtype(_jnp.float32):
+        return False
+    if env in ("1", "force"):
+        return True
+    return is_tpu and int(form.sp_ind.shape[0]) >= SPILL_ROUTE_MIN
 
 
 def _zero_operands(dtype):
@@ -306,6 +332,10 @@ def _run_exec_form(form, x, kid):
                 p_in = p_out = None
                 if use_pmm:
                     p_in, p_out = form.gen_perm_onehots()
+                sroute_ops = sroute_statics = None
+                if has_spill and _spill_route_on(form, is_tpu):
+                    sr = form.spill_route()
+                    sroute_ops, sroute_statics = sr.ops(), sr.statics()
                 return spmv_gen_bandv(
                     vt4,
                     x,
@@ -333,6 +363,8 @@ def _run_exec_form(form, x, kid):
                     has_flip=has_flip,
                     bperm_oh=p_in,
                     bout_oh=p_out,
+                    sproute=sroute_ops,
+                    sproute_statics=sroute_statics,
                 )
             return spmv_gen_bandt(
                 form.bwd_val,
@@ -360,6 +392,17 @@ def _run_exec_form(form, x, kid):
                 has_spill=has_spill,
                 has_flip=has_flip,
             )
+        sroute_kw = {}
+        if has_spill:
+            from ...core.context import get_context as _gc
+
+            if _spill_route_on(form, _gc().is_tpu):
+                sr = form.spill_route()
+                sroute_kw = {
+                    "sproute": sr.ops(),
+                    "sproute_statics": sr.statics(),
+                    "sproute_interpret": not _gc().is_tpu,
+                }
         return e.fn(
             wv,
             x,
@@ -385,6 +428,7 @@ def _run_exec_form(form, x, kid):
             has_hubrow=has_hubrow,
             has_spill=has_spill,
             has_flip=has_flip,
+            **sroute_kw,
         )
     raise AoclSparseError(Status.internal_error, f"bad exec form {form.kind}")
 

@@ -502,6 +502,24 @@ class ExecForm:
     host_ptr: Optional[np.ndarray] = None
     host_ind: Optional[np.ndarray] = None
     host_val: Optional[np.ndarray] = None
+    # spill-route engine (gather-free spill tail: one-hot select -> Benes
+    # -> one-hot accumulate; planner/spill_route.py). Built lazily for gen
+    # forms with big spills; A/B'd 3.4x over the gather+segsum tail at
+    # webbase scale (benchmarks/PROBE_route.jsonl spill_summary).
+    _spill_route: object = None
+
+    def spill_route(self):
+        """Lazy SpillRoute over the PERMUTED spill triplets (gen forms)."""
+        if self._spill_route is None:
+            from .spill_route import build_spill_route
+
+            self._spill_route = build_spill_route(
+                np.asarray(self.sp_rows),
+                np.asarray(self.sp_ind),
+                np.asarray(self.sp_val),
+                self.gen_m_pad,
+            )
+        return self._spill_route
 
     def host_values(self) -> np.ndarray:
         """Lazy host value vector: refresh must not pay a device->host fetch
@@ -716,6 +734,8 @@ class ExecForm:
             self.bwd_val = jnp.asarray(buf.reshape(self.bwd_W, self.gen_m_pad))
             if self.sp_src is not None and self.sp_src.size:
                 self.sp_val = jnp.asarray(vh[self.sp_src])
+                if self._spill_route is not None:
+                    self._spill_route.refresh(vh[self.sp_src])
             if self.hub_src is not None:
                 k = int(self.hub_cols.shape[0])
                 slab = np.zeros(self.gen_m_pad * k, dtype=vh.dtype)
@@ -738,6 +758,8 @@ class ExecForm:
             self.bwd_val = jnp.asarray(buf.reshape(ngrp, self.bwd_G, self.bwd_W))
             if self.sp_src is not None and self.sp_src.size:
                 self.sp_val = jnp.asarray(vh[self.sp_src])
+                if self.kind == "gen" and self._spill_route is not None:
+                    self._spill_route.refresh(vh[self.sp_src])
             if self.kind == "gen" and self.hub_src is not None:
                 k = int(self.hub_cols.shape[0])
                 slab = np.zeros(self.gen_m_pad * k, dtype=vh.dtype)

@@ -243,6 +243,13 @@ def _gen_pspace(form):
     def from_p(vp):
         return vp[inv][:m]
 
+    from ..ops.level2.mv import _spill_route_on
+
+    sroute_ops = sroute_statics = None
+    if has_spill and _spill_route_on(form, ctx.is_tpu):
+        sr = form.spill_route()
+        sroute_ops, sroute_statics = sr.ops(), sr.statics()
+
     def matvec_p(xp):
         return spmv_gen_bandv_p(
             vt4,
@@ -263,6 +270,8 @@ def _gen_pspace(form):
             has_hub=has_hub,
             has_hubrow=has_hubrow,
             has_spill=has_spill,
+            sproute=sroute_ops,
+            sproute_statics=sroute_statics,
         )
 
     return matvec_p, to_p, from_p
