@@ -31,7 +31,80 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["StaticRoute", "apply_benes", "benes_strides"]
+__all__ = [
+    "StaticRoute",
+    "apply_benes",
+    "apply_route",
+    "benes_strides",
+    "plan_route_arrays",
+]
+
+
+def plan_route_arrays(k: int, masks_np: np.ndarray):
+    """Split plan-time masks into the device arrays apply_route wants:
+    (outer, packed). k in [7, 20]: packed = (1, ceil((2k-1)/8), n) for the
+    single fused VMEM pass, outer = None. k > 20: the middle 2*20-1 stages
+    decompose into 2^(k-20) INDEPENDENT k=20 subnetworks (strides <= 2^19
+    never cross the top k-20 address bits), each packed for the fused
+    kernel; the 2(k-20) outer stages stay as unpacked masks for the XLA
+    rolls. k < 7: everything XLA (outer = full masks, packed None)."""
+    from ..pallas.route_fused import FUSED_MAX_K, pack_masks
+
+    S = masks_np.shape[0]
+    if k < 7:
+        return masks_np, None
+    kc = min(k, FUSED_MAX_K)
+    d = k - kc
+    nsub = 1 << kc
+    if d == 0:
+        return None, pack_masks(masks_np)[None]
+    outer = np.concatenate([masks_np[:d], masks_np[S - d :]])
+    mid = masks_np[d : S - d]
+    packed = np.stack(
+        [pack_masks(mid[:, h * nsub : (h + 1) * nsub]) for h in range(1 << d)]
+    )
+    return outer, packed
+
+
+def _xla_stage(v, mask_row, s: int, iot):
+    bit = (iot & np.int32(s)) != 0
+    partner = jnp.where(bit, jnp.roll(v, s), jnp.roll(v, -s))
+    return jnp.where(mask_row != 0, partner, v)
+
+
+def apply_route(v, outer, packed, k: int, interpret: bool = False):
+    """Best available Benes apply for a (outer, packed) plan from
+    plan_route_arrays. The fused VMEM kernel cuts per-apply traffic
+    ~500 MB -> ~13 MB at k=20 (route-only 0.57 ms vs ~6 ms staged XLA in
+    an ~80 GB/s window, benchmarks/PROBE_route.jsonl)."""
+    if packed is None:
+        return apply_benes(v, outer, k)
+    from ..pallas.route_fused import pallas_benes_apply
+
+    nhalf = packed.shape[0]
+    if nhalf == 1:
+        return pallas_benes_apply(v, packed[0], k, interpret=interpret)
+    d = int(np.log2(nhalf))
+    kc = k - d
+    strides = benes_strides(k)
+    S = len(strides)
+    iot = jax.lax.iota(jnp.int32, v.shape[0])
+    for t in range(d):
+        v = _xla_stage(v, outer[t], strides[t], iot)
+    nsub = 1 << kc
+    parts = [
+        pallas_benes_apply(
+            jax.lax.slice_in_dim(v, h * nsub, (h + 1) * nsub),
+            packed[h],
+            kc,
+            interpret=interpret,
+        )
+        for h in range(nhalf)
+    ]
+    v = jnp.concatenate(parts)
+    for t in range(d):
+        v = _xla_stage(v, outer[d + t], strides[S - d + t], iot)
+    return v
 
 
 def benes_strides(k: int):

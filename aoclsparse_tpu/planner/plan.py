@@ -513,11 +513,14 @@ class ExecForm:
         if self._spill_route is None:
             from .spill_route import build_spill_route
 
+            m_pad = self.gen_m_pad if self.kind == "gen" else self.m
+            n_pad_x = None if self.kind == "gen" else self.n
             self._spill_route = build_spill_route(
                 np.asarray(self.sp_rows),
                 np.asarray(self.sp_ind),
                 np.asarray(self.sp_val),
-                self.gen_m_pad,
+                m_pad,
+                n_pad_x=n_pad_x,
             )
         return self._spill_route
 

@@ -44,7 +44,8 @@ class SpillRoute:
     acc_idx: jax.Array  # (n_chunks, 8, 128) int32 local row idx
     acc_blk: jax.Array  # (n_chunks,) int32 monotone y-block ids
     acc_cid: jax.Array  # (n_chunks,) int32 contrib tile (n_acc_tiles = zero)
-    masks: jax.Array  # (2k-1, n) uint8 Benes cross masks
+    masks: jax.Array  # outer-stage masks (k>20 hierarchy / k<7 full XLA)
+    masks_packed: jax.Array  # (2^d, ceil/8, 2^kc) bit-packed fused masks
     _val_slot: np.ndarray  # select slot of each spill entry (refresh map)
     _val_dtype: np.dtype = None
 
@@ -57,7 +58,8 @@ class SpillRoute:
         """The jit-traversable operand tuple handed to the kernels."""
         return (
             self.sel_idx, self.sel_val, self.sel_blk,
-            self.acc_idx, self.acc_blk, self.acc_cid, self.masks,
+            self.acc_idx, self.acc_blk, self.acc_cid,
+            self.masks, self.masks_packed,
         )
 
     def statics(self):
@@ -113,7 +115,10 @@ def build_spill_route(
     used = np.zeros(n, dtype=bool)
     used[sel_slot] = True
     src[src == -1] = np.nonzero(~used)[0]
-    masks = native.benes_plan(k, src)
+    masks_np = native.benes_plan(k, src)
+    from ..kernels.xla.route import plan_route_arrays
+
+    outer_np, packed_np = plan_route_arrays(k, masks_np)
 
     sel_idx_f = np.zeros(n_sel_tiles * 1024, dtype=np.int32)
     sel_idx_f[sel_slot] = (cols % 1024).astype(np.int32)
@@ -156,7 +161,8 @@ def build_spill_route(
             acc_idx=jnp.asarray(acc_idx_tiles),
             acc_blk=jnp.asarray(all_blk),
             acc_cid=jnp.asarray(all_cid),
-            masks=jnp.asarray(masks),
+            masks=None if outer_np is None else jnp.asarray(outer_np),
+            masks_packed=None if packed_np is None else jnp.asarray(packed_np),
             _val_slot=sel_slot,
             _val_dtype=vals.dtype,
         )
@@ -166,16 +172,16 @@ def build_spill_route(
 def spill_route_apply(xp, yp, ops, statics, interpret: bool = False):
     """yp + spill contribution, all phases gather-free. xp/yp: (m_pad,)."""
     from ..kernels.pallas.spill_route import pallas_oh_accum, pallas_oh_select
-    from ..kernels.xla.route import apply_benes
+    from ..kernels.xla.route import apply_route
 
-    sel_idx, sel_val, sel_blk, acc_idx, acc_blk, acc_cid, masks = ops
+    sel_idx, sel_val, sel_blk, acc_idx, acc_blk, acc_cid, masks, masks_packed = ops
     k, n, nxblk, nyblk, n_acc_tiles, m_pad = statics
     x3 = jnp.pad(xp, (0, nxblk * 1024 - xp.shape[0])).reshape(nxblk, 8, 128)
     contrib = pallas_oh_select(x3, sel_idx, sel_val, sel_blk, interpret=interpret)
     flat = contrib.reshape(-1)
     if flat.shape[0] < n:
         flat = jnp.pad(flat, (0, n - flat.shape[0]))
-    routed = apply_benes(flat, masks, k)
+    routed = apply_route(flat, masks, masks_packed, k, interpret=interpret)
     ctiles = jnp.concatenate(
         [routed[: n_acc_tiles * 1024].reshape(n_acc_tiles, 8, 128),
          jnp.zeros((1, 8, 128), routed.dtype)]

@@ -13,7 +13,7 @@ Usage:
     python benchmarks/run_real.py            # all four matrices
     REAL_ONLY=cant python benchmarks/run_real.py
 
-Appends one JSON row per (matrix, op) to benchmarks/REAL_r4.jsonl.
+Appends one JSON row per (matrix, op) to benchmarks/REAL_r5.jsonl.
 """
 
 import json
@@ -26,7 +26,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "REAL_r4.jsonl")
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "REAL_r5.jsonl")
 MTXDIR = "/tmp/realmat"
 HBM_PEAK = 819.0  # v5e GB/s
 
@@ -154,48 +154,33 @@ def main():
                     os.environ["AOCLSPARSE_TPU_MIXED_PRECISION"] = "0"
 
         def mv_loop_args(mixed=False):
-            """gen-form arg-passing loop (operands as jit arguments)."""
-            if not (form.kind == "gen" and getattr(form, "gen_bandt", False)):
-                return None
-            from aoclsparse_tpu.kernels.pallas.spmv import bandv_tm
-            from aoclsparse_tpu.kernels.xla.spmv import spmv_gen_bandv
-
-            TMg = bandv_tm(form.bwd_W)
-            vt4_a = form.bandt_vertical(TM=TMg, bf16=mixed)
-            has_spill = form.sp_ind is not None and bool(form.sp_ind.shape[0])
-            has_hub = form.hub_cols is not None and bool(form.hub_cols.shape[0])
-            has_hubrow = form.hubr_rows is not None and bool(form.hubr_rows.shape[0])
-            has_flip = form.gen_flip is not None
-            zi, zv = _zero_operands(np.float32)
-            zm, zb = _zero_aux(np.float32)
-            hs_a = form.hub_slab if has_hub else zm
-            hr_a = form.hubr_slab if has_hubrow else zm
-            sv_a = form.sp_val if has_spill else zv
+            """Generic arg-passing loop: trace the library dispatch ONCE to
+            a jaxpr and pass its consts (the plan operands -- band, slabs,
+            spill-route tiles, Benes masks) as jit ARGUMENTS, so the
+            remote-compile request body stays small for EVERY engine
+            (VERDICT r4 item 4 methodology, same as the mm row)."""
+            if mixed:
+                os.environ["AOCLSPARSE_TPU_MIXED_PRECISION"] = "1"
+            try:
+                closed = jax.make_jaxpr(lambda xc: _run_exec_form(form, xc, None))(x)
+            finally:
+                if mixed:
+                    os.environ["AOCLSPARSE_TPU_MIXED_PRECISION"] = "0"
+            consts = [jnp.asarray(c) for c in closed.consts]
 
             @jax.jit
-            def loop(eps, vt4c, hsc, hrc, svc, x0):
+            def loop(eps, x0, *cs):
                 def body(i, carry):
                     xc, acc = carry
-                    yv = spmv_gen_bandv(
-                        vt4c, xc, form.gen_perm, form.gen_out,
-                        form.gen_flip if has_flip else zb,
-                        hsc, form.hub_cols if has_hub else zi,
-                        hrc, form.hubr_rows if has_hubrow else zi,
-                        svc, form.sp_ind if has_spill else zi,
-                        form.sp_rows if has_spill else zi,
-                        B=form.gen_B, W=vt4c.shape[0] // 8, padL=form.bwd_padL,
-                        start=form.bandt_start, TM=TMg, m=form.m,
-                        m_pad=form.gen_m_pad, has_hub=has_hub,
-                        has_hubrow=has_hubrow, has_spill=has_spill,
-                        has_flip=has_flip,
-                    )
-                    return (xc.at[:128].add(eps * yv[:128]), acc + yv[0])
+                    yv = jax.core.eval_jaxpr(closed.jaxpr, list(cs), xc)[0]
+                    return (xc.at[:128].add(eps * yv[:128].astype(xc.dtype)),
+                            acc + yv[0].astype(jnp.float32))
 
                 _, acc = jax.lax.fori_loop(0, R, body, (x0, jnp.float32(0.0)))
                 return acc
 
-            float(loop(jnp.float32(1e-7), vt4_a, hs_a, hr_a, sv_a, x))
-            return lambda: float(loop(jnp.float32(1e-7), vt4_a, hs_a, hr_a, sv_a, x))
+            float(loop(jnp.float32(1e-7), x, *consts))
+            return lambda: float(loop(jnp.float32(1e-7), x, *consts))
 
         # oversized gen bands 413 the closure compile (constants ship in the
         # remote request); go straight to the args-loop past ~150 MB

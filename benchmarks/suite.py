@@ -127,6 +127,28 @@ def main():
     plan = get_plan(A)
     x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
 
+    # ---- host-truth comparator (VERDICT r4 item 10): scipy.sparse timings
+    # as the independent "what a CPU does" column on every device row — the
+    # EXTERNAL_BENCHMARKING analog of the reference bench harness
+    # (tests/include/aoclsparse_no_ext_benchmarking.hpp:1-40).
+    import scipy.sparse as _sp
+    import scipy.sparse.linalg as _spla
+
+    S_host = _sp.csr_matrix(
+        (np.asarray(val), np.asarray(ind), np.asarray(ptr)), shape=(m, n)
+    )
+    xh = np.asarray(x)
+
+    def scipy_ms(fn, iters=3):
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best * 1e3, 3)
+
+    host_spmv_ms = scipy_ms(lambda: S_host @ xh)
+
     # ---- SpMV banded via the Pallas transposed-band form (TPU default) ----
     from aoclsparse_tpu.ops.level2.mv import _run_exec_form
 
@@ -144,6 +166,7 @@ def main():
                     "t_us": round(t * 1e6, 1),
                     "W": formt.bwd_W,
                     "window_stream_gbps": window_gbps(),
+                    "host_scipy_ms": host_spmv_ms,
                 },
             }
         )
@@ -384,7 +407,8 @@ def main():
             "metric": f"spmm_k{k}_f32",
             "value": round(2 * nnz * k / t / 1e12, 3),
             "unit": "TFLOP/s",
-            "extra": {"t_ms": round(t * 1e3, 3), "Wg": formg.bwd_W, "G": formg.bwd_G},
+            "extra": {"t_ms": round(t * 1e3, 3), "Wg": formg.bwd_W, "G": formg.bwd_G,
+                      "host_scipy_ms": scipy_ms(lambda: S_host @ np.asarray(B), iters=2)},
         }
     )
 
@@ -551,7 +575,11 @@ def main():
                           "t_xla_scan_ms": round(t * 1e3, 3),
                           "t_pallas_ms": None if t_pl is None else round(t_pl * 1e3, 3),
                           "kind": tform.kind, "WL": tform.WL,
-                          "nblk": tform.nblk, "nb": tform.nb},
+                          "nblk": tform.nblk, "nb": tform.nb,
+                          "host_scipy_ms": scipy_ms(
+                              lambda: _spla.spsolve_triangular(
+                                  _sp.tril(S_host).tocsr(), xh, lower=True),
+                              iters=2)},
             }
         )
     except Exception as e:
@@ -961,6 +989,12 @@ def main():
                     "m": mF,
                     "ms_per_iter_slope": None if slope is None else round(slope, 3),
                     "slope_points": {str(k): [round(v[0] * 1e3, 1), v[1]] for k, v in ts.items()},
+                    # independent CPU reference: scipy CG per-iteration on
+                    # the same operand (slope between two maxiter budgets)
+                    "host_scipy_cg_ms_iter": (lambda SF: round(
+                        (scipy_ms(lambda: _spla.cg(SF, bF, maxiter=24), iters=2)
+                         - scipy_ms(lambda: _spla.cg(SF, bF, maxiter=4), iters=2)) / 20, 3))(
+                        _sp.csr_matrix((vF, iF, pF), shape=(mF, mF))),
                 },
             }
         )

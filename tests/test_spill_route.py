@@ -32,6 +32,27 @@ def test_benes_masks_route_random_perms(rng):
     np.testing.assert_array_equal(out, np.arange(n, dtype=np.float32)[src])
 
 
+def test_hierarchical_route_k_beyond_fused_cap(rng, monkeypatch):
+    # routes larger than the fused kernel's VMEM cap split into outer XLA
+    # stages + 2^d independent fused subnetworks (the webbase-class spill
+    # hit k=21 and silently fell back to ~6 ms of staged XLA rolls before
+    # this path existed). Exercised at a small scale by lowering the cap.
+    from aoclsparse_tpu import native
+    from aoclsparse_tpu.kernels.pallas import route_fused
+    from aoclsparse_tpu.kernels.xla.route import apply_route, plan_route_arrays
+
+    monkeypatch.setattr(route_fused, "FUSED_MAX_K", 7)
+    for k in (8, 9):
+        n = 1 << k
+        src = rng.permutation(n)
+        masks = native.benes_plan(k, src)
+        outer, packed = plan_route_arrays(k, masks)
+        assert packed is not None and packed.shape[0] == 1 << (k - 7)
+        v = np.arange(n, dtype=np.float32)
+        out = np.asarray(apply_route(v, outer, packed, k, interpret=True))
+        np.testing.assert_array_equal(out, v[src])
+
+
 def test_static_route_partial_and_2d(rng):
     from aoclsparse_tpu.kernels.xla.route import StaticRoute
 
