@@ -215,11 +215,247 @@ def webbase_1m(rng, diag_boost=0.0):
     return _finish(r, c, m, m, rng, diag_boost, sym_vals=False)
 
 
+def rajat31(rng, diag_boost=0.0):
+    """Rajat/rajat31 stand-in (round-5 class: HUGE circuit, extreme row
+    count): published n=4,690,002, nnz=20,316,253 (avg 4.33/row), circuit
+    simulation, structurally symmetric, full diagonal, near-diagonal local
+    coupling with a handful of moderate-degree rails. The 4.7M-row scale is
+    the point — it stresses 32-bit index headroom and the planner's host
+    passes (VERDICT r4 missing item 2)."""
+    m = 4690002
+    # local coupling ~1.58/row within +-16, symmetrized -> ~3.1/row
+    n_loc = int(1.58 * m)
+    rows = rng.integers(0, m, n_loc)
+    cols = np.clip(rows + rng.integers(-16, 17, n_loc), 0, m - 1)
+    # rails: 48 moderate-degree nets (max row degree lands ~1.2k)
+    n_rail = 48
+    rails = rng.choice(m, n_rail, replace=False).astype(np.int64)
+    deg = np.clip(rng.zipf(1.30, n_rail), 200, 1200)
+    rr = np.repeat(rails, deg)
+    rc = rng.integers(0, m, rr.size)
+    # thin uniform scatter tail
+    n_sc = int(0.17 * m)
+    sr = rng.integers(0, m, n_sc)
+    sc = rng.integers(0, m, n_sc)
+    r = np.concatenate([rows, rr, sr])
+    c = np.concatenate([cols, rc, sc])
+    r2 = np.concatenate([r, c])
+    c2 = np.concatenate([c, r])
+    return _finish(r2, c2, m, m, rng, diag_boost, sym_vals=False)
+
+
+def asic_680k(rng, diag_boost=0.0):
+    """Sandia/ASIC_680k stand-in (round-5 class: circuit with NEARLY-DENSE
+    rows): published n=682,862, nnz=3,871,773 (avg 5.67/row); the unsanitized
+    ASIC_680k carries a few power/ground nets touching a large fraction of
+    all cells (max row degree ~395k — dominates a tenth of the matrix), the
+    worst published hub-row case in the 29-matrix list. Stresses the hub/
+    spill decomposition far past scircuit's 353-degree rails."""
+    m = 682862
+    # ultra-dense nets (approximate published max row ~395k)
+    rail_deg = np.array([395000, 130000, 70000, 40000, 25000], dtype=np.int64)
+    rails = rng.choice(m, rail_deg.size, replace=False).astype(np.int64)
+    # rail targets WITHOUT replacement (random draws collide at deg~0.6m and
+    # dedupe would shave the published max row back to ~300k)
+    rr_l, rc_l = [], []
+    for rail, dg in zip(rails, rail_deg):
+        rr_l.append(np.full(dg, rail, dtype=np.int64))
+        rc_l.append(rng.permutation(m)[:dg].astype(np.int64))
+    rr = np.concatenate(rr_l)
+    rc = np.concatenate(rc_l)
+    # local coupling ~1.32/row within +-12, symmetrized
+    n_loc = int(1.32 * m)
+    rows = rng.integers(0, m, n_loc)
+    cols = np.clip(rows + rng.integers(-12, 13, n_loc), 0, m - 1)
+    # mid-degree zipf nets
+    n_mid = 600
+    mids = rng.choice(m, n_mid, replace=False).astype(np.int64)
+    mdeg = np.clip(rng.zipf(1.6, n_mid), 20, 2000)
+    mr = np.repeat(mids, mdeg)
+    mc = rng.integers(0, m, mr.size)
+    r = np.concatenate([rr, rows, mr])
+    c = np.concatenate([rc, cols, mc])
+    # structural symmetry (mirror) — dense rows are also dense columns
+    r2 = np.concatenate([r, c])
+    c2 = np.concatenate([c, r])
+    return _finish(r2, c2, m, m, rng, diag_boost, sym_vals=False)
+
+
+def in_2004(rng, diag_boost=0.0):
+    """LAW/in-2004 stand-in (round-5 class: 16M-nnz web graph): published
+    n=1,382,908, nnz=16,917,053 (avg 12.2/row), crawl of the .in domain in
+    LAW URL ordering — strong host locality (pages of one site are a
+    contiguous index range and link within it) + power-law global hubs
+    (max in-degree ~21.9k). 5.5x webbase's nnz with ~4x its density."""
+    m = 1382908
+    # site blocks: lognormal sizes (median ~27 pages), contiguous ranges
+    sizes = np.maximum(1, rng.lognormal(3.3, 1.2, 120000).astype(np.int64))
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+    ncover = np.searchsorted(starts, m)
+    sizes = sizes[:ncover]
+    starts = starts[:ncover]
+    sizes[-1] = m - starts[-1]
+    # per-page intra-site links: ~8.6 uniform targets within the site block
+    page_site = np.repeat(np.arange(ncover), sizes)
+    k_in = rng.poisson(10.4, m)
+    rows_s = np.repeat(np.arange(m, dtype=np.int64), k_in)
+    site_of = np.repeat(page_site, k_in)
+    cols_s = starts[site_of] + (
+        rng.random(rows_s.size) * sizes[site_of]).astype(np.int64)
+    # global hubs: zipf over 30k hub pages, in-degree capped at the
+    # published ~21.9k max
+    n_hub_links = int(3.0 * m)
+    hub_ids = rng.zipf(1.45, n_hub_links)
+    hub_ids = hub_ids[hub_ids <= 30000] - 1
+    hub_pages = rng.permutation(m)[:30000].astype(np.int64)
+    uq, cnt = np.unique(hub_ids, return_counts=True)
+    cnt = np.minimum(cnt, 21866)
+    cols_h = np.repeat(hub_pages[uq], cnt)
+    rows_h = rng.integers(0, m, cols_h.size)
+    # out-degree hubs (directory/link pages; published max out ~7.8k)
+    n_ohub = 2000
+    ohubs = rng.choice(m, n_ohub, replace=False).astype(np.int64)
+    odeg = np.clip(rng.zipf(1.6, n_ohub), 50, 7753)
+    rows_o = np.repeat(ohubs, odeg)
+    cols_o = rng.integers(0, m, rows_o.size)
+    # uniform tail
+    n_rand = int(0.5 * m)
+    rows_r = rng.integers(0, m, n_rand)
+    cols_r = rng.integers(0, m, n_rand)
+    r = np.concatenate([rows_s, rows_h, rows_o, rows_r])
+    c = np.concatenate([cols_s, cols_h, cols_o, cols_r])
+    return _finish(r, c, m, m, rng, diag_boost, sym_vals=False)
+
+
+def _box3(a, reps=2):
+    """Separable 3-pass box smoothing of a 3-D field (no scipy dependency)."""
+    for _ in range(reps):
+        for ax in range(3):
+            a = (np.roll(a, 1, ax) + a + np.roll(a, -1, ax)) / 3.0
+    return a
+
+
+def ldoor(rng, diag_boost=0.0):
+    """GHS_psdef/ldoor stand-in (round-5 class: very large FEM, WIDE band):
+    published n=952,203, nnz=42,493,817 (avg 44.6/row), SPD 3-dof solid
+    mesh of a car door part. Grid 120x60x44 nodes (m=950,400 dof): node
+    halfband ~7.3k -> dof halfband ~22k, an order past pwtk's — exercises
+    the wide-band planner guards at 42M nnz. Faces + a calibrated fraction
+    of edge neighbors land the published ~44.6 nnz/row; symmetric values."""
+    offsets = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                dist = abs(dx) + abs(dy) + abs(dz)
+                if dist == 0 or dist == 3:
+                    continue
+                # faces always; edges at the calibrated fraction
+                offsets.append((dx, dy, dz, dist == 2))
+    r, c = _grid_block_mesh((120, 60, 44), 3, offsets, rng, corner_frac=0.70)
+    m = 120 * 60 * 44 * 3
+    return _finish(r, c, m, m, rng, diag_boost, sym_vals=True)
+
+
+def bone010(rng, diag_boost=0.0):
+    """Oberwolfach/bone010 stand-in (round-5 class: large IRREGULAR FEM):
+    published n=986,703, nnz=47,851,783 (avg 48.5/row), micro-FE model of
+    trabecular bone — a porous voxel mesh: locally dense 27-point coupling
+    inside bone struts, voids elsewhere. Modeled as a 148x82x82 voxel grid
+    masked by thresholded smoothed noise (~33% voxels kept, spatially
+    clustered), 3 dof/node; the irregular row-block structure (band with
+    holes) is the class cant/pwtk/ldoor don't cover."""
+    dims = (148, 82, 82)
+    nn_full = dims[0] * dims[1] * dims[2]
+    field = _box3(rng.random(dims), reps=2)
+    target_nodes = 328901  # published n/3
+    thr = np.quantile(field.ravel(), 1.0 - target_nodes / nn_full)
+    keep = field >= thr
+    keep_flat = keep.ravel(order="F")  # x fastest, matching index math below
+    # mapping voxel -> compact node id (kept voxels only)
+    node_id = np.cumsum(keep_flat) - 1
+    nx, ny, nz = dims
+    idx = np.flatnonzero(keep_flat)
+    ix = idx % nx
+    iy = (idx // nx) % ny
+    iz = idx // (nx * ny)
+    src_n, dst_n = [], []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                if (dx, dy, dz) == (0, 0, 0):
+                    continue
+                jx, jy, jz = ix + dx, iy + dy, iz + dz
+                ok = (
+                    (jx >= 0) & (jx < nx) & (jy >= 0) & (jy < ny)
+                    & (jz >= 0) & (jz < nz)
+                )
+                if abs(dx) + abs(dy) + abs(dz) == 3:
+                    # partial corner coupling calibrated to the published
+                    # 48.5 nnz/row (hexahedral micro-FE corner terms)
+                    ok = ok & (rng.random(idx.size) < 0.81)
+                j = jx + nx * (jy + ny * jz)
+                ok = ok & keep_flat[np.where(ok, j, 0)]
+                src_n.append(node_id[idx[ok]])
+                dst_n.append(node_id[j[ok]])
+    src = np.concatenate(src_n)
+    dst = np.concatenate(dst_n)
+    dof = 3
+    di = np.arange(dof, dtype=np.int64)
+    r = (src[:, None, None] * dof + di[None, :, None]) + 0 * di[None, None, :]
+    c = (dst[:, None, None] * dof + di[None, None, :]) + 0 * di[None, :, None]
+    m = int(keep_flat.sum()) * dof
+    return _finish(r.ravel(), c.ravel(), m, m, rng, diag_boost, sym_vals=True)
+
+
+def circuit5m(rng, diag_boost=0.0):
+    """Freescale/circuit5M stand-in (round-5 class: >=50M-nnz scale):
+    published n=5,558,326, nnz=59,524,291 (avg 10.7/row), post-layout
+    circuit with a few power-net rows of ~1M+ entries (published max row
+    ~1.29M). The first >=50M-nnz / >=5M-row operand in the tree (VERDICT
+    r4 missing item 2): stresses 32-bit index headroom, tunnel upload,
+    planner memory guards, and the hub/spill split simultaneously."""
+    m = 5558326
+    # power rails: handful of ~1M-degree nets (approx published max 1.29M)
+    rail_deg = np.array([1290000, 600000, 300000, 150000, 80000, 40000],
+                        dtype=np.int64)
+    rails = rng.choice(m, rail_deg.size, replace=False).astype(np.int64)
+    # rail targets WITHOUT replacement (keeps the published ~1.29M max row
+    # through dedupe)
+    rr_l, rc_l = [], []
+    for rail, dg in zip(rails, rail_deg):
+        rr_l.append(np.full(dg, rail, dtype=np.int64))
+        rc_l.append(rng.permutation(m)[:dg].astype(np.int64))
+    rr = np.concatenate(rr_l)
+    rc = np.concatenate(rc_l)
+    # local coupling ~4.4/row within +-64, symmetrized -> ~8.8/row
+    n_loc = int(4.4 * m)
+    rows = rng.integers(0, m, n_loc)
+    cols = np.clip(rows + rng.integers(-64, 65, n_loc), 0, m - 1)
+    # mid-degree zipf nets
+    n_mid = 6000
+    mids = rng.choice(m, n_mid, replace=False).astype(np.int64)
+    mdeg = np.clip(rng.zipf(1.5, n_mid), 30, 8000)
+    mr = np.repeat(mids, mdeg)
+    mc = rng.integers(0, m, mr.size)
+    r = np.concatenate([rr, rows, mr])
+    c = np.concatenate([rc, cols, mc])
+    # structural symmetry (mirror): dense rows are also dense columns
+    r2 = np.concatenate([r, c])
+    c2 = np.concatenate([c, r])
+    return _finish(r2, c2, m, m, rng, diag_boost, sym_vals=False)
+
+
 MATRICES = {
     "cant": (cant, dict(n=62451, nnz=4007383, cls="FEM 3x3-block band")),
     "pwtk": (pwtk, dict(n=217918, nnz=11524432, cls="FEM 6x6-block band")),
     "scircuit": (scircuit, dict(n=170998, nnz=958936, cls="circuit irregular")),
     "webbase-1M": (webbase_1m, dict(n=1000005, nnz=3105536, cls="web power-law")),
+    "rajat31": (rajat31, dict(n=4690002, nnz=20316253, cls="huge circuit 4.7M rows")),
+    "ASIC_680k": (asic_680k, dict(n=682862, nnz=3871773, cls="circuit dense-row hubs")),
+    "in-2004": (in_2004, dict(n=1382908, nnz=16917053, cls="web 16M-nnz host-local")),
+    "ldoor": (ldoor, dict(n=952203, nnz=42493817, cls="FEM wide-band 42M nnz")),
+    "bone010": (bone010, dict(n=986703, nnz=47851783, cls="FEM porous irregular")),
+    "circuit5M": (circuit5m, dict(n=5558326, nnz=59524291, cls="circuit 59M nnz, 1.3M-deg rails")),
 }
 
 
