@@ -73,6 +73,8 @@ __all__ = [
     "band_vert_layout_tiles",
     "pallas_spmv_band_mxu",
     "pallas_spmm_band_mxu",
+    "pallas_spmm_diag",
+    "diagmm_tiles",
     "band_mxu_blocks",
     "spmv_bandt",
     "spmv_bandv",
@@ -339,6 +341,123 @@ def pallas_spmm_band_mxu(dt, Be, start: int, TM: int = 1024, interpret: bool = F
         interpret=interpret,
     )(dt, B3, B3)
     return out[:m]
+
+
+# ---------------------------------------------------------------------------
+# diag SpMM: C^T formulation — the per-diagonal row shift lands on the
+# LANE axis (unaligned lane slices are legal Mosaic; unaligned SUBLANE
+# slices crash, which is why _kernel_mm needs 8 pre-rotated window copies).
+# Serves the wide-band few-diagonal FEM class (pwtk: 192 element diagonals
+# over a +-2729 halfband — the row-aligned band would be a 4.8 GB slab)
+# where mm otherwise fell to the gather engine (~400 ms at K=64 on the
+# pwtk stand-in). Reference role: csrmm over the DIA-optimized format
+# (level3/aoclsparse_csrmm.hpp row loop; format from csr2dia,
+# conversion/aoclsparse_convert.cpp:506).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_mm_diag(dv_ref, *b_and_out, TMl: int, offs_rel: tuple):
+    """Ct[k, i] = sum_j dv[j, i] * Bt[k, i + off_j] for a TMl-lane tile.
+
+    dv: (D8, TMl) diagonal values (row j = diagonal j, lanes = matrix
+    rows); Bt window arrives as nsl consecutive (K8, TMl) blocks stitched
+    lane-wise. Per-diagonal slices of the window are unaligned LANE
+    slices (legal); the per-diagonal value row dv[j] would be an
+    unaligned SUBLANE slice, so it is extracted with an aligned 8-row
+    one-hot reduction instead (8 extra VPU mults per diagonal — noise
+    next to the K8-wide FMA)."""
+    b_refs = b_and_out[:-1]
+    out_ref = b_and_out[-1]
+    Bcat = jnp.concatenate([r[:] for r in b_refs], axis=1)  # (K8, nsl*TMl)
+    K8 = out_ref.shape[0]
+    acc = jnp.zeros(out_ref.shape, dtype=out_ref.dtype)
+    # one-hot sublane selector built from iota IN-KERNEL (pallas_call
+    # rejects captured constants)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    for j, off in enumerate(offs_rel):
+        a8, r = (j // 8) * 8, j % 8
+        sel = (row_id == np.int32(r)).astype(out_ref.dtype)
+        dvj = jnp.sum(
+            dv_ref[a8 : a8 + 8, :].astype(out_ref.dtype) * sel,
+            axis=0,
+            keepdims=True,
+        )  # (1, TMl)
+        win = jax.lax.slice(Bcat, (0, off), (K8, off + TMl))
+        acc = acc + dvj * win.astype(out_ref.dtype)
+    out_ref[:] = acc
+
+
+def diagmm_tiles(span: int, K8: int, D8: int, vmem_budget: int = 10 * 2**20):
+    """Pick TMl (lane tile) so the kernel's VMEM footprint — dv (D8, TMl)
+    + nsl B blocks (K8, TMl) + out (K8, TMl), double-buffered — fits the
+    budget. Returns (TMl, nsl) or None when no tile fits (span too wide:
+    ldoor-class; the caller falls back to the XLA unrolled slices)."""
+    for TMl in (2048, 4096, 1024, 8192):
+        nsl = -(-(span + TMl) // TMl)
+        byt = (D8 * TMl + nsl * K8 * TMl + K8 * TMl) * 4 * 2
+        if byt <= vmem_budget:
+            return TMl, nsl
+    return None
+
+
+@partial(jax.jit, static_argnames=("offs", "m", "L", "n_pad", "TMl", "interpret"))
+def pallas_spmm_diag(
+    dvals, B, offs: tuple, m: int, L: int, n_pad: int, TMl: int = 2048,
+    interpret: bool = False,
+):
+    """C = A_dia @ B for the planner's diag execution form.
+
+    dvals: (ndiag, m) diagonal-aligned values (dia_val layout: diagonal d's
+    entry for row i at dvals[d, i], column i + offs[d]); B: (n, K) dense.
+    Matches spmv_diag semantics with a matrix RHS; dvals may be bf16
+    (f32 accumulate, docs/precision.md)."""
+    ndiag = len(offs)
+    K = B.shape[1]
+    K8 = -(-K // 8) * 8
+    D8 = -(-ndiag // 8) * 8
+    dv = dvals
+    if D8 != ndiag:
+        dv = jnp.pad(dv, ((0, D8 - ndiag), (0, 0)))
+    ntile = -(-m // TMl)
+    m_pad = ntile * TMl
+    if m_pad != m:
+        dv = jnp.pad(dv, ((0, 0), (0, m_pad - m)))
+    off_min = min(offs)
+    span = max(offs) - off_min
+    start0 = off_min + L
+    Bp = jnp.pad(B, ((L, n_pad - L - B.shape[0]), (0, K8 - K)))
+    Bt = Bp.T  # (K8, n_pad)
+    coarse, rem = divmod(start0, TMl)
+    nsl = -(-(span + TMl) // TMl)
+    need = (ntile + coarse + nsl) * TMl + rem
+    if Bt.shape[1] < need:
+        Bt = jnp.pad(Bt, ((0, 0), (0, need - Bt.shape[1])))
+    if rem:
+        Bt = jnp.roll(Bt, -rem, axis=1)
+    ncol = Bt.shape[1] // TMl
+    Bt = Bt[:, : ncol * TMl]
+    offs_rel = tuple(int(o) - off_min for o in offs)
+    in_specs = [
+        pl.BlockSpec((D8, TMl), _imap32(lambda t: (0, t)), memory_space=pltpu.VMEM)
+    ]
+    for i in range(nsl):
+        in_specs.append(
+            pl.BlockSpec(
+                (K8, TMl),
+                _imap32(lambda t, i=i: (0, t + coarse + i)),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    odt = jnp.float32 if dv.dtype == jnp.bfloat16 else dv.dtype
+    out = pl.pallas_call(
+        partial(_kernel_mm_diag, TMl=TMl, offs_rel=offs_rel),
+        out_shape=jax.ShapeDtypeStruct((K8, m_pad), odt),
+        grid=(ntile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((K8, TMl), _imap32(lambda t: (0, t)), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(dv, *([Bt] * nsl))
+    return out[:K, :m].T
 
 
 # ---------------------------------------------------------------------------

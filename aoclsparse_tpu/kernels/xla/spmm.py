@@ -14,7 +14,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["spmm_segsum", "spmm_ell", "spmm_ellhyb", "spmm_gen"]
+__all__ = ["spmm_segsum", "spmm_ell", "spmm_ellhyb", "spmm_gen", "spmm_diag"]
 
 
 @partial(jax.jit, static_argnames=("m",))
@@ -212,3 +212,76 @@ def spmm_bwd(grp_val, B, G: int, Wg: int, base: int, n_pad: int, mixed: bool = F
 
     _, outs = jax.lax.scan(step, None, (grp_val, wins))
     return outs.reshape(ngrp * G, k).astype(out_dtype)
+
+
+@partial(jax.jit, static_argnames=("offs", "m", "L", "n_pad"))
+def _spmm_diag_unrolled(dvals, B, offs: tuple, m: int, L: int, n_pad: int):
+    """Diag-form SpMM as ndiag static shifted elementwise FMAs over the
+    padded RHS — the matrix-RHS twin of spmv._spmv_diag_unrolled. One
+    fused XLA kernel, gather-free; each diagonal re-reads a shifted
+    (m, k) window of B from HBM, so traffic is ~ndiag * m * k * 4 B —
+    the Pallas C^T kernel (pallas_spmm_diag) cuts that ~17x when the
+    diagonal span fits its VMEM window."""
+    Bp = jnp.pad(B, ((L, n_pad - L - B.shape[0]), (0, 0)))
+    acc = jnp.zeros((m, B.shape[1]), dvals.dtype)
+    for k, d in enumerate(offs):
+        acc = acc + dvals[k][:, None] * jax.lax.dynamic_slice_in_dim(Bp, d + L, m, 0)
+    return acc
+
+
+@partial(jax.jit, static_argnames=("m", "L", "n_pad"))
+def _spmm_diag_scan(dvals, offs, B, m: int, L: int, n_pad: int):
+    """Scan-over-diagonals SpMM fallback for very many diagonals (compile
+    time of the unrolled kernel is O(ndiag)); pays one traced-start
+    dynamic_slice per diagonal per step — same tradeoff as
+    spmv_diag_scan."""
+    Bp = jnp.pad(B, ((L, n_pad - L - B.shape[0]), (0, 0)))
+
+    import numpy as _np
+
+    def step(acc, args):
+        dv, off = args
+        w = jax.lax.dynamic_slice(
+            Bp, (off + _np.int32(L), _np.int32(0)), (m, Bp.shape[1])
+        )
+        return acc + dv[:, None] * w, None
+
+    acc, _ = jax.lax.scan(
+        step,
+        jnp.zeros((m, B.shape[1]), dvals.dtype),
+        (dvals, offs.astype(jnp.int32)),
+    )
+    return acc
+
+
+def spmm_diag(
+    dvals, offs, B, m: int, L: int, n_pad: int, offs_static=None,
+    interpret: bool = False,
+):
+    """Dispatcher for the diag execution form's SpMM (mm KID 7): the
+    Pallas C^T lane-shift kernel when the diagonal span fits its VMEM
+    window (pwtk class: ~192 diagonals over a +-2729 halfband), the
+    unrolled static-slice XLA kernel otherwise (ldoor/bone010 class:
+    ~44-73k spans), the scan form past the unroll cap. Reference role:
+    csrmm over the DIA internal format (level3/aoclsparse_csrmm.hpp)."""
+    from .spmv import DIA_UNROLL
+
+    if offs_static is not None and len(offs_static) <= DIA_UNROLL:
+        offs_t = tuple(int(o) for o in offs_static)
+        ndiag = len(offs_t)
+        span = max(offs_t) - min(offs_t)
+        if jnp.dtype(dvals.dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+            from ..pallas.spmv import diagmm_tiles, pallas_spmm_diag
+
+            K8 = -(-B.shape[1] // 8) * 8
+            tile = diagmm_tiles(span, K8, -(-ndiag // 8) * 8)
+            if tile is not None:
+                try:
+                    return pallas_spmm_diag(
+                        dvals, B, offs_t, m, L, n_pad, TMl=tile[0],
+                        interpret=interpret,
+                    )
+                except (jax.errors.JaxRuntimeError, ValueError, NotImplementedError):
+                    pass  # Mosaic refusal -> fused XLA slices below
+        return _spmm_diag_unrolled(dvals, B, offs_t, m, L, n_pad)
+    return _spmm_diag_scan(dvals, offs, B, m, L, n_pad)

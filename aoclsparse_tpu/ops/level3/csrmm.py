@@ -50,6 +50,11 @@ registry.register("mm", KernelEntry(4, "pallas_bandtm", _spmm_bandtm, "bandtm", 
 # autotune row until measured ahead on the real chip; requires W <= 129.
 registry.register("mm", KernelEntry(5, "pallas_bandmxu", _spmm_bandmxu, "bandtm", "any", 1))
 registry.register("mm", KernelEntry(6, "spmm_gen", K.spmm_gen, "gen", "any", 1))
+# diag-form SpMM (mm KID 7): Pallas C^T lane-shift kernel when the diagonal
+# span fits VMEM (pwtk class), fused static-slice XLA otherwise — replaces
+# the gather fallback that served mv-selected diag plans (~400 ms at K=64
+# on the pwtk stand-in; kernels/xla/spmm.py spmm_diag)
+registry.register("mm", KernelEntry(7, "diag_shift", K.spmm_diag, "diag", "any", 1))
 
 
 @jax.jit
@@ -213,7 +218,9 @@ def mm(
                 form = form2
         except Exception:
             pass
-    if form is None or form.kind not in ("segsum", "ell", "ellhyb", "bwdg", "bandtm", "gen"):
+    if form is None or form.kind not in (
+        "segsum", "ell", "ellhyb", "bwdg", "bandtm", "gen", "diag",
+    ):
         # the kind=None plan slot can hold an mv-selected/mv-autotuned form
         # (diag/bandt/bwd) that has no mm kernel row: rebuild with a
         # gather form mm can dispatch instead of failing the registry lookup
@@ -269,6 +276,25 @@ def mm(
             interpret=not get_context().is_tpu,
             has_spill=has_spill,
         )
+    elif form.kind == "diag":
+        import os
+
+        from ...core.context import get_context
+
+        mixed = (
+            os.environ.get("AOCLSPARSE_TPU_MIXED_PRECISION", "0") in ("1", "true")
+            and Bc.dtype == jnp.float32
+        )
+        dv = form.dia_val
+        if mixed:
+            if getattr(form, "_dia_val_bf16", None) is None:
+                form._dia_val_bf16 = dv.astype(jnp.bfloat16)
+            dv = form._dia_val_bf16
+        c_new = e.fn(
+            dv, form.dia_offs, Bc, form.m, form.dia_L, form.dia_n_pad,
+            offs_static=form.dia_offs_static,
+            interpret=not get_context().is_tpu,
+        ).astype(Bc.dtype)
     elif form.kind == "segsum":
         c_new = e.fn(form.ind, form.val, form.row_ids, Bc, form.m)
     elif form.kind == "ell":

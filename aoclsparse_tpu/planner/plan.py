@@ -704,6 +704,7 @@ class ExecForm:
     def refresh(self, eff_val: jax.Array) -> None:
         self._bwd_val_bf16 = None  # derived bf16 operand (mixed-precision path)
         self._bandt_v4_cache = None  # derived vertical/MXU band layouts (KID 12 / mm KID 5)
+        self._dia_val_bf16 = None  # derived bf16 diag operand (mm KID 7 mixed path)
         if self.kind == "host":
             self.host_val = None  # materialized lazily, see host_values
             self._host_pending = eff_val

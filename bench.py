@@ -105,6 +105,39 @@ def _emit(t, window_gbps, t_bf16, meta, stalled=False):
                 "precision": precision,
                 "window_stream_gbps": round(window_gbps, 1),
                 "vs_achievable": round(gbs / max(window_gbps, 1e-9), 4),
+                # hot-operand calibration (VERDICT r4 item 2): achievable
+                # bandwidth measured by re-reading the kernel's OWN band
+                # slab (same HBM pages, same chained amortization), and the
+                # kernel's ACTUAL traffic rate against it — in [0.85, 1.1]
+                # this is a saturation proof, no useful-byte flattery
+                "hot_stream_gbps": _progress.get("hot_gbps_bestwin"),
+                "hot_stream_gbps_best": _progress.get("hot_gbps"),
+                "vs_achievable_hot": (
+                    None
+                    if not _progress.get("hot_gbps_bestwin")
+                    or _progress.get("traffic_f32_b") is None
+                    else round(
+                        (
+                            _progress["traffic_bf16_b"]
+                            if (t_bf16 is not None and t_bf16 < t)
+                            else _progress["traffic_f32_b"]
+                        )
+                        / 1e9
+                        / t_head
+                        / _progress["hot_gbps_bestwin"],
+                        4,
+                    )
+                ),
+                "actual_traffic_f32_mb": (
+                    None
+                    if _progress.get("traffic_f32_b") is None
+                    else round(_progress["traffic_f32_b"] / 1e6, 1)
+                ),
+                "actual_traffic_bf16_mb": (
+                    None
+                    if _progress.get("traffic_bf16_b") is None
+                    else round(_progress["traffic_bf16_b"] / 1e6, 1)
+                ),
                 "exec_form": form_kind,
                 "f32_gbs": round(gbytes / t, 3),
                 "f32_t_us": round(t * 1e6, 2),
@@ -266,6 +299,26 @@ def main():
 
         return jax.lax.fori_loop(0, R_STREAM, body, a0)
 
+    # HOT calibrator (VERDICT r4 item 2): the r4 stream reading understated
+    # hot-operand bandwidth ~3x (vs_achievable 2.78), so it could not PROVE
+    # kernel saturation. Two fixes: (a) the stream call is PRE-WARMED inside
+    # every chunk (one untimed call right before the timed ones, so the
+    # pool's fresh-buffer throttle is off the timed samples); (b) a second
+    # calibrator reads the KERNEL'S OWN band operand — the same HBM pages
+    # the SpMV streams — chained exactly like the kernel loop. vs_achievable
+    # is then reported against the kernel's ACTUAL per-iteration traffic
+    # (band bytes + x + y), not the useful-byte formula, so a reading in
+    # [0.85, 1.1] is a saturation proof.
+    def make_hot_stream(buf):
+        @jax.jit
+        def hot(b, a0):
+            def body(i, acc):
+                return jnp.sum(b * (1.0 + 1e-30 * acc))
+
+            return jax.lax.fori_loop(0, R_STREAM, body, a0)
+
+        return hot
+
     # secondary variant: the bf16-multiply band path under the precision
     # policy (docs/precision.md) — pre-cast operand, f32 accumulate. Timed
     # inside the SAME adaptive windows as the headline (best-of-chunks; a
@@ -373,12 +426,41 @@ def main():
     t_bf16 = None
     c = 0
     def stream_gbps():
+        float(stream(stream_buf, jnp.float32(0.0)))  # pre-warm, untimed
         t0 = time.perf_counter()
         for _ in range(stream_iters):
             z = stream(stream_buf, jnp.float32(0.0))
         float(z)
         t_s = (time.perf_counter() - t0) / (stream_iters * R_STREAM)
         return stream_buf.size * 4 / t_s / 1e9
+
+    # hot-operand calibrator over the kernel's own band slab (see the
+    # make_hot_stream note); None when the form carries no band array
+    hot_buf = getattr(form, "bwd_val", None)
+    hot_stream = None
+    if hot_buf is not None:
+        hot_stream = make_hot_stream(hot_buf)
+        try:
+            float(hot_stream(hot_buf, jnp.float32(0.0)))
+        except Exception:
+            hot_stream = None
+
+    if hot_buf is not None:
+        # actual per-iteration HBM traffic of the kernel variants (band slab
+        # + x read + y write; the bandt forms carry no index arrays)
+        _progress["traffic_f32_b"] = hot_buf.size * 4 + (n + m) * 4
+        _progress["traffic_bf16_b"] = hot_buf.size * 2 + (n + m) * 4
+
+    def hot_gbps():
+        if hot_stream is None:
+            return 0.0
+        float(hot_stream(hot_buf, jnp.float32(0.0)))  # pre-warm, untimed
+        t0 = time.perf_counter()
+        for _ in range(stream_iters):
+            z = hot_stream(hot_buf, jnp.float32(0.0))
+        float(z)
+        t_s = (time.perf_counter() - t0) / (stream_iters * R_STREAM)
+        return hot_buf.size * hot_buf.dtype.itemsize / t_s / 1e9
 
     def time_loop(loop):
         t0 = time.perf_counter()
@@ -394,6 +476,7 @@ def main():
         # a single post-kernel stream sample understates achievable and
         # inflates vs_achievable
         s_pre = stream_gbps()
+        h_pre = hot_gbps()
         t_k = time_loop(loop_f32)
         if loop_bf16 is not None:
             t16 = time_loop(loop_bf16)
@@ -410,9 +493,14 @@ def main():
         if prev is None or t_single * 1e6 < prev:
             _progress["t_single_us"] = round(t_single * 1e6, 1)
         s_gbps = max(s_pre, stream_gbps())
+        h_gbps = max(h_pre, hot_gbps())
+        prev_h = _progress.get("hot_gbps") or 0.0
+        if h_gbps > prev_h:
+            _progress["hot_gbps"] = round(h_gbps, 1)
         if best is None or t_k < best[0]:
             best = (t_k, s_gbps)
             _progress["best"] = best
+            _progress["hot_gbps_bestwin"] = round(h_gbps, 1)
         now = time.perf_counter()
         t_head = best[0] if t_bf16 is None else min(best[0], t_bf16)
         gbs_head = (
