@@ -319,7 +319,20 @@ def main():
                 emit({**base, "op": "trsv_lower", "error": repr(e2)[:160]})
 
         # ---- sp2m A@A (one dispatch; engine chosen by the library) ----
-        try:
+        # product-count guard: A@A products = indeg . outdeg; rail columns
+        # (ASIC_680k ~395k-degree, circuit5M ~1.29M) square it to 1e11-1e12
+        # products — intractable for ANY Gustavson engine (the reference's
+        # two-stage symbolic included), so the row is reported as skipped
+        # with the predicted count, not attempted.
+        outdeg = np.diff(ptr_h)
+        indeg = np.bincount(ind_h, minlength=n)
+        pred_products = float(indeg[: len(outdeg)].astype(np.float64) @ outdeg)
+        prod_cap = float(os.environ.get("REAL_SP2M_PRODUCT_CAP", "5e9"))
+        if pred_products > prod_cap:
+            emit({**base, "op": "sp2m", "skipped": "predicted products exceed cap",
+                  "predicted_products": pred_products, "cap": prod_cap})
+        else:
+          try:
             t0 = time.perf_counter()
             C = ast.sp2m(Operation.none, GEN, A, Operation.none, GEN, A)
             np.asarray(np.ravel(np.asarray(C.data.val))[:1])
@@ -347,11 +360,11 @@ def main():
                   "gflops_warm": None if (P is None or not t_warm)
                   else round(2.0 * P / t_warm / 1e9, 3),
                   "gflops": None if P is None else round(2.0 * P / t_g / 1e9, 3)})
-        except Exception as e:
+          except Exception as e:
             emit({**base, "op": "sp2m", "error": repr(e)[:160]})
 
         # ---- ILU0 factor + PCG slope (diag-boosted operands only) ----
-        if name in ("cant", "pwtk", "scircuit"):
+        if name in ("cant", "pwtk", "scircuit", "ldoor", "bone010"):
             try:
                 t0 = time.perf_counter()
                 st = ast.ilu0_factorize(A)
@@ -366,7 +379,7 @@ def main():
                       "apply_engine": engine})
             except Exception as e:
                 emit({**base, "op": "ilu0_factor", "error": repr(e)[:160]})
-        if name in ("cant", "pwtk"):
+        if name in ("cant", "pwtk", "ldoor", "bone010"):
             try:
                 from aoclsparse_tpu.solvers.fused import pcg_solve
 
