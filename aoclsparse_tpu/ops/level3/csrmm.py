@@ -191,11 +191,14 @@ def mm(
         from ...planner.plan import BANDTM_MAX_K
 
         ctx = get_context()
+        # non-lane-multiple K is PADDED to 128 at the call site below (the
+        # K%128 gate previously dropped every K=64 real-matrix product to
+        # the gather rebuild — webbase stand-in measured 674 ms vs the band
+        # engine's ms-scale)
         pallas_ok = (
             (ctx.is_tpu or ctx.pallas_ok)
             and jnp.dtype(A.dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
-            and B.shape[1] % 128 == 0
-            and B.shape[1] <= BANDTM_MAX_K
+            and -(-B.shape[1] // 128) * 128 <= BANDTM_MAX_K
             and kid in (None, 6)
         )
         if not pallas_ok:
@@ -323,6 +326,11 @@ def mm(
         from ...core.context import get_context
         from ..level2.mv import _zero_aux, _zero_operands
 
+        # pad K to the Pallas lane multiple; sliced back after the call
+        K0_gen = Bc.shape[1]
+        K_pad_gen = -(-K0_gen // 128) * 128
+        if K_pad_gen != K0_gen:
+            Bc = jnp.pad(Bc, ((0, 0), (0, K_pad_gen - K0_gen)))
         mixed = (
             os.environ.get("AOCLSPARSE_TPU_MIXED_PRECISION", "0") in ("1", "true")
             and Bc.dtype == jnp.float32
@@ -360,6 +368,8 @@ def mm(
             has_spill=has_spill,
             has_flip=has_flip,
         )
+        if K_pad_gen != K0_gen:
+            c_new = c_new[:, :K0_gen]
     else:
         c_new = e.fn(
             form.ell_ind, form.ell_val, form.sp_ind, form.sp_val, form.sp_rows, Bc, form.m

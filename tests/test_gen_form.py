@@ -374,15 +374,32 @@ def test_gen_spmm_alpha_beta_and_refresh(rng, monkeypatch):
         reset_context()
 
 
-def test_gen_spmm_k_gate_falls_back(rng):
-    """K not a lane multiple (or too wide) must fall back to a gather mm
-    form, not fail the Mosaic gate."""
+def test_gen_spmm_k_pad_lane_multiple(rng, monkeypatch):
+    """K not a lane multiple is PADDED to 128 and rides the gen engine
+    (r5: the old K%128 gate dropped every K=64 real-matrix product to the
+    gather rebuild — webbase stand-in measured 674 ms); result sliced back
+    to K and matching the oracle."""
     m = 1024
     dense = _circuit_like(rng, m)
     A = _mk(m, dense)
     B = rng.standard_normal((m, 40)).astype(np.float32)  # 40 % 128 != 0
     C = np.asarray(ast.mm(1.0, A, GEN, Operation.none, B, 0.0))
+    assert C.shape == (m, 40)
     np.testing.assert_allclose(C, dense.astype(np.float32) @ B, atol=5e-3, rtol=1e-4)
+    # explicit KID 6 (gen engine) with unaligned K: padded, not refused
+    monkeypatch.setenv("AOCLSPARSE_TPU_FORCE_PALLAS", "1")
+    from aoclsparse_tpu.core.context import reset_context
+
+    reset_context()
+    try:
+        form = get_plan(A).exec_form_for(GEN, Operation.none, kind="gen")
+        if form.kind == "gen" and form.gen_bandt:
+            C6 = np.asarray(ast.mm(1.0, A, GEN, Operation.none, B, 0.0, kid=6))
+            np.testing.assert_allclose(
+                C6, dense.astype(np.float32) @ B, atol=5e-3, rtol=1e-4
+            )
+    finally:
+        reset_context()
 
 
 def test_gen_permuted_space_apply_parity(rng, monkeypatch):
