@@ -370,10 +370,14 @@ def _kernel_mm_diag(dv_ref, *b_and_out, TMl: int, offs_rel: tuple):
     out_ref = b_and_out[-1]
     Bcat = jnp.concatenate([r[:] for r in b_refs], axis=1)  # (K8, nsl*TMl)
     K8 = out_ref.shape[0]
-    acc = jnp.zeros(out_ref.shape, dtype=out_ref.dtype)
     # one-hot sublane selector built from iota IN-KERNEL (pallas_call
     # rejects captured constants)
     row_id = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    # accumulate through out_ref in chunks of 8 diagonals: a single acc
+    # chain keeps EVERY window slice live on the Mosaic VMEM stack (103
+    # diagonals x (64, 2048) slices = 41.5 MB > the 16 MB scoped limit,
+    # measured on pwtk at K=64); the staged writes bound liveness at 8
+    acc = None
     for j, off in enumerate(offs_rel):
         a8, r = (j // 8) * 8, j % 8
         sel = (row_id == np.int32(r)).astype(out_ref.dtype)
@@ -383,8 +387,14 @@ def _kernel_mm_diag(dv_ref, *b_and_out, TMl: int, offs_rel: tuple):
             keepdims=True,
         )  # (1, TMl)
         win = jax.lax.slice(Bcat, (0, off), (K8, off + TMl))
-        acc = acc + dvj * win.astype(out_ref.dtype)
-    out_ref[:] = acc
+        term = dvj * win.astype(out_ref.dtype)
+        acc = term if acc is None else acc + term
+        if (j + 1) % 8 == 0 or j + 1 == len(offs_rel):
+            if j < 8:
+                out_ref[:] = acc
+            else:
+                out_ref[:] = out_ref[:] + acc
+            acc = None
 
 
 def diagmm_tiles(span: int, K8: int, D8: int, vmem_budget: int = 10 * 2**20):
@@ -394,7 +404,9 @@ def diagmm_tiles(span: int, K8: int, D8: int, vmem_budget: int = 10 * 2**20):
     ldoor-class; the caller falls back to the XLA unrolled slices)."""
     for TMl in (2048, 4096, 1024, 8192):
         nsl = -(-(span + TMl) // TMl)
-        byt = (D8 * TMl + nsl * K8 * TMl + K8 * TMl) * 4 * 2
+        # blocks (double-buffered) + the 8-deep live window chain of the
+        # staged accumulation (see _kernel_mm_diag)
+        byt = (D8 * TMl + nsl * K8 * TMl + K8 * TMl) * 4 * 2 + 8 * K8 * TMl * 4
         if byt <= vmem_budget:
             return TMl, nsl
     return None

@@ -337,6 +337,15 @@ def main():
             emit({**base, "op": "sp2m", "skipped": "predicted products exceed cap",
                   "predicted_products": pred_products, "cap": prod_cap})
         else:
+          # free the mv/mm/solve device operands first: webbase A@A's C is
+          # ~12 GB (1.03e9 nnzC) and OOMs next to the resident gen band +
+          # spill route (r4 hit the same, succeeded on a fresh device)
+          if pred_products > 1e8:
+              import gc
+
+              form = None
+              A.invalidate()
+              gc.collect()
           try:
             t0 = time.perf_counter()
             C = ast.sp2m(Operation.none, GEN, A, Operation.none, GEN, A)
