@@ -356,6 +356,36 @@ def pallas_spmm_band_mxu(dt, Be, start: int, TM: int = 1024, interpret: bool = F
 # ---------------------------------------------------------------------------
 
 
+def _kernel_stream_read(b_ref, o_ref):
+    o_ref[:] = jnp.full((8, 128), jnp.sum(b_ref[:]), o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("TM", "interpret"))
+def pallas_stream_read(v, TM: int = 2048, interpret: bool = False):
+    """HBM streaming-read rate probe: reduce a (R, C) slab tile-by-tile
+    through VMEM with the same grid pipeline as the band kernels. Exists
+    because an XLA fori-loop reduce over the same array measures ~30-50%
+    BELOW what the Pallas band kernels actually stream (bench r5: XLA sum
+    192 GB/s vs 402 GB/s actual kernel traffic on the same hot pages) —
+    so it, not a fused reduce, is the honest achievable-bandwidth
+    calibrator for vs_achievable (VERDICT r4 item 2)."""
+    R, C = v.shape
+    ntile = -(-C // TM)
+    if ntile * TM != C:
+        v = jnp.pad(v, ((0, 0), (0, ntile * TM - C)))
+    out = pl.pallas_call(
+        _kernel_stream_read,
+        out_shape=jax.ShapeDtypeStruct((ntile * 8, 128), jnp.float32),
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((R, TM), _imap32(lambda t: (0, t)), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((8, 128), _imap32(lambda t: (t, 0)), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(v)
+    return out[::8, 0].sum()
+
+
 def _kernel_mm_diag(dv_ref, *b_and_out, TMl: int, offs_rel: tuple):
     """Ct[k, i] = sum_j dv[j, i] * Bt[k, i + off_j] for a TMl-lane tile.
 

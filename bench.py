@@ -112,6 +112,7 @@ def _emit(t, window_gbps, t_bf16, meta, stalled=False):
                 # this is a saturation proof, no useful-byte flattery
                 "hot_stream_gbps": _progress.get("hot_gbps_bestwin"),
                 "hot_stream_gbps_best": _progress.get("hot_gbps"),
+                "hot_calibrator": _progress.get("hot_kind"),
                 "vs_achievable_hot": (
                     None
                     if not _progress.get("hot_gbps_bestwin")
@@ -309,7 +310,35 @@ def main():
     # is then reported against the kernel's ACTUAL per-iteration traffic
     # (band bytes + x + y), not the useful-byte formula, so a reading in
     # [0.85, 1.1] is a saturation proof.
+    # The calibrator must itself stream at hardware rate: an XLA fori-loop
+    # reduce over the same hot pages measures ~30-50% BELOW what the Pallas
+    # band kernels actually move (first r5 run: XLA sum 192 GB/s vs 402 GB/s
+    # actual f32 kernel traffic in the same window), so the primary hot
+    # calibrator is a Pallas tile-pipelined streaming read
+    # (kernels/pallas/spmv.py pallas_stream_read); the XLA sum remains the
+    # fallback when Mosaic refuses.
     def make_hot_stream(buf):
+        from aoclsparse_tpu.kernels.pallas.spmv import pallas_stream_read
+
+        flat = buf.reshape(-1)
+        C = flat.shape[0] // 128
+        b2 = flat[: 128 * C].reshape(128, C)
+
+        try:
+
+            @jax.jit
+            def hot_p(b, a0):
+                def body(i, acc):
+                    return pallas_stream_read(b, TM=2048) * (1.0 + 1e-30 * acc)
+
+                return jax.lax.fori_loop(0, R_STREAM, body, a0)
+
+            float(hot_p(b2, jnp.float32(0.0)))
+            _progress["hot_kind"] = "pallas_stream_read"
+            return hot_p, b2
+        except Exception:
+            pass
+
         @jax.jit
         def hot(b, a0):
             def body(i, acc):
@@ -317,7 +346,8 @@ def main():
 
             return jax.lax.fori_loop(0, R_STREAM, body, a0)
 
-        return hot
+        _progress["hot_kind"] = "xla_sum"
+        return hot, buf
 
     # secondary variant: the bf16-multiply band path under the precision
     # policy (docs/precision.md) — pre-cast operand, f32 accumulate. Timed
@@ -439,8 +469,8 @@ def main():
     hot_buf = getattr(form, "bwd_val", None)
     hot_stream = None
     if hot_buf is not None:
-        hot_stream = make_hot_stream(hot_buf)
         try:
+            hot_stream, hot_buf = make_hot_stream(hot_buf)
             float(hot_stream(hot_buf, jnp.float32(0.0)))
         except Exception:
             hot_stream = None
