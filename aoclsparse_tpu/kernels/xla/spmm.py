@@ -274,7 +274,8 @@ def spmm_diag(
             from ..pallas.spmv import diagmm_tiles, pallas_spmm_diag
 
             K8 = -(-B.shape[1] // 8) * 8
-            tile = diagmm_tiles(span, K8, -(-ndiag // 8) * 8)
+            D8 = -(-ndiag // 8) * 8
+            tile = diagmm_tiles(span, K8, D8)
             if tile is not None:
                 try:
                     return pallas_spmm_diag(
@@ -283,5 +284,59 @@ def spmm_diag(
                     )
                 except (jax.errors.JaxRuntimeError, ValueError, NotImplementedError):
                     pass  # Mosaic refusal -> fused XLA slices below
+            else:
+                # cluster decomposition (ldoor/bone010 class): FEM element
+                # diagonals come in tight clusters around the mesh's plane
+                # offsets (e.g. 3-dof z-planes at +-22k with in-cluster
+                # spans of a few hundred) — the GLOBAL span swamps the VMEM
+                # window, but each cluster fits, so run the Pallas kernel
+                # per cluster and sum. Traffic ~ ncluster * 3 * B bytes vs
+                # ndiag * B for the unrolled slices (~13x less at ldoor's
+                # 140 diagonals / 3 clusters).
+                groups = _cluster_offsets(offs_t)
+                if groups is not None and all(
+                    diagmm_tiles(max(g) - min(g), K8, -(-len(g) // 8) * 8)
+                    for g in groups
+                ):
+                    try:
+                        out = None
+                        pos = {o: i for i, o in enumerate(offs_t)}
+                        for g in groups:
+                            rows = [pos[o] for o in g]
+                            tg = diagmm_tiles(
+                                max(g) - min(g), K8, -(-len(g) // 8) * 8
+                            )
+                            if rows == list(range(rows[0], rows[0] + len(rows))):
+                                dv_g = jax.lax.slice_in_dim(
+                                    dvals, rows[0], rows[0] + len(rows), axis=0
+                                )  # static slice: offsets sorted -> contiguous
+                            else:
+                                dv_g = dvals[jnp.asarray(rows, dtype=jnp.int32)]
+                            part = pallas_spmm_diag(
+                                dv_g, B, tuple(g), m, L, n_pad, TMl=tg[0],
+                                interpret=interpret,
+                            )
+                            out = part if out is None else out + part
+                        return out
+                    except (
+                        jax.errors.JaxRuntimeError, ValueError, NotImplementedError,
+                    ):
+                        pass
         return _spmm_diag_unrolled(dvals, B, offs_t, m, L, n_pad)
     return _spmm_diag_scan(dvals, offs, B, m, L, n_pad)
+
+
+def _cluster_offsets(offs_t, max_groups: int = 8, gap: int = 4096):
+    """Split sorted diagonal offsets at gaps > ``gap`` into clusters.
+    Returns the list of clusters, or None when clustering doesn't help
+    (single cluster or too many)."""
+    so = sorted(offs_t)
+    groups = [[so[0]]]
+    for o in so[1:]:
+        if o - groups[-1][-1] > gap:
+            groups.append([o])
+        else:
+            groups[-1].append(o)
+    if len(groups) <= 1 or len(groups) > max_groups:
+        return None
+    return groups

@@ -111,3 +111,52 @@ def test_spmm_diag_scan_many_diagonals():
     D[r, ind] = val
     want = D @ B.astype(np.float64)
     assert np.abs(got - want).max() < 1e-3
+
+
+def test_spmm_diag_clustered_wide_span():
+    # ldoor/bone010 class: diagonal clusters around distant plane offsets —
+    # global span swamps one VMEM window, per-cluster spans fit; the
+    # dispatcher must split, run the Pallas kernel per cluster, and match
+    from aoclsparse_tpu.kernels.xla.spmm import _cluster_offsets
+
+    m = 2200
+    offs = tuple(sorted(
+        [-40960 + d for d in (-5, -1, 0, 3)]
+        + [-7, -1, 0, 1, 9]
+        + [40960 + d for d in (-2, 0, 1, 6)]
+    ))
+    # clusters detected
+    groups = _cluster_offsets(offs)
+    assert groups is not None and len(groups) == 3
+    # build on a larger index space so the far offsets exist: embed in a
+    # (m, n) rectangle? offsets need |off| < n; use square with n > 43k
+    n = 45000
+    rng = np.random.default_rng(13)
+    rows_l, cols_l, vals_l = [], [], []
+    for d in offs:
+        i = np.arange(max(0, -d), min(m, n - d))
+        rows_l.append(i)
+        cols_l.append(i + d)
+        vals_l.append(rng.standard_normal(i.size))
+    r = np.concatenate(rows_l)
+    c = np.concatenate(cols_l)
+    v = np.concatenate(vals_l).astype(np.float32)
+    order = np.lexsort((c, r))
+    r, c, v = r[order], c[order], v[order]
+    ptr = np.zeros(m + 1, np.int64)
+    np.add.at(ptr, r + 1, 1)
+    A = ast.create_csr(m, n, np.cumsum(ptr), c.astype(np.int32), v)
+    form = get_plan(A).exec_form_for(MatrixDescriptor(), Operation.none, kind="diag")
+    assert form.kind == "diag"
+    k = 16
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    got = np.asarray(
+        spmm_diag(form.dia_val, form.dia_offs, jnp.asarray(B), form.m,
+                  form.dia_L, form.dia_n_pad,
+                  offs_static=form.dia_offs_static, interpret=True)
+    )
+    import scipy.sparse as sp
+
+    S = sp.csr_matrix((v.astype(np.float64), c, np.cumsum(ptr)), shape=(m, n))
+    want = S @ B.astype(np.float64)
+    assert np.abs(got - want).max() < 1e-3
