@@ -199,6 +199,9 @@ def mm(
             (ctx.is_tpu or ctx.pallas_ok)
             and jnp.dtype(A.dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
             and -(-B.shape[1] // 128) * 128 <= BANDTM_MAX_K
+            # W must fit the kernel tile (TM adapts below, VMEM-capped):
+            # in-2004's W=488 gen band asserted out of the fixed TM=256
+            and form.bwd_W <= 1024
             and kid in (None, 6)
         )
         if not pallas_ok:
@@ -359,7 +362,11 @@ def mm(
             W=form.bwd_W,
             padL=form.bwd_padL,
             start=form.bandt_start,
-            TM=256 if is_tpu else max(64, -(-form.bwd_W // 8) * 8),
+            # the band kernel requires W <= TM; widen the tile for wide gen
+            # bands (VMEM stays bounded: 9 window copies x 2*TM x K)
+            TM=max(256, -(-form.bwd_W // 128) * 128)
+            if is_tpu
+            else max(64, -(-form.bwd_W // 8) * 8),
             m=form.m,
             m_pad=form.gen_m_pad,
             interpret=not is_tpu,
