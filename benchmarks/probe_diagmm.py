@@ -56,12 +56,12 @@ def main():
     B = jnp.asarray(rng.standard_normal((n, K)).astype(np.float32))
     base = {"matrix": name, "m": int(m), "nnz": int(A.nnz), "K": K,
             "form": form.kind}
-    if form.kind != "diag":
-        emit({**base, "error": "planner did not pick the diag form"})
-        return
-    span = max(form.dia_offs_static) - min(form.dia_offs_static)
-    base["ndiag"] = len(form.dia_offs_static)
-    base["span"] = int(span)
+    if form.kind == "diag":
+        span = max(form.dia_offs_static) - min(form.dia_offs_static)
+        base["ndiag"] = len(form.dia_offs_static)
+        base["span"] = int(span)
+    elif form.kind == "gen":
+        base["W"] = int(form.bwd_W)
 
     # parity vs host oracle on a K=8 slice
     t0 = time.perf_counter()
@@ -100,7 +100,7 @@ def main():
         float(mmloop(jnp.float32(1e-7), B, *consts))
         best = min(best, (time.perf_counter() - t0) / R)
         time.sleep(0.5)
-    emit({**base, "op": "mm_k64_diag", "t_ms": round(best * 1e3, 2),
+    emit({**base, "op": "mm_k64_probe", "t_ms": round(best * 1e3, 2),
           "tflops": round(2.0 * A.nnz * K / best / 1e12, 3),
           "note": "old gather row: 401.74 ms (REAL_r5 pwtk mm_k64)"})
 
