@@ -112,11 +112,21 @@ def _solve(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, rhs, kid):
 
         lform = trsv_level_form_for(plan, descr, op)
         return lform.solve(rhs)
+    key_r = (descr.fill_mode, descr.diag_type, Operation(op))
     try:
+        if kid is None and key_r in getattr(plan, "_trsv_refused", ()):
+            raise AoclSparseError(
+                Status.memory_error, "blocked window refused (cached)"
+            )
         form = trsv_form_for(plan, descr, op)
     except AoclSparseError as e:
         if e.status != Status.memory_error or kid is not None:
             raise
+        # structural refusal: cache it (and the level stats below) so
+        # repeat trsv/trsm calls skip the doomed build attempt
+        refused = getattr(plan, "_trsv_refused", None) or set()
+        refused.add(key_r)
+        plan._trsv_refused = refused
         # blocked window structurally oversized (scircuit-class rail
         # columns reach the whole triangle): default calls fall back to
         # the level-scheduled engine when the DAG is shallow (circuit
@@ -130,12 +140,26 @@ def _solve(A: SparseMatrix, descr: MatrixDescriptor, op: Operation, rhs, kid):
             trsv_level_stats_for,
         )
 
-        nlev, padded = trsv_level_stats_for(plan, descr, op)
+        stats_cache = getattr(plan, "_trsv_lvlstats", None) or {}
+        if key_r in stats_cache:
+            nlev, padded = stats_cache[key_r]
+        else:
+            nlev, padded = trsv_level_stats_for(plan, descr, op)
+            stats_cache[key_r] = (nlev, padded)
+            plan._trsv_lvlstats = stats_cache
         # shallow enough that the per-level scan beats a sequential host
         # sweep: cost ~ sum of run-padded gathers vs ~1.5 ns/nnz host
+        key_eng = key_r
         if nlev <= 4096 and padded <= 16 * max(A.nnz, 1):
             return trsv_level_form_for(plan, descr, op).solve(rhs)
         if not isinstance(rhs, jax.core.Tracer):
+            # pin the decision: repeat eager calls must take the whole-call
+            # host route in trsv()/trsm() instead of re-attempting the
+            # blocked build + stats every time (in-2004 stand-in measured
+            # 1.6-10.8 s/call of rediscovery around a 30 ms native solve)
+            eng = getattr(plan, "_trsv_engine", None) or {}
+            eng[key_eng] = "host"
+            plan._trsv_engine = eng
             hform = trsv_host_form_for(plan, descr, op)
             rh = np.asarray(rhs)
             x_h = hform.solve(rh) if rh.ndim == 1 else hform.solve_mat(rh)
