@@ -156,8 +156,14 @@ def spmm_gen(
     Xp = Xpb.reshape(m_pad, k)
     from ..pallas.spmv import pallas_spmm_band_t
 
-    Xe = jnp.pad(Xp, ((padL, 0), (0, 0)))
+    # lane-pad K ONLY around the band kernel leg (its blocks need K%128):
+    # padding the whole RHS doubled three (m_pad, K) arrays at K=64 and
+    # OOM'd the 4.7M-row rajat31 stand-in; hub/spill legs run at true K
+    k_pad = -(-k // 128) * 128
+    Xe = jnp.pad(Xp, ((padL, 0), (0, k_pad - k)))
     Cp = pallas_spmm_band_t(v_rows, Xe, W, start, TM=TM, interpret=interpret)[:m_pad]
+    if k_pad != k:
+        Cp = Cp[:, :k]
     Cp = Cp.astype(Xp.dtype)
     if has_spill:
         Cp = Cp + jax.ops.segment_sum(

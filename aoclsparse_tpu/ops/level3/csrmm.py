@@ -329,11 +329,6 @@ def mm(
         from ...core.context import get_context
         from ..level2.mv import _zero_aux, _zero_operands
 
-        # pad K to the Pallas lane multiple; sliced back after the call
-        K0_gen = Bc.shape[1]
-        K_pad_gen = -(-K0_gen // 128) * 128
-        if K_pad_gen != K0_gen:
-            Bc = jnp.pad(Bc, ((0, 0), (0, K_pad_gen - K0_gen)))
         mixed = (
             os.environ.get("AOCLSPARSE_TPU_MIXED_PRECISION", "0") in ("1", "true")
             and Bc.dtype == jnp.float32
@@ -375,8 +370,6 @@ def mm(
             has_spill=has_spill,
             has_flip=has_flip,
         )
-        if K_pad_gen != K0_gen:
-            c_new = c_new[:, :K0_gen]
     else:
         c_new = e.fn(
             form.ell_ind, form.ell_val, form.sp_ind, form.sp_val, form.sp_rows, Bc, form.m

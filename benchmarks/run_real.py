@@ -285,9 +285,10 @@ def main():
                   "tflops": round(2.0 * nnz * K / t_mm / 1e12, 3), "loop": how})
 
         # ---- trsv (lower triangle), amortized ----
+        descr_t = MatrixDescriptor(type=MatrixType.triangular)
+        b_t_host = rng.standard_normal(m).astype(np.float32)
         try:
-            descr_t = MatrixDescriptor(type=MatrixType.triangular)
-            b_t = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+            b_t = jnp.asarray(b_t_host)
 
             @jax.jit
             def tvloop(eps, b0):
@@ -311,7 +312,10 @@ def main():
             # host engine; single-dispatch timing, honestly labeled
             try:
                 def once_t():
-                    z = ast.trsv(1.0, A, descr_t, Operation.none, b_t)
+                    # host numpy rhs: the eager fallback usually routes the
+                    # whole-call host engine, and b_t may not exist if the
+                    # device upload itself failed (rajat31 OOM NameError)
+                    z = ast.trsv(1.0, A, descr_t, Operation.none, b_t_host)
                     np.asarray(np.ravel(np.asarray(z))[:1])
 
                 once_t()
@@ -343,7 +347,11 @@ def main():
           if pred_products > 1e8:
               import gc
 
+              # BOTH locals must drop: A.invalidate() clears A.plan but the
+              # local `plan` kept the exec forms (rajat31's 750 MB band +
+              # spill route stayed resident and the product OOM'd anyway)
               form = None
+              plan = None
               A.invalidate()
               gc.collect()
           try:
