@@ -453,15 +453,32 @@ def pcg_solve(
             )
             return x, int(k), float(rnorm)
     key = ("pcg", precond, int(maxit), descr.type, descr.fill_mode)
-    fn = cache.get(key)
-    if fn is None:
+    ent = cache.get(key)
+    if ent is None:
 
         def matvec(v):
             return _run_exec_form(form, v, None)
 
-        fn = jax.jit(_build_cg_run(matvec, apply, int(maxit)))
-        cache[key] = fn
-    x, k, rnorm = fn(b, x0, jnp.asarray(rtol, rdt), jnp.asarray(atol, rdt))
+        # trace ONCE and pass the captured operands (exec form arrays, ILU
+        # factor forms) as jit ARGUMENTS: closed-over they become HLO
+        # constants and the remote compile request dies on HTTP 413 past
+        # ~200 MB (ldoor diag form: 532 MB dia_val + GB-scale ILU windows)
+        run = _build_cg_run(matvec, apply, int(maxit))
+        closed = jax.make_jaxpr(run)(
+            b, x0, jnp.asarray(rtol, rdt), jnp.asarray(atol, rdt)
+        )
+        consts = [jnp.asarray(c) for c in closed.consts]
+
+        @jax.jit
+        def fn(b_, x0_, rt_, at_, *cs):
+            return jax.core.eval_jaxpr(closed.jaxpr, list(cs), b_, x0_, rt_, at_)
+
+        ent = (fn, consts)
+        cache[key] = ent
+    fn, consts = ent
+    x, k, rnorm = fn(
+        b, x0, jnp.asarray(rtol, rdt), jnp.asarray(atol, rdt), *consts
+    )
     return x, int(k), float(rnorm)
 
 
@@ -653,13 +670,27 @@ def pgmres_solve(
         xp, k, rnorm = fn(to_p(b), to_p(x0), jnp.asarray(rtol, rdt), jnp.asarray(atol, rdt))
         return from_p(xp), int(k), float(rnorm)
     key = ("pgmres", precond, int(maxit), mr, descr.type, descr.fill_mode)
-    fn = cache.get(key)
-    if fn is None:
+    ent = cache.get(key)
+    if ent is None:
 
         def matvec(v):
             return _run_exec_form(form, v, None)
 
-        fn = jax.jit(_build_gmres_run(matvec, apply, mr, int(maxit)))
-        cache[key] = fn
-    x, k, rnorm = fn(b, x0, jnp.asarray(rtol, rdt), jnp.asarray(atol, rdt))
+        # operands as jit arguments, not closure constants (see pcg_solve)
+        run = _build_gmres_run(matvec, apply, mr, int(maxit))
+        closed = jax.make_jaxpr(run)(
+            b, x0, jnp.asarray(rtol, rdt), jnp.asarray(atol, rdt)
+        )
+        consts = [jnp.asarray(c) for c in closed.consts]
+
+        @jax.jit
+        def fn(b_, x0_, rt_, at_, *cs):
+            return jax.core.eval_jaxpr(closed.jaxpr, list(cs), b_, x0_, rt_, at_)
+
+        ent = (fn, consts)
+        cache[key] = ent
+    fn, consts = ent
+    x, k, rnorm = fn(
+        b, x0, jnp.asarray(rtol, rdt), jnp.asarray(atol, rdt), *consts
+    )
     return x, int(k), float(rnorm)
