@@ -31,6 +31,10 @@ MTXDIR = "/tmp/realmat"
 HBM_PEAK = 819.0  # v5e GB/s
 
 
+class _SkipOp(Exception):
+    pass
+
+
 def emit(rec):
     line = json.dumps(rec)
     print(line, flush=True)
@@ -86,6 +90,12 @@ def main():
     GEN = MatrixDescriptor()
     only = os.environ.get("REAL_ONLY")
     names = [only] if only else list(MATRICES)
+    # REAL_OPS=mv,mm,... limits the sweep to those op rows (targeted
+    # re-runs after fixes; read/plan always run)
+    ops_env = os.environ.get("REAL_OPS")
+    _ops = None if not ops_env else {o.strip() for o in ops_env.split(",")}
+    def _want(op):
+        return _ops is None or op in _ops
 
     def best_of(fn, chunks=5, sleep_every=3):
         best = float("inf")
@@ -189,7 +199,7 @@ def main():
             and getattr(form, "bwd_val", None) is not None
             and form.bwd_val.size * form.bwd_val.dtype.itemsize > 150e6
         )
-        for label, mixed in (("f32", False), ("bf16", True)):
+        for label, mixed in ((("f32", False), ("bf16", True)) if _want("mv") else ()):
             fn = None
             how = "closure"
             try:
@@ -216,6 +226,8 @@ def main():
         # operands) passed as jit ARGUMENTS — a closure ships them in the
         # remote-compile body (webbase measured 3.1 GB -> HTTP 413)
         try:
+            if not _want("mv"):
+                raise _SkipOp()
             opr = ast.mv_operator(A)
             if opr.space == "permuted":
                 xp = opr.to_space(x)
@@ -236,6 +248,8 @@ def main():
                 t = best_of(lambda: float(ploop(jnp.float32(1e-7), xp, *consts_p))) / R
                 emit({**base, "op": "mv_pspace", "t_us": round(t * 1e6, 1),
                       "gnnz_s": round(nnz / t / 1e9, 3)})
+        except _SkipOp:
+            pass
         except Exception as e:
             emit({**base, "op": "mv_pspace", "error": repr(e)[:160]})
 
@@ -247,8 +261,10 @@ def main():
         # ARGUMENTS — works for every engine mm dispatches to.
         K = 64
         B = jnp.asarray(rng.standard_normal((n, K)).astype(np.float32))
-        t_mm = None
+        t_mm = None if _want("mm") else "skip"
         try:
+            if t_mm == "skip":
+                raise _SkipOp()
             closed = jax.make_jaxpr(
                 lambda Bc: ast.mm(1.0, A, GEN, Operation.none, Bc, 0.0)
             )(B)
@@ -266,10 +282,14 @@ def main():
             t_mm = best_of(lambda: float(mmloop(jnp.float32(1e-7), B, *consts)),
                            chunks=4) / 10
             how = "args"
+        except _SkipOp:
+            pass
         except Exception as e_mm:
             emit({**base, "op": "mm_k64_args_err", "error": repr(e_mm)[:200]})
             t_mm = None
-        if t_mm is None:
+        if t_mm == "skip":
+            t_mm = None
+        elif t_mm is None:
             try:
                 def once():
                     Y = ast.mm(1.0, A, GEN, Operation.none, B, 0.0)
@@ -288,6 +308,8 @@ def main():
         descr_t = MatrixDescriptor(type=MatrixType.triangular)
         b_t_host = rng.standard_normal(m).astype(np.float32)
         try:
+            if not _want("trsv"):
+                raise _SkipOp()
             b_t = jnp.asarray(b_t_host)
 
             @jax.jit
@@ -305,6 +327,8 @@ def main():
             tri_nnz = int(np.sum(ind_h <= rows_h))
             emit({**base, "op": "trsv_lower", "t_us": round(t * 1e6, 1),
                   "gflops": round(2.0 * tri_nnz / t / 1e9, 2), "tri_nnz": tri_nnz})
+        except _SkipOp:
+            pass
         except Exception:
           # closure ships the solve form's D/L arrays as HLO constants in
           # the remote-compile body (ldoor dwin: ~1.9 GB -> HTTP 413);
@@ -361,11 +385,14 @@ def main():
         # products — intractable for ANY Gustavson engine (the reference's
         # two-stage symbolic included), so the row is reported as skipped
         # with the predicted count, not attempted.
-        outdeg = np.diff(ptr_h)
-        indeg = np.bincount(ind_h, minlength=n)
-        pred_products = float(indeg[: len(outdeg)].astype(np.float64) @ outdeg)
+        outdeg = np.diff(ptr_h) if _want("sp2m") else None
+        indeg = None if outdeg is None else np.bincount(ind_h, minlength=n)
+        pred_products = 0.0 if outdeg is None else float(
+            indeg[: len(outdeg)].astype(np.float64) @ outdeg)
         prod_cap = float(os.environ.get("REAL_SP2M_PRODUCT_CAP", "5e9"))
-        if pred_products > prod_cap:
+        if outdeg is None:
+            pass
+        elif pred_products > prod_cap:
             emit({**base, "op": "sp2m", "skipped": "predicted products exceed cap",
                   "predicted_products": pred_products, "cap": prod_cap})
         else:
@@ -414,7 +441,7 @@ def main():
             emit({**base, "op": "sp2m", "error": repr(e)[:160]})
 
         # ---- ILU0 factor + PCG slope (diag-boosted operands only) ----
-        if name in ("cant", "pwtk", "scircuit", "ldoor", "bone010"):
+        if name in ("cant", "pwtk", "scircuit", "ldoor", "bone010") and _want("ilu"):
             try:
                 t0 = time.perf_counter()
                 st = ast.ilu0_factorize(A)
@@ -429,7 +456,7 @@ def main():
                       "apply_engine": engine})
             except Exception as e:
                 emit({**base, "op": "ilu0_factor", "error": repr(e)[:160]})
-        if name in ("cant", "pwtk", "ldoor", "bone010"):
+        if name in ("cant", "pwtk", "ldoor", "bone010") and _want("cg"):
             try:
                 from aoclsparse_tpu.solvers.fused import pcg_solve
 
