@@ -36,6 +36,14 @@ registry.register("mv", KernelEntry(12, "pallas_bandv", spmv_bandv, "bandt", "an
 # the exact XLA bwd form — CLAUDE.md non-default carve-out)
 registry.register("mv", KernelEntry(13, "pallas_bandv_df", spmv_bandv_df, "bandt", "any", -1))
 
+from ...planner.spill_route import spill_route_apply  # noqa: E402
+
+# whole-matrix spill-route engine (mv KID 14): one-hot MXU select -> Benes
+# route -> one-hot accumulate over EVERY entry — gather-free, so unlike the
+# ell/segsum rows it may be a planner DEFAULT (large irregular matrices the
+# gen composite rejects; planner/plan.py _build_route)
+registry.register("mv", KernelEntry(14, "spill_route", spill_route_apply, "route", "any", 1))
+
 # Host engine for latency-bound tiny operands (kernels/host.py): negative
 # priority keeps it out of Oracle auto-selection — it runs only via an
 # explicit KID or an autotune_mv pin (CLAUDE.md non-default carve-out)

@@ -1072,46 +1072,85 @@ static void benes_plan_impl(int64_t k, const int64_t *src, uint8_t *masks)
         out_of[e] = e;
         o_at[e] = e;
     }
+    const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
     for (int64_t d = 0; d + 1 < k; ++d) {
         const int64_t s = int64_t(1) << (k - 1 - d);
         const int64_t t1 = d, t2 = 2 * k - 2 - d;
         std::fill(done.begin(), done.end(), uint8_t(0));
-        // walk alternating (input-pair, output-pair) cycles
-        for (int64_t j0 = 0; j0 < n; ++j0) {
-            int64_t e = o_at[j0];
-            if (done[e])
-                continue;
-            uint8_t c = 0;
-            while (true) {
-                color[e] = c;
-                done[e] = 1;
-                const int64_t qp = q_of[e] ^ s; // input partner position
-                int64_t e2 = a[qp];
-                color[e2] = uint8_t(1 - c);
-                done[e2] = 1;
-                const int64_t jp = out_of[e2] ^ s; // its output partner
-                int64_t e3 = o_at[jp];
-                if (done[e3])
-                    break;
-                e = e3; // constraint: color[e3] != color[e2] -> == c
+        // At depth d the remaining routing decomposes into 2^d INDEPENDENT
+        // sub-networks: every position's bits above (k-d) are already
+        // fixed, and both cycle-partner jumps (q^s, j^s with s=2^(k-1-d))
+        // stay inside one 2^(k-d)-aligned block. Walk the alternating
+        // (input-pair, output-pair) coloring cycles per block, blocks
+        // threaded (the cycle walk is the whole cost of the plan —
+        // ~3 min single-threaded at k=24 on this host).
+        const int64_t blk = int64_t(1) << (k - d); // block size
+        const int64_t nblk_d = int64_t(1) << d;
+        auto walk_blocks = [&](int64_t b0, int64_t b1) {
+            for (int64_t b = b0; b < b1; ++b) {
+                const int64_t lo = b * blk, hi = lo + blk;
+                for (int64_t j0 = lo; j0 < hi; ++j0) {
+                    int64_t e = o_at[j0];
+                    if (done[e])
+                        continue;
+                    uint8_t c = 0;
+                    while (true) {
+                        color[e] = c;
+                        done[e] = 1;
+                        const int64_t qp = q_of[e] ^ s; // input partner
+                        int64_t e2 = a[qp];
+                        color[e2] = uint8_t(1 - c);
+                        done[e2] = 1;
+                        const int64_t jp = out_of[e2] ^ s; // output partner
+                        int64_t e3 = o_at[jp];
+                        if (done[e3])
+                            break;
+                        e = e3; // constraint: color[e3] == c
+                    }
+                }
             }
+        };
+        const unsigned nt =
+            unsigned(std::min<int64_t>(hw, std::max<int64_t>(1, nblk_d)));
+        if (nt <= 1 || nblk_d <= 1) {
+            walk_blocks(0, nblk_d);
+        } else {
+            std::vector<std::thread> ths;
+            for (unsigned t = 0; t < nt; ++t) {
+                const int64_t b0 = nblk_d * t / nt, b1 = nblk_d * (t + 1) / nt;
+                if (b0 < b1)
+                    ths.emplace_back(walk_blocks, b0, b1);
+            }
+            for (auto &th : ths)
+                th.join();
         }
         // stage masks from colors (cross when the bit-s-clear slot's
-        // element is colored 1)
-        for (int64_t q = 0; q < n; ++q) {
-            if (q & s)
-                continue;
-            const uint8_t ci = color[a[q]];
-            masks[t1 * n + q] = ci;
-            masks[t1 * n + (q ^ s)] = ci;
-            const uint8_t co = color[o_at[q]];
-            masks[t2 * n + q] = co;
-            masks[t2 * n + (q ^ s)] = co;
-        }
-        // advance: both positions take bit s from the color
-        for (int64_t e = 0; e < n; ++e) {
-            q_of[e] = (q_of[e] & ~s) | (color[e] ? s : 0);
-            out_of[e] = (out_of[e] & ~s) | (color[e] ? s : 0);
+        // element is colored 1); then advance both positions by bit s —
+        // all elementwise, range-threaded
+        auto finish_range = [&](int64_t q0, int64_t q1) {
+            for (int64_t q = q0; q < q1; ++q) {
+                if (q & s)
+                    continue;
+                const uint8_t ci = color[a[q]];
+                masks[t1 * n + q] = ci;
+                masks[t1 * n + (q ^ s)] = ci;
+                const uint8_t co = color[o_at[q]];
+                masks[t2 * n + q] = co;
+                masks[t2 * n + (q ^ s)] = co;
+            }
+            for (int64_t e = q0; e < q1; ++e) {
+                q_of[e] = (q_of[e] & ~s) | (color[e] ? s : 0);
+                out_of[e] = (out_of[e] & ~s) | (color[e] ? s : 0);
+            }
+        };
+        if (hw <= 1 || n < (int64_t(1) << 20)) {
+            finish_range(0, n);
+        } else {
+            std::vector<std::thread> ths;
+            for (unsigned t = 0; t < hw; ++t)
+                ths.emplace_back(finish_range, n * t / hw, n * (t + 1) / hw);
+            for (auto &th : ths)
+                th.join();
         }
         for (int64_t e = 0; e < n; ++e) {
             a[q_of[e]] = e;

@@ -152,6 +152,16 @@ def _run_exec_form(form, x, kid):
                 Status.not_implemented, "host mv engine inside a traced program"
             )
         return e.fn(form.host_ptr, form.host_ind, form.host_values(), np.asarray(x))
+    if form.kind == "route":
+        from ...core.context import get_context
+        from ...planner.spill_route import StripedRoute, striped_route_apply
+
+        rt = form._spill_route
+        interp = not get_context().is_tpu
+        if isinstance(rt, StripedRoute):
+            return striped_route_apply(x, rt, interpret=interp)[: form.m]
+        yp = jnp.zeros((form.m,), x.dtype)
+        return e.fn(x, yp, rt.ops(), rt.statics(), interpret=interp)
     if form.kind in ("segsum", "sell"):
         return e.fn(form.ind, form.val, form.row_ids, x, form.m)
     if form.kind == "ell":

@@ -710,6 +710,10 @@ class ExecForm:
             self._host_pending = eff_val
         elif self.kind == "segsum":
             self.val = eff_val
+        elif self.kind == "route":
+            # whole-matrix spill-route engine: values rescatter through the
+            # stored select-slot map (update_values contract)
+            self._spill_route.refresh(np.asarray(eff_val))
         elif self.kind == "sell":
             vh = np.asarray(eff_val)
             buf = np.zeros(self.sell_total, dtype=vh.dtype)
@@ -1554,6 +1558,59 @@ def _build_sell(eff: EffectiveCSR) -> ExecForm:
     return form
 
 
+#: whole-matrix route engine gates: worth its plan-time Benes build past
+#: this nnz (measured select+route+accum ~4-10x the 13-18 ns/entry gather
+#: floor on webbase-class tails), bounded by the router's slot budget
+ROUTE_MIN_NNZ = 2e6
+ROUTE_MAX_NNZ = 1.5e8
+
+
+def _route_ok(eff: EffectiveCSR) -> bool:
+    import os
+
+    from ..core.context import get_context
+
+    ctx = get_context()
+    lo = float(os.environ.get("AOCLSPARSE_TPU_ROUTE_MIN_NNZ", str(ROUTE_MIN_NNZ)))
+    return (
+        (ctx.is_tpu and ctx.pallas_ok)
+        and np.dtype(eff.val.dtype) == np.dtype(np.float32)
+        and lo <= eff.nnz <= ROUTE_MAX_NNZ
+    )
+
+
+def _build_route(eff: EffectiveCSR) -> ExecForm:
+    """Whole-matrix spill-route SpMV (mv KID 14): the gather-free one-hot
+    select -> Benes route -> one-hot accumulate engine applied to EVERY
+    entry — the default for large irregular matrices the gen composite
+    rejects (bone010 class: 48M nnz, post-compaction irregular band; the
+    padded-ELL gather form measured 0.082 Gnnz/s there, ~the 13-18 ns/entry
+    irregular-op floor). Reference counterpart: the generic CSR row loop
+    (level2/aoclsparse_csrmv_kr.hpp:450) — CPUs serve this class with
+    caches; TPUs route it on the MXU."""
+    from .spill_route import build_spill_route, build_striped_route
+
+    m, n = eff.shape
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(eff.ptr.astype(np.int64)))
+    m_pad = -(-m // 1024) * 1024
+    n_pad_x = -(-n // 1024) * 1024
+    if eff.nnz > (1 << 18):
+        # row-striped sub-networks: cache-resident Benes walks (53 vs
+        # ~200 ns/slot-stage past ~2^18 slots) built in parallel threads
+        sr = build_striped_route(
+            rows, np.asarray(eff.ind, dtype=np.int64), np.asarray(eff.val),
+            m_pad=m_pad, n_pad_x=n_pad_x,
+        )
+    else:
+        sr = build_spill_route(
+            rows, np.asarray(eff.ind, dtype=np.int64), np.asarray(eff.val),
+            m_pad=m_pad, n_pad_x=n_pad_x,
+        )
+    form = ExecForm(kind="route", m=m, n=n)
+    form._spill_route = sr
+    return form
+
+
 def gather_fallback_kind(eff: EffectiveCSR) -> str:
     """Pick among the gather execution forms (segsum/ell/ellhyb) by fill —
     the choice every consumer can dispatch (mv, mm, distributed paths)."""
@@ -1573,8 +1630,16 @@ def build_exec_form(eff: EffectiveCSR, kind: Optional[str] = None) -> ExecForm:
         form = _build_gen(eff)
         if form is not None:
             return form
-        # composite rejected (band still too wide): gather-form fallback
+        # composite rejected (band still too wide): whole-matrix route
+        # engine when it qualifies (gather-free), else gather-form fallback
+        if _route_ok(eff):
+            try:
+                return _build_route(eff)
+            except Exception:
+                pass
         kind = gather_fallback_kind(eff)
+    if kind == "route":
+        return _build_route(eff)
     if kind == "diag":
         return _build_diag(eff)
     if kind == "bandt":

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["SpillRoute", "build_spill_route"]
+__all__ = ["SpillRoute", "build_spill_route", "StripedRoute", "build_striped_route"]
 
 
 @dataclasses.dataclass
@@ -189,3 +189,110 @@ def spill_route_apply(xp, yp, ops, statics, interpret: bool = False):
     y3 = jnp.pad(yp, (0, nyblk * 1024 - yp.shape[0])).reshape(nyblk, 8, 128)
     out = pallas_oh_accum(ctiles, acc_idx, acc_blk, acc_cid, y3, interpret=interpret)
     return out.reshape(-1)[: yp.shape[0]]
+
+
+@dataclasses.dataclass
+class StripedRoute:
+    """Row-striped composition of SpillRoutes (whole-matrix engine at scale).
+
+    One global Benes network walks randomly over 8*n bytes of plan state —
+    past ~2^18 slots that walk falls off every cache (measured 53 ns/slot-
+    stage at k<=16 vs ~200 ns at k>=22 on this host, benchmarks r5) and a
+    48M-nnz plan costs ~10 minutes. Splitting the matrix into row stripes
+    sized for ~2^18-slot sub-networks keeps every walk cache-resident AND
+    the stripes build in parallel threads; the apply side concatenates the
+    stripes' disjoint y ranges (select reads the shared x; total route work
+    n*(2k_s-1) is LESS than the single network's n*(2k-1))."""
+
+    stripes: list  # SpillRoute per stripe
+    row_lo: list  # first row of each stripe (1024-aligned)
+    row_hi: list
+    m: int
+    _val_src: list  # per stripe: entry indices into the CSR value array
+
+    def refresh(self, val_host: np.ndarray) -> None:
+        val_host = np.asarray(val_host)
+        for sr, idx in zip(self.stripes, self._val_src):
+            sr.refresh(val_host[idx])
+
+
+def build_striped_route(
+    rows, cols, vals, m_pad: int, n_pad_x: int, target_slots: Optional[int] = None,
+    threads: Optional[int] = None,
+) -> StripedRoute:
+    """rows must be sorted (CSR order). Stripe boundaries land on 1024-row
+    blocks with ~target_slots entries per stripe; sub-plans build in a
+    thread pool (native benes_plan releases the GIL)."""
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    vals = np.asarray(vals)
+    P = rows.size
+    if target_slots is None:
+        import os as _os
+
+        # 2^19 balances the Benes walk rate (53 ns cache-resident at <=2^18,
+        # ~146 at 2^20) against compiled-program size (~40 route stages +
+        # 3 pallas calls per stripe)
+        target_slots = int(
+            float(_os.environ.get("AOCLSPARSE_TPU_ROUTE_STRIPE_SLOTS", str(1 << 19)))
+        )
+    budget = max(1024, int(target_slots * 0.75))  # slot headroom for padding
+    # entry index of each 1024-row block boundary
+    blk_starts = np.searchsorted(rows, np.arange(0, m_pad + 1024, 1024))
+    bounds = [0]
+    for b in blk_starts[1:]:
+        if b - bounds[-1] >= budget or b == P:
+            if b > bounds[-1]:
+                bounds.append(int(b))
+    if bounds[-1] != P:
+        bounds.append(P)
+    stripes_io = []
+    for i in range(len(bounds) - 1):
+        e0, e1 = bounds[i], bounds[i + 1]
+        lo = 0 if e0 == 0 else int(rows[e0] // 1024) * 1024
+        hi_row = int(rows[e1 - 1]) if e1 > e0 else lo
+        hi = min(m_pad, (hi_row // 1024 + 1) * 1024)
+        stripes_io.append((e0, e1, lo, hi))
+    results = [None] * len(stripes_io)
+
+    def _one(i):
+        e0, e1, lo, hi = stripes_io[i]
+        results[i] = build_spill_route(
+            rows[e0:e1] - lo, cols[e0:e1], vals[e0:e1],
+            m_pad=hi - lo, n_pad_x=n_pad_x,
+        )
+
+    import concurrent.futures as cf
+
+    nt = threads
+    if nt is None:
+        import os as _os
+
+        nt = min(4, _os.cpu_count() or 1)
+    if nt > 1 and len(stripes_io) > 1:
+        with cf.ThreadPoolExecutor(nt) as ex:
+            list(ex.map(_one, range(len(stripes_io))))
+    else:
+        for i in range(len(stripes_io)):
+            _one(i)
+    return StripedRoute(
+        stripes=results,
+        row_lo=[s[2] for s in stripes_io],
+        row_hi=[s[3] for s in stripes_io],
+        m=int(m_pad),
+        _val_src=[np.arange(s[0], s[1], dtype=np.int64) for s in stripes_io],
+    )
+
+
+def striped_route_apply(x, sr: StripedRoute, interpret: bool = False):
+    """y (m,) = A @ x through every stripe; stripes write disjoint row
+    ranges, concatenated. Stripe structures are traced constants — callers
+    amortizing over iterations should jaxpr-trace and pass consts as args
+    (same HTTP-413 discipline as every other engine)."""
+    parts = []
+    for sri, lo, hi in zip(sr.stripes, sr.row_lo, sr.row_hi):
+        yp = jnp.zeros((hi - lo,), x.dtype)
+        parts.append(
+            spill_route_apply(x, yp, sri.ops(), sri.statics(), interpret=interpret)
+        )
+    return jnp.concatenate(parts)
