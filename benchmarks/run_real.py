@@ -389,7 +389,18 @@ def main():
         indeg = None if outdeg is None else np.bincount(ind_h, minlength=n)
         pred_products = 0.0 if outdeg is None else float(
             indeg[: len(outdeg)].astype(np.float64) @ outdeg)
-        prod_cap = float(os.environ.get("REAL_SP2M_PRODUCT_CAP", "5e9"))
+        # default cap: the host expansion triples cost ~24 B/product plus
+        # 2-3x that in sort/unique temporaries — bone010's 2.3e9 products
+        # peaked at 111 GB RSS on this 125 GB box; half of free RAM is the
+        # honest budget
+        _avail_b = (
+            os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+            if hasattr(os, "sysconf")
+            else 8e9
+        )
+        prod_cap = float(
+            os.environ.get("REAL_SP2M_PRODUCT_CAP", str(min(5e9, _avail_b * 0.5 / 56)))
+        )
         if outdeg is None:
             pass
         elif pred_products > prod_cap:
