@@ -324,8 +324,17 @@ def _run_exec_form(form, x, kid):
             # vertical-layout band (bandv — beats the v2 kernel in every
             # same-window A/B); mixed precision rides the bf16 vt4: the
             # band is the gen composite's dominant traffic (web profile).
-            # Env escape hatch to the v2 kernel kept for A/Bs.
-            if os.environ.get("AOCLSPARSE_TPU_GEN_BAND_V2", "0") not in ("1", "true"):
+            # Env escape hatch to the v2 kernel kept for A/Bs. GIANT bands
+            # skip the vt4 cache — the relayout holds a SECOND full band
+            # copy (+transpose temporary) and OOM'd circuit5M's 3 GB gen
+            # band next to its hub slabs; the v2 kernel reads the (W, m)
+            # slab directly.
+            band_b = form.bwd_val.size * form.bwd_val.dtype.itemsize
+            v4_cap = float(os.environ.get("AOCLSPARSE_TPU_GEN_V4_MAX_B", "1.5e9"))
+            if (
+                os.environ.get("AOCLSPARSE_TPU_GEN_BAND_V2", "0") not in ("1", "true")
+                and band_b <= v4_cap
+            ):
                 vt4 = form.bandt_vertical(TM=TMg, bf16=mixed)
                 # MXU one-hot permute engine (exact 3-split matmuls): on by
                 # default on TPU for block-granular permutes where the
