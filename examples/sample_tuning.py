@@ -57,4 +57,11 @@ with tempfile.TemporaryDirectory() as td:
     n = load_plan(A2, p)
     print("restored", n, "form(s); values come from the live handle")
     check("mv after restore", asp.mv(1.0, A2, gen, Operation.none, x, 0.0), 2 * dense @ x)
-    assert get_plan(A2).exec_form_for(gen, Operation.none).kind == winner
+    # the snapshot contract: the restored handle serves the SAME form the
+    # tuned handle had (comparing against `winner` directly was flaky — the
+    # autotune pin can legitimately differ from min(timings) under host
+    # load, e.g. the host engine is timed but never pinned as a form kind)
+    assert (
+        get_plan(A2).exec_form_for(gen, Operation.none).kind
+        == get_plan(A).exec_form_for(gen, Operation.none).kind
+    )
