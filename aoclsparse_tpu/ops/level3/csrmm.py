@@ -200,11 +200,11 @@ def mm(
             and jnp.dtype(A.dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
             and -(-B.shape[1] // 128) * 128 <= BANDTM_MAX_K
             # W must fit the kernel tile (TM adapts below): in-2004's W=488
-            # gen band asserted out of the fixed TM=256. VMEM cap at 512 —
-            # the _kernel_mm window holds 9 (2*TM, K) copies and webbase's
-            # W=728 (TM=768, ~9.5 MB + double-buffering) crashed the Mosaic
-            # compile
-            and form.bwd_W <= 512
+            # gen band asserted out of the fixed TM=256. VMEM cap at the
+            # PROVEN W<=256 — both W=488 (TM=512) and W=728 (TM=768)
+            # crashed the Mosaic compile (the _kernel_mm window holds 9
+            # (2*TM, K) copies plus the W-step FMA chain's live slices)
+            and form.bwd_W <= 256
             and kid in (None, 6)
         )
         if not pallas_ok:
