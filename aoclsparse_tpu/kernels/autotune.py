@@ -309,7 +309,10 @@ def autotune_spgemm(
             plan._extract_route = "gather"
     if not results:
         results["expand"] = 0.0  # empty product: either engine is a no-op
-    best = min(results, key=results.get)
+    # engine pick over the NUMERIC engines only (extract_gather is the
+    # extraction-route measurement, not an engine)
+    engines = {k: v for k, v in results.items() if k in ("expand", "band", "host")}
+    best = min(engines, key=engines.get) if engines else "expand"
     plan._host_engine = best == "host"
     if best != "band":
         plan.band = None  # pin the chosen engine for finalize passes
