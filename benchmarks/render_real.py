@@ -44,6 +44,10 @@ def main(path=None):
                 cells.append(f"{r.get('t_ms')} ms ({r.get('loop')})")
             elif op == "trsv_lower":
                 cells.append(f"{r.get('gflops')} GF/s")
+            elif op == "sp2m" and r.get("skipped"):
+                cells.append(
+                    f"skipped ({r.get('predicted_products', 0):.1e} pred products)"
+                )
             elif op == "sp2m":
                 w = r.get("t_warm_s")
                 cells.append(f"{r.get('t_s')}s cold" + (f", {w}s warm" if w else ""))
